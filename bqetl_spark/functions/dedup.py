@@ -1,0 +1,191 @@
+"""Deduplication for training-data pipelines, at 100 TB design scale.
+
+Four tiers, all shuffle-minimal:
+
+- exact:      hash-groupBy on the raw text (one shuffle on a short digest,
+              not the document body).
+- fingerprint: exact dedup over a normalized-text md5 (case/punct/ws
+              insensitive).
+- minhash_lsh: shingle → minhash signature → band buckets → candidate pairs
+              join within buckets only (never all-pairs), verify with true
+              Jaccard. Pure expressions: xxhash64 for shingle hashing,
+              aggregate() for the per-permutation min.
+- simhash:    64-bit simhash from token hashes; near-dup = small Hamming
+              distance within same-prefix blocks.
+
+Everything is built-in expressions — no Python UDFs — so the candidate
+generation runs in whole-stage codegen and the only shuffles are the
+bucket/groupBy joins on compact keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bqetl_spark.functions.text import fingerprint, tokens
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact text. Group key is the text
+    digest, not the body, so the shuffle moves ~40B/row at 100 TB."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .drop("__h")
+    )
+
+
+def dedup_fingerprint(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Near-exact dedup on normalized text (lower/strip-punct/collapse-ws)."""
+    return (
+        df.groupBy(fingerprint(F.col(text_col)).alias("fp"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(text_col, n: int = 3):
+    """Word n-gram shingle set as an array of xxhash64 values (deduped)."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    return F.array_distinct(grams)
+
+
+_MERSENNE31 = (1 << 31) - 1  # 2147483647
+
+
+def _perm_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per permutation, a,b < 2^31 — a*x never exceeds
+    2^62, so the arithmetic is overflow-safe even under ANSI mode."""
+    params = []
+    for i in range(num_perm):
+        a = (0x9E3779B1 * (i + 1)) % _MERSENNE31 or 1
+        b = (0x85EBCA77 * (i + 7)) % _MERSENNE31
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(shingle_col, num_perm: int = 64):
+    """MinHash signature via the (a*x + b) mod p permutation family over
+    31-bit-reduced xxhash64 shingle values. One aggregate() per permutation —
+    all codegen, no UDF. p = 2^31-1 (Mersenne)."""
+    p = F.lit(_MERSENNE31)
+    x31 = F.transform(shingle_col, lambda x: F.pmod(x, p))
+    sig = []
+    for a, b in _perm_params(num_perm):
+        h = lambda x, a=a, b=b: F.pmod(x * F.lit(a) + F.lit(b), p)
+        sig.append(F.array_min(F.transform(x31, h)))
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n_shingle: int = 3,
+                      num_perm: int = 64, bands: int = 16,
+                      jaccard_threshold: float = 0.5) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, verified with true
+    shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Scale shape: the only join is on (band_idx, band_hash) buckets — at
+    100 TB collision groups stay tiny, so the self-join is bucket-local and
+    never quadratic in the corpus. AQE's skew-join splitting covers a hot
+    bucket (e.g. boilerplate docs).
+    """
+    rows = num_perm // bands
+    base = df.select(F.col(id_col).alias("id"),
+                     shingles(F.col(text_col), n_shingle).alias("sh"))
+    base = base.withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.concat_ws(",", F.transform(
+            F.slice("sig", b * rows + 1, rows), lambda v: v.cast("string")))))
+    banded = (base
+              .withColumn("band_h", band_arr)
+              .select("id", "sh", F.posexplode("band_h").alias("band", "bh")))
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (left.join(right,
+                      (F.col("a.band") == F.col("b.band")) &
+                      (F.col("a.bh") == F.col("b.bh")) &
+                      (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (cand
+            .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5,
+                        block_cols: list[str] | None = None) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within blocking keys.
+
+    Without LSH this is the *verification* tier: candidate pairs are limited
+    to rows sharing ``block_cols`` (e.g. language + length band), keeping the
+    self-join from going quadratic. Fully SQL-expressible → oracled.
+    """
+    block_cols = block_cols or []
+    base = df.select(F.col(id_col).alias("id"),
+                     F.array_distinct(
+                         F.transform(
+                             F.sequence(F.lit(0),
+                                        F.greatest(F.size(tokens(F.col(text_col))) - n,
+                                                   F.lit(0))),
+                             lambda i: F.concat_ws(" ", F.slice(tokens(F.col(text_col)),
+                                                                i + 1, n)))).alias("gr"),
+                     *[F.col(c) for c in block_cols])
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect("a.gr", "b.gr"))
+    union = F.size(F.array_union("a.gr", "b.gr"))
+    return (a.join(b, cond)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def simhash64(text_col) -> "F.Column":
+    """64-bit SimHash from token xxhash64 values: per bit, sum ±1 over all
+    token hashes, bit set iff the sum is positive. Bit loop unrolled into 64
+    expressions — heavy but pure codegen, no shuffle at all."""
+    toks = F.array_distinct(tokens(text_col))
+    hs = F.transform(toks, lambda t: F.xxhash64(t))
+    out = F.lit(0).cast("long")
+    for bit in range(64):
+        vote = F.aggregate(
+            hs, F.lit(0),
+            lambda acc, h, bit=bit: acc + F.when(
+                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+        # bitwise OR of shifted bit — shifts wrap naturally (no ANSI overflow),
+        # so bit 63 lands in the sign bit as intended.
+        out = out.bitwiseOR(
+            F.shiftleft(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+                        bit))
+    return out
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits
+    (near-dups almost always share them), compare Hamming distance within a
+    block. Returns (id_a, id_b, hamming)."""
+    base = df.select(F.col(id_col).alias("id"),
+                     simhash64(F.col(text_col)).alias("sh"))
+    base = base.withColumn("blk", F.shiftrightunsigned("sh", 64 - prefix_bits))
+    a, b = base.alias("a"), base.alias("b")
+    xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    hamming = F.bit_count(xor)
+    return (a.join(b, (F.col("a.blk") == F.col("b.blk")) &
+                      (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

@@ -1,0 +1,143 @@
+"""Embedding similarity search over an array<float> column.
+
+Two tiers, as a 100 TB design demands:
+
+- brute-force cosine top-k — the exactness baseline. Dot products via
+  zip_with/aggregate (pure codegen); the per-query top-k is a window over the
+  scored pairs. Right-side (corpus) stays partitioned; queries broadcast.
+- LSH-bucketed ANN — random-hyperplane signatures (deterministic,
+  index-derived planes) bucket the corpus; candidates only within matching
+  buckets (multi-probe via multiple tables). Recall/latency dial =
+  (n_tables, n_bits).
+
+Scale notes: brute force is O(Q·N) — fine when Q is small and broadcast;
+the LSH path is the one that survives N at corpus scale, because the join is
+bucket-equality, not cross.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0).cast("double"), lambda acc, v: acc + v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                score_decimals: int = 4) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    Output: (query_id, neighbor_id, rank, score). Queries are broadcast
+    (small side), the corpus is never moved — the cross join is map-side.
+    Ties break by neighbor_id for determinism; scores rounded to keep
+    cross-engine comparisons stable.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"))
+    scored = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("score", score_decimals).alias("score")))
+
+
+def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         block_col: str | None = None) -> DataFrame:
+    """All pairs with cosine ≥ threshold; optional blocking column keeps the
+    self-join from going quadratic at scale (use LSH buckets below when no
+    natural block exists)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     *( [F.col(block_col).alias("blk")] if block_col else [] ))
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (a.join(b, cond)
+            .withColumn("score", cosine(F.col("a.v"), F.col("b.v")))
+            .filter(F.col("score") >= threshold)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.round("score", 4).alias("score")))
+
+
+def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: weights in {-2..2} derived by
+    integer mixing of (table, bit, i). No RNG — reproducible across engines
+    and runs."""
+    w = []
+    for i in range(dim):
+        m = (i * 2654435761 + bit * 40503 + table * 69069 + 12345) & 0xFFFFFFFF
+        m ^= m >> 16
+        w.append(float((m % 5) - 2))
+    return w
+
+
+def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int = 64, n_tables: int = 4, n_bits: int = 8,
+                    score_decimals: int = 4) -> DataFrame:
+    """ANN top-k: random-hyperplane LSH buckets × n_tables, exact cosine
+    re-rank within candidate buckets. Approximate — recall < 1 by design;
+    the scale path when brute force is too expensive.
+
+    Output: (query_id, neighbor_id, rank, score) with rank over retrieved
+    candidates.
+    """
+    def signature(vec_col_expr, table: int):
+        bit_exprs = []
+        for bit in range(n_bits):
+            w = _hyperplane(dim, table, bit)
+            proj = F.aggregate(
+                F.zip_with(vec_col_expr,
+                           F.array(*[F.lit(x) for x in w]),
+                           lambda v, ww: v * ww),
+                F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+            bit_exprs.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+                             * F.lit(1 << bit))
+        sig = bit_exprs[0]
+        for e in bit_exprs[1:]:
+            sig = sig + e
+        return sig
+
+    def bucketize(df: DataFrame, prefix: str) -> DataFrame:
+        out = df.select(F.col(id_col).alias(f"{prefix}_id"),
+                        F.col(vec_col).alias(f"{prefix}_vec"))
+        sigs = F.array(*[signature(F.col(f"{prefix}_vec"), t)
+                         for t in range(n_tables)])
+        return out.select(f"{prefix}_id", f"{prefix}_vec",
+                          F.posexplode(sigs).alias("table", f"{prefix}_sig"))
+
+    cbuck = bucketize(corpus, "c")
+    qbuck = bucketize(queries, "q")
+    cand = (cbuck.join(F.broadcast(qbuck),
+                       (cbuck["table"] == qbuck["table"]) &
+                       (F.col("c_sig") == F.col("q_sig")) &
+                       (F.col("c_id") != F.col("q_id")))
+            .select(F.col("q_id").alias("query_id"),
+                    F.col("c_id").alias("neighbor_id"),
+                    "q_vec", "c_vec")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = cand.withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("score", score_decimals).alias("score")))

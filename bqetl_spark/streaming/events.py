@@ -1,0 +1,31 @@
+"""Structured Streaming over the events table.
+
+The reference is batch-only (SURVEY.md §2.8) — this module is part of the
+beyond-parity surface: the same windowed aggregation a production pipeline
+would run on a Kafka source, exercised locally with the file source +
+availableNow trigger (bounded replay of the parquet events table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_event_counts(spark: SparkSession, events_dir: str,
+                        window: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """readStream(events) → watermark → tumbling-window counts per type.
+
+    Returns the streaming DataFrame; callers start it with
+    ``writeStream.trigger(availableNow=True)`` (tests) or a real trigger.
+    """
+    schema = spark.read.parquet(events_dir).schema  # bounded schema probe
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
