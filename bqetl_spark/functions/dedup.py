@@ -74,10 +74,14 @@ def minhash_signature(shingle_col, num_perm: int = 64):
     all codegen, no UDF. p = 2^31-1 (Mersenne)."""
     p = F.lit(_MERSENNE31)
     x31 = F.transform(shingle_col, lambda x: F.pmod(x, p))
-    sig = []
-    for a, b in _perm_params(num_perm):
-        h = lambda x, a=a, b=b: F.pmod(x * F.lit(a) + F.lit(b), p)
-        sig.append(F.array_min(F.transform(x31, h)))
+
+    def perm(a: int, b: int):
+        # closure factory: PySpark reads lambda arity, so capture via scope,
+        # never via default args
+        return lambda x: F.pmod(x * F.lit(a) + F.lit(b), p)
+
+    sig = [F.array_min(F.transform(x31, perm(a, b)))
+           for a, b in _perm_params(num_perm)]
     return F.array(*sig)
 
 
@@ -97,10 +101,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     base = df.select(F.col(id_col).alias("id"),
                      shingles(F.col(text_col), n_shingle).alias("sh"))
     base = base.withColumn("sig", minhash_signature(F.col("sh"), num_perm))
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(F.concat_ws(",", F.transform(
-            F.slice("sig", b * rows + 1, rows), lambda v: v.cast("string")))))
+    # one xxhash64 per band over the signature slice (hashes array values
+    # directly; band loop unrolled in Python — bands is a plan-time constant)
+    band_arr = F.array(*[
+        F.xxhash64(F.slice("sig", b * rows + 1, rows)) for b in range(bands)
+    ])
     banded = (base
               .withColumn("band_h", band_arr)
               .select("id", "sh", F.posexplode("band_h").alias("band", "bh")))
@@ -159,12 +164,14 @@ def simhash64(text_col) -> "F.Column":
     expressions — heavy but pure codegen, no shuffle at all."""
     toks = F.array_distinct(tokens(text_col))
     hs = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def voter(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
     out = F.lit(0).cast("long")
     for bit in range(64):
-        vote = F.aggregate(
-            hs, F.lit(0),
-            lambda acc, h, bit=bit: acc + F.when(
-                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+        vote = F.aggregate(hs, F.lit(0), voter(bit))
         # bitwise OR of shifted bit — shifts wrap naturally (no ANSI overflow),
         # so bit 63 lands in the sign bit as intended.
         out = out.bitwiseOR(

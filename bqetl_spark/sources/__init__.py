@@ -4,7 +4,7 @@ from bqetl_spark.sources.json_source import (
     load_text,
     namespace_columns,
 )
-from bqetl_spark.sources.parquet_source import load_parquet_table, load_star
+from bqetl_spark.sources.parquet_source import load_events, load_parquet_table, load_star
 from bqetl_spark.sources.sinks import write_bigquery, write_parquet
 
 __all__ = [
@@ -13,6 +13,7 @@ __all__ = [
     "load_table",
     "namespace_columns",
     "load_parquet_table",
+    "load_events",
     "load_star",
     "write_parquet",
     "write_bigquery",

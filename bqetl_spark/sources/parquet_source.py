@@ -9,6 +9,7 @@ nothing here assumes local files.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bqetl_spark.sources.json_source import namespace_columns
 
@@ -26,4 +27,18 @@ def load_parquet_table(spark: SparkSession, sf_dir: str, name: str,
 
 def load_star(spark: SparkSession, sf_dir: str,
               tables: tuple[str, ...] = STAR_TABLES) -> dict[str, DataFrame]:
-    return {t: load_parquet_table(spark, sf_dir, t) for t in tables}
+    return {t: (load_events(spark, sf_dir) if t == "events"
+                else load_parquet_table(spark, sf_dir, t)) for t in tables}
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects by default. Read nanos as long (runtime conf) and convert to a
+    microsecond timestamp — DuckDB's CAST(ts AS TIMESTAMP) truncates the same
+    way, so the two engines agree."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df

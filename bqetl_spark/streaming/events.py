@@ -20,8 +20,21 @@ def stream_event_counts(spark: SparkSession, events_dir: str,
     Returns the streaming DataFrame; callers start it with
     ``writeStream.trigger(availableNow=True)`` (tests) or a real trigger.
     """
+    # events stores TIMESTAMP(NANOS) → read nanos as long, convert to micros
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_dir).schema  # bounded schema probe
-    stream = spark.readStream.schema(schema).parquet(events_dir)
+    import os
+
+    if events_dir.endswith(".parquet") and os.path.isfile(events_dir):
+        # file source requires a directory: stream the parent with a glob
+        base, fname = os.path.dirname(events_dir), os.path.basename(events_dir)
+        stream = (spark.readStream.schema(schema)
+                  .option("pathGlobFilter", fname).parquet(base))
+    else:
+        stream = spark.readStream.schema(schema).parquet(events_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
     return (stream
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window).alias("win"), "event_type")

@@ -1,0 +1,62 @@
+from bqetl_spark.functions import dedup as dd
+
+
+def _docs(spark):
+    base = "spark makes big data processing simple fast and reliable for everyone today"
+    near = "spark makes big data processing simple fast and reliable for most people today"
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup of 1
+        (3, near),                      # near dup of 1
+        (4, "completely different content about cooking pasta with tomato sauce basil"),
+        (5, "Spark Makes Big Data Processing Simple Fast And Reliable For Everyone Today"),  # case-variant of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact(spark):
+    out = dd.dedup_exact(_docs(spark)).collect()
+    survivors = {r["doc_id"]: r["n_copies"] for r in out}
+    assert survivors[1] == 2            # rows 1+2 collapse
+    assert 2 not in survivors
+    assert survivors[4] == 1 and survivors[5] == 1
+
+
+def test_dedup_fingerprint_case_insensitive(spark):
+    out = dd.dedup_fingerprint(_docs(spark)).collect()
+    survivors = {r["doc_id"]: r["n_copies"] for r in out}
+    assert survivors[1] == 3            # 1, 2 and the case-variant 5
+    assert 5 not in survivors
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = dd.minhash_lsh_pairs(_docs(spark), jaccard_threshold=0.3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got                # exact dup always collides
+    assert (1, 3) in got or (2, 3) in got  # near dup lands in a shared band
+    assert all(4 not in p for p in got)    # unrelated doc never pairs
+
+
+def test_minhash_jaccard_value_sane(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dd.minhash_lsh_pairs(_docs(spark), jaccard_threshold=0.0).collect()}
+    assert pairs[(1, 2)] == 1.0
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dd.ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    assert all(4 not in (a, b) for a, b in pairs)
+
+
+def test_simhash_near_dup(spark):
+    # short toy docs flip many bits per word change → use a loose budget and
+    # a tiny prefix block; production corpora use (3, 16)
+    pairs = dd.simhash_pairs(_docs(spark), max_hamming=24, prefix_bits=2).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((1, 2)) == 0         # identical text → identical simhash
+    assert (1, 3) in got                # near dup within hamming budget
+    assert got[(1, 3)] > 0
+    assert (1, 4) not in got or got[(1, 3)] < got.get((1, 4), 64)

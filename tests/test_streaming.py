@@ -1,0 +1,20 @@
+import os
+
+from bqetl_spark.streaming.events import stream_event_counts
+from tests.conftest import SF_DIR
+
+
+def test_stream_event_counts_available_now(spark, tmp_path):
+    agg = stream_event_counts(spark, f"{SF_DIR}/events.parquet")
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName("ev_counts")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM ev_counts")
+    rows = out.collect()
+    assert len(rows) > 0
+    # streaming totals must equal the batch answer over the same data
+    batch = (spark.read.parquet(f"{SF_DIR}/events.parquet").count())
+    assert sum(r["n_events"] for r in rows) == batch
