@@ -22,13 +22,18 @@ from pyspark.sql import functions as F
 
 
 def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+    # cast each float to double BEFORE multiplying: the product of two
+    # doubles-from-floats is exact, and the left-to-right double fold is then
+    # bit-identical across engines (the DuckDB oracle does the same)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"), lambda acc, v: acc + v)
 
 
 def _norm(a):
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                              F.lit(0.0).cast("double"), lambda acc, v: acc + v))
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0).cast("double"), lambda acc, v: acc + v))
 
 
 def cosine(a, b):

@@ -1,0 +1,48 @@
+"""Pre-flight for the driver's correctness gate: every queries() entry with
+an oracle must hash-match DuckDB on the same parquet data."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.oracle_harness import compare, duck_connection, first_diff
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_DIR)
+    yield con
+    con.close()
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+def test_all_oracle_keys_have_queries():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_match(spark, duck, name):
+    df = QUERIES[name](spark, SF_DIR)
+    res = compare(df, duck, ORACLES[name])
+    if not res["hash_match"]:
+        diff = first_diff(QUERIES[name](spark, SF_DIR), duck, ORACLES[name])
+        pytest.fail(f"{name}: {res}\ndiff: {diff}")
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
