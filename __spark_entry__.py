@@ -260,9 +260,9 @@ def q_token_stats(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs, blocked by language."""
+    """Exact 3-gram Jaccard near-dup pairs via inverted gram index."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_cols=["lang"])
+    return dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -280,7 +280,7 @@ def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (xxhash64-seeded — not SQL-expressible;
     rows-only check)."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.simhash_pairs(docs, max_hamming=8, prefix_bits=8)
+    return dd.simhash_pairs(docs, max_hamming=3, prefix_bits=16)
 
 
 def q_embed_topk(spark, sf_dir):
@@ -516,12 +516,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "ngram_jaccard": f"""
             WITH t AS (
-              SELECT doc_id, lang, {_GRAMS} AS g
-              FROM (SELECT doc_id, lang, {_TOK} AS w, text FROM documents))
+              SELECT doc_id, {_GRAMS} AS g
+              FROM (SELECT doc_id, {_TOK} AS w, text FROM documents))
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                          / greatest(len(list_distinct(list_concat(a.g, b.g))), 1), 6) AS jaccard
-            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                   / greatest(len(list_distinct(list_concat(a.g, b.g))), 1) >= 0.5""",
         "minhash_lsh": f"""

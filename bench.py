@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_headline_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": "..."}
+
+Each query is timed end-to-end (plan + execute + collect-to-count) after a
+shared session warm-up, on local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship denormalization plus representative heavy
+# operators from each family (join/agg/window/dedup/similarity).
+HEADLINE = [
+    "denorm_flat",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_region_revenue",
+    "window_running_total",
+    "nest_orders",
+    "sessionize",
+    "dedup_fingerprint",
+    "minhash_lsh",
+    "embed_topk",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from bqetl_spark.session import get_spark
+
+    spark = get_spark("bqetl_spark_bench")
+    qs = entry_mod.queries()
+
+    # warm-up: run every headline query shape once at the smallest SF that
+    # exists, so JVM JIT + whole-stage codegen compile outside the timed
+    # region (steady-state throughput is what a long-running cluster sees)
+    warm_dir = SF_DIR
+    for cand in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if os.path.isdir(cand):
+            warm_dir = cand
+            break
+    for name in HEADLINE:
+        qs[name](spark, warm_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        # count() forces the full plan without driver-side row transfer
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

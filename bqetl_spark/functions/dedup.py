@@ -70,8 +70,12 @@ def _perm_params(num_perm: int) -> list[tuple[int, int]]:
 
 def minhash_signature(shingle_col, num_perm: int = 64):
     """MinHash signature via the (a*x + b) mod p permutation family over
-    31-bit-reduced xxhash64 shingle values. One aggregate() per permutation —
-    all codegen, no UDF. p = 2^31-1 (Mersenne)."""
+    31-bit-reduced xxhash64 shingle values, as array expressions.
+    p = 2^31-1 (Mersenne).
+
+    NOTE: fine for small num_perm / ad-hoc use; ``minhash_lsh_pairs`` uses
+    the explode+groupBy formulation instead, which stays in whole-stage
+    codegen and map-side-combines (64 array folds per row do not)."""
     p = F.lit(_MERSENNE31)
     x31 = F.transform(shingle_col, lambda x: F.pmod(x, p))
 
@@ -98,64 +102,108 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     bucket (e.g. boilerplate docs).
     """
     rows = num_perm // bands
-    base = df.select(F.col(id_col).alias("id"),
-                     shingles(F.col(text_col), n_shingle).alias("sh"))
-    base = base.withColumn("sig", minhash_signature(F.col("sh"), num_perm))
-    # one xxhash64 per band over the signature slice (hashes array values
-    # directly; band loop unrolled in Python — bands is a plan-time constant)
+    p = F.lit(_MERSENNE31)
+
+    # 1) per-doc shingle set, computed once and cached — it feeds both the
+    #    signature build and the final jaccard verify. Repartition first:
+    #    a small corpus arrives as one parquet split, and shingling is the
+    #    CPU-heavy stage, so spread it across the cluster.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = (df.repartition(n_part, id_col)
+            .select(F.col(id_col).alias("id"),
+                    shingles(F.col(text_col), n_shingle).alias("sh"))
+            .cache())
+
+    # 2) explode to (id, shingle_hash31) and take the per-permutation min as
+    #    64 plain aggregates: whole-stage codegen + map-side partial combine,
+    #    instead of 64 interpreted array folds per row. This is the shape
+    #    that survives a 100 TB corpus — the shuffle carries only partial
+    #    minima (num_perm longs per doc per map task).
+    exploded = base.select("id", F.explode("sh").alias("h")) \
+                   .withColumn("x", F.pmod(F.col("h"), p))
+    aggs = [F.min(F.pmod(F.col("x") * F.lit(a) + F.lit(b), p)).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_perm_params(num_perm))]
+    sigs = exploded.groupBy("id").agg(*aggs)
+
+    # 3) band buckets: one xxhash64 per signature slice; explode to
+    #    (id, band, bucket) and self-join bucket-locally (never all-pairs)
     band_arr = F.array(*[
-        F.xxhash64(F.slice("sig", b * rows + 1, rows)) for b in range(bands)
+        F.xxhash64(F.array(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]))
+        for b in range(bands)
     ])
-    banded = (base
-              .withColumn("band_h", band_arr)
-              .select("id", "sh", F.posexplode("band_h").alias("band", "bh")))
-    left = banded.alias("a")
-    right = banded.alias("b")
-    cand = (left.join(right,
-                      (F.col("a.band") == F.col("b.band")) &
-                      (F.col("a.bh") == F.col("b.bh")) &
-                      (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+    banded = sigs.select("id", F.posexplode(band_arr).alias("band", "bh"))
+    cand = (banded.alias("a")
+            .join(banded.alias("b"),
+                  (F.col("a.band") == F.col("b.band")) &
+                  (F.col("a.bh") == F.col("b.bh")) &
+                  (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
+
+    # 4) verify candidates with true shingle jaccard (arrays re-joined from
+    #    the cached base — candidates are few, so this join is cheap)
+    verified = (cand
+                .join(base.select(F.col("id").alias("id_a"),
+                                  F.col("sh").alias("sh_a")), "id_a")
+                .join(base.select(F.col("id").alias("id_b"),
+                                  F.col("sh").alias("sh_b")), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (cand
-            .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
-            .filter(F.col("jaccard") >= jaccard_threshold)
-            .select("id_a", "id_b", "jaccard"))
+    jac = inter / F.greatest(union, F.lit(1))
+    # filter unrounded (matches the SQL oracle), round only for output
+    return (verified
+            .filter(jac >= jaccard_threshold)
+            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard")))
+
+
+def word_ngrams(text_col, n: int = 3):
+    """Distinct word n-gram strings (n consecutive whitespace tokens)."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5,
-                        block_cols: list[str] | None = None) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs within blocking keys.
+                        max_gram_freq: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted gram index.
 
-    Without LSH this is the *verification* tier: candidate pairs are limited
-    to rows sharing ``block_cols`` (e.g. language + length band), keeping the
-    self-join from going quadratic. Fully SQL-expressible → oracled.
+    Candidate generation: explode each doc's gram set and self-join on the
+    gram — the per-pair match count IS |A∩B|, so jaccard follows from
+    c / (|A| + |B| - c) with no array intersection and no quadratic block
+    join. Pairs sharing zero grams (jaccard 0) never materialize.
+
+    Scale levers: the only shuffles are the gram join and the pair groupBy,
+    both on compact keys; ``max_gram_freq`` drops boilerplate grams that
+    appear in more than N docs (the standard skew guard at corpus scale —
+    a gram shared by every doc contributes O(N²) candidates and ~nothing to
+    precision). Exact (and oracle-comparable) when left at None.
     """
-    block_cols = block_cols or []
-    base = df.select(F.col(id_col).alias("id"),
-                     F.array_distinct(
-                         F.transform(
-                             F.sequence(F.lit(0),
-                                        F.greatest(F.size(tokens(F.col(text_col))) - n,
-                                                   F.lit(0))),
-                             lambda i: F.concat_ws(" ", F.slice(tokens(F.col(text_col)),
-                                                                i + 1, n)))).alias("gr"),
-                     *[F.col(c) for c in block_cols])
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = F.size(F.array_intersect("a.gr", "b.gr"))
-    union = F.size(F.array_union("a.gr", "b.gr"))
-    return (a.join(b, cond)
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = (df.repartition(n_part, id_col)
+            .select(F.col(id_col).alias("id"),
+                    word_ngrams(F.col(text_col), n).alias("gr"))
+            .withColumn("n_gr", F.size("gr"))
+            .cache())
+    inv = base.select("id", "n_gr", F.explode("gr").alias("g"))
+    if max_gram_freq is not None:
+        freq = inv.groupBy("g").agg(F.count("*").alias("df_g"))
+        inv = (inv.join(freq.filter(F.col("df_g") <= max_gram_freq), "g")
+               .drop("df_g"))
+    a = inv.select(F.col("id").alias("id_a"), F.col("n_gr").alias("na"), "g")
+    b = inv.select(F.col("id").alias("id_b"), F.col("n_gr").alias("nb"), "g")
+    shared = (a.join(b, "g")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b", "na", "nb")
+              .agg(F.count("*").alias("c")))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    # filter on the UNROUNDED value (the SQL oracle does the same); round
+    # only for output
+    return (shared
+            .filter(jac >= threshold)
+            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard")))
 
 
 def simhash64(text_col) -> "F.Column":
@@ -185,8 +233,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits
     (near-dups almost always share them), compare Hamming distance within a
     block. Returns (id_a, id_b, hamming)."""
-    base = df.select(F.col(id_col).alias("id"),
-                     simhash64(F.col(text_col)).alias("sh"))
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = (df.repartition(n_part, id_col)  # spread the CPU-heavy bit votes
+            .select(F.col(id_col).alias("id"),
+                    simhash64(F.col(text_col)).alias("sh")))
     base = base.withColumn("blk", F.shiftrightunsigned("sh", 64 - prefix_bits))
     a, b = base.alias("a"), base.alias("b")
     xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))

@@ -50,12 +50,21 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     Ties break by neighbor_id for determinism; scores rounded to keep
     cross-engine comparisons stable.
     """
+    # Precompute each vector's norm ONCE (higher-order array folds are
+    # CodegenFallback — interpreted — so per-pair recomputation is the cost
+    # driver), and spread the single parquet split across the cluster.
+    n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
+                       F.col(vec_col).alias("q_vec")) \
+               .withColumn("q_norm", _norm(F.col("q_vec")))
+    c = corpus.repartition(n_part) \
+              .select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec")) \
+              .withColumn("c_norm", _norm(F.col("c_vec")))
     scored = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec"))))
+              .withColumn("score",
+                          _dot(F.col("q_vec"), F.col("c_vec"))
+                          / (F.col("q_norm") * F.col("c_norm"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (scored
             .withColumn("rank", F.row_number().over(w))
@@ -70,14 +79,18 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     """All pairs with cosine ≥ threshold; optional blocking column keeps the
     self-join from going quadratic at scale (use LSH buckets below when no
     natural block exists)."""
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                     *( [F.col(block_col).alias("blk")] if block_col else [] ))
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = (df.repartition(n_part)
+            .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                    *( [F.col(block_col).alias("blk")] if block_col else [] ))
+            .withColumn("nrm", _norm(F.col("v"))))
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    score = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (a.join(b, cond)
-            .withColumn("score", cosine(F.col("a.v"), F.col("b.v")))
+            .withColumn("score", score)
             .filter(F.col("score") >= threshold)
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                     F.round("score", 4).alias("score")))
@@ -140,7 +153,9 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     F.col("c_id").alias("neighbor_id"),
                     "q_vec", "c_vec")
             .dropDuplicates(["query_id", "neighbor_id"]))
-    scored = cand.withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+    scored = cand.withColumn(
+        "score", _dot(F.col("q_vec"), F.col("c_vec"))
+        / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
