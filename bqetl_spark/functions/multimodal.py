@@ -57,36 +57,40 @@ def attach_media(df: DataFrame, id_col: str, payload_expr,
     )
 
 
-def _decode_stub(payload: bytes) -> list[float]:
-    raise NotImplementedError(
-        "media decode requires an image/audio library (PIL/librosa/ffmpeg) "
-        "not present in this container; pass fake=True for the deterministic "
-        "fake decoder")
-
-
-def _decode_fake(payload: bytes, n_feat: int = 8) -> list[float]:
-    """Deterministic fake 'decoder': byte-histogram moments. Stands in for a
-    real decode so batch shape / schema / partitioning are exercised."""
-    if payload is None or len(payload) == 0:
-        return [0.0] * n_feat
-    acc = [0.0] * n_feat
-    for i, b in enumerate(payload):
-        acc[i % n_feat] += b
-    n = float(len(payload))
-    return [round(a / n, 6) for a in acc]
-
-
 def extract_features(media: DataFrame, fake: bool = False,
                      n_feat: int = 8) -> DataFrame:
     """Decode/feature-extract via mapInPandas (Arrow-batched; one Python
-    round-trip per batch, not per row)."""
-    decode = _decode_fake if fake else _decode_stub
+    round-trip per batch, not per row).
+
+    The UDF closure is deliberately SELF-CONTAINED (nested defs, no
+    module-level references): cloudpickle then ships it by value, so Spark's
+    Python workers don't need this package importable on their sys.path —
+    which is exactly the situation when a host application drives the engine
+    from outside the repo directory.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd  # worker-side import, always available with pyspark
+
+        def decode_fake(payload):
+            if payload is None or len(payload) == 0:
+                return [0.0] * n_feat
+            acc = [0.0] * n_feat
+            for i, b in enumerate(payload):
+                acc[i % n_feat] += b
+            n = float(len(payload))
+            return [round(a / n, 6) for a in acc]
+
+        def decode_stub(payload):
+            raise NotImplementedError(
+                "media decode requires an image/audio library (PIL/librosa/"
+                "ffmpeg) not present in this container; pass fake=True for "
+                "the deterministic fake decoder")
+
+        decode = decode_fake if fake else decode_stub
         for pdf in batches:
-            feats = [decode(p, n_feat) if fake else decode(p)
-                     for p in pdf["payload"]]
-            yield pd.DataFrame({
+            feats = [decode(p) for p in pdf["payload"]]
+            yield _pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "n_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else 0),
                 "feature": feats,
