@@ -33,6 +33,7 @@ from bqetl_spark.functions import dedup as dd
 from bqetl_spark.functions import multimodal as mm
 from bqetl_spark.functions import similarity as sim
 from bqetl_spark.functions import text as tx
+from bqetl_spark.operators.asof import asof_join
 from bqetl_spark.operators.joins import LookupDescription, inner_join, lookup
 from bqetl_spark.operators.nest import nest, split_repeated
 from bqetl_spark.sources.parquet_source import load_events, load_parquet_table
@@ -226,6 +227,103 @@ def q_sessionize(spark, sf_dir):
                  F.count("*").alias("n_events")))
 
 
+def q_asof_purchase(spark, sf_dir):
+    """As-of join: each event annotated with the user's most recent purchase
+    at or before it (operators/asof.py; oracle = DuckDB ASOF JOIN)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 # deterministic right side: unique per (user_id, ts)
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("event_id").alias("purchase_id"),
+                      F.max("value").alias("purchase_value")))
+    out = asof_join(ev.select("event_id", "user_id", "ts"), purchases,
+                    on="ts", by="user_id",
+                    right_cols=["purchase_id", "purchase_value"], suffix="")
+    return out.select("event_id", "purchase_id", "purchase_value")
+
+
+def q_parts_never_ordered(spark, sf_dir):
+    """Anti join: parts with no lineitem referencing them."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (part.join(li, part["p_partkey"] == li["l_partkey"], "left_anti")
+            .select("p_partkey", "p_name"))
+
+
+def q_suppliers_with_sales(spark, sf_dir):
+    """Semi join: suppliers that appear in at least one lineitem."""
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    return (sup.join(li, sup["s_suppkey"] == li["l_suppkey"], "left_semi")
+            .select("s_suppkey", "s_name"))
+
+
+def q_except_segments(spark, sf_dir):
+    """Set op: BUILDING customers EXCEPT big spenders (set semantics)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING") \
+                   .select(F.col("c_custkey").alias("custkey"))
+    big = orders.filter(F.col("o_totalprice") > 300000) \
+                .select(F.col("o_custkey").alias("custkey"))
+    return building.exceptAll(big.distinct()).distinct()
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP (region, nation): subtotal rows carry NULL group keys."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (cust
+              .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+              .join(orders, F.col("c_custkey") == F.col("o_custkey")))
+    return (joined.rollup("r_name", "n_name")
+            .agg(F.sum(_money("o_totalprice")).cast("double").alias("revenue"),
+                 F.count("*").alias("n_orders")))
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    """Top-k per group: each customer's 3 largest orders."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                                F.asc("o_orderkey"))
+    return (orders.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rk"))
+
+
+def q_median_quantity(spark, sf_dir):
+    """Exact interpolated median per group (percentile ≙ quantile_cont)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.percentile("l_quantity", 0.5).alias("median_qty"),
+                 F.count("*").alias("n")))
+
+
+def q_distinct_suppliers_per_brand(spark, sf_dir):
+    """Exact COUNT(DISTINCT) through a join."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .agg(F.countDistinct("l_suppkey").alias("n_suppliers"),
+                 F.count("*").alias("n_lineitems")))
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_counts(spark, sf_dir):
+    """Pivot: one column per event type, zero-filled."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .pivot("event_type", EVENT_TYPES)
+            .count()
+            .na.fill(0, EVENT_TYPES))
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline extensions (BASELINE.json north_star)
 # --------------------------------------------------------------------------
@@ -336,6 +434,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
         "sessionize": q_sessionize,
+        "asof_purchase": q_asof_purchase,
+        "parts_never_ordered": q_parts_never_ordered,
+        "suppliers_with_sales": q_suppliers_with_sales,
+        "except_segments": q_except_segments,
+        "rollup_revenue": q_rollup_revenue,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "median_quantity": q_median_quantity,
+        "distinct_suppliers_per_brand": q_distinct_suppliers_per_brand,
+        "pivot_event_counts": q_pivot_event_counts,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "text_quality": q_text_quality,
@@ -467,6 +574,59 @@ def oracle_sql() -> dict[str, str]:
                    ) AS order_seq
             FROM orders""",
         "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "asof_purchase": """
+            WITH p AS (
+              SELECT user_id, ts, max(event_id) AS purchase_id,
+                     max(value) AS purchase_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts)
+            SELECT e.event_id, p.purchase_id, p.purchase_value
+            FROM events e
+            ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""",
+        "parts_never_ordered": """
+            SELECT p_partkey, p_name FROM part
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""",
+        "suppliers_with_sales": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)""",
+        "except_segments": """
+            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            EXCEPT
+            SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000""",
+        "rollup_revenue": """
+            SELECT r_name, n_name,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_orders
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            JOIN orders ON c_custkey = o_custkey
+            GROUP BY ROLLUP (r_name, n_name)""",
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders)
+            WHERE rk <= 3""",
+        "median_quantity": """
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.5) AS median_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag""",
+        "distinct_suppliers_per_brand": """
+            SELECT p_brand, count(DISTINCT l_suppkey) AS n_suppliers,
+                   count(*) AS n_lineitems
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand""",
+        "pivot_event_counts": """
+            SELECT user_id,
+                   count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                   count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+                   count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                   count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                   count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+            FROM events GROUP BY user_id""",
         "events_hourly": """
             SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_epoch,
                    event_type,
