@@ -36,6 +36,7 @@ from bqetl_spark.functions import text as tx
 from bqetl_spark.operators.asof import asof_join
 from bqetl_spark.operators.joins import LookupDescription, inner_join, lookup
 from bqetl_spark.operators.nest import nest, split_repeated
+from bqetl_spark.operators.rangejoin import range_join_point
 from bqetl_spark.sources.parquet_source import load_events, load_parquet_table
 
 DEC = "decimal(18,2)"
@@ -312,6 +313,30 @@ def q_distinct_suppliers_per_brand(spark, sf_dir):
                  F.count("*").alias("n_lineitems")))
 
 
+def q_range_join_bands(spark, sf_dir):
+    """Bucketized range join (operators/rangejoin.py): orders binned into
+    overlapping price bands derived from nation keys; oracle = plain
+    non-equi join in DuckDB."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    nation = _t(spark, sf_dir, "nation")
+    bands = nation.select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey").cast("double") * 20000.0).alias("lo"),
+        (F.col("n_nationkey").cast("double") * 20000.0 + 30000.0).alias("hi"))
+    joined = range_join_point(orders, bands, point="o_totalprice",
+                              lo="lo", hi="hi", bucket_width=10000)
+    return (joined.groupBy("band_id")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(_money("o_totalprice")).cast("double").alias("band_total")))
+
+
+def q_embed_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN (approximate by design; rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                        n_lists=16, n_probe=4)
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -443,6 +468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_quantity": q_median_quantity,
         "distinct_suppliers_per_brand": q_distinct_suppliers_per_brand,
         "pivot_event_counts": q_pivot_event_counts,
+        "range_join_bands": q_range_join_bands,
+        "embed_ivf_topk": q_embed_ivf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "text_quality": q_text_quality,
@@ -647,6 +674,17 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id""",
+        "range_join_bands": """
+            WITH bands AS (
+              SELECT n_nationkey AS band_id,
+                     CAST(n_nationkey AS DOUBLE) * 20000.0 AS lo,
+                     CAST(n_nationkey AS DOUBLE) * 20000.0 + 30000.0 AS hi
+              FROM nation)
+            SELECT band_id, count(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_total
+            FROM orders JOIN bands
+              ON o_totalprice >= lo AND o_totalprice <= hi
+            GROUP BY band_id""",
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)""",

@@ -96,6 +96,62 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                     F.round("score", 4).alias("score")))
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_lists: int = 16, n_probe: int = 4,
+             score_decimals: int = 4) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus against a small
+    set of seed centroids, probe only the query's ``n_probe`` nearest lists,
+    exact cosine re-rank inside them.
+
+    Seeds are corpus vectors picked deterministically (every Nth id) — a
+    k-means pass would refine them, but seeded IVF already gives the scale
+    shape: corpus assignment is one broadcast join against ``n_lists``
+    seeds; the query touches n_probe/n_lists of the data. Approximate by
+    design (recall < 1) → rows-only check in the driver contract.
+    """
+    # seed selection by id stride — no global sort (a Window.orderBy here
+    # would serialize the corpus through one partition)
+    stride = _count_stride(corpus, n_lists)
+    seeds = (corpus.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
+             .limit(n_lists)
+             .select(F.col(id_col).alias("list_id"),
+                     F.col(vec_col).alias("centroid")))
+
+    def assign(df: DataFrame, prefix: str, keep: int) -> DataFrame:
+        """nearest `keep` lists per vector by cosine against the seeds"""
+        scored = (df.select(F.col(id_col).alias(f"{prefix}_id"),
+                            F.col(vec_col).alias(f"{prefix}_vec"))
+                  .join(F.broadcast(seeds))
+                  .withColumn("__s", _dot(F.col(f"{prefix}_vec"), F.col("centroid"))
+                              / (_norm(F.col(f"{prefix}_vec")) * _norm(F.col("centroid")))))
+        w = Window.partitionBy(f"{prefix}_id").orderBy(F.desc("__s"), F.asc("list_id"))
+        return (scored.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") <= keep)
+                .select(f"{prefix}_id", f"{prefix}_vec", "list_id"))
+
+    c_assign = assign(corpus, "c", 1)          # each corpus vector in 1 list
+    q_assign = assign(queries, "q", n_probe)   # queries probe several
+    cand = (c_assign.join(F.broadcast(q_assign), "list_id")
+            .filter(F.col("c_id") != F.col("q_id"))
+            .dropDuplicates(["q_id", "c_id"]))
+    scored = cand.withColumn(
+        "score", _dot(F.col("q_vec"), F.col("c_vec"))
+        / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("q_id").alias("query_id"),
+                    F.col("c_id").alias("neighbor_id"), "rank",
+                    F.round("score", score_decimals).alias("score")))
+
+
+def _count_stride(corpus: DataFrame, n_lists: int) -> int:
+    # deterministic seed stride; a count here is a tiny metadata-scale job
+    n = corpus.count()
+    return max(1, n // n_lists)
+
+
 def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: weights in {-2..2} derived by
     integer mixing of (table, bit, i). No RNG — reproducible across engines
