@@ -406,6 +406,13 @@ def q_simhash_pairs(spark, sf_dir):
     return dd.simhash_pairs(docs, max_hamming=3, prefix_bits=16)
 
 
+def q_winnow_neardup(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprint near-dup pairs
+    (xxhash64-seeded — rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.winnow_overlap_pairs(docs, k=8, w=4, threshold=0.5)
+
+
 def q_embed_topk(spark, sf_dir):
     """Brute-force cosine top-5 for the first 10 query vectors."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -478,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
+        "winnow_neardup": q_winnow_neardup,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
         "embed_lsh_topk": q_embed_lsh_topk,

@@ -106,6 +106,28 @@ def lang_id(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, pred)
 
 
+def winnow_fingerprint(col: Column | str, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprint (the MOSS scheme): hash every
+    character k-gram, slide a window of w hashes, keep each window's
+    minimum; the distinct minima are the fingerprint.
+
+    The k-gram hash is xxhash64 of the substring rather than a literal
+    Rabin-Karp rolling update — on a JVM columnar engine the O(k) substring
+    hash vectorizes better than a sequential rolling recurrence, and the
+    winnow selection (which is what gives the guarantee: any shared
+    substring of length ≥ k+w-1 produces a shared fingerprint) is
+    unchanged. Returns array<long>, usable for jaccard-style overlap.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_grams = F.greatest(F.length(c) - (k - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n_grams),
+                        lambda i: F.xxhash64(c.substr(i, F.lit(k))))
+    n_windows = F.greatest(F.size(grams) - (w - 1), F.lit(1))
+    minima = F.transform(F.sequence(F.lit(1), n_windows),
+                         lambda j: F.array_min(F.slice(grams, j, w)))
+    return F.array_distinct(minima)
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of normalized text (lowercase, strip
     non-alphanumeric, collapse whitespace). md5 exists in both Spark and

@@ -1,0 +1,64 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+Running per-user counters over the events stream: for each micro-batch the
+operator updates per-key state (event count, value sum, last timestamp) and
+emits the updated snapshot. The same shape implements streaming dedup
+(state = seen-id sketch) or incremental sessionization.
+
+State lives in Spark's state store per key — at scale the operative limits
+are state size per key (keep it a fixed-width struct, never an unbounded
+list) and the shuffle that co-locates keys, both of which this obeys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+
+OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+])
+
+
+def stream_user_totals(spark: SparkSession, events_dir: str) -> DataFrame:
+    """readStream(events) → stateful per-user running totals.
+
+    Returns the streaming DataFrame; drive with
+    ``writeStream.outputMode("update").trigger(availableNow=True)`` for a
+    bounded replay. Emits one snapshot row per user per micro-batch.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_dir).schema
+    import os
+
+    if events_dir.endswith(".parquet") and os.path.isfile(events_dir):
+        base, fname = os.path.dirname(events_dir), os.path.basename(events_dir)
+        stream = (spark.readStream.schema(schema)
+                  .option("pathGlobFilter", fname).parquet(base))
+    else:
+        stream = spark.readStream.schema(schema).parquet(events_dir)
+
+    # self-contained closure: workers must not need this package importable
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value": [round(total, 6)]})
+
+    return (stream
+            .groupBy("user_id")
+            .applyInPandasWithState(update, OUTPUT_SCHEMA, STATE_SCHEMA,
+                                    "update", "NoTimeout"))
