@@ -30,8 +30,12 @@ HEADLINE = [
     "window_running_total",
     "nest_orders",
     "sessionize",
+    "asof_purchase",
+    "range_join_bands",
     "dedup_fingerprint",
     "minhash_lsh",
+    "ngram_jaccard",
+    "winnow_neardup",
     "embed_topk",
 ]
 
@@ -57,10 +61,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        # count() forces the full plan without driver-side row transfer
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: damp noisy-neighbor variance
+            t0 = time.perf_counter()
+            # count() forces the full plan without driver-side row transfer
+            fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -131,7 +131,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         F.xxhash64(F.array(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]))
         for b in range(bands)
     ])
-    banded = sigs.select("id", F.posexplode(band_arr).alias("band", "bh"))
+    # cache: the self-join below would otherwise recompute the whole
+    # explode + 64-aggregate signature pipeline once per side
+    banded = sigs.select("id", F.posexplode(band_arr).alias("band", "bh")).cache()
     cand = (banded.alias("a")
             .join(banded.alias("b"),
                   (F.col("a.band") == F.col("b.band")) &
