@@ -302,6 +302,50 @@ def simhash64(text_col) -> "F.Column":
     return out
 
 
+def simhash64_vec():
+    """Arrow-vectorized SimHash: token hashes via numpy polynomial (mod
+    2^64), per-bit ±1 votes as a matrix sum. Same documented pandas-UDF
+    exception as winnowing — the 64 per-row expression folds of
+    ``simhash64`` are CodegenFallback and ~100× slower. Self-contained
+    closure (external drivers need no package on the worker path)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def sh(s):
+        from collections import Counter
+
+        import numpy as np
+        import pandas as pd
+
+        bit_idx = np.arange(64, dtype=np.uint64)
+        mask = (1 << 64) - 1
+        out = []
+        for t in s:
+            tf = Counter((t or "").strip().split())
+            if not tf:
+                out.append(0)
+                continue
+            hs = np.empty(len(tf), dtype=np.uint64)
+            wts = np.empty(len(tf), dtype=np.int64)
+            for i, (tok, w) in enumerate(tf.items()):
+                h = 1469598103934665603  # FNV-1a offset, Python ints wrap via mask
+                for b in tok.encode("utf-8"):
+                    h = ((h ^ b) * 1099511628211) & mask
+                hs[i] = h
+                wts[i] = w
+            bits = ((hs[:, None] >> bit_idx) & np.uint64(1)).astype(np.int64)
+            # standard TF-weighted simhash: votes = Σ w·(bit ? +1 : -1) —
+            # frequency profiles discriminate where bare token sets don't
+            votes = (wts[:, None] * (bits * 2 - 1)).sum(axis=0)
+            sh_val = ((votes > 0).astype(np.uint64) << bit_idx).sum(
+                dtype=np.uint64)
+            out.append(int(sh_val.astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    return sh
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
     """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits
@@ -310,7 +354,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     base = (df.repartition(n_part, id_col)  # spread the CPU-heavy bit votes
             .select(F.col(id_col).alias("id"),
-                    simhash64(F.col(text_col)).alias("sh")))
+                    simhash64_vec()(F.col(text_col)).alias("sh")))
     base = base.withColumn("blk", F.shiftrightunsigned("sh", 64 - prefix_bits))
     a, b = base.alias("a"), base.alias("b")
     xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
