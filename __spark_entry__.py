@@ -337,6 +337,56 @@ def q_embed_ivf_topk(spark, sf_dir):
                         n_lists=16, n_probe=4)
 
 
+def q_cube_status_priority(spark, sf_dir):
+    """CUBE over (status, priority) — all four grouping-set combinations."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_money("o_totalprice")).cast("double").alias("total")))
+
+
+def q_tumbling_window(spark, sf_dir):
+    """F.window tumbling 15-minute aggregation over the event stream
+    (batch form; the streaming module runs the same shape incrementally)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("bucket_epoch"),
+                    "event_type", "n_events"))
+
+
+def q_union_high_value(spark, sf_dir):
+    """UNION ALL of two differently-filtered projections, re-aggregated."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT") \
+              .select("o_custkey", "o_totalprice")
+    b = orders.filter(F.col("o_totalprice") > 400000) \
+              .select("o_custkey", "o_totalprice")
+    return (a.unionAll(b).groupBy("o_custkey")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_money("o_totalprice")).cast("double").alias("total")))
+
+
+def q_intersect_customers(spark, sf_dir):
+    """INTERSECT: customers appearing in both filtered sets."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey"))
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+def q_top_tokens(spark, sf_dir):
+    """Explode (R1 flatten) + count + deterministic top-20."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(F.explode(tx.tokens(F.col("text"))).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("token"))
+            .limit(20))
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -477,6 +527,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_counts": q_pivot_event_counts,
         "range_join_bands": q_range_join_bands,
         "embed_ivf_topk": q_embed_ivf_topk,
+        "cube_status_priority": q_cube_status_priority,
+        "tumbling_window": q_tumbling_window,
+        "union_high_value": q_union_high_value,
+        "intersect_customers": q_intersect_customers,
+        "top_tokens": q_top_tokens,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "text_quality": q_text_quality,
@@ -693,6 +748,32 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN bands
               ON o_totalprice >= lo AND o_totalprice <= hi
             GROUP BY band_id""",
+        "cube_status_priority": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        "tumbling_window": """
+            SELECT CAST(epoch(time_bucket(INTERVAL 15 MINUTES, CAST(ts AS TIMESTAMP))) AS BIGINT)
+                     AS bucket_epoch,
+                   event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2""",
+        "union_high_value": """
+            WITH u AS (
+              SELECT o_custkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+              UNION ALL
+              SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000)
+            SELECT o_custkey, count(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM u GROUP BY o_custkey""",
+        "intersect_customers": """
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""",
+        "top_tokens": """
+            SELECT token, count(*) AS n FROM (
+              SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents)
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""",
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)""",
