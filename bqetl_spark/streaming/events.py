@@ -12,21 +12,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def stream_event_counts(spark: SparkSession, events_dir: str,
-                        window: str = "1 hour",
-                        watermark: str = "2 hours") -> DataFrame:
-    """readStream(events) → watermark → tumbling-window counts per type.
+def stream_dedup_events(spark: SparkSession, events_dir: str,
+                        watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id within a watermark — the streaming
+    twin of functions.dedup.dedup_exact. State is bounded by the watermark
+    (ids older than it are dropped from the store), which is the property
+    that lets this run forever at corpus scale."""
+    stream = _read_events_stream(spark, events_dir)
+    return (stream
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"]))
 
-    Returns the streaming DataFrame; callers start it with
-    ``writeStream.trigger(availableNow=True)`` (tests) or a real trigger.
-    """
-    # events stores TIMESTAMP(NANOS) → read nanos as long, convert to micros
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_dir).schema  # bounded schema probe
+
+def _read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     import os
 
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_dir).schema
     if events_dir.endswith(".parquet") and os.path.isfile(events_dir):
-        # file source requires a directory: stream the parent with a glob
         base, fname = os.path.dirname(events_dir), os.path.basename(events_dir)
         stream = (spark.readStream.schema(schema)
                   .option("pathGlobFilter", fname).parquet(base))
@@ -35,6 +38,18 @@ def stream_event_counts(spark: SparkSession, events_dir: str,
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return stream
+
+
+def stream_event_counts(spark: SparkSession, events_dir: str,
+                        window: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """readStream(events) → watermark → tumbling-window counts per type.
+
+    Returns the streaming DataFrame; callers start it with
+    ``writeStream.trigger(availableNow=True)`` (tests) or a real trigger.
+    """
+    stream = _read_events_stream(spark, events_dir)
     return (stream
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window).alias("win"), "event_type")
