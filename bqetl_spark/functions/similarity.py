@@ -99,7 +99,7 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_lists: int = 16, n_probe: int = 4,
-             score_decimals: int = 4) -> DataFrame:
+             score_decimals: int = 4, refine_iters: int = 0) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus against a small
     set of seed centroids, probe only the query's ``n_probe`` nearest lists,
     exact cosine re-rank inside them.
@@ -111,12 +111,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     design (recall < 1) → rows-only check in the driver contract.
     """
     # seed selection by id stride — no global sort (a Window.orderBy here
-    # would serialize the corpus through one partition)
-    stride = _count_stride(corpus, n_lists)
-    seeds = (corpus.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
-             .limit(n_lists)
-             .select(F.col(id_col).alias("list_id"),
-                     F.col(vec_col).alias("centroid")))
+    # would serialize the corpus through one partition); optional Lloyd
+    # refinement tightens the lists at the cost of 2 jobs per iteration
+    if refine_iters > 0:
+        seeds = kmeans_refine(corpus, n_lists, refine_iters, id_col, vec_col)
+    else:
+        stride = _count_stride(corpus, n_lists)
+        seeds = (corpus.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
+                 .limit(n_lists)
+                 .select(F.col(id_col).alias("list_id"),
+                         F.col(vec_col).alias("centroid")))
 
     def assign(df: DataFrame, prefix: str, keep: int) -> DataFrame:
         """nearest `keep` lists per vector by cosine against the seeds"""
@@ -150,6 +154,47 @@ def _count_stride(corpus: DataFrame, n_lists: int) -> int:
     # deterministic seed stride; a count here is a tiny metadata-scale job
     n = corpus.count()
     return max(1, n // n_lists)
+
+
+def kmeans_refine(corpus: DataFrame, n_lists: int = 16, iters: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Lloyd iterations to refine IVF centroids: assign every vector to its
+    nearest centroid (broadcast join against n_lists centroids), then
+    recompute each centroid as the element-wise mean of its members.
+
+    The iterative-algorithm shape on Spark: a short driver-side loop where
+    each iteration is two distributed jobs (assignment map + mean reduce);
+    no data ever collects to the driver except the n_lists centroid vectors
+    themselves (metadata-sized by construction). Returns
+    (list_id, centroid: array<double>).
+    """
+    stride = _count_stride(corpus, n_lists)
+    centroids = (corpus.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
+                 .limit(n_lists)
+                 .select(F.col(id_col).alias("list_id"),
+                         F.transform(F.col(vec_col),
+                                     lambda x: x.cast("double")).alias("centroid")))
+    vecs = corpus.select(F.col(id_col).alias("vid"),
+                         F.transform(F.col(vec_col),
+                                     lambda x: x.cast("double")).alias("v"))
+    for _ in range(iters):
+        scored = (vecs.join(F.broadcast(centroids))
+                  .withColumn("__s", _dot(F.col("v"), F.col("centroid"))
+                              / (_norm(F.col("v")) * _norm(F.col("centroid")))))
+        w = Window.partitionBy("vid").orderBy(F.desc("__s"), F.asc("list_id"))
+        assigned = (scored.withColumn("__r", F.row_number().over(w))
+                    .filter(F.col("__r") == 1)
+                    .select("vid", "v", "list_id"))
+        # element-wise mean per list: explode to (list, dim_idx, value),
+        # average, re-assemble — stays distributed for any dimension count
+        dims = (assigned.select("list_id", F.posexplode("v").alias("i", "x"))
+                .groupBy("list_id", "i").agg(F.avg("x").alias("m")))
+        centroids = (dims.groupBy("list_id")
+                     .agg(F.array_sort(F.collect_list(F.struct("i", "m")))
+                          .alias("im"))
+                     .select("list_id",
+                             F.transform("im", lambda s: s["m"]).alias("centroid")))
+    return centroids
 
 
 def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
