@@ -34,6 +34,7 @@ from bqetl_spark.functions import multimodal as mm
 from bqetl_spark.functions import similarity as sim
 from bqetl_spark.functions import text as tx
 from bqetl_spark.operators.asof import asof_join
+from bqetl_spark.operators.merge import scd2_intervals, upsert
 from bqetl_spark.operators.joins import LookupDescription, inner_join, lookup
 from bqetl_spark.operators.nest import nest, split_repeated
 from bqetl_spark.operators.rangejoin import range_join_point
@@ -337,6 +338,30 @@ def q_embed_ivf_topk(spark, sf_dir):
                         n_lists=16, n_probe=4)
 
 
+def q_upsert_customers(spark, sf_dir):
+    """MERGE-style upsert (operators/merge.py): a derived changeset marks
+    high-balance customers as segment 'VIP'; unmatched rows pass through."""
+    cust = _t(spark, sf_dir, "customer")
+    changes = (cust.filter(F.col("c_acctbal") > 7500)
+               .withColumn("c_mktsegment", F.lit("VIP")))
+    merged = upsert(cust, changes, "c_custkey")
+    return merged.select("c_custkey", "c_mktsegment")
+
+
+def q_scd2_intervals(spark, sf_dir):
+    """SCD2 validity intervals from the event log (per user, per event
+    type change): valid_from/valid_to as epoch micros, open-ended last."""
+    ev = _t(spark, sf_dir, "events")
+    iv = scd2_intervals(ev.select("user_id", "ts", "event_type", "event_id"),
+                        key="user_id", time_col="ts",
+                        attr_cols=["event_type", "event_id"],
+                        tiebreak_cols=["event_id"])
+    return iv.select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"))
+
+
 def q_cube_status_priority(spark, sf_dir):
     """CUBE over (status, priority) — all four grouping-set combinations."""
     orders = _t(spark, sf_dir, "orders")
@@ -527,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_counts": q_pivot_event_counts,
         "range_join_bands": q_range_join_bands,
         "embed_ivf_topk": q_embed_ivf_topk,
+        "upsert_customers": q_upsert_customers,
+        "scd2_intervals": q_scd2_intervals,
         "cube_status_priority": q_cube_status_priority,
         "tumbling_window": q_tumbling_window,
         "union_high_value": q_union_high_value,
@@ -748,6 +775,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN bands
               ON o_totalprice >= lo AND o_totalprice <= hi
             GROUP BY band_id""",
+        "upsert_customers": """
+            SELECT c_custkey,
+                   CASE WHEN c_acctbal > 7500 THEN 'VIP' ELSE c_mktsegment END
+                     AS c_mktsegment
+            FROM customer""",
+        "scd2_intervals": """
+            SELECT user_id, event_type, event_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+                   epoch_us(CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            AS TIMESTAMP)) AS valid_to_us
+            FROM events""",
         "cube_status_priority": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

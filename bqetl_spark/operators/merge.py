@@ -1,0 +1,41 @@
+"""Upsert / changeset application without a table format.
+
+Delta/Iceberg MERGE INTO is the right tool when those formats are on the
+classpath; this is the format-agnostic emulation (changeset ∪ anti-joined
+base) plus SCD2 interval construction. Both are pure DataFrame ops — the
+upsert is one shuffle on the key (or none, when base and changeset are
+bucketed on it — see sources.bucketed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsert(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """Apply a changeset: rows in ``changes`` replace same-key rows in
+    ``base``; unmatched base rows pass through. Schemas must match.
+    (MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT.)"""
+    if set(base.columns) != set(changes.columns):
+        raise ValueError("upsert requires identical schemas; got "
+                         f"{sorted(set(base.columns) ^ set(changes.columns))}")
+    kept = base.join(changes.select(key), on=key, how="left_anti")
+    return kept.unionByName(changes)
+
+
+def scd2_intervals(events: DataFrame, key: str, time_col: str,
+                   attr_cols: list[str],
+                   tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """Build slowly-changing-dimension (type 2) validity intervals from an
+    event/change log: one row per (key, change), valid from its own
+    timestamp until the next change for the same key (NULL = still
+    current). One window shuffle on the key. ``tiebreak_cols`` make the
+    ordering total when timestamps can collide."""
+    order = [time_col] + (tiebreak_cols or [])
+    w = Window.partitionBy(key).orderBy(*order)
+    return events.select(
+        key, *attr_cols,
+        F.col(time_col).alias("valid_from"),
+        F.lead(time_col).over(w).alias("valid_to"),
+    )

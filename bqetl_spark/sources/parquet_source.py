@@ -39,6 +39,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        # integer division: `/` is double division, and a nanosecond epoch
+        # (~1.7e18) exceeds double's 2^53 integer range → off-by-1µs rows
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

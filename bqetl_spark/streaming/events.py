@@ -36,8 +36,8 @@ def _read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     else:
         stream = spark.readStream.schema(schema).parquet(events_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        # integer division — see sources.parquet_source.load_events
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
 
 
