@@ -338,6 +338,51 @@ def q_embed_ivf_topk(spark, sf_dir):
                         n_lists=16, n_probe=4)
 
 
+def q_orders_above_customer_avg(spark, sf_dir):
+    """Correlated-subquery semantics: orders above their own customer's
+    average order value (decorrelated to a join against a grouped
+    aggregate — the plan Spark/Catalyst produces for the subquery form)."""
+    orders = _t(spark, sf_dir, "orders")
+    avgs = (orders.groupBy(F.col("o_custkey").alias("ck"))
+            .agg((F.sum(_money("o_totalprice")).cast("double")
+                  / F.count("*")).alias("avg_price")))
+    return (orders.join(avgs, F.col("o_custkey") == F.col("ck"))
+            .filter(F.col("o_totalprice") > F.col("avg_price"))
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+def q_customer_variance(spark, sf_dir):
+    """Exact population variance per segment via decimal sums:
+    var = sumsq/n − (sum/n)² — order-independent (no streaming-variance
+    float drift), reproducible on any partitioning."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    p = _money("o_totalprice")
+    joined = orders.join(F.broadcast(cust),
+                         F.col("o_custkey") == F.col("c_custkey"))
+    agg = (joined.groupBy("c_mktsegment")
+           .agg(F.sum(p).cast("double").alias("s"),
+                F.sum(p * p).cast("double").alias("sq"),
+                F.count("*").alias("n")))
+    var = F.col("sq") / F.col("n") - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+    return agg.select("c_mktsegment", "n", F.round(var, 4).alias("variance"))
+
+
+def q_frame_samples(spark, sf_dir):
+    """Multimodal frame-sample plan: documents as fake videos with
+    duration 10·n_chars ms, one row per sampled second."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.attach_media(docs, "doc_id",
+                            F.encode(F.col("text"), "UTF-8"), "video", "mp4")
+    media = media.join(docs.select(F.col("doc_id").alias("media_id"),
+                                   (F.col("n_chars") * 10).alias("dur")),
+                       "media_id") \
+                 .withColumn("meta", F.col("meta").withField("duration_ms",
+                                                             F.col("dur")))
+    return mm.frame_sample_plan(media, every_ms=1000) \
+             .select("media_id", "sample_ts_ms")
+
+
 def q_upsert_customers(spark, sf_dir):
     """MERGE-style upsert (operators/merge.py): a derived changeset marks
     high-balance customers as segment 'VIP'; unmatched rows pass through."""
@@ -552,6 +597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_counts": q_pivot_event_counts,
         "range_join_bands": q_range_join_bands,
         "embed_ivf_topk": q_embed_ivf_topk,
+        "orders_above_customer_avg": q_orders_above_customer_avg,
+        "customer_variance": q_customer_variance,
+        "frame_samples": q_frame_samples,
         "upsert_customers": q_upsert_customers,
         "scd2_intervals": q_scd2_intervals,
         "cube_status_priority": q_cube_status_priority,
@@ -775,6 +823,28 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN bands
               ON o_totalprice >= lo AND o_totalprice <= hi
             GROUP BY band_id""",
+        "orders_above_customer_avg": """
+            WITH a AS (
+              SELECT o_custkey AS ck,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*) AS avg_price
+              FROM orders GROUP BY o_custkey)
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders JOIN a ON o_custkey = ck
+            WHERE o_totalprice > avg_price""",
+        "customer_variance": """
+            SELECT c_mktsegment, count(*) AS n,
+                   round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                              * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                         - (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+                           * (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)),
+                         4) AS variance
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+        "frame_samples": """
+            SELECT doc_id AS media_id,
+                   unnest(range(0, n_chars * 10 + 1, 1000)) AS sample_ts_ms
+            FROM documents""",
         "upsert_customers": """
             SELECT c_custkey,
                    CASE WHEN c_acctbal > 7500 THEN 'VIP' ELSE c_mktsegment END
