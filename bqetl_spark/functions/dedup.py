@@ -267,7 +267,8 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
     base = (df.repartition(n_part, id_col)
             .select(F.col(id_col).alias("id"),
                     fp_udf(F.col(text_col)).alias("fp"))
-            .withColumn("n_fp", F.size("fp")))
+            .withColumn("n_fp", F.size("fp"))
+            .cache())  # both sides of the self-join read this — don't run the UDF twice
     inv = base.select("id", "n_fp", F.explode("fp").alias("h"))
     a = inv.select(F.col("id").alias("id_a"), F.col("n_fp").alias("na"), "h")
     b = inv.select(F.col("id").alias("id_b"), F.col("n_fp").alias("nb"), "h")
