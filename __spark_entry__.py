@@ -37,7 +37,10 @@ from bqetl_spark.operators.asof import asof_join
 from bqetl_spark.operators.merge import scd2_intervals, upsert
 from bqetl_spark.operators.joins import LookupDescription, inner_join, lookup
 from bqetl_spark.operators.nest import nest, split_repeated
+from bqetl_spark.operators.project import project_to_schema
 from bqetl_spark.operators.rangejoin import range_join_point
+from bqetl_spark.schema import SchemaBuilder
+from bqetl_spark.sources.json_source import load_table_from_text
 from bqetl_spark.sources.parquet_source import load_events, load_parquet_table
 
 DEC = "decimal(18,2)"
@@ -338,6 +341,35 @@ def q_embed_ivf_topk(spark, sf_dir):
                         n_lists=16, n_probe=4)
 
 
+def q_ndjson_roundtrip(spark, sf_dir):
+    """Parity loader in the gate: serialize documents to NDJSON lines
+    (distributed, no collect), re-parse through the S2/S6 loader with P2
+    namespacing (json_source.load_table_from_text), un-namespace, compare
+    against the plain table via the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(F.to_json(F.struct("doc_id", "lang", "n_chars"))
+                        .alias("value"))
+    parsed = load_table_from_text(spark, lines, "documents", key_name="doc_id")
+    return parsed.select(
+        F.col("documents_doc_id").alias("doc_id"),
+        F.col("documents_lang").alias("lang"),
+        F.col("documents_n_chars").alias("n_chars"))
+
+
+def q_schema_projection(spark, sf_dir):
+    """P1/R2 declared-schema projection: keep only declared fields in
+    order, cast to declared types, absent field → typed NULL column
+    (MusicBrainzTransforms.java:229-249 semantics)."""
+    docs = _t(spark, sf_dir, "documents")
+    schema = (SchemaBuilder()
+              .integer("doc_id", required=True)
+              .string("lang")
+              .integer("n_chars")
+              .string("not_in_source")   # declared but absent → NULL
+              .build())
+    return project_to_schema(docs, schema)
+
+
 def q_orders_above_customer_avg(spark, sf_dir):
     """Correlated-subquery semantics: orders above their own customer's
     average order value (decorrelated to a join against a grouped
@@ -597,6 +629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_counts": q_pivot_event_counts,
         "range_join_bands": q_range_join_bands,
         "embed_ivf_topk": q_embed_ivf_topk,
+        "ndjson_roundtrip": q_ndjson_roundtrip,
+        "schema_projection": q_schema_projection,
         "orders_above_customer_avg": q_orders_above_customer_avg,
         "customer_variance": q_customer_variance,
         "frame_samples": q_frame_samples,
@@ -823,6 +857,11 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN bands
               ON o_totalprice >= lo AND o_totalprice <= hi
             GROUP BY band_id""",
+        "ndjson_roundtrip": "SELECT doc_id, lang, n_chars FROM documents",
+        "schema_projection": """
+            SELECT doc_id, lang, n_chars,
+                   CAST(NULL AS VARCHAR) AS not_in_source
+            FROM documents""",
         "orders_above_customer_avg": """
             WITH a AS (
               SELECT o_custkey AS ck,
