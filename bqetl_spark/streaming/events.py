@@ -41,6 +41,34 @@ def _read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     return stream
 
 
+def stream_click_to_purchase(spark: SparkSession, events_dir: str,
+                             within: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream join: every (click, purchase) pair by the
+    same user with the purchase at or after the click and within
+    ``within``. Both sides carry watermarks so the join state is bounded —
+    the property that lets the join run indefinitely; the time-range
+    predicate tells Spark how long to retain each side."""
+    clicks = (_read_events_stream(spark, events_dir)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", within))
+    purchases = (_read_events_stream(spark, events_dir)
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", within))
+    return (clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user")) &
+        (F.col("purchase_ts") >= F.col("click_ts")) &
+        (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "inner")
+        .select(F.col("c_user").alias("user_id"), "click_id", "purchase_id"))
+
+
 def stream_event_counts(spark: SparkSession, events_dir: str,
                         window: str = "1 hour",
                         watermark: str = "2 hours") -> DataFrame:

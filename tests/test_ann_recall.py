@@ -1,0 +1,56 @@
+"""ANN quality gates: LSH and IVF recall against the brute-force baseline
+on the real embeddings table. Approximate indexes are allowed recall < 1,
+but a recall floor catches silent bucketing regressions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bqetl_spark.functions import similarity as sim
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _recall(ann_rows, exact_rows):
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    got = {(r["query_id"], r["neighbor_id"]) for r in ann_rows}
+    return len(got & exact) / len(exact)
+
+
+def test_lsh_recall_floor(spark, emb):
+    # these embeddings are near-orthogonal (max pairwise cosine ~0.5) — the
+    # adversarial case for hyperplane LSH — so the recall dial goes to
+    # many short-signature tables (more candidates per query)
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = sim.cosine_topk(emb, q, k=5).collect()
+    ann = sim.lsh_bucket_topk(emb, q, k=5, dim=64, n_tables=16, n_bits=4).collect()
+    assert _recall(ann, exact) >= 0.5
+
+
+def test_lsh_recall_improves_with_tables(spark, emb):
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = sim.cosine_topk(emb, q, k=5).collect()
+    few = sim.lsh_bucket_topk(emb, q, k=5, dim=64, n_tables=2, n_bits=6).collect()
+    many = sim.lsh_bucket_topk(emb, q, k=5, dim=64, n_tables=16, n_bits=4).collect()
+    assert _recall(many, exact) >= _recall(few, exact)
+
+
+def test_ivf_recall_floor(spark, emb):
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = sim.cosine_topk(emb, q, k=5).collect()
+    ann = sim.ivf_topk(emb, q, k=5, n_lists=16, n_probe=8).collect()
+    assert _recall(ann, exact) >= 0.5
+
+
+def test_ivf_refined_not_worse(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = sim.cosine_topk(emb, q, k=5).collect()
+    plain = sim.ivf_topk(emb, q, k=5, n_lists=8, n_probe=4).collect()
+    refined = sim.ivf_topk(emb, q, k=5, n_lists=8, n_probe=4,
+                           refine_iters=2).collect()
+    # refinement may shuffle list boundaries; require it not to collapse
+    assert _recall(refined, exact) >= _recall(plain, exact) - 0.25
+    assert _recall(refined, exact) > 0
