@@ -341,6 +341,17 @@ def q_embed_ivf_topk(spark, sf_dir):
                         n_lists=16, n_probe=4)
 
 
+def q_unpivot_part_metrics(spark, sf_dir):
+    """Unpivot (wide→long): part's numeric attributes as (metric, value)
+    rows."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+
+
 def q_ndjson_roundtrip(spark, sf_dir):
     """Parity loader in the gate: serialize documents to NDJSON lines
     (distributed, no collect), re-parse through the S2/S6 loader with P2
@@ -629,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_counts": q_pivot_event_counts,
         "range_join_bands": q_range_join_bands,
         "embed_ivf_topk": q_embed_ivf_topk,
+        "unpivot_part_metrics": q_unpivot_part_metrics,
         "ndjson_roundtrip": q_ndjson_roundtrip,
         "schema_projection": q_schema_projection,
         "orders_above_customer_avg": q_orders_above_customer_avg,
@@ -857,6 +869,12 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN bands
               ON o_totalprice >= lo AND o_totalprice <= hi
             GROUP BY band_id""",
+        "unpivot_part_metrics": """
+            SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+            FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+            FROM part""",
         "ndjson_roundtrip": "SELECT doc_id, lang, n_chars FROM documents",
         "schema_projection": """
             SELECT doc_id, lang, n_chars,
