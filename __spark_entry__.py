@@ -289,6 +289,16 @@ def q_rollup_revenue(spark, sf_dir):
                  F.count("*").alias("n_orders")))
 
 
+def q_rollup_grouping_id(spark, sf_dir):
+    """ROLLUP with grouping_id disambiguating subtotal rows from real NULL
+    group keys (bitmask semantics shared with the SQL standard)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.grouping_id().alias("gid"),
+                 F.count("*").alias("n"))
+            .select("o_orderstatus", "o_orderpriority", "gid", "n"))
+
+
 def q_top_orders_per_customer(spark, sf_dir):
     """Top-k per group: each customer's 3 largest orders."""
     orders = _t(spark, sf_dir, "orders")
@@ -634,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppliers_with_sales": q_suppliers_with_sales,
         "except_segments": q_except_segments,
         "rollup_revenue": q_rollup_revenue,
+        "rollup_grouping_id": q_rollup_grouping_id,
         "top_orders_per_customer": q_top_orders_per_customer,
         "median_quantity": q_median_quantity,
         "distinct_suppliers_per_brand": q_distinct_suppliers_per_brand,
@@ -813,6 +824,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             JOIN orders ON c_custkey = o_custkey
             GROUP BY ROLLUP (r_name, n_name)""",
+        "rollup_grouping_id": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                   count(*) AS n
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
         "top_orders_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
               SELECT o_custkey, o_orderkey, o_totalprice,
