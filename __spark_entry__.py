@@ -542,6 +542,13 @@ def q_text_quality(spark, sf_dir):
                     "distinct_stopwords"))
 
 
+def q_quality_filter(spark, sf_dir):
+    """Gopher/C4-style rule filter: composite quality score + keep flag."""
+    docs = _t(spark, sf_dir, "documents")
+    return (tx.quality_score(docs, "text")
+            .select("doc_id", "quality_score", "keep"))
+
+
 def q_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return tx.lang_id(docs).select("doc_id", "lang_pred")
@@ -667,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "text_quality": q_text_quality,
+        "quality_filter": q_quality_filter,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "ngram_jaccard": q_ngram_jaccard,
@@ -973,6 +981,27 @@ def oracle_sql() -> dict[str, str]:
                    len(list_intersect({_TOK},
                        {tx.LANG_STOPWORDS['en']!r})) AS distinct_stopwords
             FROM documents""".replace('"', "'"),
+        "quality_filter": f"""
+            WITH feats AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOK}) END AS n_tokens,
+                     round(CASE WHEN (CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOK}) END) > 0
+                           THEN CAST(list_sum(list_transform({_TOK}, x -> length(x))) AS DOUBLE)
+                                / (CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOK}) END)
+                           END, 6) AS mean_word_len,
+                     round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                           / greatest(length(text), 1), 6) AS punct_ratio
+              FROM documents)
+            SELECT doc_id,
+                   round(CASE WHEN n_tokens >= 5 THEN 0.4 ELSE 0.0 END
+                         + CASE WHEN mean_word_len <= 12.0 THEN 0.3 ELSE 0.0 END
+                         + CASE WHEN punct_ratio <= 0.2 THEN 0.3 ELSE 0.0 END, 6)
+                     AS quality_score,
+                   round(CASE WHEN n_tokens >= 5 THEN 0.4 ELSE 0.0 END
+                         + CASE WHEN mean_word_len <= 12.0 THEN 0.3 ELSE 0.0 END
+                         + CASE WHEN punct_ratio <= 0.2 THEN 0.3 ELSE 0.0 END, 6) >= 0.7
+                     AS keep
+            FROM feats""",
         "lang_id": _lang_id_sql(),
         "token_stats": f"""
             SELECT doc_id,
