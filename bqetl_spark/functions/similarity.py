@@ -75,25 +75,101 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         block_col: str | None = None) -> DataFrame:
-    """All pairs with cosine ≥ threshold; optional blocking column keeps the
-    self-join from going quadratic at scale (use LSH buckets below when no
-    natural block exists)."""
+                         block_col: str | None = None,
+                         n_lists: int = 16) -> DataFrame:
+    """All pairs with cosine ≥ threshold, without an all-pairs join.
+
+    With ``block_col``: pairs only within the given blocking column.
+    Without: centroid triangle-inequality pruning (the FAISS/IVF idea made
+    exact): assign every vector to its nearest of ``n_lists`` stride-seeded
+    centroids, record its angle to that centroid, and only join list pairs
+    (i, j) where the spherical triangle inequality
+    ``ang(c_i, c_j) − maxAng_i − maxAng_j ≤ arccos(threshold)`` admits a
+    qualifying pair. Inside admitted list pairs a per-row bound
+    ``ang(c_i, c_j) − ang_a − ang_b ≤ θ`` prunes before the exact fold.
+
+    Exactness: angular distance is a metric on the unit sphere, so the
+    bound can never drop a true pair — recall is 1 by construction, not by
+    parameter luck, and the result is identical to the all-pairs scan.
+    Scale shape: the candidate join is an equi-join on the partner list id
+    (never a nested loop over all pairs); the admissible-pair table is
+    n_lists², metadata-sized, and broadcast. Pruning power tracks how
+    clustered the corpus is; the worst case degrades to the verified join,
+    never to a wrong answer.
+    """
+    import math
+
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     base = (df.repartition(n_part)
             .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                     *( [F.col(block_col).alias("blk")] if block_col else [] ))
             .withColumn("nrm", _norm(F.col("v"))))
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
     score = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (a.join(b, cond)
-            .withColumn("score", score)
+    if block_col:
+        a, b = base.alias("a"), base.alias("b")
+        cond = (F.col("a.id") < F.col("b.id")) & (F.col("a.blk") == F.col("b.blk"))
+        return (a.join(b, cond)
+                .withColumn("score", score)
+                .filter(F.col("score") >= threshold)
+                .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                        F.round("score", 4).alias("score")))
+
+    theta = math.acos(threshold)
+    clamp = lambda c: F.least(F.lit(1.0), F.greatest(F.lit(-1.0), c))
+
+    # deterministic stride-seeded centroids (metadata-sized: n_lists rows)
+    stride = _count_stride(df, n_lists)
+    cents = (df.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
+             .limit(n_lists)
+             .select(F.col(id_col).alias("list_id"),
+                     F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double")).alias("cv"))
+             .withColumn("cnrm", _norm(F.col("cv"))))
+
+    # assignment: nearest centroid per vector + angle to it (one broadcast
+    # join against n_lists rows; the corpus never shuffles here)
+    cs = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    w = Window.partitionBy("id").orderBy(F.desc("__cs"), F.asc("list_id"))
+    assigned = (base.join(F.broadcast(cents)).withColumn("__cs", cs)
+                .withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") == 1)
+                .select("id", "v", "nrm", "list_id",
+                        F.acos(clamp(F.col("__cs"))).alias("ang"))
+                .persist())
+
+    # list radius (max member angle) → admissible ordered list pairs
+    radii = assigned.groupBy("list_id").agg(F.max("ang").alias("max_ang"))
+    x, y = cents.alias("x"), cents.alias("y")
+    cang = F.acos(clamp(
+        _dot(F.col("x.cv"), F.col("y.cv")) / (F.col("x.cnrm") * F.col("y.cnrm"))))
+    cpairs = (x.join(y)
+              .select(F.col("x.list_id").alias("li"),
+                      F.col("y.list_id").alias("lj"), cang.alias("cang")))
+    adm = (cpairs
+           .join(radii.select(F.col("list_id").alias("li"),
+                              F.col("max_ang").alias("ra")), "li")
+           .join(radii.select(F.col("list_id").alias("lj"),
+                              F.col("max_ang").alias("rb")), "lj")
+           .filter(F.col("cang") - F.col("ra") - F.col("rb") <= F.lit(theta))
+           .select("li", "lj", "cang"))
+
+    # candidate equi-join on the partner list id; per-row triangle bound
+    # prunes before the exact (oracle-identical) cosine fold runs
+    a = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("__va"),
+                        F.col("nrm").alias("__na"),
+                        F.col("list_id").alias("li"), F.col("ang").alias("__aa"))
+    b = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"),
+                        F.col("nrm").alias("__nb"),
+                        F.col("list_id").alias("lj"), F.col("ang").alias("__ab"))
+    pair_score = (_dot(F.col("__va"), F.col("__vb"))
+                  / (F.col("__na") * F.col("__nb")))
+    return (a.join(F.broadcast(adm), "li")
+            .join(b, "lj")
+            .filter((F.col("id_a") < F.col("id_b")) &
+                    (F.col("cang") - F.col("__aa") - F.col("__ab") <= F.lit(theta)))
+            .withColumn("score", pair_score)
             .filter(F.col("score") >= threshold)
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.round("score", 4).alias("score")))
+            .select("id_a", "id_b", F.round("score", 4).alias("score")))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
