@@ -356,7 +356,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     base = (df.repartition(n_part, id_col)  # spread the CPU-heavy bit votes
             .select(F.col(id_col).alias("id"),
                     simhash64_vec()(F.col(text_col)).alias("sh")))
-    base = base.withColumn("blk", F.shiftrightunsigned("sh", 64 - prefix_bits))
+    # persist the compact (id, sh, blk) table: a self-join recomputes its
+    # common subplan per side, which would run the pandas-UDF hash twice
+    base = (base.withColumn("blk", F.shiftrightunsigned("sh", 64 - prefix_bits))
+            .persist())
     a, b = base.alias("a"), base.alias("b")
     xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
     hamming = F.bit_count(xor)

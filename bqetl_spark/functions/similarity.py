@@ -198,17 +198,22 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  .select(F.col(id_col).alias("list_id"),
                          F.col(vec_col).alias("centroid")))
 
+    # Collecting the seeds is metadata-scale by construction (n_lists rows);
+    # the vectorized assignment then needs neither the n_lists-fold row
+    # blowup of a broadcast cross join nor a window shuffle over it — one
+    # Arrow map stage per side, which is the shape that survives 100 TB.
+    seed_rows = sorted(seeds.collect(), key=lambda r: r["list_id"])
+    seed_ids = [int(r["list_id"]) for r in seed_rows]
+    seed_vecs = [[float(x) for x in r[seeds.columns[1]]] for r in seed_rows]
+
     def assign(df: DataFrame, prefix: str, keep: int) -> DataFrame:
         """nearest `keep` lists per vector by cosine against the seeds"""
-        scored = (df.select(F.col(id_col).alias(f"{prefix}_id"),
-                            F.col(vec_col).alias(f"{prefix}_vec"))
-                  .join(F.broadcast(seeds))
-                  .withColumn("__s", _dot(F.col(f"{prefix}_vec"), F.col("centroid"))
-                              / (_norm(F.col(f"{prefix}_vec")) * _norm(F.col("centroid")))))
-        w = Window.partitionBy(f"{prefix}_id").orderBy(F.desc("__s"), F.asc("list_id"))
-        return (scored.withColumn("__r", F.row_number().over(w))
-                .filter(F.col("__r") <= keep)
-                .select(f"{prefix}_id", f"{prefix}_vec", "list_id"))
+        top_udf = _top_lists_udf(seed_ids, seed_vecs, keep)
+        return (df.select(F.col(id_col).alias(f"{prefix}_id"),
+                          F.col(vec_col).alias(f"{prefix}_vec"))
+                .select(f"{prefix}_id", f"{prefix}_vec",
+                        F.explode(top_udf(F.col(f"{prefix}_vec")))
+                        .alias("list_id")))
 
     c_assign = assign(corpus, "c", 1)          # each corpus vector in 1 list
     q_assign = assign(queries, "q", n_probe)   # queries probe several
@@ -224,6 +229,38 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select(F.col("q_id").alias("query_id"),
                     F.col("c_id").alias("neighbor_id"), "rank",
                     F.round("score", score_decimals).alias("score")))
+
+
+def _top_lists_udf(seed_ids: list[int], seed_vecs: list[list[float]],
+                   keep: int):
+    """Arrow-vectorized IVF coarse assignment: per row, the ids of the
+    `keep` nearest seed centroids by cosine (ties broken by ascending
+    list_id, matching the window ordering it replaces). Self-contained
+    closure for worker-side pickling."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    C = np.asarray(seed_vecs, dtype=np.float64)          # (n_lists, dim)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    ids = np.asarray(seed_ids, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def top_lists(v):
+        import numpy as np
+        import pandas as pd
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        Vm = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        nrm = np.linalg.norm(Vm, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        S = (Vm / nrm) @ Cn.T                            # (n, n_lists)
+        # columns are in ascending list_id order, so a STABLE sort on
+        # -score breaks ties by ascending list_id — same ordering as the
+        # desc-score/asc-id window it replaces
+        order = np.argsort(-S, axis=1, kind="stable")
+        return pd.Series(list(ids[order[:, :keep]]))
+    return top_lists
 
 
 def _count_stride(corpus: DataFrame, n_lists: int) -> int:
@@ -285,6 +322,33 @@ def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
     return w
 
 
+def _plane_sigs_udf(planes: list[list[float]], n_tables: int, n_bits: int):
+    """Arrow-vectorized signature UDF: per row, the n_tables LSH bucket ids
+    from all hyperplane projections at once. `planes` is row-major
+    (table-major, bit-minor). Self-contained closure — only locals are
+    captured, so cloudpickle ships it without needing bqetl_spark importable
+    on the workers."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    W = np.asarray(planes, dtype=np.float64).T          # (dim, tables*bits)
+    shifts = np.arange(n_bits, dtype=np.int64)          # bit b -> 1 << b
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def sigs(v):
+        import numpy as np
+        import pandas as pd
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        Vm = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        bits = (Vm @ W >= 0).astype(np.int64)           # (n, tables*bits)
+        per_table = bits.reshape(len(v), n_tables, n_bits)
+        sig = (per_table << shifts).sum(axis=2).astype(np.int32)
+        return pd.Series(list(sig))
+    return sigs
+
+
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     dim: int = 64, n_tables: int = 4, n_bits: int = 8,
@@ -296,29 +360,21 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     Output: (query_id, neighbor_id, rank, score) with rank over retrieved
     candidates.
     """
-    def signature(vec_col_expr, table: int):
-        bit_exprs = []
-        for bit in range(n_bits):
-            w = _hyperplane(dim, table, bit)
-            proj = F.aggregate(
-                F.zip_with(vec_col_expr,
-                           F.array(*[F.lit(x) for x in w]),
-                           lambda v, ww: v * ww),
-                F.lit(0.0).cast("double"), lambda acc, v: acc + v)
-            bit_exprs.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
-                             * F.lit(1 << bit))
-        sig = bit_exprs[0]
-        for e in bit_exprs[1:]:
-            sig = sig + e
-        return sig
+    # All n_tables*n_bits hyperplane projections in ONE Arrow batch matmul.
+    # The per-bit aggregate/zip_with fold this replaces is CodegenFallback
+    # (interpreted) and carries seconds of planning overhead for 32+ nested
+    # fold expressions; a (batch, dim) @ (dim, tables*bits) numpy product is
+    # a single vectorized pass and the same sign convention (proj >= 0).
+    planes = [_hyperplane(dim, t, b) for t in range(n_tables)
+              for b in range(n_bits)]
+    sigs_udf = _plane_sigs_udf(planes, n_tables, n_bits)
 
     def bucketize(df: DataFrame, prefix: str) -> DataFrame:
         out = df.select(F.col(id_col).alias(f"{prefix}_id"),
                         F.col(vec_col).alias(f"{prefix}_vec"))
-        sigs = F.array(*[signature(F.col(f"{prefix}_vec"), t)
-                         for t in range(n_tables)])
         return out.select(f"{prefix}_id", f"{prefix}_vec",
-                          F.posexplode(sigs).alias("table", f"{prefix}_sig"))
+                          F.posexplode(sigs_udf(F.col(f"{prefix}_vec")))
+                          .alias("table", f"{prefix}_sig"))
 
     cbuck = bucketize(corpus, "c")
     qbuck = bucketize(queries, "q")
