@@ -104,15 +104,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     rows = num_perm // bands
     p = F.lit(_MERSENNE31)
 
-    # 1) per-doc shingle set, computed once and cached — it feeds both the
-    #    signature build and the final jaccard verify. Repartition first:
-    #    a small corpus arrives as one parquet split, and shingling is the
-    #    CPU-heavy stage, so spread it across the cluster.
+    # Persistence policy for 100 TB: only COMPACT tables are ever persisted
+    # — the banded signature table (bands rows of (id, band, bh) per doc)
+    # and the candidate pairs. Raw shingle arrays are corpus-scale and are
+    # never held; the verify stage re-shingles only candidate docs.
+
+    # 1) per-doc shingle set (one full pass, not persisted). Repartition
+    #    first: a small corpus arrives as one parquet split, and shingling
+    #    is the CPU-heavy stage, so spread it across the cluster.
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     base = (df.repartition(n_part, id_col)
             .select(F.col(id_col).alias("id"),
-                    shingles(F.col(text_col), n_shingle).alias("sh"))
-            .cache())
+                    shingles(F.col(text_col), n_shingle).alias("sh")))
 
     # 2) explode to (id, shingle_hash31) and take the per-permutation min as
     #    64 plain aggregates: whole-stage codegen + map-side partial combine,
@@ -126,29 +129,41 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     sigs = exploded.groupBy("id").agg(*aggs)
 
     # 3) band buckets: one xxhash64 per signature slice; explode to
-    #    (id, band, bucket) and self-join bucket-locally (never all-pairs)
+    #    (id, band, bucket) and self-join bucket-locally (never all-pairs).
+    #    Persist the banded table (compact: bands longs per doc, spills to
+    #    disk if it outgrows memory) so the self-join materializes the
+    #    shingle->signature pipeline exactly once.
     band_arr = F.array(*[
         F.xxhash64(F.array(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]))
         for b in range(bands)
     ])
-    # cache: the self-join below would otherwise recompute the whole
-    # explode + 64-aggregate signature pipeline once per side
-    banded = sigs.select("id", F.posexplode(band_arr).alias("band", "bh")).cache()
+    banded = (sigs.select("id", F.posexplode(band_arr).alias("band", "bh"))
+              .persist())
     cand = (banded.alias("a")
             .join(banded.alias("b"),
                   (F.col("a.band") == F.col("b.band")) &
                   (F.col("a.bh") == F.col("b.bh")) &
                   (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+            .dropDuplicates(["id_a", "id_b"])
+            .persist())
 
-    # 4) verify candidates with true shingle jaccard (arrays re-joined from
-    #    the cached base — candidates are few, so this join is cheap)
+    # 4) verify candidates with true shingle jaccard. Candidates are a
+    #    vanishing fraction of the corpus, so semi-join the raw docs down
+    #    to candidate ids FIRST and re-shingle only those — two cheap
+    #    filtered passes instead of holding every doc's shingle array.
+    cand_ids = (cand.select(F.col("id_a").alias("cid"))
+                .union(cand.select(F.col("id_b").alias("cid")))
+                .distinct())
+    sh_cand = (df.join(cand_ids, F.col(id_col) == F.col("cid"), "leftsemi")
+               .select(F.col(id_col).alias("id"),
+                       shingles(F.col(text_col), n_shingle).alias("sh"))
+               .persist())  # candidate-sized; feeds both join sides below
     verified = (cand
-                .join(base.select(F.col("id").alias("id_a"),
-                                  F.col("sh").alias("sh_a")), "id_a")
-                .join(base.select(F.col("id").alias("id_b"),
-                                  F.col("sh").alias("sh_b")), "id_b"))
+                .join(sh_cand.select(F.col("id").alias("id_a"),
+                                     F.col("sh").alias("sh_a")), "id_a")
+                .join(sh_cand.select(F.col("id").alias("id_b"),
+                                     F.col("sh").alias("sh_b")), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter / F.greatest(union, F.lit(1))
