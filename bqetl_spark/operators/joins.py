@@ -78,6 +78,11 @@ def lookup(fact: DataFrame, dim: DataFrame, fact_table: str,
     out = fact
     for dest in desc.destination_keys:
         dest_col = dest if dest.startswith(f"{fact_table}_") else f"{fact_table}_{dest}"
+        if dest_col not in out.columns:
+            # a destination FK absent from the input is a no-op, matching
+            # the reference's map-based rewrite (a TableRow without the
+            # field has nothing to decode, MusicBrainzTransforms.java:443)
+            continue
         d = dim.select(
             F.col(key_col).try_cast("long").alias(f"__lk_{dest_col}"),
             F.col(val_col).alias(f"__lv_{dest_col}"),

@@ -64,6 +64,19 @@ def bqetl_nested(spark: SparkSession, bucket: str,
     joined = inner_join(credits, recordings,
                         "artist_credit_name_artist_credit",
                         "recording_artist_credit")
+    # R4 child-row projection BEFORE nesting: declared-but-absent child
+    # fields become typed NULLs (an input without e.g. recording.video must
+    # still produce the declared struct, MusicBrainzTransforms.java:229-249)
+    child_flat = (SchemaBuilder()
+                  .integer("artist_credit_name_artist", required=True)
+                  .string("recording_name")
+                  .integer("recording_length")
+                  .string("recording_gid")
+                  .boolean("recording_video")
+                  .integer("artist_credit_name_position")
+                  .string("artist_credit_name_name")
+                  .string("artist_credit_name_join_phrase"))
+    joined = project_to_schema(joined, child_flat.build())
     nested = nest(
         artists, joined,
         parent_key="artist_id",

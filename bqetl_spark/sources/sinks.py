@@ -29,17 +29,43 @@ def write_parquet(df: DataFrame, path: str, schema: T.StructType | None = None,
     writer.parquet(path)
 
 
+def bigquery_write_plan(table: str, mode: str = "overwrite",
+                        temp_bucket: str | None = None) -> dict:
+    """The exact sink contract the reference's writer carries
+    (BQETLSimple.java:113-120: WRITE_TRUNCATE + CREATE_IF_NEEDED against an
+    explicit schema). Declarative so it can be contract-tested without the
+    connector jar; ``write_bigquery`` consumes it verbatim."""
+    if mode not in ("overwrite", "append", "errorifexists", "ignore"):
+        raise ValueError(f"unsupported sink mode: {mode!r}")
+    plan = {
+        "format": "bigquery",
+        # WRITE_TRUNCATE ≙ overwrite; CREATE_IF_NEEDED is the connector's
+        # default table-creation behavior
+        "mode": mode,
+        "save": table,
+        "options": {
+            # direct write path needs no GCS staging; the indirect path
+            # requires the temp bucket option
+            "writeMethod": "indirect" if temp_bucket else "direct",
+        },
+    }
+    if temp_bucket:
+        plan["options"]["temporaryGcsBucket"] = temp_bucket
+    return plan
+
+
 def write_bigquery(df: DataFrame, table: str, schema: T.StructType | None = None,
                    mode: str = "overwrite", temp_bucket: str | None = None) -> None:
     """BigQuery sink via spark-bigquery-connector (WRITE_TRUNCATE ≙ overwrite,
     BQETLSimple.java:117-119). Requires the connector jar on the classpath."""
     if schema is not None:
         df = project_to_schema(df, schema)
-    writer = df.write.format("bigquery").mode(mode)
-    if temp_bucket:
-        writer = writer.option("temporaryGcsBucket", temp_bucket)
+    plan = bigquery_write_plan(table, mode, temp_bucket)
+    writer = df.write.format(plan["format"]).mode(plan["mode"])
+    for key, val in plan["options"].items():
+        writer = writer.option(key, val)
     try:
-        writer.save(table)
+        writer.save(plan["save"])
     except Exception as exc:  # connector jar absent in this environment
         raise NotImplementedError(
             "BigQuery sink needs the spark-bigquery-connector jar on the "
