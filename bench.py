@@ -70,14 +70,60 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    duck = duckdb_timings()
+    duck_known = [v for v in duck.values() if v is not None]
     print(json.dumps({
         "metric": "total_headline_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": SF_DIR,
+        # single-node engine baseline for the "within 2x" bar: the SAME
+        # queries via oracle_sql() on DuckDB over the same parquet. null =
+        # no SQL-expressible oracle or exceeded the per-query cap.
+        "duckdb": duck,
+        "duckdb_total_sec": round(sum(duck_known), 3) if duck_known else None,
     }))
     spark.stop()
+
+
+DUCK_CAP_SEC = 60.0  # all-pairs near-dup oracles get expensive at sf>=0.1
+
+
+def duckdb_timings() -> dict[str, float | None]:
+    """Wall-time the headline queries' DuckDB equivalents (oracle_sql) on
+    the same parquet tables — a measurable single-node baseline instead of
+    a vacuous one. Queries past DUCK_CAP_SEC are interrupted -> null."""
+    import threading
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from tests.oracle_harness import TABLES
+
+    osql = entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    out: dict[str, float | None] = {}
+    for name in HEADLINE:
+        sql = osql.get(name)
+        if sql is None:
+            out[name] = None
+            continue
+        timer = threading.Timer(DUCK_CAP_SEC, con.interrupt)
+        timer.start()
+        try:
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            out[name] = round(time.perf_counter() - t0, 3)
+        except duckdb.Error:
+            out[name] = None  # interrupted at the cap (or oracle not runnable)
+        finally:
+            timer.cancel()
+    con.close()
+    return out
 
 
 if __name__ == "__main__":
