@@ -351,6 +351,15 @@ def q_embed_ivf_topk(spark, sf_dir):
                         n_lists=16, n_probe=4)
 
 
+def q_embed_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN with 2 Lloyd refinement iterations over the seed centroids
+    (approximate by design; rows-only check — recall floor vs the exact
+    baseline lives in tests/test_ann_recall.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                        n_lists=16, n_probe=4, refine_iters=2)
+
+
 def q_unpivot_part_metrics(spark, sf_dir):
     """Unpivot (wide→long): part's numeric attributes as (metric, value)
     rows."""
@@ -663,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_counts": q_pivot_event_counts,
         "range_join_bands": q_range_join_bands,
         "embed_ivf_topk": q_embed_ivf_topk,
+        "embed_ivf_kmeans_topk": q_embed_ivf_kmeans_topk,
         "unpivot_part_metrics": q_unpivot_part_metrics,
         "ndjson_roundtrip": q_ndjson_roundtrip,
         "schema_projection": q_schema_projection,

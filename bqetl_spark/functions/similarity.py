@@ -290,24 +290,34 @@ def kmeans_refine(corpus: DataFrame, n_lists: int = 16, iters: int = 2,
     vecs = corpus.select(F.col(id_col).alias("vid"),
                          F.transform(F.col(vec_col),
                                      lambda x: x.cast("double")).alias("v"))
+    # Centroids live driver-side between iterations (the MLlib k-means
+    # shape): they are metadata by construction, and threading them through
+    # as DataFrames would re-run the whole unfused lineage once per collect.
+    # Each iteration is exactly one distributed job — a vectorized Arrow
+    # assignment map + element-wise mean reduce — collecting n_lists rows.
+    cent = {int(r["list_id"]): [float(x) for x in r["centroid"]]
+            for r in centroids.collect()}
     for _ in range(iters):
-        scored = (vecs.join(F.broadcast(centroids))
-                  .withColumn("__s", _dot(F.col("v"), F.col("centroid"))
-                              / (_norm(F.col("v")) * _norm(F.col("centroid")))))
-        w = Window.partitionBy("vid").orderBy(F.desc("__s"), F.asc("list_id"))
-        assigned = (scored.withColumn("__r", F.row_number().over(w))
-                    .filter(F.col("__r") == 1)
-                    .select("vid", "v", "list_id"))
+        ids = sorted(cent)
+        nearest = _top_lists_udf(ids, [cent[i] for i in ids], keep=1)
+        assigned = vecs.select(
+            "vid", "v", F.explode(nearest(F.col("v"))).alias("list_id"))
         # element-wise mean per list: explode to (list, dim_idx, value),
         # average, re-assemble — stays distributed for any dimension count
         dims = (assigned.select("list_id", F.posexplode("v").alias("i", "x"))
                 .groupBy("list_id", "i").agg(F.avg("x").alias("m")))
-        centroids = (dims.groupBy("list_id")
-                     .agg(F.array_sort(F.collect_list(F.struct("i", "m")))
-                          .alias("im"))
-                     .select("list_id",
-                             F.transform("im", lambda s: s["m"]).alias("centroid")))
-    return centroids
+        new_cent = (dims.groupBy("list_id")
+                    .agg(F.array_sort(F.collect_list(F.struct("i", "m")))
+                         .alias("im"))
+                    .select("list_id",
+                            F.transform("im", lambda s: s["m"]).alias("centroid")))
+        # a list can go empty (no nearest vectors); its centroid carries over
+        cent = {**cent,
+                **{int(r["list_id"]): [float(x) for x in r["centroid"]]
+                   for r in new_cent.collect()}}
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i, cent[i]) for i in sorted(cent)], ["list_id", "centroid"])
 
 
 def _hyperplane(dim: int, table: int, bit: int) -> list[float]:

@@ -45,6 +45,16 @@ def test_ivf_recall_floor(spark, emb):
     assert _recall(ann, exact) >= 0.5
 
 
+def test_ivf_kmeans_recall_floor(spark, emb):
+    # the embed_ivf_kmeans_topk driver entry's parameters; floor guards the
+    # k-means refinement path against silent list-assignment regressions
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = sim.cosine_topk(emb, q, k=5).collect()
+    ann = sim.ivf_topk(emb, q, k=5, n_lists=16, n_probe=4,
+                       refine_iters=2).collect()
+    assert _recall(ann, exact) >= 0.3
+
+
 def test_ivf_refined_not_worse(spark, emb):
     q = emb.filter(F.col("vec_id") < 10)
     exact = sim.cosine_topk(emb, q, k=5).collect()
