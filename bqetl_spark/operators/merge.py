@@ -24,6 +24,49 @@ def upsert(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     return kept.unionByName(changes)
 
 
+def merge_into(spark, target_path: str, changes: DataFrame, key: str,
+               fmt: str = "auto") -> DataFrame:
+    """MERGE INTO a stored table: Delta's native transactional merge when
+    the package + table format are present, else a read-merge-rewrite with
+    identical row semantics (``upsert`` above).
+
+    - ``fmt="delta"``: require Delta; raise ImportError without the package.
+    - ``fmt="auto"``: use Delta iff importable AND target is a Delta table.
+    - ``fmt="parquet"``: force the emulation.
+
+    At scale the Delta path is the real answer (transactional, file-level
+    pruning on the merge condition); the emulation rewrites the whole
+    table, which is the unavoidable cost without a table format's commit
+    protocol. Returns the post-merge table as a DataFrame.
+    """
+    delta_tables = None
+    if fmt in ("auto", "delta"):
+        try:
+            from delta.tables import DeltaTable as delta_tables
+        except ImportError:
+            if fmt == "delta":
+                raise ImportError(
+                    "fmt='delta' needs the delta-spark package "
+                    "(pip install delta-spark; spark.sql.extensions="
+                    "io.delta.sql.DeltaSparkSessionExtension)")
+    if delta_tables is not None and delta_tables.isDeltaTable(spark, target_path):
+        (delta_tables.forPath(spark, target_path).alias("t")
+         .merge(changes.alias("s"), f"t.{key} = s.{key}")
+         .whenMatchedUpdateAll()
+         .whenNotMatchedInsertAll()
+         .execute())
+        return spark.read.format("delta").load(target_path)
+
+    base = spark.read.parquet(target_path)
+    merged = upsert(base, changes, key)
+    # materialize off the source files before overwriting them (local
+    # checkpoint is fine here: the emulation is the single-node/test path,
+    # a real deployment uses the Delta branch)
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(target_path)
+    return spark.read.parquet(target_path)
+
+
 def scd2_intervals(events: DataFrame, key: str, time_col: str,
                    attr_cols: list[str],
                    tiebreak_cols: list[str] | None = None) -> DataFrame:
