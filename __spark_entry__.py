@@ -210,6 +210,58 @@ def q_events_hourly(spark, sf_dir):
                  F.sum(_money("value")).cast("double").alias("sum_value")))
 
 
+_STREAM_SEQ = [0]  # unique memory-sink names: the driver may rerun a query
+
+
+def _run_stream_to_table(stream_df, mode: str) -> DataFrame:
+    """Run a bounded availableNow replay of a streaming DataFrame through a
+    memory sink and return the collected result as a batch DataFrame.
+
+    This is the driver-gate adapter for Structured Streaming: the exact
+    pipeline a production job would run against Kafka (watermark + windowed
+    state), exercised on the file source so it terminates and can be
+    oracled against batch SQL over the same data."""
+    import tempfile
+
+    _STREAM_SEQ[0] += 1
+    name = f"__stream_gate_{_STREAM_SEQ[0]}"
+    q = (stream_df.writeStream.outputMode(mode)
+         .format("memory").queryName(name)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="bqetl_ckpt_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(300)
+    q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def q_stream_events_hourly(spark, sf_dir):
+    """Streaming twin of events_hourly: readStream(events parquet) →
+    watermark → 1h tumbling window counts/sums (streaming/events.py),
+    replayed bounded with availableNow. Complete output mode emits every
+    window at the final micro-batch, so the result equals the batch
+    group-by — decimal partial sums make it bit-identical."""
+    from bqetl_spark.streaming.events import stream_event_counts
+
+    agg = stream_event_counts(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    out = _run_stream_to_table(agg, "complete")
+    return out.select(
+        F.unix_timestamp("window_start").alias("hour_epoch"),
+        "event_type", "n_events", "sum_value")
+
+
+def q_stream_click_to_purchase(spark, sf_dir):
+    """Watermarked stream-stream inner join (streaming/events.py): every
+    (click, purchase) by the same user with the purchase within 1 hour at
+    or after the click. Append mode — inner-join matches emit as found;
+    the watermark only bounds state retention, so the bounded replay
+    produces exactly the batch join."""
+    from bqetl_spark.streaming.events import stream_click_to_purchase
+
+    joined = stream_click_to_purchase(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    return _run_stream_to_table(joined, "append")
+
+
 def q_events_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (ev.select("event_id",
@@ -649,6 +701,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first guarantees they report even if the sweep is cut short
         "embed_lsh_topk": q_embed_lsh_topk,
         "multimodal_bytes": q_multimodal_bytes,
+        # streaming entries (new in round 2) also run early for the same
+        # reason — a budget cut must not silence their first report
+        "stream_events_hourly": q_stream_events_hourly,
+        "stream_click_to_purchase": q_stream_click_to_purchase,
         "lookup_decode": q_lookup_decode,
         "nest_orders": q_nest_orders,
         "nest_chunked": q_nest_chunked,
@@ -881,6 +937,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2""",
+        # streaming queries oracle against plain batch SQL over the same
+        # bounded data: the availableNow replay must converge to it
+        "stream_events_hourly": """
+            SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_epoch,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "stream_click_to_purchase": """
+            SELECT c.user_id,
+                   c.event_id AS click_id,
+                   p.event_id AS purchase_id
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND epoch_us(p.ts) >= epoch_us(c.ts)
+             AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'""",
         "events_json": """
             SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events

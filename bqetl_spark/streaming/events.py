@@ -81,7 +81,11 @@ def stream_event_counts(spark: SparkSession, events_dir: str,
     return (stream
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window).alias("win"), "event_type")
+            # decimal partial sums: exact and order-independent, so the
+            # streaming answer is bit-identical to the batch/oracle answer
+            # regardless of micro-batch boundaries
             .agg(F.count("*").alias("n_events"),
-                 F.sum("value").alias("sum_value"))
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_value"))
             .select(F.col("win.start").alias("window_start"),
                     "event_type", "n_events", "sum_value"))
