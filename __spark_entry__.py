@@ -666,6 +666,15 @@ def q_embed_neardup(spark, sf_dir):
     return sim.cosine_neardup_pairs(emb, threshold=0.45)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style embedding dedup: k-means cells, drop lower-priority
+    within-cell near-dups (similarity.semantic_dedup). Rows-only: the
+    Lloyd iterations aren't SQL-expressible; precision/recall floors vs
+    the exact pair oracle live in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(emb, threshold=0.45, n_lists=8, iters=2)
+
+
 def q_embed_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN (approximate by design; rows-only check)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -705,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reason — a budget cut must not silence their first report
         "stream_events_hourly": q_stream_events_hourly,
         "stream_click_to_purchase": q_stream_click_to_purchase,
+        "semantic_dedup": q_semantic_dedup,
         "lookup_decode": q_lookup_decode,
         "nest_orders": q_nest_orders,
         "nest_chunked": q_nest_chunked,

@@ -404,3 +404,47 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.round("score", score_decimals).alias("score")))
+
+
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.85,
+                   n_lists: int = 8, iters: int = 2,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    k-means-cluster the embeddings, then drop every document that has a
+    lower-id near-duplicate (cosine >= threshold) WITHIN its cluster.
+    Returns the kept set as (id_col, cluster_id).
+
+    This is the scale path for embedding dedup at 100 TB: the exact
+    variant (cosine_neardup_pairs without blocking) verifies every
+    centroid-admissible pair; here candidate generation is confined to
+    k-means cells, so work is sum-of-squares of cell sizes, tunable with
+    n_lists, and each cell's pair join is an equi-join on cluster_id.
+    Cross-cluster duplicates are the documented recall loss — SemDeDup's
+    own approximation — bounded in tests against the exact pair oracle.
+
+    Drop rule: any member with a smaller-id neighbor above threshold in
+    its cluster is dropped. One distributed pass over the pair list (no
+    connected components): a duplicate CHAIN keeps only its smallest id
+    if the chain is transitively connected above threshold within the
+    cell, and never drops a document that has no qualifying neighbor.
+    """
+    cents = kmeans_refine(corpus, n_lists=n_lists, iters=iters,
+                          id_col=id_col, vec_col=vec_col)
+    rows = cents.collect()  # n_lists rows: metadata by construction
+    nearest = _top_lists_udf([int(r["list_id"]) for r in rows],
+                             [[float(x) for x in r["centroid"]] for r in rows],
+                             keep=1)
+    assigned = (corpus
+                .select(id_col, vec_col)
+                .withColumn("cluster_id",
+                            F.explode(nearest(F.transform(
+                                F.col(vec_col),
+                                lambda x: x.cast("double")))))
+                .persist())
+    pairs = cosine_neardup_pairs(assigned, threshold=threshold,
+                                 id_col=id_col, vec_col=vec_col,
+                                 block_col="cluster_id")
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (assigned.join(drops, id_col, "left_anti")
+            .select(id_col, "cluster_id"))

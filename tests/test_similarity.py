@@ -58,3 +58,31 @@ def test_lsh_is_subset_of_bruteforce_scores(spark):
         key = (r["query_id"], r["neighbor_id"])
         assert key in bf
         assert math.isclose(bf[key], r["score"], abs_tol=1e-9)
+
+
+def test_semantic_dedup_precision_and_recall(spark):
+    """Precision 1 by construction: every dropped doc has a genuine
+    smaller-id near-dup globally (a within-cluster pair is a global pair).
+    Recall vs the exact pruned scan is the documented cross-cluster loss —
+    floor it on the real embeddings table."""
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    kept = sim.semantic_dedup(emb, threshold=0.45, n_lists=8, iters=2)
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    dropped = all_ids - kept_ids
+
+    exact = sim.cosine_neardup_pairs(emb, threshold=0.45).collect()
+    has_smaller_dup = {r["id_b"] for r in exact}
+    # precision: only docs with a real smaller-id duplicate were dropped
+    assert dropped <= has_smaller_dup
+    # recall floor: the within-cluster restriction must still find most
+    if has_smaller_dup:
+        assert len(dropped) / len(has_smaller_dup) >= 0.5
+
+
+def test_semantic_dedup_keeps_all_when_no_dups(spark):
+    v = _vecs(spark)  # tiny corpus, nothing above 0.999
+    kept = sim.semantic_dedup(v, threshold=0.9999, n_lists=2, iters=1)
+    assert kept.count() == v.count()
