@@ -183,6 +183,76 @@ def q5_region_revenue(spark, sf_dir):
                  F.count("*").alias("n_lineitems")))
 
 
+def q_min_price_supplier(spark, sf_dir):
+    """TPC-H q2 shape: min-per-group correlated subquery. For every part,
+    the supplier(s) shipping it at that part's minimum extended price.
+    Spark plan: groupBy-min on the compact (partkey) key, broadcast back —
+    Catalyst decorrelates to the same aggregate+join a hand optimizer
+    would write; the lineitem fact never shuffles twice."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    # NO broadcast hint on the minima: they are per-partkey (grows with the
+    # part table — hundreds of millions of rows at 100 TB). Both sides hash
+    # on l_partkey, so the agg output is already co-partitioned with the
+    # probe side and the join adds no extra shuffle; AQE may still choose a
+    # broadcast at small SF where the minima fit.
+    mins = (li.groupBy("l_partkey")
+            .agg(F.min(_money("l_extendedprice")).alias("__min_price")))
+    return (li.join(mins, "l_partkey")
+            .filter(_money("l_extendedprice") == F.col("__min_price"))
+            .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("l_partkey").alias("partkey"),
+                    F.col("s_suppkey").alias("suppkey"), "s_name",
+                    F.col("__min_price").cast("double").alias("min_price")))
+
+
+def q_priority_late_ship(spark, sf_dir):
+    """TPC-H q4 shape: EXISTS semi-join then small-key aggregate — orders
+    with at least one lineitem shipped after the order date, counted per
+    priority. The semi-join carries only the order key."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (orders.join(
+        li, (F.col("o_orderkey") == F.col("l_orderkey")) &
+            (F.col("l_shipdate") > F.col("o_orderdate")), "leftsemi"))
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders")))
+
+
+def q_returned_revenue_topn(spark, sf_dir):
+    """TPC-H q10 shape: revenue lost to returns per customer, top 20.
+    Deterministic top-N: ties broken by custkey before the limit."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _money("l_extendedprice") * (F.lit(1).cast(DEC) - _money("l_discount"))
+    return (li.filter(F.col("l_returnflag") == "R")
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(rev).cast("double").alias("lost_revenue"))
+            .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+def q_big_orders(spark, sf_dir):
+    """TPC-H q18 shape: HAVING on a grouped sum — orders whose total
+    quantity exceeds the threshold, with the buyer attached."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    qty = (li.groupBy("l_orderkey")
+           .agg(F.sum(_money("l_quantity")).alias("__qty"))
+           .filter(F.col("__qty") > F.lit(150).cast(DEC)))
+    return (orders.join(qty, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.col("o_totalprice").alias("totalprice"),
+                    F.col("__qty").cast("double").alias("total_qty")))
+
+
 def q_window_running_total(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = (Window.partitionBy("o_custkey")
@@ -721,6 +791,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue": q3_top_revenue,
         "q5_region_revenue": q5_region_revenue,
+        "min_price_supplier": q_min_price_supplier,
+        "priority_late_ship": q_priority_late_ship,
+        "returned_revenue_topn": q_returned_revenue_topn,
+        "big_orders": q_big_orders,
         "window_running_total": q_window_running_total,
         "distinct_segments": q_distinct_segments,
         "events_hourly": q_events_hourly,
@@ -872,6 +946,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders  ON c_custkey = o_custkey
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY r_name, n_name""",
+        "min_price_supplier": """
+            SELECT l_partkey AS partkey, s_suppkey AS suppkey, s_name,
+                   CAST(m.mp AS DOUBLE) AS min_price
+            FROM lineitem l
+            JOIN (SELECT l_partkey AS pk,
+                         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS mp
+                  FROM lineitem GROUP BY 1) m
+              ON l.l_partkey = m.pk
+             AND CAST(l.l_extendedprice AS DECIMAL(18,2)) = m.mp
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey""",
+        "priority_late_ship": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o.o_orderkey
+                            AND l_shipdate > o.o_orderdate)
+            GROUP BY 1""",
+        "returned_revenue_topn": f"""
+            SELECT c_custkey, c_name, n_name,
+                   CAST(SUM({disc}) AS DOUBLE) AS lost_revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY lost_revenue DESC, c_custkey ASC
+            LIMIT 20""",
+        "big_orders": """
+            SELECT c_custkey, c_name, o_orderkey,
+                   o_totalprice AS totalprice,
+                   CAST(q.qty AS DOUBLE) AS total_qty
+            FROM (SELECT l_orderkey,
+                         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+                  FROM lineitem GROUP BY 1
+                  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150) q
+            JOIN orders   ON o_orderkey = q.l_orderkey
+            JOIN customer ON o_custkey = c_custkey""",
         "window_running_total": """
             SELECT o_custkey, o_orderkey,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
