@@ -293,16 +293,29 @@ def _run_stream_to_table(stream_df, mode: str) -> DataFrame:
     oracled against batch SQL over the same data."""
     import tempfile
 
-    _STREAM_SEQ[0] += 1
-    name = f"__stream_gate_{_STREAM_SEQ[0]}"
-    q = (stream_df.writeStream.outputMode(mode)
-         .format("memory").queryName(name)
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="bqetl_ckpt_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination(300)
-    q.stop()
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    # Stateful operators allocate one state store per shuffle partition per
+    # micro-batch; an untuned session's 200 partitions turn a bounded replay
+    # of a small table into minutes of state-store churn. The partition
+    # count is pinned at the stream's first checkpoint anyway (it can never
+    # adapt later), so choose it deliberately — parallelism-sized, not
+    # default-sized — and restore the session conf afterwards.
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    try:
+        _STREAM_SEQ[0] += 1
+        name = f"__stream_gate_{_STREAM_SEQ[0]}"
+        q = (stream_df.writeStream.outputMode(mode)
+             .format("memory").queryName(name)
+             .option("checkpointLocation", tempfile.mkdtemp(prefix="bqetl_ckpt_"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        spark.conf.set(key, prev)
+    return spark.table(name)
 
 
 def q_stream_events_hourly(spark, sf_dir):
