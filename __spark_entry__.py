@@ -253,6 +253,119 @@ def q_big_orders(spark, sf_dir):
                     F.col("__qty").cast("double").alias("total_qty")))
 
 
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H q6 shape: pure scan-filter-aggregate. The whole query is one
+    codegen stage over the parquet scan — every predicate reaches
+    PushedFilters, only 4 columns are read, no shuffle at all (partial sums
+    combine in a single-row final agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01")) &
+                      (F.col("l_shipdate") < F.lit("1997-01-01")) &
+                      (F.col("l_discount") >= 0.03) &
+                      (F.col("l_discount") <= 0.07) &
+                      (F.col("l_quantity") < 24))
+            .agg(F.sum(_money("l_extendedprice") * _money("l_discount"))
+                  .cast("double").alias("revenue")))
+
+
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H q7 shape: two roles of the same dimension (supplier's nation
+    vs customer's nation) with a symmetric pair filter, grouped by year.
+    Both nation copies broadcast; the fact tables join on their keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n_supp = nation.select(F.col("n_nationkey").alias("__sn_key"),
+                           F.col("n_name").alias("supp_nation"))
+    n_cust = nation.select(F.col("n_nationkey").alias("__cn_key"),
+                           F.col("n_name").alias("cust_nation"))
+    rev = _money("l_extendedprice") * (F.lit(1).cast(DEC) - _money("l_discount"))
+    pair = (((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")) |
+            ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")))
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("__sn_key"))
+            .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("__cn_key"))
+            .filter(pair &
+                    (F.col("l_shipdate") >= F.lit("1996-01-01")) &
+                    (F.col("l_shipdate") < F.lit("1998-01-01")))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.sum(rev).cast("double").alias("revenue")))
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H q8 shape: conditional-aggregate ratio (market share of one
+    supplier nation inside a region/type slice, per order year). Numerator
+    and denominator are exact decimal sums; the ratio divides doubles, so
+    both engines do the identical final operation."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    n_cust = nation.select(F.col("n_nationkey").alias("__cn_key"),
+                           F.col("n_regionkey").alias("__cn_region"))
+    n_supp = nation.select(F.col("n_nationkey").alias("__sn_key"),
+                           F.col("n_name").alias("supp_nation"))
+    rev = _money("l_extendedprice") * (F.lit(1).cast(DEC) - _money("l_discount"))
+    share_rev = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0).cast(DEC))
+    return (li.join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("__cn_key"))
+            .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                  F.col("__cn_region") == F.col("r_regionkey"))
+            .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("__sn_key"))
+            .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg((F.sum(share_rev).cast("double") /
+                  F.sum(rev).cast("double")).alias("mkt_share")))
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H q9 shape: LIKE-filtered part dimension, profit expression over
+    a multi-join, grouped by supplier nation and year. (The testdata carries
+    no partsupp table, so p_retailprice stands in for ps_supplycost — the
+    join/agg shape is q9's.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    profit = (_money("l_extendedprice") * (F.lit(1).cast(DEC) - _money("l_discount"))
+              - _money("p_retailprice") * _money("l_quantity"))
+    return (li.join(F.broadcast(part.filter(F.col("p_name").like("%ring%"))),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("supp_nation"),
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.sum(profit).cast("double").alias("profit")))
+
+
+def q_ship_priority_counts(spark, sf_dir):
+    """TPC-H q12 shape: join + conditional counts — lines shipped >60 days
+    after their order date, split into high/low priority per line status.
+    (No l_shipmode column in the testdata; l_linestatus carries the
+    grouping role.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count")))
+
+
 def q_window_running_total(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = (Window.partitionBy("o_custkey")
@@ -808,6 +921,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_late_ship": q_priority_late_ship,
         "returned_revenue_topn": q_returned_revenue_topn,
         "big_orders": q_big_orders,
+        "forecast_revenue": q_forecast_revenue,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "ship_priority_counts": q_ship_priority_counts,
         "window_running_total": q_window_running_total,
         "distinct_segments": q_distinct_segments,
         "events_hourly": q_events_hourly,
@@ -997,6 +1115,65 @@ def oracle_sql() -> dict[str, str]:
                   HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150) q
             JOIN orders   ON o_orderkey = q.l_orderkey
             JOIN customer ON o_custkey = c_custkey""",
+        "forecast_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.03 AND l_discount <= 0.07
+              AND l_quantity < 24""",
+        "volume_shipping": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   CAST(SUM({disc}) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') OR
+                   (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3""",
+        "market_share": f"""
+            SELECT year(o_orderdate) AS o_year,
+                   CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                                 THEN {disc} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   / CAST(SUM({disc}) AS DOUBLE) AS mkt_share
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+            GROUP BY 1""",
+        "product_profit": f"""
+            SELECT n_name AS supp_nation, year(o_orderdate) AS o_year,
+                   CAST(SUM({disc} - CAST(p_retailprice AS DECIMAL(18,2)) *
+                                     CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%ring%'
+            GROUP BY 1, 2""",
+        "ship_priority_counts": """
+            SELECT l_linestatus,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1""",
         "window_running_total": """
             SELECT o_custkey, o_orderkey,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
