@@ -366,6 +366,90 @@ def q_ship_priority_counts(spark, sf_dir):
                  F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count")))
 
 
+def q_important_parts(spark, sf_dir):
+    """TPC-H q11 shape: grouped value vs a fraction-of-global-total scalar.
+    The global total is the exact decimal sum of the per-group sums (no
+    second scan of the fact table); the one-row total broadcasts into a
+    filter, never shuffling the grouped side again."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _money("l_extendedprice") * (F.lit(1).cast(DEC) - _money("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("__val"))
+    total = per_part.agg(F.sum("__val").alias("__total"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .filter(F.col("__val").cast("double") >
+                    F.col("__total").cast("double") * 0.002)
+            .select(F.col("l_partkey").alias("partkey"),
+                    F.col("__val").cast("double").alias("part_value")))
+
+
+def q_order_count_histogram(spark, sf_dir):
+    """TPC-H q13 shape: left join preserving order-less customers, count
+    per customer, then a histogram over the counts (two cascaded
+    aggregations; the second one is tiny)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    counts = (cust.join(orders.filter(F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+                        F.col("c_custkey") == F.col("o_custkey"), "left")
+              .groupBy("c_custkey")
+              .agg(F.count("o_orderkey").alias("c_count")))
+    return (counts.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H q14 shape: conditional-aggregate percentage over one month.
+    Exact decimal sums, the percentage computed as 100.0 * (num / den) in
+    double on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = _money("l_extendedprice") * (F.lit(1).cast(DEC) - _money("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    return (li.filter((F.col("l_shipdate") >= F.lit("1996-03-01")) &
+                      (F.col("l_shipdate") < F.lit("1996-04-01")))
+            .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .agg((F.lit(100.0) * (F.sum(promo).cast("double") /
+                                  F.sum(rev).cast("double"))).alias("promo_pct")))
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H q15 shape: revenue view + scalar-max equality (keeps ties).
+    The max compares exact decimals, so tie detection cannot be broken by
+    float summation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = _money("l_extendedprice") * (F.lit(1).cast(DEC) - _money("l_discount"))
+    per_supp = (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01")) &
+                          (F.col("l_shipdate") < F.lit("1996-04-01")))
+                .groupBy("l_suppkey")
+                .agg(F.sum(rev).alias("__rev")))
+    best = per_supp.agg(F.max("__rev").alias("__best"))
+    return (per_supp.crossJoin(F.broadcast(best))
+            .filter(F.col("__rev") == F.col("__best"))
+            .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey").alias("suppkey"), "s_name",
+                    F.col("__rev").cast("double").alias("total_revenue")))
+
+
+def q_supplier_cnt_by_attrs(spark, sf_dir):
+    """TPC-H q16 shape: distinct-supplier count per part attributes with a
+    NOT-IN exclusion subquery. Distinct (partkey, suppkey) pairs from
+    lineitem stand in for partsupp (no partsupp table in the testdata);
+    negative account balance stands in for the complaints filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    excl = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (pairs.join(F.broadcast(excl),
+                       F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+            .join(F.broadcast(part.filter(
+                (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO") &
+                F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))),
+                F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
 def q_window_running_total(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = (Window.partitionBy("o_custkey")
@@ -926,6 +1010,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": q_market_share,
         "product_profit": q_product_profit,
         "ship_priority_counts": q_ship_priority_counts,
+        "important_parts": q_important_parts,
+        "order_count_histogram": q_order_count_histogram,
+        "promo_revenue": q_promo_revenue,
+        "top_supplier": q_top_supplier,
+        "supplier_cnt_by_attrs": q_supplier_cnt_by_attrs,
         "window_running_total": q_window_running_total,
         "distinct_segments": q_distinct_segments,
         "events_hourly": q_events_hourly,
@@ -1174,6 +1263,49 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
             GROUP BY 1""",
+        "important_parts": f"""
+            WITH per_part AS (
+                SELECT l_partkey, SUM({disc}) AS v
+                FROM lineitem GROUP BY 1)
+            SELECT l_partkey AS partkey, CAST(v AS DOUBLE) AS part_value
+            FROM per_part
+            WHERE CAST(v AS DOUBLE) >
+                  (SELECT CAST(SUM(v) AS DOUBLE) FROM per_part) * 0.002""",
+        "order_count_histogram": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer
+                  LEFT JOIN orders ON c_custkey = o_custkey
+                                  AND o_orderpriority <> '4-NOT SPECIFIED'
+                  GROUP BY 1)
+            GROUP BY 1""",
+        "promo_revenue": f"""
+            SELECT 100.0 * (CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {disc}
+                                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                            / CAST(SUM({disc}) AS DOUBLE)) AS promo_pct
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'""",
+        "top_supplier": f"""
+            WITH r AS (SELECT l_suppkey, SUM({disc}) AS tr
+                       FROM lineitem
+                       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                         AND l_shipdate <  TIMESTAMP '1996-04-01'
+                       GROUP BY 1)
+            SELECT s_suppkey AS suppkey, s_name, CAST(tr AS DOUBLE) AS total_revenue
+            FROM r JOIN supplier ON l_suppkey = s_suppkey
+            WHERE tr = (SELECT MAX(tr) FROM r)""",
+        "supplier_cnt_by_attrs": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3""",
         "window_running_total": """
             SELECT o_custkey, o_orderkey,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
