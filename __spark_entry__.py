@@ -377,7 +377,7 @@ def q_important_parts(spark, sf_dir):
     total = per_part.agg(F.sum("__val").alias("__total"))
     return (per_part.crossJoin(F.broadcast(total))
             .filter(F.col("__val").cast("double") >
-                    F.col("__total").cast("double") * 0.002)
+                    F.col("__total").cast("double") * 0.0007)
             .select(F.col("l_partkey").alias("partkey"),
                     F.col("__val").cast("double").alias("part_value")))
 
@@ -448,6 +448,115 @@ def q_supplier_cnt_by_attrs(spark, sf_dir):
                 F.col("l_partkey") == F.col("p_partkey"))
             .groupBy("p_brand", "p_type", "p_size")
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H q17 shape: correlated per-part average decorrelated into an
+    aggregate + co-partitioned join (same strategy Catalyst's decorrelation
+    produces). Average = exact decimal sum / count, divided in double on
+    both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    avgs = (li.groupBy(F.col("l_partkey").alias("__pk"))
+            .agg((F.sum(_money("l_quantity")).cast("double") /
+                  F.count("*")).alias("__avg")))
+    return (li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#2")),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(avgs, F.col("l_partkey") == F.col("__pk"))
+            .filter(F.col("l_quantity") < F.lit(0.2) * F.col("__avg"))
+            .agg((F.sum(_money("l_extendedprice")).cast("double") /
+                  F.lit(7.0)).alias("avg_yearly")))
+
+
+def q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H q19 shape: OR of bracketed (brand, quantity, size) predicates
+    across the join — Catalyst keeps the partkey equi-join and pushes the
+    residual disjunction as a join filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = _money("l_extendedprice") * (F.lit(1).cast(DEC) - _money("l_discount"))
+    cond = (((F.col("p_brand") == "Brand#12") &
+             F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5)) |
+            ((F.col("p_brand") == "Brand#23") &
+             F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10)) |
+            ((F.col("p_brand") == "Brand#34") &
+             F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15)))
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .filter(cond)
+            .agg(F.sum(rev).cast("double").alias("revenue")))
+
+
+def q_heavy_suppliers(spark, sf_dir):
+    """TPC-H q20 shape: IN-subquery whose inner query is itself an
+    aggregate with HAVING — suppliers who moved more than a threshold
+    quantity of 'small %' parts in 1996. The candidate set is tiny, so the
+    final step is a broadcast semi join against the supplier dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    heavy = (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01")) &
+                       (F.col("l_shipdate") < F.lit("1997-01-01")))
+             .join(F.broadcast(part.filter(F.col("p_name").like("small%"))),
+                   F.col("l_partkey") == F.col("p_partkey"))
+             .groupBy("l_suppkey")
+             .agg(F.sum(_money("l_quantity")).alias("__qty"))
+             .filter(F.col("__qty") > F.lit(300).cast(DEC)))
+    return (supp.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "leftsemi")
+            .select(F.col("s_suppkey").alias("suppkey"), "s_name"))
+
+
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H q21 shape: the sole-blame detector — suppliers whose lineitem
+    shipped >90 days after the order date, in finished multi-supplier
+    orders where NO other supplier shipped late. One exists (another
+    supplier in the order) and one not-exists (another LATE supplier),
+    both as orderkey-equi semi/anti joins with a suppkey inequality
+    residual. (l_shipdate vs o_orderdate stands in for receipt/commit
+    dates absent from the testdata.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    li1 = (li.join(orders.filter(F.col("o_orderstatus") == "F"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+           .select("l_orderkey", "l_suppkey",
+                   (F.col("l_shipdate") >
+                    F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("__late")))
+    late = li1.filter(F.col("__late"))
+    others = li1.select(F.col("l_orderkey").alias("__k2"),
+                        F.col("l_suppkey").alias("__s2"))
+    late_others = late.select(F.col("l_orderkey").alias("__k3"),
+                              F.col("l_suppkey").alias("__s3"))
+    blamed = (late
+              .join(others, (F.col("l_orderkey") == F.col("__k2")) &
+                            (F.col("l_suppkey") != F.col("__s2")), "leftsemi")
+              .join(late_others, (F.col("l_orderkey") == F.col("__k3")) &
+                                 (F.col("l_suppkey") != F.col("__s3")), "leftanti"))
+    return (blamed.join(F.broadcast(supp),
+                        F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait")))
+
+
+def q_idle_customers(spark, sf_dir):
+    """TPC-H q22 shape: global-average scalar + anti join — customers above
+    the positive-balance average with no large order (the testdata gives
+    every customer ~10 orders, so the classic no-order-at-all predicate is
+    vacuous; anti-joining against orders>400k keeps the NOT-EXISTS shape
+    non-trivial), grouped by nation as the country-code analog. The one-row
+    average broadcasts; the anti join carries only custkeys."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg((F.sum(_money("c_acctbal")).cast("double") /
+                     F.count("*")).alias("__avg")))
+    return (cust.filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+            .crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("__avg"))
+            .join(orders.filter(F.col("o_totalprice") > 400000),
+                  F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("numcust"),
+                 F.sum(_money("c_acctbal")).cast("double").alias("totacctbal")))
 
 
 def q_window_running_total(spark, sf_dir):
@@ -1015,6 +1124,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "top_supplier": q_top_supplier,
         "supplier_cnt_by_attrs": q_supplier_cnt_by_attrs,
+        "small_qty_revenue": q_small_qty_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "heavy_suppliers": q_heavy_suppliers,
+        "waiting_suppliers": q_waiting_suppliers,
+        "idle_customers": q_idle_customers,
         "window_running_total": q_window_running_total,
         "distinct_segments": q_distinct_segments,
         "events_hourly": q_events_hourly,
@@ -1270,7 +1384,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_partkey AS partkey, CAST(v AS DOUBLE) AS part_value
             FROM per_part
             WHERE CAST(v AS DOUBLE) >
-                  (SELECT CAST(SUM(v) AS DOUBLE) FROM per_part) * 0.002""",
+                  (SELECT CAST(SUM(v) AS DOUBLE) FROM per_part) * 0.0007""",
         "order_count_histogram": """
             SELECT c_count, count(*) AS custdist
             FROM (SELECT c_custkey, count(o_orderkey) AS c_count
@@ -1306,6 +1420,64 @@ def oracle_sql() -> dict[str, str]:
               AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                                     WHERE s_acctbal < 0)
             GROUP BY 1, 2, 3""",
+        "small_qty_revenue": """
+            WITH a AS (SELECT l_partkey AS pk,
+                              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                              / COUNT(*) AS avg_qty
+                       FROM lineitem GROUP BY 1)
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / 7.0 AS avg_yearly
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN a    ON l_partkey = a.pk
+            WHERE p_brand = 'Brand#2' AND l_quantity < 0.2 * avg_qty""",
+        "disjunctive_revenue": f"""
+            SELECT CAST(SUM({disc}) AS DOUBLE) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+                   AND p_size BETWEEN 1 AND 5)
+               OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+                   AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+                   AND p_size BETWEEN 1 AND 15)""",
+        "heavy_suppliers": """
+            SELECT s_suppkey AS suppkey, s_name
+            FROM supplier
+            WHERE s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'small%'
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01'
+                GROUP BY 1
+                HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)""",
+        "waiting_suppliers": """
+            WITH li1 AS (SELECT l_orderkey, l_suppkey,
+                                (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+                         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                         WHERE o_orderstatus = 'F')
+            SELECT s_name, count(*) AS numwait
+            FROM li1 t JOIN supplier ON t.l_suppkey = s_suppkey
+            WHERE t.late
+              AND EXISTS (SELECT 1 FROM li1 u
+                          WHERE u.l_orderkey = t.l_orderkey
+                            AND u.l_suppkey <> t.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM li1 v
+                              WHERE v.l_orderkey = t.l_orderkey
+                                AND v.l_suppkey <> t.l_suppkey AND v.late)
+            GROUP BY 1""",
+        "idle_customers": """
+            SELECT c_nationkey, count(*) AS numcust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+            FROM customer c
+            WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+              AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                      / COUNT(*)
+                               FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c.c_custkey
+                                AND o_totalprice > 400000)
+            GROUP BY 1""",
         "window_running_total": """
             SELECT o_custkey, o_orderkey,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
