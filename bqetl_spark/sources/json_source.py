@@ -83,8 +83,17 @@ def load_table_from_text(spark: SparkSession, lines: DataFrame | str, name: str,
         if schema is not None:
             df = lines.select(F.from_json(F.col(str_col), schema).alias("r")).select("r.*")
         else:
-            rdd = lines.select(F.col(str_col).cast("string")).rdd.map(lambda r: r[0])
-            df = spark.read.json(rdd)
+            # Schema inference over an in-memory lines DF: PySpark's reader
+            # takes only paths or RDDs (the Dataset[String] overload is
+            # Scala-only), so spill the lines to a temp text dir and take the
+            # file branch — JVM-side inference, executor-parallel, no Python
+            # row round-trip.
+            import tempfile
+
+            tmp = tempfile.mkdtemp(prefix="bqetl_lines_")
+            (lines.select(F.col(str_col).cast("string").alias("value"))
+             .na.drop().write.mode("overwrite").text(tmp))
+            df = spark.read.option("primitivesAsString", "false").json(tmp)
     df = namespace_columns(df, name)
     if key_name is not None:
         df = keyed(df, name, key_name)
