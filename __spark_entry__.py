@@ -1029,6 +1029,16 @@ def q_minhash_lsh(spark, sf_dir):
                                 jaccard_threshold=0.9)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: MinHash-LSH pairs → connected components →
+    (doc_id, cluster_id, cluster_size, is_representative). The oracle
+    computes the same transitive closure with a recursive CTE over the
+    exact-Jaccard pair set (LSH miss probability ~1e-23 at j≥0.9)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.dedup_clusters(docs, num_perm=64, bands=32,
+                             jaccard_threshold=0.9)
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (xxhash64-seeded — not SQL-expressible;
     rows-only check)."""
@@ -1168,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "winnow_neardup": q_winnow_neardup,
         "embed_topk": q_embed_topk,
@@ -1734,6 +1745,32 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                   / greatest(len(list_distinct(list_concat(a.g, b.g))), 1) >= 0.9""",
+        "dedup_clusters": f"""
+            -- t/pairs MATERIALIZED: under WITH RECURSIVE DuckDB would
+            -- otherwise inline them, recomputing the all-pairs Jaccard per
+            -- reference (31s -> ~10s)
+            WITH RECURSIVE t AS MATERIALIZED (
+              SELECT doc_id, {_GRAMS} AS g
+              FROM (SELECT doc_id, {_TOK} AS w, text FROM documents)),
+            pairs AS MATERIALIZED (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM t a JOIN t b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                    / greatest(len(list_distinct(list_concat(a.g, b.g))), 1) >= 0.9),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT DISTINCT s AS n, s AS m FROM edges
+              UNION
+              SELECT reach.n, e.d FROM reach JOIN edges e ON reach.m = e.s),
+            comp AS (
+              SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY 1),
+            sizes AS (
+              SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+            SELECT comp.doc_id, comp.cluster_id, sizes.cluster_size,
+                   comp.doc_id = comp.cluster_id AS is_representative
+            FROM comp JOIN sizes USING (cluster_id)""",
         "embed_topk": f"""
             WITH scored AS (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

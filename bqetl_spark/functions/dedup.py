@@ -383,3 +383,71 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                     hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iter: int = 30) -> DataFrame:
+    """Undirected connected components by min-label propagation — the
+    pair→cluster step a dedup pipeline needs before it can pick one
+    representative per duplicate group.
+
+    Returns (node, comp) for every node incident to an edge, where ``comp``
+    is the smallest node id in the component (so ``node == comp`` marks the
+    canonical representative).
+
+    Scale posture: each round is one key-partitioned join + one min-groupBy
+    on compact (node, label) pairs. Rounds needed = component diameter,
+    which for near-dup clusters (cliques-with-chips) is 2-4. The driver
+    collects only a one-row converged? count per round — never the labels.
+    Lineage is CUT each round with an eager checkpoint: caching alone is not
+    enough for iterative algorithms, because Catalyst re-analyzes the full
+    logical plan per action, so an upstream candidate-generation plan (e.g.
+    a 64-aggregate MinHash pipeline) would be re-optimized every round and
+    the label plan would deepen unboundedly. On a cluster, point
+    ``spark.sparkContext.setCheckpointDir`` at reliable storage and swap
+    ``localCheckpoint`` for ``checkpoint``. For adversarial long-chain
+    graphs an alternating large-star/small-star contraction (Kiveris et
+    al., "Connected Components in MapReduce") drops rounds to O(log d);
+    not needed for dedup-shaped inputs.
+    """
+    und = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+           .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+           .distinct()
+           .localCheckpoint())
+    labels = (und.select(F.col("s").alias("node")).distinct()
+              .withColumn("comp", F.col("node"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        msgs = (und.join(labels, und["s"] == labels["node"])
+                .select(F.col("d").alias("node"), F.col("comp")))
+        new_labels = (labels.union(msgs)
+                      .groupBy("node").agg(F.min("comp").alias("comp"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.comp") != F.col("o.comp"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", num_perm: int = 64,
+                   bands: int = 32, jaccard_threshold: float = 0.9) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH pairs → connected
+    components → (doc_id, cluster_id, cluster_size, is_representative).
+    Keep-policy downstream: filter ``is_representative`` to retain exactly
+    one document per duplicate cluster. Only clustered docs are returned
+    (singletons are trivially their own representative)."""
+    pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col,
+                              num_perm=num_perm, bands=bands,
+                              jaccard_threshold=jaccard_threshold)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (comp.join(sizes, "comp")
+            .select(F.col("node").alias(id_col),
+                    F.col("comp").alias("cluster_id"),
+                    "cluster_size",
+                    (F.col("node") == F.col("comp")).alias("is_representative")))

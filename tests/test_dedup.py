@@ -60,3 +60,31 @@ def test_simhash_near_dup(spark):
     assert (1, 3) in got                # near dup within hamming budget
     assert got[(1, 3)] > 0
     assert (1, 4) not in got or got[(1, 3)] < got.get((1, 4), 64)
+
+
+def test_connected_components_chain_and_clique(spark):
+    # components: {1,2,3,4} (a chain — needs label propagation across hops),
+    # {10,11,12} (a triangle), {20,21} (one edge). 99 never appears.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["src", "dst"])
+    got = {r["node"]: r["comp"]
+           for r in dd.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_representatives(spark):
+    out = dd.dedup_clusters(_docs(spark), jaccard_threshold=0.3).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    # docs 1/2 are exact dups (jaccard 1.0): same cluster, min-id rep
+    assert by_doc[1]["cluster_id"] == by_doc[2]["cluster_id"] == 1
+    assert by_doc[1]["is_representative"] and not by_doc[2]["is_representative"]
+    assert by_doc[1]["cluster_size"] == len(
+        [r for r in out if r["cluster_id"] == by_doc[1]["cluster_id"]])
+    # the unrelated doc is not clustered at all
+    assert 4 not in by_doc
+    # exactly one representative per cluster
+    clusters = {r["cluster_id"] for r in out}
+    reps = [r for r in out if r["is_representative"]]
+    assert len(reps) == len(clusters)
