@@ -1060,6 +1060,16 @@ def q_embed_topk(spark, sf_dir):
                            score_decimals=6)
 
 
+def q_embed_sq_topk(spark, sf_dir):
+    """Int8 scalar-quantized cosine top-5 — the memory-bandwidth scale path
+    (4-8x fewer bytes per vector scanned). Exactly oracle-able: the integer
+    dot/self-dot sums are exact, and the per-vector scales cancel out of
+    cosine, so both engines perform identical arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.sq_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                              score_decimals=6)
+
+
 def q_embed_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return sim.cosine_neardup_pairs(emb, threshold=0.45)
@@ -1182,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "winnow_neardup": q_winnow_neardup,
         "embed_topk": q_embed_topk,
+        "embed_sq_topk": q_embed_sq_topk,
         "embed_neardup": q_embed_neardup,
     }
 
@@ -1776,6 +1787,36 @@ def oracle_sql() -> dict[str, str]:
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                      {_cosine_sql('q.embedding', 'c.embedding')} AS s
               FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 10),
+            ranked AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY s DESC, neighbor_id ASC) AS rank,
+                     s
+              FROM scored)
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+                   round(s, 6) AS score
+            FROM ranked WHERE rank <= 5""",
+        "embed_sq_topk": """
+            WITH base AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) / s) AS BIGINT)) AS codes
+              FROM (SELECT vec_id, embedding,
+                           list_max(list_transform(embedding,
+                             x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+                    FROM embeddings)),
+            n AS (
+              SELECT vec_id, codes,
+                     list_reduce(list_transform(codes, x -> x * x),
+                                 (a, v) -> a + v) AS nn
+              FROM base),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     CAST(list_reduce(list_transform(list_zip(q.codes, c.codes),
+                                        p -> p[1] * p[2]), (a, v) -> a + v) AS DOUBLE)
+                     / (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(c.nn AS DOUBLE))) AS s
+              FROM n q JOIN n c ON q.vec_id != c.vec_id
               WHERE q.vec_id < 10),
             ranked AS (
               SELECT query_id, neighbor_id,

@@ -86,3 +86,32 @@ def test_semantic_dedup_keeps_all_when_no_dups(spark):
     v = _vecs(spark)  # tiny corpus, nothing above 0.999
     kept = sim.semantic_dedup(v, threshold=0.9999, n_lists=2, iters=1)
     assert kept.count() == v.count()
+
+
+def test_sq_topk_recall_vs_exact(spark):
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter("vec_id < 10")
+    exact = sim.cosine_topk(emb, queries, k=5)
+    quant = sim.sq_cosine_topk(emb, queries, k=5)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    qz = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
+    recall = len(ex & qz) / len(ex)
+    # int8 max-abs quantization keeps neighbor ordering almost intact
+    assert recall >= 0.8, f"sq recall {recall}"
+
+
+def test_sq_scores_close_to_exact(spark):
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter("vec_id < 3")
+    exact = {(r["query_id"], r["neighbor_id"]): r["score"]
+             for r in sim.cosine_topk(emb, queries, k=5).collect()}
+    quant = {(r["query_id"], r["neighbor_id"]): r["score"]
+             for r in sim.sq_cosine_topk(emb, queries, k=5).collect()}
+    both = set(exact) & set(quant)
+    assert both
+    for key in both:
+        assert abs(exact[key] - quant[key]) < 0.02
