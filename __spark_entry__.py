@@ -951,6 +951,29 @@ def q_intersect_customers(spark, sf_dir):
     return a.intersect(b)
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing with cross-engine regex parity. The synthetic corpus
+    carries no PII, so a deterministic contact line (email + URL + phone
+    derived from doc_id) is appended first; the redaction then replaces all
+    three with typed placeholders and counts raw hits."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example-"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".org via https://site"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example/page or call +1 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"))
+    return docs.select("doc_id", tx.redact_pii(aug).alias("clean"),
+                       tx.pii_count(aug).alias("n_pii"))
+
+
+def q_gram_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signal: share of a doc's bigrams
+    taken by its most-repeated bigram."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.gram_repetition(docs, n=2)
+
+
 def q_top_tokens(spark, sf_dir):
     """Explode (R1 flatten) + count + deterministic top-20."""
     docs = _t(spark, sf_dir, "documents")
@@ -1180,6 +1203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_high_value": q_union_high_value,
         "intersect_customers": q_intersect_customers,
         "top_tokens": q_top_tokens,
+        "pii_redact": q_pii_redact,
+        "gram_repetition": q_gram_repetition,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "text_quality": q_text_quality,
@@ -1687,6 +1712,39 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
               FROM documents)
             GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""",
+        "pii_redact": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example-' || CAST(doc_id % 7 AS VARCHAR)
+                          || '.org via https://site' || CAST(doc_id % 5 AS VARCHAR)
+                          || '.example/page or call +1 555-01'
+                          || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                     'https?://[^\\s]+', '<URL>', 'g'),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\\+[0-9][0-9 ()./-]{6,}[0-9]', '<PHONE>', 'g') AS clean,
+                   len(regexp_extract_all(t, 'https?://[^\\s]+'))
+                   + len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(t,
+                       '\\+[0-9][0-9 ()./-]{6,}[0-9]')) AS n_pii
+            FROM aug""",
+        "gram_repetition": """
+            WITH w AS (SELECT doc_id,
+                              regexp_split_to_array(trim(text), '\\s+') AS w
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         unnest([array_to_string(w[i:i+1], ' ')
+                                 for i in range(1, len(w))]) AS gram
+                  FROM w WHERE len(w) >= 2),
+            c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+            SELECT doc_id, MAX(c) AS top_count,
+                   CAST(SUM(c) AS BIGINT) AS n_grams,
+                   CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS rep_ratio
+            FROM c GROUP BY 1""",
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)""",

@@ -136,3 +136,63 @@ def fingerprint(col: Column | str) -> Column:
     norm = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", "")
     norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
     return F.md5(norm)
+
+
+# Conservative RE2-and-Java-common-subset patterns (no lookaround), so the
+# same strings run in Spark (java.util.regex) and DuckDB (RE2) identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\+[0-9][0-9 ()./-]{6,}[0-9]"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails / URLs / international-format phone numbers with
+    typed placeholder tokens — the scrubbing pass an LLM training pipeline
+    runs before tokenization. URL first (it can contain '@' userinfo),
+    then email, then phone. Pure codegen regexp_replace chain."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, URL_RE, "<URL>")
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PHONE_RE, "<PHONE>")
+    return c
+
+
+def pii_count(col: Column | str) -> Column:
+    """Number of PII matches (emails + URLs + phones) in the raw text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.regexp_count(c, F.lit(URL_RE)) +
+            F.regexp_count(c, F.lit(EMAIL_RE)) +
+            F.regexp_count(c, F.lit(PHONE_RE))).cast("long")
+
+
+def word_ngrams_all(col: Column | str, n: int = 2) -> Column:
+    """ALL word n-grams (multiset — unlike ``dedup.word_ngrams`` this does
+    not dedupe), for repetition/frequency analysis."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+
+    def gram(i):
+        return F.concat_ws(" ", F.slice(toks, i + 1, n))
+
+    return F.transform(idx, gram)
+
+
+def gram_repetition(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Gopher-style repetition score: fraction of a document's n-grams
+    taken by its single most-repeated n-gram. High values flag boilerplate
+    / degenerate repetition for quality filtering.
+
+    Shape: explode → count per (doc, gram) → max/sum per doc. Both
+    aggregations combine map-side; the shuffle key is (doc_id, gram), which
+    is fine-grained enough to never hot-spot."""
+    grams = (df.filter(F.size(tokens(F.col(text_col))) >= n)
+             .select(F.col(id_col), word_ngrams_all(F.col(text_col), n).alias("__g"))
+             .select(id_col, F.explode("__g").alias("gram")))
+    counts = grams.groupBy(id_col, "gram").agg(F.count("*").alias("__c"))
+    return (counts.groupBy(id_col)
+            .agg(F.max("__c").alias("top_count"),
+                 F.sum("__c").alias("n_grams"))
+            .select(id_col, "top_count", "n_grams",
+                    (F.col("top_count").cast("double") / F.col("n_grams"))
+                    .alias("rep_ratio")))

@@ -50,3 +50,25 @@ def test_fingerprint_normalizes(spark):
     fps = {r["doc_id"]: r["fp"] for r in out}
     assert fps[1] == fps[2]
     assert fps[1] != fps[3]
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co or https://x.io/p?q=1 or +1 555-0199 end"),
+         (2, "no pii here")], ["id", "t"])
+    got = {r["id"]: (r["clean"], r["n"])
+           for r in df.select("id", tx.redact_pii("t").alias("clean"),
+                              tx.pii_count("t").alias("n")).collect()}
+    assert got[1] == ("mail <EMAIL> or <URL> or <PHONE> end", 3)
+    assert got[2] == ("no pii here", 0)
+
+
+def test_gram_repetition_degenerate_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"),      # 'spam spam' x3 of 3 bigrams
+         (2, "a b c d"),                  # all bigrams unique
+         (3, "one")], ["doc_id", "text"]) # too short: excluded
+    got = {r["doc_id"]: r for r in tx.gram_repetition(df).collect()}
+    assert got[1]["rep_ratio"] == 1.0 and got[1]["n_grams"] == 3
+    assert got[2]["rep_ratio"] == 1.0 / 3
+    assert 3 not in got
