@@ -45,3 +45,22 @@ def test_int_widened_to_long(spark, mb_bucket):
     # all JSON ints → long (JSONReader.java:46-51)
     assert dict(df.dtypes)["recording_id"] == "bigint"
     assert dict(df.dtypes)["recording_length"] == "bigint"
+
+
+def test_malformed_line_yields_null_row_not_drop(spark, tmp_path):
+    # Parity: the reference catches parse exceptions and emits an EMPTY
+    # object — every downstream field null, row NOT dropped
+    # (JSONReader.java:97-100). Spark's PERMISSIVE mode matches: the
+    # malformed line becomes an all-null row.
+    import pyspark.sql.types as T
+
+    p = tmp_path / "t.json"
+    p.write_text('{"id": 1, "name": "ok"}\n{not json at all\n{"id": 2}\n')
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("name", T.StringType())])
+    df = load_table_from_text(spark, str(p), "t", schema=schema)
+    rows = sorted(df.collect(), key=lambda r: (r["t_id"] is None, r["t_id"]))
+    assert len(rows) == 3
+    assert rows[0]["t_id"] == 1 and rows[0]["t_name"] == "ok"
+    assert rows[1]["t_id"] == 2 and rows[1]["t_name"] is None
+    assert rows[2]["t_id"] is None and rows[2]["t_name"] is None
