@@ -62,7 +62,10 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(2):  # best-of-2: damp noisy-neighbor variance
+        # best-of-3: this box's noisy neighbors can inflate a single run up
+        # to ~4x (q3: 5.6s cold-ish vs 1.3s warm); two samples were not
+        # always enough to land a clean one
+        for _ in range(3):
             t0 = time.perf_counter()
             # count() forces the full plan without driver-side row transfer
             fn(spark, SF_DIR).count()
