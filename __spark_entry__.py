@@ -740,6 +740,22 @@ def q_rollup_grouping_id(spark, sf_dir):
             .select("o_orderstatus", "o_orderpriority", "gid", "n"))
 
 
+def q_grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    revenue by status, by priority, and by the pair — one pass, partial
+    aggregation per set, no union-of-three-scans. The DataFrame API only
+    exposes rollup/cube, so this goes through spark.sql."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))""")
+
+
 def q_top_orders_per_customer(spark, sf_dir):
     """Top-k per group: each customer's 3 largest orders."""
     orders = _t(spark, sf_dir, "orders")
@@ -1183,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_segments": q_except_segments,
         "rollup_revenue": q_rollup_revenue,
         "rollup_grouping_id": q_rollup_grouping_id,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
         "top_orders_per_customer": q_top_orders_per_customer,
         "median_quantity": q_median_quantity,
         "distinct_suppliers_per_brand": q_distinct_suppliers_per_brand,
@@ -1569,6 +1586,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
                    count(*) AS n
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "grouping_sets_revenue": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                    (o_orderstatus, o_orderpriority))""",
         "top_orders_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
               SELECT o_custkey, o_orderkey, o_totalprice,
