@@ -843,6 +843,34 @@ def q_ndjson_roundtrip(spark, sf_dir):
         F.col("documents_n_chars").alias("n_chars"))
 
 
+def q_csv_roundtrip(spark, sf_dir):
+    """CSV source parity in the gate: customers serialized to CSV
+    (distributed write), re-read through the declared-schema CSV loader
+    with namespacing, un-namespaced, compared against the plain table."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from bqetl_spark.sources.csv_source import load_csv_table
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    out = tempfile.mkdtemp(prefix="bqetl_csv_") + "/customer"
+    cust.write.mode("overwrite").option("header", "true").csv(out)
+    schema = T.StructType([
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType())])
+    back = load_csv_table(spark, out, "customer", schema=schema,
+                          key_name="c_custkey")
+    return back.select(
+        F.col("customer_c_custkey").alias("c_custkey"),
+        F.col("customer_c_name").alias("c_name"),
+        F.col("customer_c_acctbal").alias("c_acctbal"),
+        F.col("customer_c_mktsegment").alias("c_mktsegment"))
+
+
 def q_schema_projection(spark, sf_dir):
     """P1/R2 declared-schema projection: keep only declared fields in
     order, cast to declared types, absent field → typed NULL column
@@ -1209,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_kmeans_topk": q_embed_ivf_kmeans_topk,
         "unpivot_part_metrics": q_unpivot_part_metrics,
         "ndjson_roundtrip": q_ndjson_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
         "schema_projection": q_schema_projection,
         "orders_above_customer_avg": q_orders_above_customer_avg,
         "customer_variance": q_customer_variance,
@@ -1673,6 +1702,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
             FROM part""",
         "ndjson_roundtrip": "SELECT doc_id, lang, n_chars FROM documents",
+        "csv_roundtrip":
+            "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer",
         "schema_projection": """
             SELECT doc_id, lang, n_chars,
                    CAST(NULL AS VARCHAR) AS not_in_source

@@ -64,3 +64,20 @@ def test_malformed_line_yields_null_row_not_drop(spark, tmp_path):
     assert rows[0]["t_id"] == 1 and rows[0]["t_name"] == "ok"
     assert rows[1]["t_id"] == 2 and rows[1]["t_name"] is None
     assert rows[2]["t_id"] is None and rows[2]["t_name"] is None
+
+
+def test_csv_loader_namespaced_and_keyed(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from bqetl_spark.sources.csv_source import load_csv_table
+
+    p = tmp_path / "t.csv"
+    p.write_text("id,name,bal\n1,alpha,10.5\n2,beta,-3.25\nnotanum,gamma,0\n")
+    schema = T.StructType([T.StructField("id", T.StringType()),
+                           T.StructField("name", T.StringType()),
+                           T.StructField("bal", T.DoubleType())])
+    df = load_csv_table(spark, str(p), "t", schema=schema, key_name="id")
+    assert dict(df.dtypes)["t_id"] == "bigint"  # keyed → long try_cast
+    rows = {r["t_name"]: r for r in df.collect()}
+    assert rows["alpha"]["t_id"] == 1 and rows["alpha"]["t_bal"] == 10.5
+    assert rows["gamma"]["t_id"] is None  # bad key → NULL, not an error
