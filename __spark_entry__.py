@@ -572,6 +572,23 @@ def q_window_running_total(spark, sf_dir):
         ).alias("order_seq"))
 
 
+def q_window_suite(spark, sf_dir):
+    """Analytic window breadth in one pass: lag/lead, ntile, percent_rank,
+    cume_dist over each customer's order history — one partition read, all
+    five functions share the same sort (Catalyst collapses them into a
+    single Window node). Order key (o_orderdate, o_orderkey) is unique, so
+    every function is deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"))
+
+
 def q_distinct_segments(spark, sf_dir):
     return (_t(spark, sf_dir, "customer")
             .select("c_mktsegment").distinct())
@@ -1217,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "idle_customers": q_idle_customers,
         "window_running_total": q_window_running_total,
+        "window_suite": q_window_suite,
         "distinct_segments": q_distinct_segments,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
@@ -1581,6 +1599,16 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ) AS order_seq
             FROM orders""",
+        "window_suite": """
+            SELECT o_custkey, o_orderkey,
+                   lag(o_totalprice, 1) OVER w AS prev_price,
+                   lead(o_totalprice, 1) OVER w AS next_price,
+                   CAST(ntile(4) OVER w AS INT) AS quartile,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)""",
         "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
         "asof_purchase": """
             WITH p AS (
