@@ -705,6 +705,21 @@ def q_asof_purchase(spark, sf_dir):
     return out.select("event_id", "purchase_id", "purchase_value")
 
 
+def q_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (ties to backward): each event with the
+    temporally closest purchase of the same user. The oracle runs TWO
+    native DuckDB ASOF joins (>= backward, <= forward) and picks the closer
+    by epoch-microsecond distance — the same rule the operator applies."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("event_id").alias("purchase_id")))
+    out = asof_join(ev.select("event_id", "user_id", "ts"), purchases,
+                    on="ts", by="user_id", right_cols=["purchase_id"],
+                    suffix="", direction="nearest")
+    return out.select("event_id", "purchase_id")
+
+
 def q_parts_never_ordered(spark, sf_dir):
     """Anti join: parts with no lineitem referencing them."""
     part = _t(spark, sf_dir, "part")
@@ -1240,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "sessionize": q_sessionize,
         "asof_purchase": q_asof_purchase,
+        "asof_nearest": q_asof_nearest,
         "parts_never_ordered": q_parts_never_ordered,
         "suppliers_with_sales": q_suppliers_with_sales,
         "except_segments": q_except_segments,
@@ -1619,6 +1635,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, p.purchase_id, p.purchase_value
             FROM events e
             ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""",
+        "asof_nearest": """
+            WITH p AS (
+              SELECT user_id, ts, max(event_id) AS purchase_id
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts)
+            SELECT e.event_id,
+                   CASE WHEN b.purchase_id IS NOT NULL AND (f.purchase_id IS NULL
+                             OR (epoch_us(e.ts) - epoch_us(b.ts))
+                                <= (epoch_us(f.ts) - epoch_us(e.ts)))
+                        THEN b.purchase_id ELSE f.purchase_id END AS purchase_id
+            FROM events e
+            ASOF LEFT JOIN p b ON e.user_id = b.user_id AND e.ts >= b.ts
+            ASOF LEFT JOIN p f ON e.user_id = f.user_id AND e.ts <= f.ts""",
         "parts_never_ordered": """
             SELECT p_partkey, p_name FROM part
             WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""",
