@@ -668,6 +668,17 @@ def q_stream_click_to_purchase(spark, sf_dir):
     return _run_stream_to_table(joined, "append")
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Watermarked streaming dedup (dropDuplicatesWithinWatermark) replayed
+    bounded: event_id is unique in the corpus, so the correctness property
+    the oracle pins is no-false-positive — the state-store path must emit
+    every id exactly once, dropping nothing."""
+    from bqetl_spark.streaming.events import stream_dedup_events
+
+    deduped = stream_dedup_events(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    return _run_stream_to_table(deduped.select("event_id"), "append")
+
+
 def q_events_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (ev.select("event_id",
@@ -1222,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reason — a budget cut must not silence their first report
         "stream_events_hourly": q_stream_events_hourly,
         "stream_click_to_purchase": q_stream_click_to_purchase,
+        "stream_dedup": q_stream_dedup,
         "semantic_dedup": q_semantic_dedup,
         "lookup_decode": q_lookup_decode,
         "nest_orders": q_nest_orders,
@@ -1727,6 +1739,7 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(p.ts) >= epoch_us(c.ts)
              AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
             WHERE c.event_type = 'click' AND p.event_type = 'purchase'""",
+        "stream_dedup": "SELECT event_id FROM events",
         "events_json": """
             SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events
