@@ -67,6 +67,10 @@ def main() -> None:
         measure("ivf", {"n_lists": 16, "n_probe": n_probe},
                 lambda p=n_probe: sim.ivf_topk(
                     emb, q, k=K, n_lists=16, n_probe=p))
+    # int8 scalar quantization: a different accuracy axis — full scan like
+    # exact but 4-8x fewer bytes/vector; error from the grid, not pruning
+    measure("sq8", {"bits": 8},
+            lambda: sim.sq_cosine_topk(emb, q, k=K))
 
     print(json.dumps({"metric": "ann_curves", "sf": SF_DIR, "k": K,
                       "n_queries": N_QUERIES,
