@@ -1061,6 +1061,27 @@ def q_gram_repetition(spark, sf_dir):
     return tx.gram_repetition(docs, n=2)
 
 
+def q_corpus_keep(spark, sf_dir):
+    """The whole pretraining filter chain as one declarative plan: quality
+    rules AND language-ID AND repetition cap AND exact-dedup representative
+    — the composition a real corpus build runs, with every stage reusing
+    the individually-oracled operator."""
+    docs = _t(spark, sf_dir, "documents")
+    q = tx.quality_score(docs, "text").select(F.col("doc_id").alias("__qd"), "keep")
+    lang = tx.lang_id(docs).select(F.col("doc_id").alias("__ld"), "lang_pred")
+    rep = tx.gram_repetition(docs, n=2).select(F.col("doc_id").alias("__rd"),
+                                               "rep_ratio")
+    reps = dd.dedup_exact(docs).select(F.col("doc_id").alias("__kid"))
+    return (docs.select("doc_id")
+            .join(q, F.col("doc_id") == F.col("__qd")).filter(F.col("keep"))
+            .join(lang, F.col("doc_id") == F.col("__ld"))
+            .filter(F.col("lang_pred") == "en")
+            .join(rep, F.col("doc_id") == F.col("__rd"), "left")
+            .filter(F.col("rep_ratio").isNull() | (F.col("rep_ratio") <= 0.2))
+            .join(reps, F.col("doc_id") == F.col("__kid"), "leftsemi")
+            .select("doc_id"))
+
+
 def q_top_tokens(spark, sf_dir):
     """Explode (R1 flatten) + count + deterministic top-20."""
     docs = _t(spark, sf_dir, "documents")
@@ -1296,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_customers": q_intersect_customers,
         "top_tokens": q_top_tokens,
         "pii_redact": q_pii_redact,
+        "corpus_keep": q_corpus_keep,
         "gram_repetition": q_gram_repetition,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -1357,7 +1379,7 @@ def _lang_id_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     disc = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
-    return {
+    d = {
         "namespace_project": """
             SELECT c_custkey AS customer_c_custkey, c_name AS customer_c_name,
                    c_mktsegment AS customer_c_mktsegment
@@ -2021,3 +2043,14 @@ def oracle_sql() -> dict[str, str]:
         # simhash_pairs / embed_lsh_topk: xxhash64-seeded / recall<1 by
         # design — intentionally no oracle (driver records rows-only check)
     }
+    # the full filter chain composes the already-oracled stage SQLs as
+    # subqueries (DuckDB allows WITH inside a derived table)
+    d["corpus_keep"] = f"""
+        SELECT d.doc_id
+        FROM documents d
+        JOIN ({d["quality_filter"]}) q ON d.doc_id = q.doc_id AND q.keep
+        JOIN ({d["lang_id"]}) l ON d.doc_id = l.doc_id AND l.lang_pred = 'en'
+        LEFT JOIN ({d["gram_repetition"]}) r ON d.doc_id = r.doc_id
+        WHERE (r.rep_ratio IS NULL OR r.rep_ratio <= 0.2)
+          AND d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))"""
+    return d
