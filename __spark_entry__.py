@@ -1067,15 +1067,16 @@ def q_corpus_keep(spark, sf_dir):
     — the composition a real corpus build runs, with every stage reusing
     the individually-oracled operator."""
     docs = _t(spark, sf_dir, "documents")
-    q = tx.quality_score(docs, "text").select(F.col("doc_id").alias("__qd"), "keep")
-    lang = tx.lang_id(docs).select(F.col("doc_id").alias("__ld"), "lang_pred")
+    # quality + lang-ID are row-local expressions: chain them onto ONE scan
+    # (no joins); only the aggregate-shaped stages (repetition, dedup
+    # representatives) join, and each of those shuffles a compact key.
+    base = (tx.lang_id(tx.quality_score(docs, "text"))
+            .filter(F.col("keep") & (F.col("lang_pred") == "en"))
+            .select("doc_id"))
     rep = tx.gram_repetition(docs, n=2).select(F.col("doc_id").alias("__rd"),
                                                "rep_ratio")
     reps = dd.dedup_exact(docs).select(F.col("doc_id").alias("__kid"))
-    return (docs.select("doc_id")
-            .join(q, F.col("doc_id") == F.col("__qd")).filter(F.col("keep"))
-            .join(lang, F.col("doc_id") == F.col("__ld"))
-            .filter(F.col("lang_pred") == "en")
+    return (base
             .join(rep, F.col("doc_id") == F.col("__rd"), "left")
             .filter(F.col("rep_ratio").isNull() | (F.col("rep_ratio") <= 0.2))
             .join(reps, F.col("doc_id") == F.col("__kid"), "leftsemi")
