@@ -88,3 +88,13 @@ def test_dedup_clusters_representatives(spark):
     clusters = {r["cluster_id"] for r in out}
     reps = [r for r in out if r["is_representative"]]
     assert len(reps) == len(clusters)
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 60-node path has diameter 59: plain min-propagation would need 59
+    # rounds; pointer jumping must land it well inside max_iter=30
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)], ["src", "dst"])
+    got = {r["node"]: r["comp"]
+           for r in dd.connected_components(edges, max_iter=30).collect()}
+    assert set(got.values()) == {1} and len(got) == 60
