@@ -589,6 +589,32 @@ def q_window_suite(spark, sf_dir):
         F.cume_dist().over(w).alias("cume"))
 
 
+def q_quantity_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (p25/p50/p75) per return flag —
+    Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    (1-f)*lo + f*hi interpolation on sorted doubles, so the results are
+    bit-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+                 F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+                 F.expr("percentile(l_quantity, 0.75)").alias("p75")))
+
+
+def q_conditional_aggs(spark, sf_dir):
+    """Filtered/boolean aggregate suite per segment: count_if, bool_and,
+    bool_or, and a conditional decimal sum — the FILTER-clause family in
+    one partial-aggregating pass."""
+    cust = _t(spark, sf_dir, "customer")
+    pos_bal = F.when(F.col("c_acctbal") > 0,
+                     _money("c_acctbal")).otherwise(F.lit(0).cast(DEC))
+    return (cust.groupBy("c_mktsegment")
+            .agg(F.expr("count_if(c_acctbal > 0)").alias("n_positive"),
+                 F.expr("bool_and(c_acctbal > -1000)").alias("all_above_floor"),
+                 F.expr("bool_or(c_acctbal > 9900)").alias("any_near_cap"),
+                 F.sum(pos_bal).cast("double").alias("positive_balance")))
+
+
 def q_distinct_segments(spark, sf_dir):
     return (_t(spark, sf_dir, "customer")
             .select("c_mktsegment").distinct())
@@ -1284,6 +1310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_customers": q_idle_customers,
         "window_running_total": q_window_running_total,
         "window_suite": q_window_suite,
+        "quantity_percentiles": q_quantity_percentiles,
+        "conditional_aggs": q_conditional_aggs,
         "distinct_segments": q_distinct_segments,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
@@ -1660,6 +1688,22 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey
                          ORDER BY o_orderdate, o_orderkey)""",
+        "quantity_percentiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.25) AS p25,
+                   quantile_cont(l_quantity, 0.5)  AS p50,
+                   quantile_cont(l_quantity, 0.75) AS p75
+            FROM lineitem GROUP BY 1""",
+        "conditional_aggs": """
+            SELECT c_mktsegment,
+                   count(*) FILTER (WHERE c_acctbal > 0) AS n_positive,
+                   bool_and(c_acctbal > -1000) AS all_above_floor,
+                   bool_or(c_acctbal > 9900) AS any_near_cap,
+                   CAST(SUM(CASE WHEN c_acctbal > 0
+                                 THEN CAST(c_acctbal AS DECIMAL(18,2))
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                     AS positive_balance
+            FROM customer GROUP BY 1""",
         "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
         "asof_purchase": """
             WITH p AS (
