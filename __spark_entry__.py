@@ -601,6 +601,23 @@ def q_quantity_percentiles(spark, sf_dir):
                  F.expr("percentile(l_quantity, 0.75)").alias("p75")))
 
 
+def q_events_calendar(spark, sf_dir):
+    """Date-part extraction suite over the event stream: year/quarter/
+    month/day/hour plus the Monday-truncated week start as an epoch —
+    the calendar-derivation pass an ingest pipeline runs once at landing
+    (each a codegen-stage expression; both engines agree on ISO week
+    truncation)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.quarter("ts").cast("long").alias("q"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.unix_timestamp(F.date_trunc("week", "ts")).alias("week_start_epoch"))
+
+
 def q_conditional_aggs(spark, sf_dir):
     """Filtered/boolean aggregate suite per segment: count_if, bool_and,
     bool_or, and a conditional decimal sum — the FILTER-clause family in
@@ -1312,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_suite": q_window_suite,
         "quantity_percentiles": q_quantity_percentiles,
         "conditional_aggs": q_conditional_aggs,
+        "events_calendar": q_events_calendar,
         "distinct_segments": q_distinct_segments,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
@@ -1694,6 +1712,13 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(l_quantity, 0.5)  AS p50,
                    quantile_cont(l_quantity, 0.75) AS p75
             FROM lineitem GROUP BY 1""",
+        "events_calendar": """
+            SELECT event_id,
+                   year(ts) AS y, quarter(ts) AS q, month(ts) AS m,
+                   day(ts) AS d, hour(ts) AS h,
+                   CAST(epoch(date_trunc('week', ts)) AS BIGINT)
+                     AS week_start_epoch
+            FROM events""",
         "conditional_aggs": """
             SELECT c_mktsegment,
                    count(*) FILTER (WHERE c_acctbal > 0) AS n_positive,
