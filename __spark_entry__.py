@@ -601,6 +601,22 @@ def q_quantity_percentiles(spark, sf_dir):
                  F.expr("percentile(l_quantity, 0.75)").alias("p75")))
 
 
+def q_string_suite(spark, sf_dir):
+    """String scalar-function breadth over customer names: case mapping,
+    padding, substring, replace, reversal, length — the normalization
+    toolkit, all single codegen stage, identical semantics both engines."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_name").alias("lo"),
+        F.lpad("c_mktsegment", 12, ".").alias("padded"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.regexp_replace(F.col("c_name"), "Customer#0*", "C").alias("short_id"),
+        F.reverse(F.col("c_mktsegment")).alias("rev_seg"),
+        F.length("c_name").cast("long").alias("name_len"))
+
+
 def q_events_calendar(spark, sf_dir):
     """Date-part extraction suite over the event stream: year/quarter/
     month/day/hour plus the Monday-truncated week start as an epoch —
@@ -1330,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_percentiles": q_quantity_percentiles,
         "conditional_aggs": q_conditional_aggs,
         "events_calendar": q_events_calendar,
+        "string_suite": q_string_suite,
         "distinct_segments": q_distinct_segments,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
@@ -1712,6 +1729,16 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(l_quantity, 0.5)  AS p50,
                    quantile_cont(l_quantity, 0.75) AS p75
             FROM lineitem GROUP BY 1""",
+        "string_suite": """
+            SELECT c_custkey,
+                   upper(c_name) AS up,
+                   lower(c_name) AS lo,
+                   lpad(c_mktsegment, 12, '.') AS padded,
+                   substring(c_name, 1, 8) AS prefix,
+                   regexp_replace(c_name, 'Customer#0*', 'C') AS short_id,
+                   reverse(c_mktsegment) AS rev_seg,
+                   length(c_name) AS name_len
+            FROM customer""",
         "events_calendar": """
             SELECT event_id,
                    year(ts) AS y, quarter(ts) AS q, month(ts) AS m,
