@@ -601,6 +601,22 @@ def q_quantity_percentiles(spark, sf_dir):
                  F.expr("percentile(l_quantity, 0.75)").alias("p75")))
 
 
+def q_array_suite(spark, sf_dir):
+    """Array/higher-order-function breadth over document tokens: size,
+    distinct, sort, membership, lambda filter — Spark array_* / Catalyst
+    lambdas vs DuckDB list_* agree element-for-element."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.element_at(F.sort_array(toks), 1).alias("first_sorted"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4))
+         .cast("long").alias("n_long_tokens"))
+
+
 def q_string_suite(spark, sf_dir):
     """String scalar-function breadth over customer names: case mapping,
     padding, substring, replace, reversal, length — the normalization
@@ -1347,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_aggs": q_conditional_aggs,
         "events_calendar": q_events_calendar,
         "string_suite": q_string_suite,
+        "array_suite": q_array_suite,
         "distinct_segments": q_distinct_segments,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
@@ -1729,6 +1746,14 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(l_quantity, 0.5)  AS p50,
                    quantile_cont(l_quantity, 0.75) AS p75
             FROM lineitem GROUP BY 1""",
+        "array_suite": f"""
+            SELECT doc_id,
+                   len({_TOK}) AS n_tokens,
+                   len(list_distinct({_TOK})) AS n_distinct,
+                   list_sort({_TOK})[1] AS first_sorted,
+                   list_contains({_TOK}, 'spark') AS has_spark,
+                   len(list_filter({_TOK}, t -> length(t) > 4)) AS n_long_tokens
+            FROM documents""",
         "string_suite": """
             SELECT c_custkey,
                    upper(c_name) AS up,
