@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bqetl_spark.functions.text import fingerprint, tokens
+from bqetl_spark.caching import pin
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text",
@@ -137,16 +138,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         F.xxhash64(F.array(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]))
         for b in range(bands)
     ])
-    banded = (sigs.select("id", F.posexplode(band_arr).alias("band", "bh"))
-              .persist())
+    banded = pin(sigs.select("id", F.posexplode(band_arr).alias("band", "bh")))
     cand = (banded.alias("a")
             .join(banded.alias("b"),
                   (F.col("a.band") == F.col("b.band")) &
                   (F.col("a.bh") == F.col("b.bh")) &
                   (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-            .persist())
+            .dropDuplicates(["id_a", "id_b"]))
+    cand = pin(cand)
 
     # 4) verify candidates with true shingle jaccard. Candidates are a
     #    vanishing fraction of the corpus, so semi-join the raw docs down
@@ -155,10 +155,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     cand_ids = (cand.select(F.col("id_a").alias("cid"))
                 .union(cand.select(F.col("id_b").alias("cid")))
                 .distinct())
-    sh_cand = (df.join(cand_ids, F.col(id_col) == F.col("cid"), "leftsemi")
-               .select(F.col(id_col).alias("id"),
-                       shingles(F.col(text_col), n_shingle).alias("sh"))
-               .persist())  # candidate-sized; feeds both join sides below
+    sh_cand = pin(df.join(cand_ids, F.col(id_col) == F.col("cid"), "leftsemi")
+                  .select(F.col(id_col).alias("id"),
+                          shingles(F.col(text_col), n_shingle).alias("sh")))
+    # ^ candidate-sized; feeds both join sides below
     verified = (cand
                 .join(sh_cand.select(F.col("id").alias("id_a"),
                                      F.col("sh").alias("sh_a")), "id_a")
@@ -202,8 +202,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     base = (df.repartition(n_part, id_col)
             .select(F.col(id_col).alias("id"),
                     word_ngrams(F.col(text_col), n).alias("gr"))
-            .withColumn("n_gr", F.size("gr"))
-            .cache())
+            .withColumn("n_gr", F.size("gr")))
+    base = pin(base)
     inv = base.select("id", "n_gr", F.explode("gr").alias("g"))
     if max_gram_freq is not None:
         freq = inv.groupBy("g").agg(F.count("*").alias("df_g"))
@@ -282,8 +282,8 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
     base = (df.repartition(n_part, id_col)
             .select(F.col(id_col).alias("id"),
                     fp_udf(F.col(text_col)).alias("fp"))
-            .withColumn("n_fp", F.size("fp"))
-            .cache())  # both sides of the self-join read this — don't run the UDF twice
+            .withColumn("n_fp", F.size("fp")))
+    base = pin(base)  # both sides of the self-join read this — don't run the UDF twice
     inv = base.select("id", "n_fp", F.explode("fp").alias("h"))
     a = inv.select(F.col("id").alias("id_a"), F.col("n_fp").alias("na"), "h")
     b = inv.select(F.col("id").alias("id_b"), F.col("n_fp").alias("nb"), "h")
@@ -373,8 +373,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     simhash64_vec()(F.col(text_col)).alias("sh")))
     # persist the compact (id, sh, blk) table: a self-join recomputes its
     # common subplan per side, which would run the pandas-UDF hash twice
-    base = (base.withColumn("blk", F.shiftrightunsigned("sh", 64 - prefix_bits))
-            .persist())
+    base = pin(base.withColumn("blk", F.shiftrightunsigned("sh", 64 - prefix_bits)))
     a, b = base.alias("a"), base.alias("b")
     xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
     hamming = F.bit_count(xor)

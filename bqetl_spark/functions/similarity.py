@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from bqetl_spark.caching import pin
+
 
 def _dot(a, b):
     # cast each float to double BEFORE multiplying: the product of two
@@ -134,8 +136,8 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                 .withColumn("__r", F.row_number().over(w))
                 .filter(F.col("__r") == 1)
                 .select("id", "v", "nrm", "list_id",
-                        F.acos(clamp(F.col("__cs"))).alias("ang"))
-                .persist())
+                        F.acos(clamp(F.col("__cs"))).alias("ang")))
+    assigned = pin(assigned)
 
     # list radius (max member angle) → admissible ordered list pairs
     radii = assigned.groupBy("list_id").agg(F.max("ang").alias("max_ang"))
@@ -440,8 +442,8 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.85,
                 .withColumn("cluster_id",
                             F.explode(nearest(F.transform(
                                 F.col(vec_col),
-                                lambda x: x.cast("double")))))
-                .persist())
+                                lambda x: x.cast("double"))))))
+    assigned = pin(assigned)
     pairs = cosine_neardup_pairs(assigned, threshold=threshold,
                                  id_col=id_col, vec_col=vec_col,
                                  block_col="cluster_id")

@@ -26,6 +26,10 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # Spark 4 reads tz-less parquet timestamps as TIMESTAMP_NTZ by default;
+    # the engine's time semantics (watermarks, unix_micros, windows) are
+    # LTZ-with-UTC-session, matching DuckDB's naive timestamps bit-for-bit.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "48g",
 }

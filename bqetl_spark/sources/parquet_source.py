@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 from bqetl_spark.sources.json_source import namespace_columns
 
@@ -19,9 +20,34 @@ STAR_TABLES = (
 )
 
 
+def ensure_ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP (LTZ).
+
+    Spark 4's parquet reader infers tz-less parquet timestamps as
+    TIMESTAMP_NTZ (``spark.sql.parquet.inferTimestampNTZ.enabled`` defaults
+    to true), but watermarks, ``unix_micros`` and the window/time functions
+    require the LTZ type. The engine pins the session to UTC semantics, so
+    the cast is value-preserving and matches DuckDB's naive timestamps."""
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def _ltz_scan_conf(spark: SparkSession) -> None:
+    # scan-level fix: read tz-less parquet timestamps as LTZ directly so no
+    # extra Project node lands between the scan and downstream pushdown
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass  # older Spark without the conf — ensure_ltz covers it
+
+
 def load_parquet_table(spark: SparkSession, sf_dir: str, name: str,
                        namespace: bool = False) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    _ltz_scan_conf(spark)
+    df = ensure_ltz(spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet"))
     return namespace_columns(df, name) if namespace else df
 
 
@@ -37,9 +63,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond timestamp — DuckDB's CAST(ts AS TIMESTAMP) truncates the same
     way, so the two engines agree."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ltz_scan_conf(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         # integer division: `/` is double division, and a nanosecond epoch
         # (~1.7e18) exceeds double's 2^53 integer range → off-by-1µs rows
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return ensure_ltz(df)

@@ -27,7 +27,15 @@ def stream_dedup_events(spark: SparkSession, events_dir: str,
 def _read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     import os
 
+    from bqetl_spark.sources.parquet_source import ensure_ltz
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # scan-level LTZ: Spark 4 infers tz-less parquet timestamps as
+    # TIMESTAMP_NTZ, which watermarks reject — read them as LTZ instead
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     schema = spark.read.parquet(events_dir).schema
     if events_dir.endswith(".parquet") and os.path.isfile(events_dir):
         base, fname = os.path.dirname(events_dir), os.path.basename(events_dir)
@@ -38,7 +46,7 @@ def _read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     if dict(stream.dtypes).get("ts") == "bigint":
         # integer division — see sources.parquet_source.load_events
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return ensure_ltz(stream)
 
 
 def stream_click_to_purchase(spark: SparkSession, events_dir: str,

@@ -36,6 +36,11 @@ def stream_user_totals(spark: SparkSession, events_dir: str) -> DataFrame:
     bounded replay. Emits one snapshot row per user per micro-batch.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        # Spark 4: read tz-less parquet timestamps as LTZ (watermark-friendly)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     schema = spark.read.parquet(events_dir).schema
     import os
 
