@@ -1285,8 +1285,11 @@ def q_embed_neardup(spark, sf_dir):
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style embedding dedup: k-means cells, drop lower-priority
     within-cell near-dups (similarity.semantic_dedup). Rows-only: the
-    Lloyd iterations aren't SQL-expressible; precision/recall floors vs
-    the exact pair oracle live in tests/test_similarity.py."""
+    Lloyd iterations aren't SQL-expressible (numpy pairwise-summation
+    means vs SQL AVG would make a DuckDB oracle flaky at cell borders);
+    instead the drop rule is PINNED by a bit-exact invariant test
+    (tests/test_semantic_dedup_invariant.py) and precision/recall floors
+    vs the exact pair oracle live in tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.semantic_dedup(emb, threshold=0.45, n_lists=8, iters=2)
 

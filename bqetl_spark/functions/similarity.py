@@ -408,10 +408,33 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     F.round("score", score_decimals).alias("score")))
 
 
+def assign_cells(corpus: DataFrame, n_lists: int = 8, iters: int = 2,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """k-means cell assignment for SemDeDup: refine stride-seeded centroids
+    (kmeans_refine) and attach each vector's nearest cell as cluster_id.
+    Exposed separately so an invariant test (and any caller that wants to
+    reuse one clustering across operations) can hold the assignment fixed.
+    """
+    cents = kmeans_refine(corpus, n_lists=n_lists, iters=iters,
+                          id_col=id_col, vec_col=vec_col)
+    rows = cents.collect()  # n_lists rows: metadata by construction
+    nearest = _top_lists_udf([int(r["list_id"]) for r in rows],
+                             [[float(x) for x in r["centroid"]] for r in rows],
+                             keep=1)
+    return (corpus
+            .select(id_col, vec_col)
+            .withColumn("cluster_id",
+                        F.explode(nearest(F.transform(
+                            F.col(vec_col),
+                            lambda x: x.cast("double"))))))
+
+
 def semantic_dedup(corpus: DataFrame, threshold: float = 0.85,
                    n_lists: int = 8, iters: int = 2,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   assignments: DataFrame | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
     k-means-cluster the embeddings, then drop every document that has a
     lower-id near-duplicate (cosine >= threshold) WITHIN its cluster.
@@ -431,18 +454,9 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.85,
     if the chain is transitively connected above threshold within the
     cell, and never drops a document that has no qualifying neighbor.
     """
-    cents = kmeans_refine(corpus, n_lists=n_lists, iters=iters,
-                          id_col=id_col, vec_col=vec_col)
-    rows = cents.collect()  # n_lists rows: metadata by construction
-    nearest = _top_lists_udf([int(r["list_id"]) for r in rows],
-                             [[float(x) for x in r["centroid"]] for r in rows],
-                             keep=1)
-    assigned = (corpus
-                .select(id_col, vec_col)
-                .withColumn("cluster_id",
-                            F.explode(nearest(F.transform(
-                                F.col(vec_col),
-                                lambda x: x.cast("double"))))))
+    assigned = (assignments if assignments is not None
+                else assign_cells(corpus, n_lists=n_lists, iters=iters,
+                                  id_col=id_col, vec_col=vec_col))
     assigned = pin(assigned)
     pairs = cosine_neardup_pairs(assigned, threshold=threshold,
                                  id_col=id_col, vec_col=vec_col,
