@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bqetl_spark.functions import chunking as ck
 from bqetl_spark.functions import dedup as dd
 from bqetl_spark.functions import multimodal as mm
 from bqetl_spark.functions import similarity as sim
@@ -1311,6 +1312,37 @@ def q_multimodal_bytes(spark, sf_dir):
     return feats.select("media_id", "n_bytes")
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking: overlapping 16-token windows (stride 12)
+    over every document. Map-only (split/sequence/posexplode/slice all
+    codegen); chunking 100 TB is a pure scan."""
+    docs = _t(spark, sf_dir, "documents")
+    out = ck.doc_chunks(docs, size=16, overlap=4)
+    return out.select("doc_id",
+                      F.col("chunk_id").cast("long").alias("chunk_id"),
+                      "chunk_text",
+                      F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+def q_sample_hash(spark, sf_dir):
+    """Deterministic 30% corpus sample by md5(doc_id) — reproducible across
+    engines/runs/retries (rand() is none of those); membership is a
+    row-local filter pushed to the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return (ck.hash_sample(docs, rate=0.3)
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Fixed-budget sequence packing (256 tokens) by exclusive running sum
+    within each source, doc_id order. Integer window arithmetic — exact and
+    cluster-size-independent; the only shuffle is the window partition."""
+    docs = _t(spark, sf_dir, "documents")
+    out = ck.pack_sequences(docs, budget=256)
+    return out.select("doc_id", "source", "pack_id",
+                      F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
 # --------------------------------------------------------------------------
 # driver surface
 # --------------------------------------------------------------------------
@@ -1381,12 +1413,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppliers_with_sales": q_suppliers_with_sales,
         "except_segments": q_except_segments,
         "rollup_revenue": q_rollup_revenue,
-    # --- 4. evergreen heavies -----------------------------------------
+    # --- 4. NEW in round 4 (first-ever report) + one evergreen heavy --
         "minhash_lsh": q_minhash_lsh,
+        "doc_chunks": q_doc_chunks,
+        "sample_hash": q_sample_hash,
+        "pack_sequences": q_pack_sequences,
+    # --- 5. r3 greens (tail — banked) ---------------------------------
         "dedup_exact": q_dedup_exact,
         "embed_topk": q_embed_topk,
         "ship_priority_counts": q_ship_priority_counts,
-    # --- 5. r3 greens (tail) ------------------------------------------
         "corpus_keep": q_corpus_keep,
         "csv_roundtrip": q_csv_roundtrip,
         "dedup_clusters": q_dedup_clusters,
@@ -2188,4 +2223,40 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN ({d["gram_repetition"]}) r ON d.doc_id = r.doc_id
         WHERE (r.rep_ratio IS NULL OR r.rep_ratio <= 0.2)
           AND d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))"""
+    # round-4 training-pipeline ops: chunking / hash sampling / packing.
+    # stride 12 = size 16 - overlap 4; duckdb range() excludes its stop, so
+    # range(1, n+1, 12) = Spark sequence(1, n, 12); list slice w[s:s+15] is
+    # 1-based inclusive = Spark slice(w, s, 16).
+    d["doc_chunks"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_TOK} AS w,
+                   CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOK}) END AS n
+            FROM documents
+        ), s AS (
+            SELECT doc_id, w, n, unnest(range(1, n + 1, 12)) AS start
+            FROM t WHERE n > 0
+        )
+        SELECT doc_id,
+               CAST((start - 1) // 12 AS BIGINT) AS chunk_id,
+               array_to_string(w[start:start+15], ' ') AS chunk_text,
+               CAST(least(16, n - start + 1) AS BIGINT) AS n_tokens
+        FROM s"""
+    # 0.3 * 16^8 floors to 0x4ccccccc; lowercase-hex md5 compares the same
+    # lexicographically in both engines
+    d["sample_hash"] = """
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc'"""
+    d["pack_sequences"] = f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOK}) END AS n
+            FROM documents
+        )
+        SELECT doc_id, source,
+               CAST((SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n) // 256 AS BIGINT) AS pack_id,
+               CAST(n AS BIGINT) AS n_tokens
+        FROM t"""
     return d

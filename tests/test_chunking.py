@@ -1,0 +1,112 @@
+"""doc_chunks / hash_sample / pack_sequences: edges + invariants + oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from bqetl_spark.functions.chunking import doc_chunks, hash_sample, pack_sequences
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+# --- doc_chunks -----------------------------------------------------------
+
+def test_chunks_cover_every_token_and_respect_size(spark):
+    out = doc_chunks(_docs(spark), size=16, overlap=4).collect()
+    assert out
+    by_doc: dict[int, list] = {}
+    for r in out:
+        assert 1 <= r["n_tokens"] <= 16
+        assert len(r["chunk_text"].split(" ")) == r["n_tokens"]
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    docs = {r["doc_id"]: r["text"] for r in _docs(spark).collect()}
+    for doc_id, chunks in by_doc.items():
+        toks = docs[doc_id].split()
+        chunks.sort(key=lambda r: r["chunk_id"])
+        # chunk ids contiguous from 0; starts advance by stride 12
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        covered = len(toks) == 0 or (len(chunks) - 1) * 12 < len(toks)
+        assert covered  # last start <= n means every token is chunked
+        # chunk i reproduces tokens[i*stride : i*stride+size] exactly
+        for c in chunks:
+            lo = c["chunk_id"] * 12
+            assert c["chunk_text"] == " ".join(toks[lo:lo + 16])
+
+
+def test_chunks_empty_doc_produces_no_rows(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two")], ["doc_id", "text"])
+    rows = doc_chunks(df, size=4, overlap=1).collect()
+    assert {r["doc_id"] for r in rows} == {3}
+    assert rows[0]["chunk_text"] == "one two"
+
+
+def test_chunks_rejects_bad_overlap(spark):
+    with pytest.raises(ValueError):
+        doc_chunks(_docs(spark), size=8, overlap=8)
+
+
+# --- hash_sample ----------------------------------------------------------
+
+def test_hash_sample_deterministic_and_calibrated(spark):
+    docs = _docs(spark)
+    a = {r["doc_id"] for r in hash_sample(docs, 0.3).collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, 0.3).collect()}
+    assert a == b  # reproducible: same sample on every run
+    n = docs.count()
+    assert 0.15 * n <= len(a) <= 0.45 * n  # calibrated around the rate
+    # monotone: a lower-rate sample is a subset of a higher-rate one
+    small = {r["doc_id"] for r in hash_sample(docs, 0.1).collect()}
+    assert small <= a
+
+
+def test_hash_sample_edges(spark):
+    docs = _docs(spark)
+    assert hash_sample(docs, 0.0).count() == 0
+    assert hash_sample(docs, 1.0).count() == docs.count()
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+
+
+# --- pack_sequences -------------------------------------------------------
+
+def test_packs_respect_budget_and_order(spark):
+    budget = 256
+    out = pack_sequences(_docs(spark), budget=budget).collect()
+    packs: dict[tuple, int] = {}
+    singletons: dict[tuple, int] = {}
+    for r in out:
+        key = (r["source"], r["pack_id"])
+        packs[key] = packs.get(key, 0) + r["n_tokens"]
+        singletons[key] = max(singletons.get(key, 0), r["n_tokens"])
+    for key, total in packs.items():
+        # a pack exceeds the budget only via its LAST doc straddling the
+        # boundary (exclusive-cumsum rule) — never by more than one doc
+        assert total < budget + singletons[key]
+    # pack ids start at 0 and are contiguous per source
+    by_src: dict[str, set] = {}
+    for (src, pid), _ in packs.items():
+        by_src.setdefault(src, set()).add(pid)
+    for pids in by_src.values():
+        assert pids == set(range(len(pids)))
+
+
+def test_pack_rejects_bad_budget(spark):
+    with pytest.raises(ValueError):
+        pack_sequences(_docs(spark), budget=0)
+
+
+# --- oracle replicas (the driver-gate shapes at test SF) ------------------
+
+def test_round4_ops_match_oracle(spark):
+    import __spark_entry__ as em
+    from tests.oracle_harness import compare, duck_connection
+
+    con = duck_connection(SF_DIR)
+    qs, osql = em.queries(), em.oracle_sql()
+    for name in ("doc_chunks", "sample_hash", "pack_sequences"):
+        r = compare(qs[name](spark, SF_DIR), con, osql[name])
+        assert r["hash_match"], (name, r)
