@@ -755,6 +755,25 @@ def q_stream_dedup(spark, sf_dir):
     return _run_stream_to_table(deduped.select("event_id"), "append")
 
 
+def q_stream_user_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState,
+    streaming/stateful.py): per-user running (count, sum) snapshots in
+    update mode, replayed bounded. The driver result takes each user's
+    FINAL snapshot (running counts are monotone, so max n_events per user),
+    which must equal the batch group-by — an exact integer oracle for the
+    state-store path. sum_value stays out of the contract (per-batch pandas
+    summation order is engine-specific); it is pinned in
+    tests/test_streaming_stateful.py instead."""
+    from bqetl_spark.streaming.stateful import stream_user_totals
+
+    snap = stream_user_totals(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    out = _run_stream_to_table(snap, "update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (out.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("user_id", "n_events"))
+
+
 def q_events_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (ev.select("event_id",
@@ -1413,12 +1432,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppliers_with_sales": q_suppliers_with_sales,
         "except_segments": q_except_segments,
         "rollup_revenue": q_rollup_revenue,
-    # --- 4. NEW in round 4 (first-ever report) + one evergreen heavy --
-        "minhash_lsh": q_minhash_lsh,
+    # --- 4. NEW in round 4 (first-ever report) ------------------------
         "doc_chunks": q_doc_chunks,
         "sample_hash": q_sample_hash,
         "pack_sequences": q_pack_sequences,
+        "stream_user_totals": q_stream_user_totals,
     # --- 5. r3 greens (tail — banked) ---------------------------------
+        "minhash_lsh": q_minhash_lsh,
         "dedup_exact": q_dedup_exact,
         "embed_topk": q_embed_topk,
         "ship_priority_counts": q_ship_priority_counts,
@@ -2247,6 +2267,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, source, n_chars
         FROM documents
         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc'"""
+    # stateful-streaming final snapshots == batch group-by (integer-exact)
+    d["stream_user_totals"] = """
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id"""
     d["pack_sequences"] = f"""
         WITH t AS (
             SELECT doc_id, source,
