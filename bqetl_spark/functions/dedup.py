@@ -271,12 +271,18 @@ def winnow_fingerprint_vec(k: int = 8, w: int = 4):
 
 def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 8, w: int = 4,
-                         threshold: float = 0.5) -> DataFrame:
+                         threshold: float = 0.5,
+                         max_hash_freq: int | None = None) -> DataFrame:
     """Near-dup pairs by winnowing-fingerprint jaccard, via the same
     inverted-index shape as ngram_jaccard_pairs (explode fingerprints, join
     on the hash, count shared). Character-level, so it catches near-dups
     that word tokenization misses (punctuation/casing edits inside words).
-    Hash-seeded → rows-only in the driver contract."""
+    Hash-seeded → rows-only in the driver contract.
+
+    ``max_hash_freq`` is the boilerplate-skew guard (same contract as
+    ngram_jaccard_pairs.max_gram_freq): a fingerprint hash appearing in
+    more than N docs contributes O(N²) candidate pairs and ~no precision,
+    so at corpus scale it is dropped from the index. Exact when None."""
     fp_udf = winnow_fingerprint_vec(k, w)
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     base = (df.repartition(n_part, id_col)
@@ -285,6 +291,10 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
             .withColumn("n_fp", F.size("fp")))
     base = pin(base)  # both sides of the self-join read this — don't run the UDF twice
     inv = base.select("id", "n_fp", F.explode("fp").alias("h"))
+    if max_hash_freq is not None:
+        freq = inv.groupBy("h").agg(F.count("*").alias("df_h"))
+        inv = (inv.join(freq.filter(F.col("df_h") <= max_hash_freq), "h")
+               .drop("df_h"))
     a = inv.select(F.col("id").alias("id_a"), F.col("n_fp").alias("na"), "h")
     b = inv.select(F.col("id").alias("id_b"), F.col("n_fp").alias("nb"), "h")
     shared = (a.join(b, "h")

@@ -32,3 +32,22 @@ def test_disjoint_texts_disjoint_prints(spark):
 def test_short_text_still_fingerprints(spark):
     fps = _fp(spark, ["hi"])
     assert len(fps[0]) == 1  # single gram of the whole (short) string
+
+
+def test_max_hash_freq_guard_subsets_exact(spark):
+    from bqetl_spark.functions.dedup import winnow_overlap_pairs
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = {(r["id_a"], r["id_b"])
+             for r in winnow_overlap_pairs(docs).collect()}
+    # a huge cap is a no-op (guard touches nothing below it)
+    capped_hi = {(r["id_a"], r["id_b"])
+                 for r in winnow_overlap_pairs(
+                     docs, max_hash_freq=10**6).collect()}
+    assert capped_hi == exact
+    # a tight cap only ever REMOVES pairs (drops index entries, never adds)
+    capped_lo = {(r["id_a"], r["id_b"])
+                 for r in winnow_overlap_pairs(
+                     docs, max_hash_freq=2).collect()}
+    assert capped_lo <= exact
