@@ -93,7 +93,8 @@ def minhash_signature(shingle_col, num_perm: int = 64):
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n_shingle: int = 3,
                       num_perm: int = 64, bands: int = 16,
-                      jaccard_threshold: float = 0.5) -> DataFrame:
+                      jaccard_threshold: float = 0.5,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, verified with true
     shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
 
@@ -101,7 +102,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     100 TB collision groups stay tiny, so the self-join is bucket-local and
     never quadratic in the corpus. AQE's skew-join splitting covers a hot
     bucket (e.g. boilerplate docs).
-    """
+
+    ``max_bucket_size`` is the boilerplate-cluster guard: a band bucket
+    holding N docs emits N² candidates, and at corpus scale the giant
+    buckets are boilerplate (license headers, templates) whose pairs add
+    cost but no curation signal — production LSH systems cap them. A
+    capped bucket is dropped whole (its members usually co-occur in other,
+    smaller buckets). Exact (and oracle-comparable) when None."""
     rows = num_perm // bands
     p = F.lit(_MERSENNE31)
 
@@ -139,6 +146,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         for b in range(bands)
     ])
     banded = pin(sigs.select("id", F.posexplode(band_arr).alias("band", "bh")))
+    if max_bucket_size is not None:
+        counts = (banded.groupBy("band", "bh")
+                  .agg(F.count("*").alias("__bn")))
+        banded = (banded
+                  .join(counts.filter(F.col("__bn") <= max_bucket_size),
+                        ["band", "bh"])
+                  .drop("__bn"))
     cand = (banded.alias("a")
             .join(banded.alias("b"),
                   (F.col("a.band") == F.col("b.band")) &

@@ -98,3 +98,17 @@ def test_connected_components_long_chain_converges(spark):
     got = {r["node"]: r["comp"]
            for r in dd.connected_components(edges, max_iter=30).collect()}
     assert set(got.values()) == {1} and len(got) == 60
+
+
+def test_minhash_bucket_cap_subsets_exact(spark):
+    from bqetl_spark.functions.dedup import minhash_lsh_pairs
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    hi = {(r["id_a"], r["id_b"])
+          for r in minhash_lsh_pairs(docs, max_bucket_size=10**6).collect()}
+    assert hi == exact  # huge cap is a no-op
+    lo = {(r["id_a"], r["id_b"])
+          for r in minhash_lsh_pairs(docs, max_bucket_size=2).collect()}
+    assert lo <= exact  # the guard only ever removes pairs

@@ -76,9 +76,13 @@ def main() -> None:
         "note": ("10x replication of sf0.1 (tools/gen_scale.py); single "
                  "timed run, sf0.01 shape warm-up; ngram_jaccard and "
                  f"winnow_neardup use skew guards (freq<={GUARD}) because "
-                 "verbatim replication multiplies shared-gram doc-frequency "
-                 "10x and candidate pairs ~100x — the boilerplate blowup "
-                 "the guards exist for"),
+                 "replication multiplies shared-gram doc-frequency 10x and "
+                 "candidate pairs ~100x — the boilerplate blowup the guards "
+                 "exist for. minhash_lsh is superlinear here by synthetic "
+                 "construction: cross-copy siblings sit JUST below the "
+                 "jaccard threshold yet still band-collide ~40% of the "
+                 "time, so LSH pays verify cost on ~100k failing "
+                 "candidates (see BENCH_SF1.json note)."),
     }
     with open(f"{ROOT}/BENCH_SF1.json", "w") as f:
         f.write(json.dumps(out) + "\n")

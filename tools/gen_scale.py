@@ -61,13 +61,21 @@ def main(src: str, out: str, k: int) -> None:
                 # CAST keeps the source's int64 key type after the addition
                 sel.append(f"CAST({c} + cp.i * {OFF} AS BIGINT) AS {c}")
             elif t == "documents" and c == "text":
-                # marker token preserves within-copy dup structure without
-                # collapsing cross-copy rows into exact duplicates
-                sel.append("CASE WHEN cp.i = 0 THEN text "
-                           "ELSE text || ' cp' || cp.i END AS text")
+                # interleave a per-copy marker token after every 5th token:
+                # within-copy near-dup pairs keep their marker pattern (so
+                # per-copy duplicate structure — and near-dup op work —
+                # scales LINEARLY with K), while cross-copy shingle jaccard
+                # drops below typical thresholds (~0.33 for 3-grams), so
+                # replication does not fabricate a 10x-denser dup corpus
+                sel.append(
+                    "CASE WHEN cp.i = 0 THEN text ELSE "
+                    r"regexp_replace(text, '((\S+\s+){5})', "
+                    r"'\1zqcp' || cp.i || ' ', 'g') END AS text")
             elif t == "documents" and c == "n_chars":
-                sel.append("CASE WHEN cp.i = 0 THEN n_chars ELSE n_chars + "
-                           "LENGTH(' cp' || cp.i) END AS n_chars")
+                sel.append(
+                    "LENGTH(CASE WHEN cp.i = 0 THEN text ELSE "
+                    r"regexp_replace(text, '((\S+\s+){5})', "
+                    r"'\1zqcp' || cp.i || ' ', 'g') END) AS n_chars")
             elif t == "embeddings" and c == "embedding":
                 sel.append(
                     "CAST(list_transform(embedding, x -> CASE WHEN cp.i = 0 "
