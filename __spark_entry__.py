@@ -1331,6 +1331,39 @@ def q_multimodal_bytes(spark, sf_dir):
     return feats.select("media_id", "n_bytes")
 
 
+def q_snapshot_reconcile(spark, sf_dir):
+    """Snapshot diff (operators.merge.reconcile): full-outer join two
+    versions of orders and classify added/removed/changed/unchanged.
+    The 'new' snapshot is derived deterministically: keys ≡ 0 (mod 11)
+    deleted, keys ≡ 0 (mod 7) repriced +10.00 (exact in doubles — a *1.1
+    round hits engine-specific tie-breaking), plus a shifted-key copy of
+    keys ≡ 3 (mod 1000) as inserts — so the oracle rebuilds it in SQL.
+    Returns per-status counts (row-local classification; the diff costs
+    exactly one key-shuffle full-outer join at any scale)."""
+    from bqetl_spark.operators.merge import reconcile
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    repriced = (orders.filter(F.col("o_orderkey") % 11 != 0)
+                .select("o_orderkey",
+                        F.when(F.col("o_orderkey") % 7 == 0,
+                               F.col("o_totalprice") + F.lit(10.0))
+                        .otherwise(F.col("o_totalprice"))
+                        .alias("o_totalprice"),
+                        "o_orderstatus"))
+    inserts = (orders.filter(F.col("o_orderkey") % 1000 == 3)
+               .select((F.col("o_orderkey") + F.lit(10_000_000_000))
+                       .alias("o_orderkey"),
+                       "o_totalprice", "o_orderstatus"))
+    new = repriced.unionByName(inserts)
+    diff = reconcile(old, new, "o_orderkey")
+    return (diff.groupBy("status")
+            .agg(F.count("*").alias("n_keys"),
+                 F.sum(F.coalesce(_money("new_o_totalprice"), F.lit(0).cast(DEC))
+                       - F.coalesce(_money("old_o_totalprice"), F.lit(0).cast(DEC)))
+                 .cast("double").alias("price_delta")))
+
+
 def q_doc_chunks(spark, sf_dir):
     """Context-window chunking: overlapping 16-token windows (stride 12)
     over every document. Map-only (split/sequence/posexplode/slice all
@@ -1420,7 +1453,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_percentiles": q_quantity_percentiles,
         "conditional_aggs": q_conditional_aggs,
         "events_calendar": q_events_calendar,
-        "string_suite": q_string_suite,
         "array_suite": q_array_suite,
         "distinct_segments": q_distinct_segments,
         "events_hourly": q_events_hourly,
@@ -1437,9 +1469,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": q_sample_hash,
         "pack_sequences": q_pack_sequences,
         "stream_user_totals": q_stream_user_totals,
+        "snapshot_reconcile": q_snapshot_reconcile,
     # --- 5. r3 greens (tail — banked) ---------------------------------
-        "minhash_lsh": q_minhash_lsh,
         "dedup_exact": q_dedup_exact,
+        "minhash_lsh": q_minhash_lsh,
+        "string_suite": q_string_suite,
         "embed_topk": q_embed_topk,
         "ship_priority_counts": q_ship_priority_counts,
         "corpus_keep": q_corpus_keep,
@@ -2267,6 +2301,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, source, n_chars
         FROM documents
         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc'"""
+    d["snapshot_reconcile"] = """
+        WITH old AS (
+            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        ), new AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0
+                        THEN o_totalprice + 10.0
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey % 11 <> 0
+            UNION ALL
+            SELECT o_orderkey + 10000000000, o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderkey % 1000 = 3
+        ), diff AS (
+            SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                        WHEN n.o_orderkey IS NULL THEN 'removed'
+                        WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                         AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                        THEN 'unchanged' ELSE 'changed' END AS status,
+                   COALESCE(CAST(n.o_totalprice AS DECIMAL(18,2)), 0)
+                   - COALESCE(CAST(o.o_totalprice AS DECIMAL(18,2)), 0) AS pd
+            FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        )
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(pd) AS DOUBLE) AS price_delta
+        FROM diff GROUP BY status"""
     # stateful-streaming final snapshots == batch group-by (integer-exact)
     d["stream_user_totals"] = """
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events

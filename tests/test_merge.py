@@ -65,3 +65,30 @@ def test_scd2_intervals_chain(spark):
     assert got[(1, "y")] == (20, 30)
     assert got[(1, "z")] == (30, None)   # open-ended current row
     assert got[(2, "q")] == (5, None)
+
+
+def test_reconcile_classifies_all_four_statuses(spark):
+    from bqetl_spark.operators.merge import reconcile
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, None, "C"), (4, 40.0, "D")],
+        ["k", "price", "st"])
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"),          # unchanged
+         (2, 25.0, "B"),          # changed (value)
+         (3, 30.0, "C"),          # changed (NULL -> value must count)
+         (5, 50.0, "E")],         # added; 4 removed
+        ["k", "price", "st"])
+    out = {r["k"]: r["status"] for r in reconcile(old, new, "k").collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "changed",
+                   4: "removed", 5: "added"}
+
+
+def test_reconcile_compare_cols_subset(spark):
+    from bqetl_spark.operators.merge import reconcile
+
+    old = spark.createDataFrame([(1, 10.0, "A")], ["k", "price", "st"])
+    new = spark.createDataFrame([(1, 99.0, "A")], ["k", "price", "st"])
+    # restricted to st only, the price difference is invisible
+    out = reconcile(old, new, "k", compare_cols=["st"]).collect()
+    assert out[0]["status"] == "unchanged"
