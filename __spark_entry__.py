@@ -1331,6 +1331,29 @@ def q_multimodal_bytes(spark, sf_dir):
     return feats.select("media_id", "n_bytes")
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Curation dedup: near-dup clusters (dedup_clusters) reduced to their
+    highest-quality member (functions.dedup.keep_best) instead of the
+    arbitrary min-id representative — what a production corpus curation
+    actually keeps. Ties by ascending doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dd.dedup_clusters(docs, num_perm=64, bands=32,
+                                 jaccard_threshold=0.9)
+    scored = tx.quality_score(docs, "text").select("doc_id", "quality_score")
+    return dd.keep_best(clusters, scored)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Training-mix balancing: per-language deterministic sampling rates
+    (keep all de, half of en, drop fr, 10% everything else) via the same
+    md5 membership rule as sample_hash — row-local, reproducible."""
+    docs = _t(spark, sf_dir, "documents")
+    out = ck.stratified_hash_sample(
+        docs, rates={"en": 0.5, "de": 1.0, "fr": 0.0},
+        strata_col="lang", default_rate=0.1)
+    return out.select("doc_id", "lang", "source")
+
+
 def q_snapshot_reconcile(spark, sf_dir):
     """Snapshot diff (operators.merge.reconcile): full-outer join two
     versions of orders and classify added/removed/changed/unchanged.
@@ -1449,11 +1472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "idle_customers": q_idle_customers,
         "window_running_total": q_window_running_total,
-        "window_suite": q_window_suite,
         "quantity_percentiles": q_quantity_percentiles,
         "conditional_aggs": q_conditional_aggs,
         "events_calendar": q_events_calendar,
-        "array_suite": q_array_suite,
         "distinct_segments": q_distinct_segments,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
@@ -1470,10 +1491,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stream_user_totals": q_stream_user_totals,
         "snapshot_reconcile": q_snapshot_reconcile,
+        "dedup_keep_best": q_dedup_keep_best,
+        "stratified_sample": q_stratified_sample,
     # --- 5. r3 greens (tail — banked) ---------------------------------
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "string_suite": q_string_suite,
+        "array_suite": q_array_suite,
+        "window_suite": q_window_suite,
         "embed_topk": q_embed_topk,
         "ship_priority_counts": q_ship_priority_counts,
         "corpus_keep": q_corpus_keep,
@@ -2328,6 +2353,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys,
                CAST(SUM(pd) AS DOUBLE) AS price_delta
         FROM diff GROUP BY status"""
+    # keep-best composes the clusters CTE with the quality-score CTE; the
+    # window argmax (score desc, id asc) mirrors functions.dedup.keep_best
+    d["dedup_keep_best"] = f"""
+        SELECT doc_id, cluster_id, quality_score
+        FROM (
+            SELECT c.doc_id, c.cluster_id, q.quality_score,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                                      ORDER BY q.quality_score DESC,
+                                               c.doc_id ASC) AS rn
+            FROM ({d["dedup_clusters"]}) c
+            JOIN ({d["quality_filter"]}) q ON c.doc_id = q.doc_id
+        ) WHERE rn = 1"""
+    # per-stratum md5 cuts: 0.5 -> 80000000, 0.1 -> 19999999 (floor of
+    # 0.1*16^8); rate 1.0 keeps the stratum outright, rate 0 keeps none
+    d["stratified_sample"] = """
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE CASE lang
+                WHEN 'de' THEN TRUE
+                WHEN 'en' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+                WHEN 'fr' THEN FALSE
+                ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+              END"""
     # stateful-streaming final snapshots == batch group-by (integer-exact)
     d["stream_user_totals"] = """
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events

@@ -99,3 +99,38 @@ def pack_sequences(df: DataFrame, budget: int, text_col: str = "text",
         id_col, part_col,
         F.floor((cum - n) / F.lit(budget)).cast("long").alias("pack_id"),
         n.alias("n_tokens"))
+
+
+def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
+                           strata_col: str, id_col: str = "doc_id",
+                           default_rate: float = 0.0,
+                           hex_digits: int = 8) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix balancer
+    (e.g. downsample boilerplate-heavy sources, keep all rare-language
+    docs). Same md5 membership rule as ``hash_sample``, with the cut
+    chosen per stratum, so it stays a row-local scan filter and the same
+    document keeps/drops consistently across runs and engines.
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    span = 16 ** hex_digits
+
+    def cut_hex(rate: float) -> str:
+        return format(min(int(rate * span), span - 1), f"0{hex_digits}x")
+
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, hex_digits)
+    cut = F.lit(cut_hex(default_rate))
+    for s, r in sorted(rates.items()):
+        cut = F.when(F.col(strata_col) == s, F.lit(cut_hex(r))).otherwise(cut)
+    keep = bucket < cut
+    # a rate of exactly 1.0 must keep everything (cut_hex saturates at
+    # span-1, which would drop the all-f bucket)
+    full = [s for s, r in rates.items() if r >= 1.0]
+    if default_rate >= 1.0:
+        keep = keep | ~F.col(strata_col).isin(list(rates))
+    if full:
+        keep = keep | F.col(strata_col).isin(full)
+    return df.filter(keep)

@@ -487,3 +487,22 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
                     F.col("comp").alias("cluster_id"),
                     "cluster_size",
                     (F.col("node") == F.col("comp")).alias("is_representative")))
+
+
+def keep_best(clusters: DataFrame, scores: DataFrame, id_col: str = "doc_id",
+              cluster_col: str = "cluster_id",
+              score_col: str = "quality_score") -> DataFrame:
+    """Curation-grade dedup: keep the best-scoring member of each near-dup
+    cluster (ties broken by ascending id), instead of the arbitrary min-id
+    representative. One shuffle on the cluster key for the window; the
+    score join is key-partitioned. Returns one row per cluster:
+    (id_col, cluster_col, score_col)."""
+    from pyspark.sql import Window
+
+    j = clusters.select(id_col, cluster_col).join(
+        scores.select(id_col, score_col), id_col)
+    w = (Window.partitionBy(cluster_col)
+         .orderBy(F.desc(score_col), F.asc(id_col)))
+    return (j.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select(id_col, cluster_col, score_col))

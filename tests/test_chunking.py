@@ -110,3 +110,42 @@ def test_round4_ops_match_oracle(spark):
     for name in ("doc_chunks", "sample_hash", "pack_sequences"):
         r = compare(qs[name](spark, SF_DIR), con, osql[name])
         assert r["hash_match"], (name, r)
+
+
+# --- stratified_hash_sample ----------------------------------------------
+
+def test_stratified_rates_and_consistency(spark):
+    docs = _docs(spark)
+    from bqetl_spark.functions.chunking import stratified_hash_sample
+    out = stratified_hash_sample(
+        docs, rates={"en": 0.5, "de": 1.0, "fr": 0.0},
+        strata_col="lang", default_rate=0.1)
+    from pyspark.sql import functions as F
+    by_lang_in = {r["lang"]: r["n"] for r in
+                  docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    by_lang_out = {r["lang"]: r["n"] for r in
+                   out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang_out.get("de") == by_lang_in.get("de")  # rate 1.0: all kept
+    assert "fr" not in by_lang_out                        # rate 0.0: none
+    if by_lang_in.get("en", 0) >= 20:
+        assert 0.25 * by_lang_in["en"] <= by_lang_out.get("en", 0) \
+            <= 0.75 * by_lang_in["en"]
+    # same doc keeps/drops identically under hash_sample at the same rate
+    from bqetl_spark.functions.chunking import hash_sample
+    en_solo = {r["doc_id"] for r in
+               hash_sample(docs.filter("lang = 'en'"), 0.5).collect()}
+    en_strat = {r["doc_id"] for r in out.filter("lang = 'en'").collect()}
+    assert en_solo == en_strat
+
+
+def test_keep_best_picks_argmax_with_id_tiebreak(spark):
+    from bqetl_spark.functions.dedup import keep_best
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], ["doc_id", "cluster_id"])
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.1), (8, 0.1)],
+        ["doc_id", "quality_score"])
+    out = {r["cluster_id"]: r["doc_id"]
+           for r in keep_best(clusters, scores).collect()}
+    assert out == {1: 2, 7: 7}  # 2 beats 3 on id-tie at 0.9; 7 ties low
