@@ -1331,6 +1331,30 @@ def q_multimodal_bytes(spark, sf_dir):
     return feats.select("media_id", "n_bytes")
 
 
+def q_interval_overlap(spark, sf_dir):
+    """Interval-overlap join (operators.rangejoin.interval_overlap_join):
+    per-user click activity windows [ts, ts+30m] against purchase windows
+    [ts, ts+15m]. Bucketized on both sides — the only shuffle is the
+    (user, bucket) equi-join; the oracle is the plain inequality join."""
+    from bqetl_spark.operators.rangejoin import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      es.alias("c_lo"), (es + 1800).alias("c_hi")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         es.alias("p_lo"), (es + 900).alias("p_hi")))
+    out = interval_overlap_join(clicks, purchases, "c_lo", "c_hi",
+                                "p_lo", "p_hi", bucket_width=900,
+                                equi_keys=[("c_user", "p_user")])
+    return out.select(F.col("c_user").alias("user_id"),
+                      "click_id", "purchase_id")
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Curation dedup: near-dup clusters (dedup_clusters) reduced to their
     highest-quality member (functions.dedup.keep_best) instead of the
@@ -1475,7 +1499,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_percentiles": q_quantity_percentiles,
         "conditional_aggs": q_conditional_aggs,
         "events_calendar": q_events_calendar,
-        "distinct_segments": q_distinct_segments,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
         "sessionize": q_sessionize,
@@ -1493,10 +1516,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_reconcile": q_snapshot_reconcile,
         "dedup_keep_best": q_dedup_keep_best,
         "stratified_sample": q_stratified_sample,
+        "interval_overlap": q_interval_overlap,
     # --- 5. r3 greens (tail — banked) ---------------------------------
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "string_suite": q_string_suite,
+        "distinct_segments": q_distinct_segments,
         "array_suite": q_array_suite,
         "window_suite": q_window_suite,
         "embed_topk": q_embed_topk,
@@ -2376,6 +2401,21 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'fr' THEN FALSE
                 ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
               END"""
+    d["interval_overlap"] = """
+        WITH c AS (
+            SELECT user_id, event_id AS click_id,
+                   CAST(date_part('epoch', ts) AS BIGINT) AS lo,
+                   CAST(date_part('epoch', ts) AS BIGINT) + 1800 AS hi
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id, event_id AS purchase_id,
+                   CAST(date_part('epoch', ts) AS BIGINT) AS lo,
+                   CAST(date_part('epoch', ts) AS BIGINT) + 900 AS hi
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.user_id, c.click_id, p.purchase_id
+        FROM c JOIN p ON c.user_id = p.user_id
+                     AND c.lo <= p.hi AND p.lo <= c.hi"""
     # stateful-streaming final snapshots == batch group-by (integer-exact)
     d["stream_user_totals"] = """
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events

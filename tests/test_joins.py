@@ -62,3 +62,21 @@ def test_lookup_is_broadcast(spark, mb_bucket):
                  LookupDescription("area", "id", "name", ["area"]))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_interval_overlap_join_equals_naive(spark):
+    from bqetl_spark.operators.rangejoin import interval_overlap_join
+    import itertools
+
+    rows_l = [(i, lo, lo + ln) for i, (lo, ln) in
+              enumerate([(0, 5), (3, 1), (10, 20), (100, 1), (7, 0)])]
+    rows_r = [(j, lo, lo + ln) for j, (lo, ln) in
+              enumerate([(4, 2), (0, 0), (29, 5), (31, 1), (99, 3)])]
+    l = spark.createDataFrame(rows_l, ["a_id", "a_lo", "a_hi"])
+    r = spark.createDataFrame(rows_r, ["b_id", "b_lo", "b_hi"])
+    got = {(x["a_id"], x["b_id"]) for x in interval_overlap_join(
+        l, r, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=7).collect()}
+    want = {(a, b) for (a, alo, ahi), (b, blo, bhi)
+            in itertools.product(rows_l, rows_r)
+            if alo <= bhi and blo <= ahi}
+    assert got == want  # exact, including touching endpoints, no dupes
