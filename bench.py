@@ -39,6 +39,18 @@ HEADLINE = [
     "embed_topk",
 ]
 
+# Round-4 additions (timed separately as "extras" in the JSON so the
+# headline total stays round-over-round comparable).
+EXTRAS = [
+    "doc_chunks",
+    "sample_hash",
+    "stratified_sample",
+    "pack_sequences",
+    "snapshot_reconcile",
+    "interval_overlap",
+    "dedup_keep_best",
+]
+
 
 def main() -> None:
     import __spark_entry__ as entry_mod
@@ -78,6 +90,20 @@ def main() -> None:
         release_pinned()
         timings[name] = round(best, 3)
 
+    # round-4 ops, reported separately so the headline total stays
+    # comparable across rounds
+    extras: dict[str, float] = {}
+    for name in EXTRAS:
+        fn = qs[name]
+        fn(spark, warm_dir).count()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        release_pinned()
+        extras[name] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     duck = duckdb_timings()
     duck_known = [v for v in duck.values() if v is not None]
@@ -86,6 +112,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extras": extras,
         "sf": SF_DIR,
         # single-node engine baseline for the "within 2x" bar: the SAME
         # queries via oracle_sql() on DuckDB over the same parquet. null =
