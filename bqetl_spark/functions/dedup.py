@@ -471,15 +471,19 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 def dedup_clusters(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", num_perm: int = 64,
-                   bands: int = 32, jaccard_threshold: float = 0.9) -> DataFrame:
+                   bands: int = 32, jaccard_threshold: float = 0.9,
+                   max_bucket_size: int | None = None) -> DataFrame:
     """End-to-end near-dup clustering: MinHash-LSH pairs → connected
     components → (doc_id, cluster_id, cluster_size, is_representative).
     Keep-policy downstream: filter ``is_representative`` to retain exactly
     one document per duplicate cluster. Only clustered docs are returned
-    (singletons are trivially their own representative)."""
+    (singletons are trivially their own representative).
+    ``max_bucket_size`` passes through to the LSH candidate stage (the
+    boilerplate-cluster guard for corpus-scale runs)."""
     pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col,
                               num_perm=num_perm, bands=bands,
-                              jaccard_threshold=jaccard_threshold)
+                              jaccard_threshold=jaccard_threshold,
+                              max_bucket_size=max_bucket_size)
     comp = connected_components(pairs, src="id_a", dst="id_b")
     sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     return (comp.join(sizes, "comp")

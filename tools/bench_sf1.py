@@ -55,12 +55,17 @@ def main() -> None:
         load_parquet_table(s, d, "documents"), k=8, w=4, threshold=0.5,
         max_hash_freq=GUARD)
 
-    for name in HEADLINE:
+    from bench import EXTRAS
+    # the composite keep-best re-runs the whole unguarded LSH cluster
+    # pipeline, which is the documented replication hotspot — skip at sf1
+    extras = [e for e in EXTRAS if e != "dedup_keep_best"]
+
+    for name in HEADLINE + extras:
         qs[name](spark, WARM_DIR).count()
     release_pinned()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + extras:
         t0 = time.perf_counter()
         qs[name](spark, SF1_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
