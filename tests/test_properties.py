@@ -44,3 +44,46 @@ def test_nest_preserves_children_exactly(spark, pairs):
     for k in range(6):
         expect = sorted(v for ck, v in pairs if ck == k)
         assert got[k] == expect
+
+
+_WORD = st.text(alphabet="abcdef", min_size=1, max_size=4)
+
+
+@settings(max_examples=8, deadline=None)
+@given(words=st.lists(_WORD, min_size=0, max_size=60),
+       size=st.integers(2, 12), overlap=st.integers(0, 6))
+def test_doc_chunks_cover_and_reconstruct(spark, words, size, overlap):
+    from bqetl_spark.functions.chunking import doc_chunks
+
+    overlap = min(overlap, size - 1)
+    stride = size - overlap
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    chunks = sorted(doc_chunks(df, size=size, overlap=overlap).collect(),
+                    key=lambda r: r["chunk_id"])
+    if not words:
+        assert chunks == []  # empty doc: no rows
+        return
+    # ids contiguous from 0; every chunk reproduces its token window; the
+    # chunk starts tile [0, n) so every token is covered
+    assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+    for c in chunks:
+        lo = c["chunk_id"] * stride
+        assert c["chunk_text"] == " ".join(words[lo:lo + size])
+        assert c["n_tokens"] == len(words[lo:lo + size])
+    assert (len(chunks) - 1) * stride < len(words)
+
+
+@settings(max_examples=8, deadline=None)
+@given(lens=st.lists(st.integers(0, 30), min_size=1, max_size=25),
+       budget=st.integers(1, 40))
+def test_pack_sequences_matches_exclusive_cumsum(spark, lens, budget):
+    from bqetl_spark.functions.chunking import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n), "s") for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r["pack_id"] for r in
+           pack_sequences(df, budget=budget).collect()}
+    cum = 0
+    for i, n in enumerate(lens):
+        assert got[i] == cum // budget  # exclusive running sum, id order
+        cum += n
