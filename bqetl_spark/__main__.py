@@ -21,7 +21,7 @@ import sys
 
 from pyspark.sql import SparkSession
 
-PIPELINES = ("simple", "simple-with-lookups", "nested")
+PIPELINES = ("simple", "simple-with-lookups", "nested", "corpus")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -49,6 +49,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(nested only; BigQuery's documented limit is 1000)")
     p.add_argument("--temp-bucket", default=None,
                    help="GCS staging bucket for the indirect BigQuery write path")
+    p.add_argument("--lang", default="en",
+                   help="corpus pipeline: target language gate")
+    p.add_argument("--sample-rate", type=float, default=None,
+                   help="corpus pipeline: optional deterministic sample rate")
+    p.add_argument("--chunk-size", type=int, default=64,
+                   help="corpus pipeline: tokens per chunk")
+    p.add_argument("--pack-budget", type=int, default=2048,
+                   help="corpus pipeline: tokens per training pack")
     p.add_argument("--master", default="local[*]",
                    help="Spark master (ignored when run under spark-submit)")
     return p
@@ -67,6 +75,15 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> int
         spark = (SparkSession.builder.master(args.master)
                  .appName(f"bqetl-{args.pipeline}").getOrCreate())
     try:
+        if args.pipeline == "corpus":
+            from bqetl_spark.plans.corpus_pipeline import run_corpus_pipeline
+
+            n = run_corpus_pipeline(
+                spark, args.loading_bucket_url, args.output,
+                lang=args.lang, sample_rate=args.sample_rate,
+                chunk_size=args.chunk_size, pack_budget=args.pack_budget)
+            print(f"corpus: wrote {n} chunks to {args.output}")
+            return 0
         lookups = args.perform_lookups or args.pipeline == "simple-with-lookups"
         if args.pipeline == "nested":
             df = bqetl_nested(spark, args.loading_bucket_url,

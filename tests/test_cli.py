@@ -108,3 +108,26 @@ def test_cli_nested_end_to_end(spark, mb_bucket, tmp_path):
     assert back.count() == expected_rows
     sizes = {r["artist_id"]: r for r in back.collect()}
     assert sizes[1003]["artist_recordings"] == []
+
+
+def test_cli_corpus_pipeline_end_to_end(spark, tmp_path):
+    from bqetl_spark.__main__ import run
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path / "corpus")
+    rc = run(["corpus",
+              "--loading-bucket-url", f"{SF_DIR}/documents.parquet",
+              "--output", out, "--chunk-size", "32", "--pack-budget", "512"],
+             spark=spark)
+    assert rc == 0
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    rows = back.collect()
+    # chunk invariants survive the full pipeline + partitioned write
+    assert all(1 <= r["n_tokens"] <= 32 for r in rows)
+    assert all(r["pack_id"] >= 0 for r in rows)
+    # curated docs are unique post-dedup (no doc appears with two sources)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["source"])
+    assert all(len(s) == 1 for s in by_doc.values())
