@@ -111,3 +111,43 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                                                         F.lit(0)),
                                              F.lit(every_ms))))
             .select("media_id", "sample_ts_ms"))
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  fake: bool = False) -> DataFrame:
+    """Image resize via mapInPandas, returning a MEDIA_SCHEMA-shaped table
+    with the payload replaced and meta.width/height set.
+
+    Real decode+resample needs PIL (absent from this container), so the
+    stub raises unless ``fake=True``; the fake produces a deterministic
+    width*height-byte payload (input bytes tiled/truncated), which keeps
+    the batch shape, sizes, and schema of the real path so the Spark-side
+    plumbing is fully exercised. Map-only: resizing 100 TB of images is a
+    pure scan sized by bytes, not rows."""
+
+    def run(batches):
+        import pandas as _pd
+
+        target = width * height
+
+        def resize_fake(payload):
+            if payload is None or len(payload) == 0:
+                return bytes(target)
+            reps = -(-target // len(payload))  # ceil
+            return (bytes(payload) * reps)[:target]
+
+        def resize_stub(payload):
+            raise NotImplementedError(
+                "image resize requires PIL, not present in this container; "
+                "pass fake=True for the deterministic fake resizer")
+
+        resize = resize_fake if fake else resize_stub
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = pdf["payload"].map(resize)
+            out["meta"] = pdf["meta"].map(
+                lambda m: {**(m if isinstance(m, dict) else m.asDict()),
+                           "width": width, "height": height})
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -46,3 +46,36 @@ def test_frame_sample_plan(spark):
     out = mm.frame_sample_plan(media, every_ms=1000).collect()
     assert [r["sample_ts_ms"] for r in sorted(out, key=lambda r: r["sample_ts_ms"])] == \
         [0, 1000, 2000, 3000]
+
+
+def test_resize_fake_sets_dims_and_payload_size(spark):
+    from pyspark.sql import functions as F
+    from bqetl_spark.functions.multimodal import attach_media, resize_images
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    media = attach_media(docs, "doc_id", F.encode(F.col("text"), "UTF-8"),
+                         kind="image", fmt="png")
+    out = resize_images(media, width=16, height=8, fake=True).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r["payload"]) == 16 * 8
+        assert r["meta"]["width"] == 16 and r["meta"]["height"] == 8
+        assert r["meta"]["kind"] == "image"  # rest of meta preserved
+    # deterministic: same input -> same bytes
+    again = resize_images(media, width=16, height=8, fake=True).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == \
+           {r["media_id"]: bytes(r["payload"]) for r in again}
+
+
+def test_resize_stub_raises_without_fake(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from bqetl_spark.functions.multimodal import attach_media, resize_images
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(2)
+    media = attach_media(docs, "doc_id", F.encode(F.col("text"), "UTF-8"),
+                         kind="image", fmt="png")
+    with pytest.raises(Exception, match="PIL|NotImplemented"):
+        resize_images(media, 4, 4, fake=False).collect()
