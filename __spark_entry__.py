@@ -981,6 +981,21 @@ def q_ndjson_roundtrip(spark, sf_dir):
         F.col("documents_n_chars").alias("n_chars"))
 
 
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink parity (Spark-native columnar alternative; bundled,
+    unlike Avro — see README environment probes): customers written to ORC
+    distributed, re-read, compared against the plain parquet table. The
+    oracle is the straight parquet SELECT, so the hash-match proves the
+    ORC write+read path is value-faithful."""
+    import tempfile
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    out = tempfile.mkdtemp(prefix="bqetl_orc_") + "/customer"
+    cust.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
 def q_csv_roundtrip(spark, sf_dir):
     """CSV source parity in the gate: customers serialized to CSV
     (distributed write), re-read through the declared-schema CSV loader
@@ -1498,7 +1513,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_total": q_window_running_total,
         "quantity_percentiles": q_quantity_percentiles,
         "conditional_aggs": q_conditional_aggs,
-        "events_calendar": q_events_calendar,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
         "sessionize": q_sessionize,
@@ -1517,10 +1531,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "stratified_sample": q_stratified_sample,
         "interval_overlap": q_interval_overlap,
+        "orc_roundtrip": q_orc_roundtrip,
     # --- 5. r3 greens (tail — banked) ---------------------------------
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "string_suite": q_string_suite,
+        "events_calendar": q_events_calendar,
         "distinct_segments": q_distinct_segments,
         "array_suite": q_array_suite,
         "window_suite": q_window_suite,
@@ -2069,6 +2085,8 @@ def oracle_sql() -> dict[str, str]:
             FROM part""",
         "ndjson_roundtrip": "SELECT doc_id, lang, n_chars FROM documents",
         "csv_roundtrip":
+            "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer",
+        "orc_roundtrip":
             "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer",
         "schema_projection": """
             SELECT doc_id, lang, n_chars,
