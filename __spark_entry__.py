@@ -1330,7 +1330,11 @@ def q_semantic_dedup(spark, sf_dir):
 
 
 def q_embed_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (approximate by design; rows-only check)."""
+    """LSH-bucketed ANN. Approximate vs brute force (recall < 1 by
+    design), but DETERMINISTIC: the integer-mixed hyperplanes are
+    reproducible in SQL, so the oracle rebuilds the exact buckets and the
+    driver hash-checks the full result — an ANN path with a differential
+    correctness gate, not just recall floors."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
                                dim=64, n_tables=8, n_bits=6)
@@ -1514,7 +1518,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_percentiles": q_quantity_percentiles,
         "conditional_aggs": q_conditional_aggs,
         "events_hourly": q_events_hourly,
-        "events_json": q_events_json,
         "sessionize": q_sessionize,
         "asof_purchase": q_asof_purchase,
         "asof_nearest": q_asof_nearest,
@@ -1532,10 +1535,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "interval_overlap": q_interval_overlap,
         "orc_roundtrip": q_orc_roundtrip,
+        "embed_lsh_topk": q_embed_lsh_topk,
     # --- 5. r3 greens (tail — banked) ---------------------------------
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "string_suite": q_string_suite,
+        "events_json": q_events_json,
         "events_calendar": q_events_calendar,
         "distinct_segments": q_distinct_segments,
         "array_suite": q_array_suite,
@@ -1578,7 +1583,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "winnow_neardup": q_winnow_neardup,
         "embed_neardup": q_embed_neardup,
-        "embed_lsh_topk": q_embed_lsh_topk,
         "multimodal_bytes": q_multimodal_bytes,
         "semantic_dedup": q_semantic_dedup,
         "lookup_decode": q_lookup_decode,
@@ -2332,8 +2336,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bytes": """
             SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
             FROM documents""",
-        # simhash_pairs / embed_lsh_topk: xxhash64-seeded / recall<1 by
-        # design — intentionally no oracle (driver records rows-only check)
+        # simhash_pairs: xxhash64-seeded — intentionally no oracle (driver
+        # records rows-only check); winnowing likewise (numpy uint64
+        # rolling hashes)
     }
     # the full filter chain composes the already-oracled stage SQLs as
     # subqueries (DuckDB allows WITH inside a derived table)
@@ -2434,6 +2439,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.user_id, c.click_id, p.purchase_id
         FROM c JOIN p ON c.user_id = p.user_id
                      AND c.lo <= p.hi AND p.lo <= c.hi"""
+    # LSH ANN: the hyperplanes are pure integer mixing (similarity.
+    # _hyperplane), so DuckDB rebuilds the exact buckets; projections use
+    # integer weights (±2) over float32→double casts, so the >=0 sign is
+    # summation-order-stable and the bucket ids match Spark's numpy matmul
+    # bit-for-bit (verified; a flip would need |proj| < ~1e-12).
+    d["embed_lsh_topk"] = f"""
+        WITH planes AS (
+          SELECT t, b, i, (xor(m, m // 65536) % 5) - 2 AS w
+          FROM (
+            SELECT t.t, b.b, i.i,
+                   (i.i * 2654435761 + b.b * 40503 + t.t * 69069 + 12345)
+                   % 4294967296 AS m
+            FROM (SELECT unnest(range(8)) AS t) t,
+                 (SELECT unnest(range(6)) AS b) b,
+                 (SELECT unnest(range(64)) AS i) i)
+        ), wvecs AS (
+          SELECT t, b, list(CAST(w AS DOUBLE) ORDER BY i) AS wv
+          FROM planes GROUP BY t, b
+        ), sigs AS (
+          SELECT e.vec_id, e.embedding, w.t,
+                 CAST(SUM(CASE WHEN list_reduce(list_transform(
+                          list_zip(w.wv, e.embedding),
+                          x -> x[1] * CAST(x[2] AS DOUBLE)),
+                          (a, v) -> a + v) >= 0
+                      THEN 1 << w.b ELSE 0 END) AS BIGINT) AS sig
+          FROM embeddings e, wvecs w
+          GROUP BY e.vec_id, e.embedding, w.t
+        ), cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 q.embedding AS qv, c.embedding AS cv
+          FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+                                  AND q.vec_id != c.vec_id
+          WHERE q.vec_id < 10
+        ), ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY {_cosine_sql('qv', 'cv')} DESC,
+                                             neighbor_id ASC) AS rank,
+                 {_cosine_sql('qv', 'cv')} AS s
+          FROM cand)
+        SELECT query_id, neighbor_id, rank, round(s, 4) AS score
+        FROM ranked WHERE rank <= 5"""
     # stateful-streaming final snapshots == batch group-by (integer-exact)
     d["stream_user_totals"] = """
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
