@@ -940,7 +940,10 @@ def q_range_join_bands(spark, sf_dir):
 
 
 def q_embed_ivf_topk(spark, sf_dir):
-    """IVF-bucketed ANN (approximate by design; rows-only check)."""
+    """IVF-bucketed ANN. Approximate vs brute force (probes 4/16 lists),
+    but deterministic: stride-picked seeds + argmax-cosine assignment are
+    reproduced in the SQL oracle, so the driver hash-checks the full
+    result (cf. embed_lsh_topk)."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
                         n_lists=16, n_probe=4)
@@ -1520,7 +1523,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "asof_purchase": q_asof_purchase,
-        "asof_nearest": q_asof_nearest,
         "parts_never_ordered": q_parts_never_ordered,
         "suppliers_with_sales": q_suppliers_with_sales,
         "except_segments": q_except_segments,
@@ -1536,10 +1538,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "orc_roundtrip": q_orc_roundtrip,
         "embed_lsh_topk": q_embed_lsh_topk,
+        "embed_ivf_topk": q_embed_ivf_topk,
     # --- 5. r3 greens (tail — banked) ---------------------------------
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "string_suite": q_string_suite,
+        "asof_nearest": q_asof_nearest,
         "events_json": q_events_json,
         "events_calendar": q_events_calendar,
         "distinct_segments": q_distinct_segments,
@@ -1561,7 +1565,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_suppliers_per_brand": q_distinct_suppliers_per_brand,
         "pivot_event_counts": q_pivot_event_counts,
         "range_join_bands": q_range_join_bands,
-        "embed_ivf_topk": q_embed_ivf_topk,
         "unpivot_part_metrics": q_unpivot_part_metrics,
         "ndjson_roundtrip": q_ndjson_roundtrip,
         "schema_projection": q_schema_projection,
@@ -2472,6 +2475,44 @@ def oracle_sql() -> dict[str, str]:
           FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
                                   AND q.vec_id != c.vec_id
           WHERE q.vec_id < 10
+        ), ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY {_cosine_sql('qv', 'cv')} DESC,
+                                             neighbor_id ASC) AS rank,
+                 {_cosine_sql('qv', 'cv')} AS s
+          FROM cand)
+        SELECT query_id, neighbor_id, rank, round(s, 4) AS score
+        FROM ranked WHERE rank <= 5"""
+    # IVF ANN: stride-picked seeds + argmax-cosine assignment are fully
+    # SQL-expressible (same sequential-fold cosine as every embedding
+    # oracle); seed selection verified identical across engines (both scan
+    # id order). Assignment argmax ties break by ascending list_id, the
+    # UDF's stable-sort convention.
+    d["embed_ivf_topk"] = f"""
+        WITH params AS (
+          SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
+        seeds AS (
+          SELECT vec_id AS list_id, embedding AS centroid
+          FROM embeddings, params WHERE vec_id % stride = 0
+          ORDER BY vec_id LIMIT 16
+        ), c_assign AS (
+          SELECT vec_id AS c_id, embedding AS cv, list_id FROM (
+            SELECT e.vec_id, e.embedding, s.list_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_cosine_sql('e.embedding', 's.centroid')} DESC, s.list_id ASC) AS rn
+            FROM embeddings e, seeds s) WHERE rn = 1
+        ), q_assign AS (
+          SELECT vec_id AS q_id, embedding AS qv, list_id FROM (
+            SELECT e.vec_id, e.embedding, s.list_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_cosine_sql('e.embedding', 's.centroid')} DESC, s.list_id ASC) AS rn
+            FROM embeddings e, seeds s WHERE e.vec_id < 10) WHERE rn <= 4
+        ), cand AS (
+          SELECT DISTINCT q.q_id AS query_id, c.c_id AS neighbor_id,
+                 q.qv, c.cv
+          FROM q_assign q JOIN c_assign c USING (list_id)
+          WHERE c.c_id != q.q_id
         ), ranked AS (
           SELECT query_id, neighbor_id,
                  row_number() OVER (PARTITION BY query_id
