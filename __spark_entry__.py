@@ -1479,11 +1479,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   1. the 4 queries that FAILED in r3 (TIMESTAMP_NTZ analysis errors,
     #      fixed this round) -- must re-report green
     #   2. flagships (always reported)
-    #   3. the 40 queries r3 did not sample (freshness rotation; all were
-    #      green in r1/r2)
-    #   4. a few evergreen heavies (minhash/dedup/topk + the r3-fixed
-    #      ship_priority_counts)
-    #   5. r3 greens (tail -- union coverage already banked)
+    #   3. queries r3 did not sample (freshness rotation; all were green
+    #      in r1/r2; a handful displaced to the tail by section 4)
+    #   4. NEW in round 4 (first-ever reports): chunking/sampling/packing,
+    #      stateful-streaming totals, snapshot reconcile, keep-best dedup,
+    #      interval-overlap join, ORC roundtrip, and the newly-oracled
+    #      LSH/IVF ANN paths
+    #   5. r1-r3 greens (tail -- union coverage already banked)
     return {
     # --- 1. r3 NTZ-failure fixes (must re-report) ---------------------
         "scd2_intervals": q_scd2_intervals,
