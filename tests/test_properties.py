@@ -87,3 +87,23 @@ def test_pack_sequences_matches_exclusive_cumsum(spark, lens, budget):
     for i, n in enumerate(lens):
         assert got[i] == cum // budget  # exclusive running sum, id order
         cum += n
+
+
+@settings(max_examples=8, deadline=None)
+@given(l=st.lists(st.tuples(st.integers(0, 50), st.integers(0, 12)),
+                  min_size=1, max_size=12),
+       r=st.lists(st.tuples(st.integers(0, 50), st.integers(0, 12)),
+                  min_size=1, max_size=12),
+       width=st.integers(1, 20))
+def test_interval_overlap_equals_naive_any_width(spark, l, r, width):
+    from bqetl_spark.operators.rangejoin import interval_overlap_join
+
+    lt = [(i, lo, lo + ln) for i, (lo, ln) in enumerate(l)]
+    rt = [(j, lo, lo + ln) for j, (lo, ln) in enumerate(r)]
+    ldf = spark.createDataFrame(lt, "a_id long, a_lo long, a_hi long")
+    rdf = spark.createDataFrame(rt, "b_id long, b_lo long, b_hi long")
+    got = {(x["a_id"], x["b_id"]) for x in interval_overlap_join(
+        ldf, rdf, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=width).collect()}
+    want = {(a, b) for a, alo, ahi in lt for b, blo, bhi in rt
+            if alo <= bhi and blo <= ahi}
+    assert got == want  # exact for every bucket width, no dupes, no misses
