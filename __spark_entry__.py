@@ -1353,6 +1353,29 @@ def q_multimodal_bytes(spark, sf_dir):
     return feats.select("media_id", "n_bytes")
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup (functions.dedup.dedup_against): odd-id
+    docs are the incoming batch, even-id docs the existing corpus; keep
+    batch docs whose normalized fingerprint is unseen, deduped within the
+    batch (min id). The ingest path — joins on digests, never bodies."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    return (dd.dedup_against(new, seen)
+            .select("doc_id", "lang", "source"))
+
+
+def q_minhash_incremental(spark, sf_dir):
+    """Cross-corpus MinHash-LSH (functions.dedup.minhash_pairs_between):
+    near-dup pairs between the odd-id batch and the even-id corpus — the
+    "which new docs duplicate something we already have?" question. The
+    oracle is the exact cross-corpus jaccard join."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    return dd.minhash_pairs_between(new, seen)
+
+
 def q_interval_overlap(spark, sf_dir):
     """Interval-overlap join (operators.rangejoin.interval_overlap_join):
     per-user click activity windows [ts, ts+30m] against purchase windows
@@ -1502,9 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_revenue": q3_top_revenue,
         "q5_region_revenue": q5_region_revenue,
         "min_price_supplier": q_min_price_supplier,
-        "priority_late_ship": q_priority_late_ship,
         "returned_revenue_topn": q_returned_revenue_topn,
-        "big_orders": q_big_orders,
         "forecast_revenue": q_forecast_revenue,
         "volume_shipping": q_volume_shipping,
         "market_share": q_market_share,
@@ -1541,10 +1562,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "embed_lsh_topk": q_embed_lsh_topk,
         "embed_ivf_topk": q_embed_ivf_topk,
+        "dedup_incremental": q_dedup_incremental,
+        "minhash_incremental": q_minhash_incremental,
     # --- 5. r3 greens (tail — banked) ---------------------------------
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "string_suite": q_string_suite,
+        "priority_late_ship": q_priority_late_ship,
+        "big_orders": q_big_orders,
         "asof_nearest": q_asof_nearest,
         "events_json": q_events_json,
         "events_calendar": q_events_calendar,
@@ -2524,6 +2549,28 @@ def oracle_sql() -> dict[str, str]:
           FROM cand)
         SELECT query_id, neighbor_id, rank, round(s, 4) AS score
         FROM ranked WHERE rank <= 5"""
+    # incremental dedup: the batch/corpus split is doc_id parity
+    d["dedup_incremental"] = f"""
+        WITH fp AS (
+            SELECT doc_id, lang, source, {_FP} AS f FROM documents),
+        seen AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0),
+        fresh AS (
+            SELECT * FROM fp WHERE doc_id % 2 = 1
+              AND f NOT IN (SELECT f FROM seen)),
+        keepers AS (SELECT f, min(doc_id) AS doc_id FROM fresh GROUP BY f)
+        SELECT fr.doc_id, fr.lang, fr.source
+        FROM fresh fr JOIN keepers k ON fr.f = k.f AND fr.doc_id = k.doc_id"""
+    d["minhash_incremental"] = f"""
+        WITH t AS MATERIALIZED (
+            SELECT doc_id, {_GRAMS} AS g
+            FROM (SELECT doc_id, {_TOK} AS w, text FROM documents))
+        SELECT a.doc_id AS new_id, b.doc_id AS seen_id,
+               round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                     / greatest(len(list_distinct(list_concat(a.g, b.g))), 1),
+                     6) AS jaccard
+        FROM t a JOIN t b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / greatest(len(list_distinct(list_concat(a.g, b.g))), 1) >= 0.5"""
     # stateful-streaming final snapshots == batch group-by (integer-exact)
     d["stream_user_totals"] = """
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events

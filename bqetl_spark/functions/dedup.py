@@ -510,3 +510,79 @@ def keep_best(clusters: DataFrame, scores: DataFrame, id_col: str = "doc_id",
     return (j.withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") == 1)
             .select(id_col, cluster_col, score_col))
+
+
+def dedup_against(new_df: DataFrame, seen_df: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Incremental exact dedup: drop new docs whose normalized fingerprint
+    already exists in the seen corpus, then dedup within the batch itself
+    (keep min id). The ingest-path twin of dedup_fingerprint: the join key
+    is the 32-byte digest, never the body, so checking a batch against a
+    100 TB corpus shuffles only digests."""
+    seen_fp = seen_df.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    fresh = (new_df
+             .withColumn("fp", fingerprint(F.col(text_col)))
+             .join(seen_fp, "fp", "left_anti"))
+    w_min = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return (fresh.join(w_min, [ "fp", id_col ], "leftsemi")
+            .drop("fp"))
+
+
+def minhash_pairs_between(new_df: DataFrame, seen_df: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          n_shingle: int = 3, num_perm: int = 64,
+                          bands: int = 16,
+                          jaccard_threshold: float = 0.5) -> DataFrame:
+    """Cross-corpus MinHash-LSH: near-dup pairs BETWEEN a new batch and an
+    existing corpus (never within either side) — the incremental-ingest
+    question "which new docs duplicate something we already have?".
+    Returns (new_id, seen_id, jaccard).
+
+    Same banded candidate shape as minhash_lsh_pairs, but the bucket join
+    is new×seen instead of a self-join, so candidate work scales with the
+    batch (small) times bucket collision rate — not with the corpus
+    squared. At 100 TB the seen side's banded table is the precomputed
+    index a production pipeline would persist."""
+    def banded_sigs(df: DataFrame) -> DataFrame:
+        rows = num_perm // bands
+        p = F.lit(_MERSENNE31)
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                              "32"))
+        base = (df.repartition(n_part, id_col)
+                .select(F.col(id_col).alias("id"),
+                        shingles(F.col(text_col), n_shingle).alias("sh")))
+        exploded = base.select("id", F.explode("sh").alias("h")) \
+                       .withColumn("x", F.pmod(F.col("h"), p))
+        aggs = [F.min(F.pmod(F.col("x") * F.lit(a) + F.lit(b), p))
+                .alias(f"mh_{i}")
+                for i, (a, b) in enumerate(_perm_params(num_perm))]
+        sigs = exploded.groupBy("id").agg(*aggs)
+        band_arr = F.array(*[
+            F.xxhash64(F.array(*[F.col(f"mh_{b * rows + r}")
+                                 for r in range(rows)]))
+            for b in range(bands)])
+        return sigs.select("id", F.posexplode(band_arr).alias("band", "bh"))
+
+    nb = pin(banded_sigs(new_df))
+    sb = pin(banded_sigs(seen_df))
+    cand = (nb.alias("a").join(sb.alias("b"),
+                               (F.col("a.band") == F.col("b.band")) &
+                               (F.col("a.bh") == F.col("b.bh")))
+            .select(F.col("a.id").alias("new_id"),
+                    F.col("b.id").alias("seen_id"))
+            .dropDuplicates(["new_id", "seen_id"]))
+    cand = pin(cand)
+    sh_new = (new_df.join(cand.select(F.col("new_id").alias("cid")).distinct(),
+                          F.col(id_col) == F.col("cid"), "leftsemi")
+              .select(F.col(id_col).alias("new_id"),
+                      shingles(F.col(text_col), n_shingle).alias("sh_a")))
+    sh_seen = (seen_df.join(cand.select(F.col("seen_id").alias("cid")).distinct(),
+                            F.col(id_col) == F.col("cid"), "leftsemi")
+               .select(F.col(id_col).alias("seen_id"),
+                       shingles(F.col(text_col), n_shingle).alias("sh_b")))
+    verified = cand.join(sh_new, "new_id").join(sh_seen, "seen_id")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (verified.filter(jac >= jaccard_threshold)
+            .select("new_id", "seen_id", F.round(jac, 6).alias("jaccard")))

@@ -112,3 +112,30 @@ def test_minhash_bucket_cap_subsets_exact(spark):
     lo = {(r["id_a"], r["id_b"])
           for r in minhash_lsh_pairs(docs, max_bucket_size=2).collect()}
     assert lo <= exact  # the guard only ever removes pairs
+
+
+def test_dedup_against_drops_seen_and_batch_dupes(spark):
+    rows = [(1, "alpha beta gamma"), (3, "ALPHA beta gamma!"),  # dup of seen 2
+            (5, "new one here"), (7, "new one here"),           # batch dup pair
+            (9, "unique text nine")]
+    seen_rows = [(2, "alpha beta gamma"), (4, "other seen text")]
+    new = spark.createDataFrame(rows, ["doc_id", "text"])
+    seen = spark.createDataFrame(seen_rows, ["doc_id", "text"])
+    from bqetl_spark.functions.dedup import dedup_against
+    kept = sorted(r["doc_id"] for r in dedup_against(new, seen).collect())
+    # 1 and 3 collide with seen doc 2 (normalized); 5 beats 7; 9 unique
+    assert kept == [5, 9]
+
+
+def test_minhash_pairs_between_finds_cross_dups_only(spark):
+    from bqetl_spark.functions.dedup import minhash_pairs_between
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    new = docs.filter("doc_id % 2 = 1")
+    seen = docs.filter("doc_id % 2 = 0")
+    pairs = minhash_pairs_between(new, seen).collect()
+    assert pairs  # the corpus has cross-parity near-dups by construction
+    for r in pairs:
+        assert r["new_id"] % 2 == 1 and r["seen_id"] % 2 == 0
+        assert r["jaccard"] >= 0.5
