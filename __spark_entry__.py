@@ -774,6 +774,22 @@ def q_stream_user_totals(spark, sf_dir):
             .select("user_id", "n_events"))
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Second custom stateful operator (applyInPandasWithState): per-user
+    session counts with a 30-minute gap rule and fixed-width cross-batch
+    state (last_event_us, n). Final snapshot per user (counts are
+    monotone → max) must equal the batch lag-window definition — an
+    integer-exact oracle for gap sessionization through the state store."""
+    from bqetl_spark.streaming.stateful import stream_session_counts
+
+    snap = stream_session_counts(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    out = _run_stream_to_table(snap, "update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_sessions"))
+    return (out.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("user_id", "n_sessions"))
+
+
 def q_events_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (ev.select("event_id",
@@ -1528,7 +1544,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_revenue_topn": q_returned_revenue_topn,
         "forecast_revenue": q_forecast_revenue,
         "volume_shipping": q_volume_shipping,
-        "market_share": q_market_share,
         "product_profit": q_product_profit,
         "important_parts": q_important_parts,
         "order_count_histogram": q_order_count_histogram,
@@ -1564,10 +1579,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_topk": q_embed_ivf_topk,
         "dedup_incremental": q_dedup_incremental,
         "minhash_incremental": q_minhash_incremental,
+        "stream_sessionize": q_stream_sessionize,
     # --- 5. r3 greens (tail — banked) ---------------------------------
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "string_suite": q_string_suite,
+        "market_share": q_market_share,
         "priority_late_ship": q_priority_late_ship,
         "big_orders": q_big_orders,
         "asof_nearest": q_asof_nearest,
@@ -2571,6 +2588,18 @@ def oracle_sql() -> dict[str, str]:
         FROM t a JOIN t b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
         WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
               / greatest(len(list_distinct(list_concat(a.g, b.g))), 1) >= 0.5"""
+    # stateful sessionization: final snapshots == batch lag-window rule
+    d["stream_sessionize"] = """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN prev_us IS NULL
+                             OR us - prev_us > 1800000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        FROM (
+            SELECT user_id, epoch_us(ts) AS us,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_us
+            FROM events)
+        GROUP BY user_id"""
     # stateful-streaming final snapshots == batch group-by (integer-exact)
     d["stream_user_totals"] = """
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events

@@ -67,3 +67,60 @@ def stream_user_totals(spark: SparkSession, events_dir: str) -> DataFrame:
             .groupBy("user_id")
             .applyInPandasWithState(update, OUTPUT_SCHEMA, STATE_SCHEMA,
                                     "update", "NoTimeout"))
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_sessions", T.LongType()),
+])
+
+SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("last_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def stream_session_counts(spark: SparkSession, events_dir: str,
+                          gap_minutes: int = 30) -> DataFrame:
+    """Stateful streaming sessionization: per-user session COUNT where a
+    session break is a gap > ``gap_minutes`` between consecutive events.
+    State is a fixed-width (last_event_us, n_sessions) pair per user —
+    bounded regardless of stream length, the property that matters at
+    scale. Emits updated snapshots per micro-batch; the final snapshot per
+    user equals the batch window-function answer (the driver oracle)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
+    schema = spark.read.parquet(events_dir).schema
+    import os
+
+    if events_dir.endswith(".parquet") and os.path.isfile(events_dir):
+        base, fname = os.path.dirname(events_dir), os.path.basename(events_dir)
+        stream = (spark.readStream.schema(schema)
+                  .option("pathGlobFilter", fname).parquet(base))
+    else:
+        stream = spark.readStream.schema(schema).parquet(events_dir)
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        last_us, n = state.get if state.exists else (None, 0)
+        ts = pd.concat([pdf[["ts"]] for pdf in pdfs])["ts"] \
+               .sort_values()
+        for t in ts:
+            us = int(t.value // 1_000)  # pandas ns -> microseconds
+            if last_us is None or us - last_us > gap_us:
+                n += 1
+            last_us = us
+        state.update((last_us if last_us is not None else 0, n))
+        yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [n]})
+
+    return (stream
+            .groupBy("user_id")
+            .applyInPandasWithState(update, SESSION_OUTPUT_SCHEMA,
+                                    SESSION_STATE_SCHEMA, "update",
+                                    "NoTimeout"))
