@@ -59,6 +59,14 @@ def curate_corpus(docs: DataFrame,
     exact_reps = dedup_fingerprint(kept, "text").select("doc_id")
     kept = kept.join(exact_reps, "doc_id", "leftsemi")
 
+    # the gated+exact-deduped survivor set feeds FOUR consumers (cluster
+    # pairs, quality scores, the pass-through anti-join, and chunking) —
+    # pin it so the gate joins run once, not once per consumer; compact
+    # (survivors only) so it spills safely at corpus scale
+    from bqetl_spark.caching import pin
+
+    kept = pin(kept)
+
     # 5: near-dup clusters → best-quality member survives; unclustered
     #    docs pass through (dedup_clusters returns clustered docs only)
     clusters = dedup_clusters(kept, max_bucket_size=max_bucket_size)
