@@ -1472,6 +1472,18 @@ def q_snapshot_reconcile(spark, sf_dir):
                  .cast("double").alias("price_delta")))
 
 
+def q_heavy_tokens(spark, sf_dir):
+    """Sketch-accelerated EXACT heavy hitters: per-partition Misra-Gries
+    candidates (≤ k counters per partition cross the wire, not one row per
+    distinct token) + exact recount over candidates only
+    (functions.sketch.heavy_hitter_tokens). Deterministic by the coverage
+    proof, so the oracle is the plain HAVING count > n/k group-by."""
+    from bqetl_spark.functions.sketch import heavy_hitter_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return heavy_hitter_tokens(docs, k=50)
+
+
 def q_doc_chunks(spark, sf_dir):
     """Context-window chunking: overlapping 16-token windows (stride 12)
     over every document. Map-only (split/sequence/posexplode/slice all
@@ -1544,7 +1556,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_revenue_topn": q_returned_revenue_topn,
         "forecast_revenue": q_forecast_revenue,
         "volume_shipping": q_volume_shipping,
-        "product_profit": q_product_profit,
         "important_parts": q_important_parts,
         "order_count_histogram": q_order_count_histogram,
         "promo_revenue": q_promo_revenue,
@@ -1580,10 +1591,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "minhash_incremental": q_minhash_incremental,
         "stream_sessionize": q_stream_sessionize,
+        "heavy_tokens": q_heavy_tokens,
     # --- 5. r3 greens (tail — banked) ---------------------------------
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "string_suite": q_string_suite,
+        "product_profit": q_product_profit,
         "market_share": q_market_share,
         "priority_late_ship": q_priority_late_ship,
         "big_orders": q_big_orders,
@@ -2600,6 +2613,15 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts, event_id) AS prev_us
             FROM events)
         GROUP BY user_id"""
+    d["heavy_tokens"] = f"""
+        WITH toks AS (
+            SELECT unnest({_TOK}) AS tok
+            FROM documents WHERE trim(text) != ''),
+        tot AS (SELECT count(*) AS n FROM toks)
+        SELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM toks, tot
+        GROUP BY tok, tot.n
+        HAVING count(*) * 50 > tot.n"""
     # stateful-streaming final snapshots == batch group-by (integer-exact)
     d["stream_user_totals"] = """
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events

@@ -107,3 +107,23 @@ def test_interval_overlap_equals_naive_any_width(spark, l, r, width):
     want = {(a, b) for a, alo, ahi in lt for b, blo, bhi in rt
             if alo <= bhi and blo <= ahi}
     assert got == want  # exact for every bucket width, no dupes, no misses
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=st.lists(st.lists(st.sampled_from("abcdefgh"), min_size=0,
+                              max_size=40).map(" ".join),
+                     min_size=1, max_size=20),
+       k=st.integers(2, 10))
+def test_heavy_hitters_exact_vs_bruteforce(spark, docs, k):
+    from collections import Counter
+
+    from bqetl_spark.functions.sketch import heavy_hitter_tokens
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                               "doc_id long, text string")
+    got = {r["tok"]: r["n_occurrences"]
+           for r in heavy_hitter_tokens(df, k=k).collect()}
+    counts = Counter(t for d in docs for t in d.split())
+    n = sum(counts.values())
+    want = {t: c for t, c in counts.items() if c * k > n}
+    assert got == want  # exact despite the sketch: coverage + recount
