@@ -1,0 +1,51 @@
+"""Plan-quality gate: no unjustified nested-loop or cartesian joins.
+
+A BroadcastNestedLoopJoin or CartesianProduct anywhere in a gate query is
+the classic scale-killer (O(N·M) at 100 TB). This test freezes the
+current, audited set of justified occurrences; any NEW one fails loudly
+and must either be re-planned or explicitly justified here.
+
+Justified allowlist (each audited round 4):
+- embed_topk / embed_sq_topk: the DELIBERATE brute-force baselines — the
+  broadcast side is the ≤10-row query set; the ANN paths are the scale
+  story.
+- embed_neardup: the centroid-admissible list-pair table (n_lists² rows,
+  metadata-sized by construction) broadcasts into the candidate join.
+- important_parts / idle_customers: one-row global-aggregate scalars
+  attached via broadcast crossJoin (TPC-H q11/q22 shapes).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+ALLOWED_BNLJ = {"embed_topk", "embed_sq_topk", "embed_neardup",
+                "important_parts", "idle_customers"}
+
+# streaming queries execute a bounded replay inside the builder, and the
+# roundtrips write temp files — plan text is checked for batch shapes only
+_SKIP_PREFIX = ("stream_",)
+_SKIP = {"csv_roundtrip", "orc_roundtrip"}
+
+
+def _gate_names():
+    import __spark_entry__ as em
+
+    return [n for n in em.queries()
+            if not n.startswith(_SKIP_PREFIX) and n not in _SKIP]
+
+
+@pytest.mark.parametrize("name", _gate_names())
+def test_no_unjustified_nested_loop_join(spark, name):
+    import __spark_entry__ as em
+
+    df = em.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        if marker in plan:
+            assert name in ALLOWED_BNLJ, (
+                f"{name}: {marker} in plan — a scale-killer unless the "
+                f"loop side is provably metadata-sized; audit and "
+                f"allowlist it or fix the plan")
