@@ -1392,6 +1392,25 @@ def q_minhash_incremental(spark, sf_dir):
     return dd.minhash_pairs_between(new, seen)
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-salted join in the gate (operators.skew.salted_join): lineitem
+    ⋈ orders with 8-way key scattering, aggregated per orderstatus. The
+    salt changes only the physical distribution — the oracle is the plain
+    equi-join aggregate, so the hash-match proves distribution-invariance
+    (the property BENCH_SKEW measures the speed of: 113.8s naive vs 20.1s
+    salted on a 60%-hot-key join)."""
+    from bqetl_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = salted_join(li, orders.select("o_orderkey", "o_orderstatus"),
+                    "l_orderkey", "o_orderkey", salt=8)
+    return (j.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum(_money("l_extendedprice")).cast("double")
+                 .alias("total_price")))
+
+
 def q_interval_overlap(spark, sf_dir):
     """Interval-overlap join (operators.rangejoin.interval_overlap_join):
     per-user click activity windows [ts, ts+30m] against purchase windows
@@ -1558,7 +1577,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": q_volume_shipping,
         "important_parts": q_important_parts,
         "order_count_histogram": q_order_count_histogram,
-        "promo_revenue": q_promo_revenue,
         "top_supplier": q_top_supplier,
         "supplier_cnt_by_attrs": q_supplier_cnt_by_attrs,
         "small_qty_revenue": q_small_qty_revenue,
@@ -1592,10 +1610,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": q_minhash_incremental,
         "stream_sessionize": q_stream_sessionize,
         "heavy_tokens": q_heavy_tokens,
+        "salted_join": q_salted_join,
     # --- 5. r3 greens (tail — banked) ---------------------------------
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "string_suite": q_string_suite,
+        "promo_revenue": q_promo_revenue,
         "product_profit": q_product_profit,
         "market_share": q_market_share,
         "priority_late_ship": q_priority_late_ship,
@@ -2622,6 +2642,12 @@ def oracle_sql() -> dict[str, str]:
         FROM toks, tot
         GROUP BY tok, tot.n
         HAVING count(*) * 50 > tot.n"""
+    d["salted_join"] = """
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus"""
     # stateful-streaming final snapshots == batch group-by (integer-exact)
     d["stream_user_totals"] = """
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
