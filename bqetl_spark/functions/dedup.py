@@ -47,12 +47,30 @@ def dedup_fingerprint(df: DataFrame, text_col: str = "text",
     )
 
 
-def shingles(text_col, n: int = 3):
-    """Word n-gram shingle set as an array of xxhash64 values (deduped)."""
-    toks = tokens(text_col)
+def shingles_of(toks, n: int = 3):
+    """Word n-gram shingle set (array of xxhash64 values, deduped) from an
+    ALREADY-TOKENIZED array column.
+
+    PERF CONTRACT: pass a *bound attribute* (a projected column), never the
+    raw ``tokens(text)`` expression. A non-attribute expression referenced
+    inside a higher-order-function lambda is re-evaluated per array element
+    — an embedded split() re-tokenizes the document once per gram, which
+    measured 9× slower at sf1 (35 s → 3.9 s for the MinHash signature
+    stage). Catalyst does not collapse the producing projection because the
+    expression is referenced more than once."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))))
     return F.array_distinct(grams)
+
+
+def shingles(text_col, n: int = 3):
+    """Word n-gram shingle set as an array of xxhash64 values (deduped).
+
+    Convenience form for ad-hoc use. Hot paths should project
+    ``tokens(text)`` to a column first and call ``shingles_of`` on the
+    attribute (see its perf contract)."""
+    return shingles_of(tokens(text_col), n)
 
 
 _MERSENNE31 = (1 << 31) - 1  # 2147483647
@@ -94,7 +112,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n_shingle: int = 3,
                       num_perm: int = 64, bands: int = 16,
                       jaccard_threshold: float = 0.5,
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = None,
+                      est_margin: float | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, verified with true
     shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
 
@@ -108,9 +127,36 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     buckets are boilerplate (license headers, templates) whose pairs add
     cost but no curation signal — production LSH systems cap them. A
     capped bucket is dropped whole (its members usually co-occur in other,
-    smaller buckets). Exact (and oracle-comparable) when None."""
+    smaller buckets). Exact (and oracle-comparable) when None.
+
+    ``est_margin`` controls the signature-estimated-Jaccard pre-filter
+    between candidate generation and the exact shingle verify: a candidate
+    pair whose fraction of matching minhash positions is below
+    ``jaccard_threshold - est_margin`` is dropped before re-shingling. This
+    is the scale guard against band-collision noise — with short bands
+    (rows = num_perm/bands small), pairs far below the threshold still
+    collide in ≥1 band with high probability (e.g. j=0.33, 2-row bands,
+    32 bands → 97% collide), and at corpus scale those failing candidates
+    dominate verify cost. The estimate (already computed, zero extra
+    shuffle passes over the corpus) separates them from true pairs.
+
+    Margin statistics: matching positions ~ Binomial(num_perm, j)/num_perm,
+    σ = sqrt(j(1-j)/num_perm). The default margin is 4σ + 2/num_perm at
+    j = threshold — per-pair false-drop probability ≲ 1e-6, so the output
+    still equals the exact-Jaccard oracle in any realistic corpus, while a
+    sub-threshold pair needs its estimate ~(margin/σ)·σ above its true j to
+    survive. A tighter margin like 2/num_perm alone (≈0.8σ at 64 perms)
+    would false-drop ~20% of exactly-at-threshold pairs — do not use it.
+    Pass ``est_margin >= jaccard_threshold`` to disable the pre-filter."""
+    import math
+
     rows = num_perm // bands
     p = F.lit(_MERSENNE31)
+    if est_margin is None:
+        est_margin = (4.0 * math.sqrt(jaccard_threshold
+                                      * (1.0 - jaccard_threshold) / num_perm)
+                      + 2.0 / num_perm)
+    min_matches = math.ceil((jaccard_threshold - est_margin) * num_perm)
 
     # Persistence policy for 100 TB: only COMPACT tables are ever persisted
     # — the banded signature table (bands rows of (id, band, bh) per doc)
@@ -119,22 +165,36 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
     # 1) per-doc shingle set (one full pass, not persisted). Repartition
     #    first: a small corpus arrives as one parquet split, and shingling
-    #    is the CPU-heavy stage, so spread it across the cluster.
+    #    is the CPU-heavy stage, so spread it across the cluster. Tokens are
+    #    bound to a column before the shingle lambda (shingles_of perf
+    #    contract — embedded split() re-tokenizes per gram).
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    base = (df.repartition(n_part, id_col)
-            .select(F.col(id_col).alias("id"),
-                    shingles(F.col(text_col), n_shingle).alias("sh")))
+    toked = (df.repartition(n_part, id_col)
+             .select(F.col(id_col).alias("id"),
+                     tokens(F.col(text_col)).alias("__tk")))
 
     # 2) explode to (id, shingle_hash31) and take the per-permutation min as
     #    64 plain aggregates: whole-stage codegen + map-side partial combine,
     #    instead of 64 interpreted array folds per row. This is the shape
     #    that survives a 100 TB corpus — the shuffle carries only partial
     #    minima (num_perm longs per doc per map task).
-    exploded = base.select("id", F.explode("sh").alias("h")) \
-                   .withColumn("x", F.pmod(F.col("h"), p))
+    #    PLAN SHAPE: explode the shingle EXPRESSION directly — naming it in
+    #    a projection first makes InferFiltersFromGenerate synthesize a
+    #    `size(sh) > 0` filter and push it below the repartition, where the
+    #    substituted filter recomputes the whole shingle pipeline per row
+    #    (measured 35 s vs 4 s for this stage at sf1). Shingles are never
+    #    empty, so the inferred filter is pure waste.
+    exploded = (toked
+                .select("id", F.explode(shingles_of("__tk", n_shingle)).alias("h"))
+                .withColumn("x", F.pmod(F.col("h"), p)))
     aggs = [F.min(F.pmod(F.col("x") * F.lit(a) + F.lit(b), p)).alias(f"mh_{i}")
             for i, (a, b) in enumerate(_perm_params(num_perm))]
-    sigs = exploded.groupBy("id").agg(*aggs)
+    # keep the full signature as one compact array column (num_perm longs
+    # per doc ≈ 0.5 KB) — the pre-filter reads it back by id. Persisted:
+    # both the band expansion and the estimate join consume it.
+    sigs = pin(exploded.groupBy("id").agg(*aggs)
+               .select("id", F.array(*[F.col(f"mh_{i}")
+                                       for i in range(num_perm)]).alias("sig")))
 
     # 3) band buckets: one xxhash64 per signature slice; explode to
     #    (id, band, bucket) and self-join bucket-locally (never all-pairs).
@@ -142,8 +202,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     #    disk if it outgrows memory) so the self-join materializes the
     #    shingle->signature pipeline exactly once.
     band_arr = F.array(*[
-        F.xxhash64(F.array(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]))
-        for b in range(bands)
+        F.xxhash64(F.slice("sig", b * rows + 1, rows)) for b in range(bands)
     ])
     banded = pin(sigs.select("id", F.posexplode(band_arr).alias("band", "bh")))
     if max_bucket_size is not None:
@@ -160,6 +219,23 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                   (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
+
+    # 3b) signature-estimated-Jaccard pre-filter (see est_margin docstring):
+    #     join the compact pinned signature table back by id and count
+    #     matching positions — pure codegen over 2×num_perm longs per pair,
+    #     no re-shingling, no pass over the corpus. Candidates from band-
+    #     collision noise (true j far below threshold) die here instead of
+    #     paying the shingle-verify join.
+    if min_matches > 0:
+        matched = F.size(F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        cand = (cand
+                .join(sigs.select(F.col("id").alias("id_a"),
+                                  F.col("sig").alias("sig_a")), "id_a")
+                .join(sigs.select(F.col("id").alias("id_b"),
+                                  F.col("sig").alias("sig_b")), "id_b")
+                .filter(matched >= F.lit(min_matches))
+                .select("id_a", "id_b"))
     cand = pin(cand)
 
     # 4) verify candidates with true shingle jaccard. Candidates are a
@@ -171,7 +247,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                 .distinct())
     sh_cand = pin(df.join(cand_ids, F.col(id_col) == F.col("cid"), "leftsemi")
                   .select(F.col(id_col).alias("id"),
-                          shingles(F.col(text_col), n_shingle).alias("sh")))
+                          tokens(F.col(text_col)).alias("__tk"))
+                  .select("id", shingles_of("__tk", n_shingle).alias("sh")))
     # ^ candidate-sized; feeds both join sides below
     verified = (cand
                 .join(sh_cand.select(F.col("id").alias("id_a"),
@@ -187,12 +264,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", F.round(jac, 6).alias("jaccard")))
 
 
-def word_ngrams(text_col, n: int = 3):
-    """Distinct word n-gram strings (n consecutive whitespace tokens)."""
-    toks = tokens(text_col)
+def word_ngrams_of(toks, n: int = 3):
+    """Distinct word n-gram strings from an already-tokenized array column.
+    Same perf contract as ``shingles_of``: pass a bound attribute."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+
+
+def word_ngrams(text_col, n: int = 3):
+    """Distinct word n-gram strings (n consecutive whitespace tokens)."""
+    return word_ngrams_of(tokens(text_col), n)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -215,7 +298,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     base = (df.repartition(n_part, id_col)
             .select(F.col(id_col).alias("id"),
-                    word_ngrams(F.col(text_col), n).alias("gr"))
+                    tokens(F.col(text_col)).alias("__tk"))
+            .select("id", word_ngrams_of("__tk", n).alias("gr"))
             .withColumn("n_gr", F.size("gr")))
     base = pin(base)
     inv = base.select("id", "n_gr", F.explode("gr").alias("g"))
@@ -548,11 +632,14 @@ def minhash_pairs_between(new_df: DataFrame, seen_df: DataFrame,
         p = F.lit(_MERSENNE31)
         n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
                                               "32"))
-        base = (df.repartition(n_part, id_col)
-                .select(F.col(id_col).alias("id"),
-                        shingles(F.col(text_col), n_shingle).alias("sh")))
-        exploded = base.select("id", F.explode("sh").alias("h")) \
-                       .withColumn("x", F.pmod(F.col("h"), p))
+        # explode the expression directly — see minhash_lsh_pairs step 2 on
+        # InferFiltersFromGenerate re-inlining named generator inputs
+        toked = (df.repartition(n_part, id_col)
+                 .select(F.col(id_col).alias("id"),
+                         tokens(F.col(text_col)).alias("__tk")))
+        exploded = (toked
+                    .select("id", F.explode(shingles_of("__tk", n_shingle)).alias("h"))
+                    .withColumn("x", F.pmod(F.col("h"), p)))
         aggs = [F.min(F.pmod(F.col("x") * F.lit(a) + F.lit(b), p))
                 .alias(f"mh_{i}")
                 for i, (a, b) in enumerate(_perm_params(num_perm))]
@@ -575,11 +662,13 @@ def minhash_pairs_between(new_df: DataFrame, seen_df: DataFrame,
     sh_new = (new_df.join(cand.select(F.col("new_id").alias("cid")).distinct(),
                           F.col(id_col) == F.col("cid"), "leftsemi")
               .select(F.col(id_col).alias("new_id"),
-                      shingles(F.col(text_col), n_shingle).alias("sh_a")))
+                      tokens(F.col(text_col)).alias("__tk"))
+              .select("new_id", shingles_of("__tk", n_shingle).alias("sh_a")))
     sh_seen = (seen_df.join(cand.select(F.col("seen_id").alias("cid")).distinct(),
                             F.col(id_col) == F.col("cid"), "leftsemi")
                .select(F.col(id_col).alias("seen_id"),
-                       shingles(F.col(text_col), n_shingle).alias("sh_b")))
+                       tokens(F.col(text_col)).alias("__tk"))
+               .select("seen_id", shingles_of("__tk", n_shingle).alias("sh_b")))
     verified = cand.join(sh_new, "new_id").join(sh_seen, "seen_id")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))

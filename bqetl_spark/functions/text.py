@@ -165,16 +165,24 @@ def pii_count(col: Column | str) -> Column:
             F.regexp_count(c, F.lit(PHONE_RE))).cast("long")
 
 
-def word_ngrams_all(col: Column | str, n: int = 2) -> Column:
-    """ALL word n-grams (multiset — unlike ``dedup.word_ngrams`` this does
-    not dedupe), for repetition/frequency analysis."""
-    toks = tokens(col)
+def word_ngrams_all_of(toks: Column | str, n: int = 2) -> Column:
+    """ALL word n-grams (multiset) from an already-tokenized array column.
+    Pass a bound attribute, not a raw tokens() expression — an expression
+    referenced inside the transform lambda re-evaluates per gram (see
+    ``dedup.shingles_of``)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
 
     def gram(i):
         return F.concat_ws(" ", F.slice(toks, i + 1, n))
 
     return F.transform(idx, gram)
+
+
+def word_ngrams_all(col: Column | str, n: int = 2) -> Column:
+    """ALL word n-grams (multiset — unlike ``dedup.word_ngrams`` this does
+    not dedupe), for repetition/frequency analysis."""
+    return word_ngrams_all_of(tokens(col), n)
 
 
 def gram_repetition(df: DataFrame, text_col: str = "text",
@@ -186,9 +194,12 @@ def gram_repetition(df: DataFrame, text_col: str = "text",
     Shape: explode → count per (doc, gram) → max/sum per doc. Both
     aggregations combine map-side; the shuffle key is (doc_id, gram), which
     is fine-grained enough to never hot-spot."""
+    # explode the gram expression directly: naming it first would make
+    # InferFiltersFromGenerate push a size(__g)>0 filter below the
+    # projection, recomputing the gram pipeline per row (dedup.shingles_of)
     grams = (df.filter(F.size(tokens(F.col(text_col))) >= n)
-             .select(F.col(id_col), word_ngrams_all(F.col(text_col), n).alias("__g"))
-             .select(id_col, F.explode("__g").alias("gram")))
+             .select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
+             .select(id_col, F.explode(word_ngrams_all_of("__tk", n)).alias("gram")))
     counts = grams.groupBy(id_col, "gram").agg(F.count("*").alias("__c"))
     return (counts.groupBy(id_col)
             .agg(F.max("__c").alias("top_count"),

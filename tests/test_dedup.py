@@ -139,3 +139,72 @@ def test_minhash_pairs_between_finds_cross_dups_only(spark):
     for r in pairs:
         assert r["new_id"] % 2 == 1 and r["seen_id"] % 2 == 0
         assert r["jaccard"] >= 0.5
+
+
+def _marker_corpus(spark, n_docs=40, seed=7):
+    """Corpus with true near-dup pairs (j >= 0.9) AND adversarial moderate-
+    overlap siblings (marker token every 5th word, j ~ 0.33 — the gen_scale
+    cross-copy shape that band-collides ~97% of the time with 2-row bands)."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for d in range(n_docs):
+        toks = [rng.choice(vocab) for _ in range(60)]
+        rows.append((d * 10, " ".join(toks)))
+        # true near-dup: one token changed out of 60 (3-gram j ~ 0.95)
+        dup = list(toks)
+        dup[30] = "CHANGED"
+        rows.append((d * 10 + 1, " ".join(dup)))
+        # adversarial sibling: marker after every 5th token (j ~ 0.33)
+        sib = []
+        for i, t in enumerate(toks):
+            sib.append(t)
+            if (i + 1) % 5 == 0:
+                sib.append(f"zq{d}")
+        rows.append((d * 10 + 2, " ".join(sib)))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_prefilter_preserves_output(spark):
+    """The signature-estimate pre-filter must be invisible in the result:
+    same pairs, same jaccard values, with the adversarial sibling load."""
+    docs = _marker_corpus(spark)
+    kw = dict(num_perm=64, bands=32, jaccard_threshold=0.9)
+    off = sorted(tuple(r) for r in
+                 dd.minhash_lsh_pairs(docs, est_margin=1.0, **kw).collect())
+    on = sorted(tuple(r) for r in dd.minhash_lsh_pairs(docs, **kw).collect())
+    assert on == off
+    assert len(on) >= 40  # every (d*10, d*10+1) true pair must be present
+
+
+def test_minhash_prefilter_never_drops_true_pairs(spark):
+    """Property: a pair with exact shingle jaccard >= threshold survives the
+    pre-filter (margin is 4 sigma + 2/num_perm below threshold, so the
+    false-drop probability per true pair is ~1e-6; 120 seeded pairs here).
+    Exact jaccard is recomputed in Python to certify each pair qualifies."""
+    import random
+
+    rng = random.Random(123)
+    vocab = [f"t{i}" for i in range(2000)]
+
+    def grams(toks, n=3):
+        return {" ".join(toks[i:i + n]) for i in range(max(len(toks) - n + 1, 1))}
+
+    rows, true_pairs = [], []
+    for d in range(120):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(40, 120))]
+        edit = list(toks)
+        edit[rng.randrange(len(edit))] = "X"  # single-token edit
+        ga, gb = grams(toks), grams(edit)
+        j = len(ga & gb) / len(ga | gb)
+        if j >= 0.9:
+            true_pairs.append((d * 2, d * 2 + 1))
+            rows += [(d * 2, " ".join(toks)), (d * 2 + 1, " ".join(edit))]
+    assert len(true_pairs) >= 90
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]) for r in dd.minhash_lsh_pairs(
+        docs, num_perm=64, bands=32, jaccard_threshold=0.9).collect()}
+    missed = [p for p in true_pairs if p not in got]
+    assert not missed, f"pre-filter dropped true pairs: {missed}"
