@@ -2504,16 +2504,20 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'fr' THEN FALSE
                 ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
               END"""
+    # epoch seconds via epoch_us // 1000000 — FLOOR division, matching
+    # Spark's unix_timestamp. CAST(date_part('epoch', ...)) ROUNDS in
+    # DuckDB, which disagrees on ~half the sub-second timestamps and only
+    # passed because no pair sat exactly on a window boundary at this SF.
     d["interval_overlap"] = """
         WITH c AS (
             SELECT user_id, event_id AS click_id,
-                   CAST(date_part('epoch', ts) AS BIGINT) AS lo,
-                   CAST(date_part('epoch', ts) AS BIGINT) + 1800 AS hi
+                   CAST(epoch_us(ts) // 1000000 AS BIGINT) AS lo,
+                   CAST(epoch_us(ts) // 1000000 AS BIGINT) + 1800 AS hi
             FROM events WHERE event_type = 'click'
         ), p AS (
             SELECT user_id, event_id AS purchase_id,
-                   CAST(date_part('epoch', ts) AS BIGINT) AS lo,
-                   CAST(date_part('epoch', ts) AS BIGINT) + 900 AS hi
+                   CAST(epoch_us(ts) // 1000000 AS BIGINT) AS lo,
+                   CAST(epoch_us(ts) // 1000000 AS BIGINT) + 900 AS hi
             FROM events WHERE event_type = 'purchase'
         )
         SELECT c.user_id, c.click_id, p.purchase_id
@@ -2610,6 +2614,16 @@ def oracle_sql() -> dict[str, str]:
         keepers AS (SELECT f, min(doc_id) AS doc_id FROM fresh GROUP BY f)
         SELECT fr.doc_id, fr.lang, fr.source
         FROM fresh fr JOIN keepers k ON fr.f = k.f AND fr.doc_id = k.doc_id"""
+    # DATA-DEPENDENCE CAVEAT: this oracle is the EXACT cross-corpus jaccard
+    # join, while the Spark side is banded LSH (recall < 1 near the
+    # threshold: at j = 0.5 with 16 bands x 4 rows, collision probability
+    # is ~64%). They agree because the generator's dup pairs sit far above
+    # 0.5 (j >= ~0.9, collision ~1) and non-dup pairs sit far below; the
+    # band hashes are xxhash64, which DuckDB lacks, so the band restriction
+    # itself is not SQL-expressible. If the test corpus ever grows
+    # near-threshold cross-parity pairs, a red here means LSH recall, not
+    # a bug — re-derive the corpus or lower the oracle to band-colliding
+    # pairs via a Spark-side export.
     d["minhash_incremental"] = f"""
         WITH t AS MATERIALIZED (
             SELECT doc_id, {_GRAMS} AS g

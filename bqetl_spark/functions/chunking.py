@@ -84,8 +84,16 @@ def pack_sequences(df: DataFrame, budget: int, text_col: str = "text",
                    part_col: str = "source") -> DataFrame:
     """Fixed-token-budget packing: within each ``part_col`` partition, in
     ``id_col`` order, assign each doc to pack floor(exclusive_cumsum /
-    budget). A pack never exceeds ``budget`` tokens except when a single
-    document alone is longer than the budget (it gets its own packs' worth).
+    budget).
+
+    Packing guarantee (exclusive-cumsum rule, NOT a hard cap): a pack's
+    total can exceed ``budget`` only via its LAST document straddling the
+    pack boundary, so total < budget + that document's tokens (e.g.
+    budget=10 with docs of 6,6 puts both in pack 0 at 12 tokens). A
+    consumer that needs a hard per-pack cap — packing straight into a
+    trainer context window — must truncate or split the straddling
+    document downstream; the rule here is the one that stays an
+    O(1)-state window expression and never reorders documents.
     Output: (id_col, part_col, pack_id, n_tokens). Exact: integer token
     counts and an integer window sum — no floating point anywhere.
     """
@@ -130,7 +138,11 @@ def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
     # span-1, which would drop the all-f bucket)
     full = [s for s, r in rates.items() if r >= 1.0]
     if default_rate >= 1.0:
-        keep = keep | ~F.col(strata_col).isin(list(rates))
+        # NULL-stratum rows must also ride the escape hatch: isin() is NULL
+        # (not false) for NULL, so `~isin` alone would silently drop a
+        # NULL-stratum doc whose md5 bucket is the saturated all-f value
+        keep = (keep | F.col(strata_col).isNull()
+                | ~F.col(strata_col).isin(list(rates)))
     if full:
         keep = keep | F.col(strata_col).isin(full)
     return df.filter(keep)

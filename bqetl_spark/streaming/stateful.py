@@ -86,8 +86,20 @@ def stream_session_counts(spark: SparkSession, events_dir: str,
     session break is a gap > ``gap_minutes`` between consecutive events.
     State is a fixed-width (last_event_us, n_sessions) pair per user —
     bounded regardless of stream length, the property that matters at
-    scale. Emits updated snapshots per micro-batch; the final snapshot per
-    user equals the batch window-function answer (the driver oracle)."""
+    scale.
+
+    ORDERING CONTRACT: events are sorted within each micro-batch, but the
+    fixed-width state cannot re-order across micro-batches. The final
+    snapshot equals the batch lag-window answer (the driver oracle) only
+    when each user's events arrive in timestamp order across batches —
+    true for the replay harness (one parquet file, one batch) and for any
+    source that partitions by event time. A LATE event (us < last_us, only
+    possible cross-batch) is counted as in-session with the current
+    session and does NOT move last_us backwards — clamping keeps one late
+    straggler from fabricating a session break for the events after it.
+    Exact late-data handling needs buffered state + a watermark (an
+    event-time session window), which trades bounded per-key state for it;
+    this operator deliberately keeps the O(1) state."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -115,7 +127,9 @@ def stream_session_counts(spark: SparkSession, events_dir: str,
             us = int(t.value // 1_000)  # pandas ns -> microseconds
             if last_us is None or us - last_us > gap_us:
                 n += 1
-            last_us = us
+            # clamp: a cross-batch late event must not regress the
+            # watermark (see ordering contract in the docstring)
+            last_us = us if last_us is None else max(last_us, us)
         state.update((last_us if last_us is not None else 0, n))
         yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [n]})
 

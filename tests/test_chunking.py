@@ -149,3 +149,18 @@ def test_keep_best_picks_argmax_with_id_tiebreak(spark):
     out = {r["cluster_id"]: r["doc_id"]
            for r in keep_best(clusters, scores).collect()}
     assert out == {1: 2, 7: 7}  # 2 beats 3 on id-tie at 0.9; 7 ties low
+
+
+def test_stratified_null_stratum_default_rate_one_keeps_all(spark):
+    """default_rate=1.0 promises keeping every non-configured row — including
+    NULL-stratum rows whose md5 bucket is the saturated all-f value (isin()
+    evaluates to NULL for NULL, so the escape hatch needs explicit isNull)."""
+    from bqetl_spark.functions.chunking import stratified_hash_sample
+
+    # doc_id 44 has md5('44') starting with 'f' — with hex_digits=1 its
+    # bucket equals the saturated cut, so only the escape hatch keeps it
+    rows = [(44, None), (45, None), (46, "en")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_hash_sample(df, rates={"en": 1.0}, strata_col="lang",
+                                 default_rate=1.0, hex_digits=1)
+    assert sorted(r["doc_id"] for r in out.collect()) == [44, 45, 46]
