@@ -966,9 +966,12 @@ def q_embed_ivf_topk(spark, sf_dir):
 
 
 def q_embed_ivf_kmeans_topk(spark, sf_dir):
-    """IVF ANN with 2 Lloyd refinement iterations over the seed centroids
-    (approximate by design; rows-only check — recall floor vs the exact
-    baseline lives in tests/test_ann_recall.py)."""
+    """IVF ANN with 2 Lloyd refinement iterations over the seed centroids.
+    Approximate by design (recall floor vs the exact baseline lives in
+    tests/test_ann_recall.py) yet fully oracled: kmeans_refine's means are
+    fixed-point exact (floor(x*2^24) integer sums), so the DuckDB oracle
+    rebuilds bit-equal centroids and the driver hash-checks the complete
+    approximate result."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
                         n_lists=16, n_probe=4, refine_iters=2)
@@ -1301,15 +1304,19 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (xxhash64-seeded — not SQL-expressible;
-    rows-only check)."""
+    """SimHash near-dup pairs. Fully oracled: the per-token FNV-1a 64 hash
+    and per-bit TF votes are pure functions of the text, reproduced in
+    DuckDB (_SIMHASH_ORACLE) with HUGEINT mod-2^64 arithmetic, so the
+    driver hash-checks the complete pair set."""
     docs = _t(spark, sf_dir, "documents")
     return dd.simhash_pairs(docs, max_hamming=3, prefix_bits=16)
 
 
 def q_winnow_neardup(spark, sf_dir):
-    """Winnowing (rolling-hash) fingerprint near-dup pairs
-    (xxhash64-seeded — rows-only check)."""
+    """Winnowing (rolling-hash) fingerprint near-dup pairs. Fully oracled:
+    the Rabin-Karp polynomial hash (base 1000003 mod 2^64) and w-window
+    minima are reproduced in DuckDB (_WINNOW_ORACLE), so the driver
+    hash-checks the complete pair set."""
     docs = _t(spark, sf_dir, "documents")
     return dd.winnow_overlap_pairs(docs, k=8, w=4, threshold=0.5)
 
@@ -1338,12 +1345,13 @@ def q_embed_neardup(spark, sf_dir):
 
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style embedding dedup: k-means cells, drop lower-priority
-    within-cell near-dups (similarity.semantic_dedup). Rows-only: the
-    Lloyd iterations aren't SQL-expressible (numpy pairwise-summation
-    means vs SQL AVG would make a DuckDB oracle flaky at cell borders);
-    instead the drop rule is PINNED by a bit-exact invariant test
-    (tests/test_semantic_dedup_invariant.py) and precision/recall floors
-    vs the exact pair oracle live in tests/test_similarity.py."""
+    within-cell near-dups (similarity.semantic_dedup). Fully oracled: the
+    Lloyd means are fixed-point exact (see kmeans_refine), so the DuckDB
+    oracle unrolls the same 2 iterations to bit-equal centroids and
+    hash-checks (vec_id, cluster_id) for the whole kept set. The drop rule
+    is additionally pinned by tests/test_semantic_dedup_invariant.py and
+    precision/recall floors vs the exact pair oracle in
+    tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.semantic_dedup(emb, threshold=0.45, n_lists=8, iters=2)
 
@@ -1691,6 +1699,46 @@ def _cosine_sql(a: str, b: str) -> str:
             f"({_NORM.format(a=a)} * {_NORM.format(a=b)}))")
 
 
+def _kmeans_cte(n_lists: int, iters: int, dim: int = 64) -> str:
+    """CTE chain ending in ``seeds{iters}`` = Lloyd-refined centroids,
+    mirroring similarity.kmeans_refine step for step: stride-picked seeds,
+    argmax-cosine assignment (ties by ascending list_id — the UDF's
+    stable-sort convention), FIXED-POINT EXACT means (floor(x*2^24)
+    integer sums — the Spark side computes the identical sums, so the
+    centroids are bit-equal across engines), and empty-list carry-over
+    (kmeans_refine's dict merge == LEFT JOIN + coalesce)."""
+    parts = [
+        f"params AS (SELECT greatest(count(*) // {n_lists}, 1) AS stride "
+        f"FROM embeddings)",
+        ("vecs AS (SELECT vec_id, list_transform(embedding, "
+         "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"),
+        (f"seeds0 AS (SELECT vec_id AS list_id, list_transform(embedding, "
+         f"x -> CAST(x AS DOUBLE)) AS centroid FROM embeddings, params "
+         f"WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT {n_lists})"),
+    ]
+    for it in range(1, iters + 1):
+        prev = f"seeds{it - 1}"
+        parts += [
+            (f"assign{it} AS (SELECT vec_id, v, list_id FROM ("
+             f"SELECT e.vec_id, e.v, s.list_id, "
+             f"row_number() OVER (PARTITION BY e.vec_id "
+             f"ORDER BY {_cosine_sql('e.v', 's.centroid')} DESC, "
+             f"s.list_id ASC) AS rn "
+             f"FROM vecs e, {prev} s) WHERE rn = 1)"),
+            (f"means{it} AS (SELECT list_id, i, "
+             f"CAST(SUM(CAST(FLOOR(v[i] * 16777216.0) AS BIGINT)) AS DOUBLE) "
+             f"/ (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS m "
+             f"FROM assign{it}, (SELECT unnest(range(1, {dim} + 1)) AS i) d "
+             f"GROUP BY list_id, i)"),
+            (f"cent{it} AS (SELECT list_id, list(m ORDER BY i) AS centroid "
+             f"FROM means{it} GROUP BY list_id)"),
+            (f"seeds{it} AS (SELECT s.list_id, "
+             f"coalesce(c.centroid, s.centroid) AS centroid "
+             f"FROM {prev} s LEFT JOIN cent{it} c USING (list_id))"),
+        ]
+    return ",\n".join(parts)
+
+
 _LANG_SCORE = {
     code: ("len(list_intersect(regexp_split_to_array(trim(lower(text)), '\\s+'), "
            f"{words!r}))").replace('"', "'")
@@ -1707,6 +1755,93 @@ def _lang_id_sql() -> str:
         f"WHEN s_{c} = {best} THEN '{c}'" for c in codes) + " ELSE 'und' END"
     return (f"SELECT doc_id, {case} AS lang_pred "
             f"FROM (SELECT doc_id, text, {score_cols} FROM documents)")
+
+
+# winnowing fingerprint oracle: k=8, w=4 (q_winnow_neardup's parameters).
+# POWS are base^(k-1-j) mod 2^64, the same wraparound arithmetic
+# winnow_fingerprint_vec does in numpy uint64.
+_WINNOW_POWS = [pow(1000003, 7 - j, 1 << 64) for j in range(8)]
+_WINNOW_TERMS = " + ".join(
+    f"CAST(ord(substr(text, i + {j}, 1)) AS HUGEINT) * {_WINNOW_POWS[j]}"
+    for j in range(8))
+_WINNOW_ORACLE = f"""
+    WITH docs0 AS (
+      SELECT doc_id, text, len(text) AS n FROM documents
+    ), pos AS (
+      SELECT doc_id, text, n, unnest(range(1, n - 8 + 2)) AS i
+      FROM docs0 WHERE n >= 8
+    ), hashes AS (
+      SELECT doc_id, i, n - 7 AS n_h,
+             ({_WINNOW_TERMS}) % 18446744073709551616 AS h
+      FROM pos
+    ), wmins AS (
+      SELECT doc_id, i, n_h,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+      FROM hashes
+    ), fps AS (
+      SELECT DISTINCT doc_id, mn FROM wmins
+      WHERE i <= greatest(n_h - 3, 1)
+    ), sized AS (
+      SELECT doc_id, mn, count(*) OVER (PARTITION BY doc_id) AS n_fp FROM fps
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_fp AS na, b.n_fp AS nb,
+             count(*) AS c
+      FROM sized a JOIN sized b ON a.mn = b.mn AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
+    FROM shared
+    WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5"""
+
+# simhash oracle: FNV-1a 64 per distinct token (sequential char fold, mod
+# 2^64), TF-weighted per-bit votes, top-16-bit blocking, hamming <= 3.
+_SIMHASH_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, tok, count(*) AS w
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text, ' \t\n\r'),
+                                                '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY doc_id, tok
+    ), vocab AS (
+      SELECT DISTINCT tok FROM toks
+    ), fnv AS (
+      SELECT tok,
+             list_reduce(
+               list_prepend(CAST(1469598103934665603 AS HUGEINT),
+                            list_transform(string_split(tok, ''),
+                                           c -> CAST(ord(c) AS HUGEINT))),
+               (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT))
+                                 AS HUGEINT) * 1099511628211)
+                           % 18446744073709551616) AS h
+      FROM vocab
+    ), bits AS (
+      SELECT t.doc_id, t.w, p.b, p.pw,
+             CAST((f.h // p.pw) % 2 AS BIGINT) AS bit
+      FROM toks t JOIN fnv f USING (tok)
+      CROSS JOIN (SELECT b, CAST(power(2.0, b) AS HUGEINT) AS pw
+                  FROM (SELECT unnest(range(64)) AS b)) p
+    ), votes AS (
+      SELECT doc_id, b, pw, sum(w * (2 * bit - 1)) AS vote
+      FROM bits GROUP BY doc_id, b, pw
+    ), sh AS (
+      SELECT doc_id,
+             sum(CASE WHEN vote > 0 THEN pw ELSE 0 END) AS shu
+      FROM votes GROUP BY doc_id
+    ), shs AS (
+      SELECT doc_id,
+             CAST(CASE WHEN shu >= 9223372036854775808
+                  THEN shu - 18446744073709551616
+                  ELSE shu END AS BIGINT) AS sh,
+             shu // 281474976710656 AS blk
+      FROM sh
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM shs a JOIN shs b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2415,9 +2550,20 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bytes": """
             SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
             FROM documents""",
-        # simhash_pairs: xxhash64-seeded — intentionally no oracle (driver
-        # records rows-only check); winnowing likewise (numpy uint64
-        # rolling hashes)
+        # winnow_neardup: exact SQL replica of winnow_fingerprint_vec — the
+        # Rabin-Karp k-gram hash is a base-1000003 polynomial mod 2^64
+        # (HUGEINT arithmetic), window minima via ROWS BETWEEN CURRENT AND
+        # w-1 FOLLOWING restricted to full windows (a short doc with
+        # n_hashes <= w yields the single global min, same as numpy).
+        # ord(char) == utf-8 byte because the corpus is ASCII (verified at
+        # sf0.01/0.1; a non-ASCII corpus would need a bytes-level unnest).
+        "winnow_neardup": _WINNOW_ORACLE,
+        # simhash_pairs: the per-token FNV-1a 64 hash is a sequential
+        # byte fold — reproduced with list_reduce over the token's chars
+        # (HUGEINT mod-2^64 products); per-bit TF-weighted votes, block on
+        # the top 16 bits, hamming via bit_count(xor) on the signed
+        # reinterpretation. Matches simhash64_vec bit-for-bit.
+        "simhash_pairs": _SIMHASH_ORACLE,
     }
     # the full filter chain composes the already-oracled stage SQLs as
     # subqueries (DuckDB allows WITH inside a derived table)
@@ -2602,6 +2748,61 @@ def oracle_sql() -> dict[str, str]:
           FROM cand)
         SELECT query_id, neighbor_id, rank, round(s, 4) AS score
         FROM ranked WHERE rank <= 5"""
+    # IVF + k-means: the 2 Lloyd iterations are unrolled as CTE stages
+    # (_kmeans_cte); centroid means are fixed-point exact in BOTH engines
+    # (see kmeans_refine), so the refined centroids are bit-equal and the
+    # full approximate result is hash-checkable — same differential-gate
+    # treatment as embed_lsh_topk/embed_ivf_topk.
+    d["embed_ivf_kmeans_topk"] = f"""
+        WITH {_kmeans_cte(16, 2)},
+        c_assign AS (
+          SELECT vec_id AS c_id, emb AS cv, list_id FROM (
+            SELECT e.vec_id, e.embedding AS emb, s.list_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_cosine_sql('e.embedding', 's.centroid')} DESC,
+                              s.list_id ASC) AS rn
+            FROM embeddings e, seeds2 s) WHERE rn = 1
+        ), q_assign AS (
+          SELECT vec_id AS q_id, emb AS qv, list_id FROM (
+            SELECT e.vec_id, e.embedding AS emb, s.list_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_cosine_sql('e.embedding', 's.centroid')} DESC,
+                              s.list_id ASC) AS rn
+            FROM embeddings e, seeds2 s WHERE e.vec_id < 10) WHERE rn <= 4
+        ), cand AS (
+          SELECT DISTINCT q.q_id AS query_id, c.c_id AS neighbor_id, q.qv, c.cv
+          FROM q_assign q JOIN c_assign c USING (list_id)
+          WHERE c.c_id != q.q_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY {_cosine_sql('qv', 'cv')} DESC,
+                                             neighbor_id ASC) AS rank,
+                 {_cosine_sql('qv', 'cv')} AS s
+          FROM cand)
+        SELECT query_id, neighbor_id, rank, round(s, 4) AS score
+        FROM ranked WHERE rank <= 5"""
+    # SemDeDup: same bit-exact refined centroids (n_lists=8), final cell
+    # assignment, then the drop rule — any member with a smaller-id
+    # within-cell neighbor at cosine >= threshold is dropped. The pair
+    # cosine is the sequential fold, bit-identical across engines.
+    d["semantic_dedup"] = f"""
+        WITH {_kmeans_cte(8, 2)},
+        fa AS (
+          SELECT vec_id, emb, list_id AS cluster_id FROM (
+            SELECT e.vec_id, e.embedding AS emb, s.list_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_cosine_sql('e.embedding', 's.centroid')} DESC,
+                              s.list_id ASC) AS rn
+            FROM embeddings e, seeds2 s) WHERE rn = 1
+        ), drops AS (
+          SELECT DISTINCT b.vec_id
+          FROM fa a JOIN fa b ON a.cluster_id = b.cluster_id
+                             AND a.vec_id < b.vec_id
+          WHERE {_cosine_sql('a.emb', 'b.emb')} >= 0.45
+        )
+        SELECT vec_id, cluster_id FROM fa
+        WHERE vec_id NOT IN (SELECT vec_id FROM drops)"""
     # incremental dedup: the batch/corpus split is doc_id parity
     d["dedup_incremental"] = f"""
         WITH fp AS (

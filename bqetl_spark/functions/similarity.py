@@ -305,9 +305,20 @@ def kmeans_refine(corpus: DataFrame, n_lists: int = 16, iters: int = 2,
         assigned = vecs.select(
             "vid", "v", F.explode(nearest(F.col("v"))).alias("list_id"))
         # element-wise mean per list: explode to (list, dim_idx, value),
-        # average, re-assemble — stays distributed for any dimension count
+        # average, re-assemble — stays distributed for any dimension count.
+        # The mean is FIXED-POINT EXACT: components quantized to a 2^-24
+        # grid (float32-epsilon scale, so no effective precision loss) and
+        # summed as integers, making the centroid independent of partition
+        # / summation order — bit-reproducible across runs AND engines
+        # (the DuckDB oracle computes the identical integer sum). A plain
+        # F.avg here would be an order-dependent float sum: correct, but
+        # unverifiable by differential testing.
         dims = (assigned.select("list_id", F.posexplode("v").alias("i", "x"))
-                .groupBy("list_id", "i").agg(F.avg("x").alias("m")))
+                .groupBy("list_id", "i")
+                .agg((F.sum(F.floor(F.col("x") * F.lit(16777216.0))
+                            .cast("long")).cast("double")
+                      / (F.count("*").cast("double") * F.lit(16777216.0)))
+                     .alias("m")))
         new_cent = (dims.groupBy("list_id")
                     .agg(F.array_sort(F.collect_list(F.struct("i", "m")))
                          .alias("im"))
