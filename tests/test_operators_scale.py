@@ -20,6 +20,51 @@ def test_salted_join_equals_plain_join(spark):
     assert salted == plain and len(plain) == 51
 
 
+def test_salted_join_auto_equals_plain_join(spark):
+    """salt=None: Misra-Gries hot-key detection + selective scatter must be
+    value-invisible — including the degenerate no-hot-keys case."""
+    left = spark.createDataFrame(
+        [(1, f"l{i}") for i in range(200)] + [(2, "x"), (3, "y")],
+        ["k", "lval"])  # key 1 owns ~99%
+    right = spark.createDataFrame([(1, "A"), (2, "B"), (4, "D")], ["rk", "rval"])
+    plain = {(r["k"], r["lval"], r["rval"])
+             for r in left.join(right, left["k"] == right["rk"]).collect()}
+    auto = {(r["k"], r["lval"], r["rval"])
+            for r in salted_join(left, right, "k", "rk", salt=None).collect()}
+    assert auto == plain and len(plain) == 201
+    # uniform keys -> no hot keys -> plain-join fallback, same values
+    uni_l = spark.createDataFrame([(i % 97, i) for i in range(200)], ["k", "v"])
+    uni_r = spark.createDataFrame([(i, f"r{i}") for i in range(97)], ["rk", "rv"])
+    a = {(r["k"], r["v"], r["rv"]) for r in
+         salted_join(uni_l, uni_r, "k", "rk", salt=None).collect()}
+    b = {(r["k"], r["v"], r["rv"]) for r in
+         uni_l.join(uni_r, uni_l["k"] == uni_r["rk"]).collect()}
+    assert a == b and len(a) == 200
+
+
+def test_salted_join_auto_left_join_null_and_unmatched(spark):
+    """Left join: unmatched and NULL-key left rows survive exactly once
+    (NULL keys get a spread salt but can never equi-match)."""
+    left = spark.createDataFrame(
+        [(1, f"l{i}") for i in range(150)] + [(None, "n1"), (None, "n2"),
+                                              (9, "u")],
+        "k int, lval string")
+    right = spark.createDataFrame([(1, "A"), (2, "B")], ["rk", "rval"])
+    out = salted_join(left, right, "k", "rk", salt=None, how="left").collect()
+    assert len(out) == 153
+    nulls = [r for r in out if r["k"] is None]
+    assert len(nulls) == 2 and all(r["rval"] is None for r in nulls)
+    assert next(r["rval"] for r in out if r["lval"] == "u") is None
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pytest
+    left = spark.createDataFrame([(1, "a")], ["k", "lval"])
+    right = spark.createDataFrame([(1, "A")], ["rk", "rval"])
+    with pytest.raises(ValueError, match="left-preserving"):
+        salted_join(left, right, "k", "rk", salt=4, how="right")
+
+
 def test_range_join_point_in_interval(spark):
     points = spark.createDataFrame(
         [(1, 5), (2, 15), (3, 25), (4, 101)], ["pid", "v"])
