@@ -1377,6 +1377,21 @@ def q_multimodal_bytes(spark, sf_dir):
     return feats.select("media_id", "n_bytes")
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL image decode in the gate: each document's first 36 ASCII bytes
+    become the pixel array of a 4×3 binary PPM (P6 header + samples built
+    with pure Spark expressions); extract_features(fake=False) parses the
+    PPM with the pure-Python decoder and emits integer-exact channel/
+    luminance statistics, which the oracle recomputes in SQL from the same
+    text bytes — a full value-hash gate over a genuine media decode."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 36)
+    payload = F.concat(F.lit("P6\n4 3\n255\n").cast("binary"),
+                       F.substring(F.col("text"), 1, 36).cast("binary"))
+    media = mm.attach_media(docs, "doc_id", payload, kind="image", fmt="ppm")
+    feats = mm.extract_features(media, fake=False)
+    return feats.select("media_id", "n_bytes", "feature")
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental exact dedup (functions.dedup.dedup_against): odd-id
     docs are the incoming batch, even-id docs the existing corpus; keep
@@ -1417,6 +1432,29 @@ def q_salted_join(spark, sf_dir):
             .agg(F.count("*").alias("n_items"),
                  F.sum(_money("l_extendedprice")).cast("double")
                  .alias("total_price")))
+
+
+def q_salted_join_auto(spark, sf_dir):
+    """Frequency-ADAPTIVE skew join in the gate: a synthetic 60%-hot key
+    (l_orderkey%10<6 → key 0) joined to nation. salted_join(salt=None)
+    detects the hot key with a Misra-Gries pass and scatters only it; the
+    oracle is the plain equi-join aggregate, so the hash-match proves the
+    adaptive scatter is distribution-invariant end-to-end (detection →
+    per-key factor → selective replication → shuffle-hash join)."""
+    from bqetl_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    skewed = li.select(
+        F.when(F.col("l_orderkey") % 10 < 6, F.lit(0))
+         .otherwise(F.col("l_orderkey") % 25).alias("k"),
+        "l_quantity")
+    nation = _t(spark, sf_dir, "nation")
+    j = salted_join(skewed, nation.select("n_nationkey", "n_name"),
+                    "k", "n_nationkey", salt=None)
+    return (j.groupBy("n_name")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("total_qty")))
 
 
 def q_interval_overlap(spark, sf_dir):
@@ -1588,7 +1626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_neardup": q_winnow_neardup,
         "embed_ivf_kmeans_topk": q_embed_ivf_kmeans_topk,
         "semantic_dedup": q_semantic_dedup,
+        "salted_join_auto": q_salted_join_auto,
         "multimodal_bytes": q_multimodal_bytes,
+        "multimodal_decode": q_multimodal_decode,
     # --- 3. r3 greens rotating in -------------------------------------
         "dedup_exact": q_dedup_exact,
         "embed_topk": q_embed_topk,
@@ -2550,6 +2590,38 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bytes": """
             SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
             FROM documents""",
+        # multimodal_decode: recompute the PPM pixel statistics straight
+        # from the text bytes the query packed into the image — every
+        # aggregate is an integer sum with one final IEEE division, matching
+        # image_features bit-for-bit (ASCII corpus: ord == byte).
+        "multimodal_decode": """
+            WITH d AS (
+              SELECT doc_id, substr(text, 1, 36) AS s
+              FROM documents WHERE len(text) >= 36
+            ), b AS (
+              SELECT doc_id, p, ord(substr(s, p, 1)) AS v,
+                     (p - 1) % 3 AS c, (p - 1) // 3 AS q
+              FROM d, (SELECT unnest(range(1, 37)) AS p)
+            ), px AS (
+              SELECT doc_id, q, sum(v) AS psum FROM b GROUP BY doc_id, q
+            ), ch AS (
+              SELECT doc_id,
+                     sum(CASE WHEN c = 0 THEN v END) AS sr,
+                     sum(CASE WHEN c = 1 THEN v END) AS sg,
+                     sum(CASE WHEN c = 2 THEN v END) AS sb,
+                     sum(v) AS st
+              FROM b GROUP BY doc_id
+            ), lm AS (
+              SELECT doc_id, min(psum) AS mn, max(psum) AS mx
+              FROM px GROUP BY doc_id
+            )
+            SELECT ch.doc_id AS media_id, CAST(47 AS BIGINT) AS n_bytes,
+                   [4.0, 3.0,
+                    CAST(sr AS DOUBLE) / 12.0, CAST(sg AS DOUBLE) / 12.0,
+                    CAST(sb AS DOUBLE) / 12.0,
+                    CAST(mn AS DOUBLE) / 3.0, CAST(mx AS DOUBLE) / 3.0,
+                    CAST(st AS DOUBLE) / 36.0] AS feature
+            FROM ch JOIN lm ON ch.doc_id = lm.doc_id""",
         # winnow_neardup: exact SQL replica of winnow_fingerprint_vec — the
         # Rabin-Karp k-gram hash is a base-1000003 polynomial mod 2^64
         # (HUGEINT arithmetic), window minima via ROWS BETWEEN CURRENT AND
@@ -2862,6 +2934,17 @@ def oracle_sql() -> dict[str, str]:
                  AS total_price
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderstatus"""
+    # adaptive variant: the oracle is the same plain equi join — the
+    # Misra-Gries detection + selective scatter must be invisible in values
+    d["salted_join_auto"] = """
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_qty
+        FROM (SELECT CASE WHEN l_orderkey % 10 < 6 THEN 0
+                     ELSE l_orderkey % 25 END AS k, l_quantity
+              FROM lineitem) s
+        JOIN nation ON s.k = n_nationkey
+        GROUP BY n_name"""
     # stateful-streaming final snapshots == batch group-by (integer-exact)
     d["stream_user_totals"] = """
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events

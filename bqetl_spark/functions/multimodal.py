@@ -1,10 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the actual media decode is stubbed because
-image/audio libraries are not in this container — ``decode_image`` raises
-NotImplementedError unless ``fake=True``, which substitutes a deterministic
-fake decoder so the pipeline shape can be exercised end-to-end.
+signatures) is real and tested. Decoding tiers:
+
+- REAL pure-Python decoders for the two public formats that need no
+  external library: binary PPM (P6) and uncompressed 24-bit BMP
+  (:func:`decode_ppm` / :func:`decode_bmp`). ``extract_features`` uses
+  them for ``meta.format in ('ppm','bmp')``.
+- compressed formats (png/jpeg/wav/mp4) still raise NotImplementedError —
+  their codecs (zlib-DEFLATE aside, DCT/entropy coders) are library
+  territory and absent from this container; ``fake=True`` substitutes a
+  deterministic fake decoder so those pipeline shapes stay exercised.
 
 Pattern: mapInPandas over batches of (id, media: binary, meta: struct) —
 each Arrow batch decodes vectorized in Python, features return as typed
@@ -57,17 +63,117 @@ def attach_media(df: DataFrame, id_col: str, payload_expr,
     )
 
 
+def _build_decoders():
+    """Real decoders as CLOSURE-LOCAL defs: their __qualname__ is not
+    importable, so cloudpickle ships them BY VALUE into UDF closures —
+    Spark's Python workers never need this package on their sys.path
+    (the same external-driver constraint the other UDF factories in this
+    repo document)."""
+
+    def decode_ppm(payload):
+        """Binary PPM (P6) → (width, height, RGB bytes). Pure Python over
+        the public netpbm spec: 'P6', ASCII width/height/maxval separated
+        by whitespace (with '#' comments), ONE whitespace byte, then
+        3*w*h raw sample bytes (maxval < 256)."""
+        if payload is None or bytes(payload[:2]) != b"P6":
+            raise ValueError("not a binary PPM (missing P6 magic)")
+        payload = bytes(payload)
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos:pos + 1].isspace():
+                pos += 1
+            if payload[pos:pos + 1] == b"#":
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos:pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # exactly one whitespace byte after maxval
+        w, h, maxval = fields
+        if not (0 < maxval < 256):
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        need = 3 * w * h
+        pix = payload[pos:pos + need]
+        if len(pix) != need:
+            raise ValueError(f"truncated PPM: want {need}, got {len(pix)}")
+        return w, h, pix
+
+    def decode_bmp(payload):
+        """Uncompressed 24-bit BMP → (width, height, RGB bytes, top-down).
+        Pure Python over the public BMP layout: 14-byte file header ('BM',
+        pixel-array offset at byte 10), BITMAPINFOHEADER (width/height
+        int32 at 18/22, bpp uint16 at 28 must be 24, compression uint32 at
+        30 must be 0=BI_RGB). Rows bottom-up (negative height = top-down),
+        4-byte padded, samples BGR."""
+        import struct
+
+        if payload is None or bytes(payload[:2]) != b"BM":
+            raise ValueError("not a BMP (missing BM magic)")
+        payload = bytes(payload)
+        off = struct.unpack_from("<I", payload, 10)[0]
+        w, h_raw = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"only 24-bpp BI_RGB supported, got bpp={bpp} "
+                             f"compression={comp}")
+        h, bottom_up = abs(h_raw), h_raw > 0
+        stride = (3 * w + 3) & ~3
+        if len(payload) < off + stride * h:
+            raise ValueError("truncated BMP pixel array")
+        rows = []
+        for r in range(h):
+            src = h - 1 - r if bottom_up else r
+            row = bytearray(payload[off + src * stride:
+                                    off + src * stride + 3 * w])
+            row[0::3], row[2::3] = row[2::3], row[0::3]   # BGR -> RGB
+            rows.append(bytes(row))
+        return w, h, b"".join(rows)
+
+    def image_features(w, h, rgb):
+        """8-dim feature vector from decoded RGB pixels, EXACT arithmetic:
+        every aggregate is an integer sum with one final IEEE division, so
+        the result is bit-reproducible across engines (the gate oracle
+        recomputes it in SQL): [w, h, mean_r, mean_g, mean_b, min_lum,
+        max_lum, mean_lum] with lum = per-pixel (r+g+b)/3."""
+        import numpy as np
+
+        a = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        npix = a.shape[0]
+        if npix == 0:
+            return [float(w), float(h)] + [0.0] * 6
+        csum = a.sum(axis=0)                   # exact int sums per channel
+        psum = a.sum(axis=1)                   # per-pixel r+g+b (int)
+        return [float(w), float(h),
+                int(csum[0]) / npix, int(csum[1]) / npix, int(csum[2]) / npix,
+                int(psum.min()) / 3.0, int(psum.max()) / 3.0,
+                int(csum.sum()) / (3.0 * npix)]
+
+    return decode_ppm, decode_bmp, image_features
+
+
+decode_ppm, decode_bmp, image_features = _build_decoders()
+
+
 def extract_features(media: DataFrame, fake: bool = False,
                      n_feat: int = 8) -> DataFrame:
     """Decode/feature-extract via mapInPandas (Arrow-batched; one Python
     round-trip per batch, not per row).
 
-    The UDF closure is deliberately SELF-CONTAINED (nested defs, no
-    module-level references): cloudpickle then ships it by value, so Spark's
-    Python workers don't need this package importable on their sys.path —
-    which is exactly the situation when a host application drives the engine
-    from outside the repo directory.
+    ``fake=False`` REALLY decodes ``meta.format in ('ppm','bmp')`` with the
+    pure-Python decoders above and computes :func:`image_features`
+    (integer-exact, so the driver gate hash-checks the vectors against a
+    SQL oracle); other formats raise NotImplementedError (their codecs need
+    libraries absent from this container). ``fake=True`` keeps the
+    deterministic fake for exercising those pipeline shapes.
+
+    The UDF closure is SELF-CONTAINED (nested/by-value defs only), so
+    Spark's Python workers don't need this package importable on their
+    sys.path — the external-driver situation.
     """
+    ppm, bmp, feats_of = decode_ppm, decode_bmp, image_features  # by-value
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd  # worker-side import, always available with pyspark
@@ -81,15 +187,24 @@ def extract_features(media: DataFrame, fake: bool = False,
             n = float(len(payload))
             return [round(a / n, 6) for a in acc]
 
-        def decode_stub(payload):
-            raise NotImplementedError(
-                "media decode requires an image/audio library (PIL/librosa/"
-                "ffmpeg) not present in this container; pass fake=True for "
-                "the deterministic fake decoder")
+        real = {"ppm": ppm, "bmp": bmp}
 
-        decode = decode_fake if fake else decode_stub
+        def decode(payload, meta):
+            if fake:
+                return decode_fake(payload)
+            fmt = (meta or {}).get("format")
+            dec = real.get(fmt)
+            if dec is None:
+                raise NotImplementedError(
+                    f"no pure-Python decoder for format {fmt!r}: compressed "
+                    "codecs (png/jpeg/wav/mp4) need media libraries absent "
+                    "from this container; pass fake=True for the "
+                    "deterministic fake decoder, or use 'ppm'/'bmp'")
+            f = feats_of(*dec(payload))
+            return (f + [0.0] * n_feat)[:n_feat]
+
         for pdf in batches:
-            feats = [decode(p) for p in pdf["payload"]]
+            feats = [decode(p, m) for p, m in zip(pdf["payload"], pdf["meta"])]
             yield _pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "n_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else 0),

@@ -37,6 +37,93 @@ def test_extract_features_fake_deterministic(spark):
     assert out[1]["feature"] == again[1]["feature"]
 
 
+def _ppm(w, h, pix: bytes) -> bytes:
+    return b"P6\n%d %d\n255\n" % (w, h) + pix
+
+
+def _bmp24(w, h, rgb_rows_topdown: list[bytes]) -> bytes:
+    """Minimal uncompressed 24-bpp BMP writer (bottom-up, 4-byte padded,
+    BGR) — golden fixture built independently of the decoder."""
+    import struct
+
+    stride = (3 * w + 3) & ~3
+    pad = b"\x00" * (stride - 3 * w)
+    body = b""
+    for row in reversed(rgb_rows_topdown):          # bottom-up storage
+        bgr = bytearray(row)
+        bgr[0::3], bgr[2::3] = bgr[2::3], bgr[0::3]
+        body += bytes(bgr) + pad
+    off = 14 + 40
+    hdr = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+           + struct.pack("<iiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                         2835, 2835, 0, 0))
+    return hdr + body
+
+
+def test_decode_ppm_golden():
+    pix = bytes(range(2 * 2 * 3))                   # 2x2, samples 0..11
+    w, h, rgb = mm.decode_ppm(_ppm(2, 2, pix))
+    assert (w, h, rgb) == (2, 2, pix)
+    # comments + multiple whitespace in header
+    w, h, rgb = mm.decode_ppm(b"P6 # c\n# full line\n 2\t2 # w h\n255\n" + pix)
+    assert (w, h, rgb) == (2, 2, pix)
+
+
+def test_decode_ppm_errors():
+    import pytest
+    with pytest.raises(ValueError, match="P6 magic"):
+        mm.decode_ppm(b"P3\n1 1\n255\n abc")
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_ppm(_ppm(2, 2, b"\x00" * 5))
+    with pytest.raises(ValueError, match="maxval"):
+        mm.decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 3)
+
+
+def test_decode_bmp_golden():
+    rows = [bytes([255, 0, 0, 0, 255, 0]),          # red, green
+            bytes([0, 0, 255, 10, 20, 30])]         # blue, grey-ish
+    w, h, rgb = mm.decode_bmp(_bmp24(2, 2, rows))
+    assert (w, h) == (2, 2)
+    assert rgb == rows[0] + rows[1]                 # top-down RGB restored
+
+
+def test_decode_bmp_errors():
+    import pytest
+    with pytest.raises(ValueError, match="BM magic"):
+        mm.decode_bmp(b"XX" + b"\x00" * 60)
+    good = _bmp24(2, 2, [b"\x00" * 6, b"\x00" * 6])
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_bmp(good[:-5])
+
+
+def test_image_features_exact():
+    # 1 pixel (10, 20, 30): means are the channel values, lum = 60/3
+    f = mm.image_features(1, 1, bytes([10, 20, 30]))
+    assert f == [1.0, 1.0, 10.0, 20.0, 30.0, 20.0, 20.0, 20.0]
+    # 2 pixels: integer-sum/-division semantics
+    f = mm.image_features(2, 1, bytes([0, 0, 0, 255, 255, 255]))
+    assert f == [2.0, 1.0, 127.5, 127.5, 127.5, 0.0, 255.0, 127.5]
+
+
+def test_extract_features_real_ppm_and_bmp(spark):
+    pix = bytes(range(12))
+    rows = [(1, _ppm(2, 2, pix), "ppm"),
+            (2, _bmp24(2, 2, [pix[:6], pix[6:]]), "bmp")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary, fmt string")
+    media = df.select(
+        "media_id", "payload",
+        F.struct(F.lit("image").alias("kind"), F.col("fmt").alias("format"),
+                 F.lit(None).cast("long").alias("width"),
+                 F.lit(None).cast("long").alias("height"),
+                 F.lit(None).cast("long").alias("duration_ms")).alias("meta"))
+    out = {r["media_id"]: r for r in
+           mm.extract_features(media, fake=False).collect()}
+    expected = mm.image_features(2, 2, pix)
+    assert out[1]["feature"] == expected       # PPM path
+    assert out[2]["feature"] == expected       # BMP path, same pixels
+    assert out[1]["n_bytes"] == len(rows[0][1])
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, "vid")], ["doc_id", "text"])
     media = mm.attach_media(df, "doc_id", F.encode(F.col("text"), "UTF-8"),
