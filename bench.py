@@ -54,9 +54,13 @@ EXTRAS = [
 
 def main() -> None:
     import __spark_entry__ as entry_mod
-    from bqetl_spark.session import get_spark
+    from bqetl_spark.session import get_spark, tune_shuffle_partitions
 
     spark = get_spark("bqetl_spark_bench")
+    # initial reducer count from input stats (AQE can only coalesce down);
+    # at sf0.1 this lands at 8 instead of 32 and shaves the per-stage
+    # scheduling floor off every small query
+    tune_shuffle_partitions(spark, SF_DIR)
     qs = entry_mod.queries()
 
     # warm-up: run every headline query shape once at the smallest SF that

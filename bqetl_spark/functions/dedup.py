@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from bqetl_spark.functions.text import fingerprint, tokens
 from bqetl_spark.caching import pin
+from bqetl_spark.session import compute_parallelism
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text",
@@ -168,7 +169,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     #    is the CPU-heavy stage, so spread it across the cluster. Tokens are
     #    bound to a column before the shingle lambda (shingles_of perf
     #    contract — embedded split() re-tokenizes per gram).
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = compute_parallelism(df.sparkSession)
     toked = (df.repartition(n_part, id_col)
              .select(F.col(id_col).alias("id"),
                      tokens(F.col(text_col)).alias("__tk")))
@@ -295,7 +296,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     a gram shared by every doc contributes O(N²) candidates and ~nothing to
     precision). Exact (and oracle-comparable) when left at None.
     """
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = compute_parallelism(df.sparkSession)
     base = (df.repartition(n_part, id_col)
             .select(F.col(id_col).alias("id"),
                     tokens(F.col(text_col)).alias("__tk"))
@@ -382,7 +383,7 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
     more than N docs contributes O(N²) candidate pairs and ~no precision,
     so at corpus scale it is dropped from the index. Exact when None."""
     fp_udf = winnow_fingerprint_vec(k, w)
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = compute_parallelism(df.sparkSession)
     base = (df.repartition(n_part, id_col)
             .select(F.col(id_col).alias("id"),
                     fp_udf(F.col(text_col)).alias("fp"))
@@ -475,7 +476,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits
     (near-dups almost always share them), compare Hamming distance within a
     block. Returns (id_a, id_b, hamming)."""
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = compute_parallelism(df.sparkSession)
     base = (df.repartition(n_part, id_col)  # spread the CPU-heavy bit votes
             .select(F.col(id_col).alias("id"),
                     simhash64_vec()(F.col(text_col)).alias("sh")))
@@ -630,8 +631,7 @@ def minhash_pairs_between(new_df: DataFrame, seen_df: DataFrame,
     def banded_sigs(df: DataFrame) -> DataFrame:
         rows = num_perm // bands
         p = F.lit(_MERSENNE31)
-        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
-                                              "32"))
+        n_part = compute_parallelism(df.sparkSession)
         # explode the expression directly — see minhash_lsh_pairs step 2 on
         # InferFiltersFromGenerate re-inlining named generator inputs
         toked = (df.repartition(n_part, id_col)

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bqetl_spark.caching import pin
+from bqetl_spark.session import compute_parallelism
 
 
 def _dot(a, b):
@@ -55,7 +56,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     # Precompute each vector's norm ONCE (higher-order array folds are
     # CodegenFallback — interpreted — so per-pair recomputation is the cost
     # driver), and spread the single parquet split across the cluster.
-    n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = compute_parallelism(corpus.sparkSession)
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec")) \
                .withColumn("q_norm", _norm(F.col("q_vec")))
@@ -101,7 +102,7 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     """
     import math
 
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = compute_parallelism(df.sparkSession)
     base = (df.repartition(n_part)
             .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                     *( [F.col(block_col).alias("blk")] if block_col else [] ))
@@ -514,7 +515,7 @@ def sq_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     arithmetic. Approximation error comes only from the quantization grid;
     see tests/test_similarity.py for the recall floor vs the exact baseline.
     """
-    n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = compute_parallelism(corpus.sparkSession)
     q = (sq_quantize(queries, id_col, vec_col)
          .select(F.col("id").alias("query_id"), F.col("codes").alias("qc"),
                  F.col("nn").alias("qn")))
