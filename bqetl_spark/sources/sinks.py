@@ -29,14 +29,106 @@ def write_parquet(df: DataFrame, path: str, schema: T.StructType | None = None,
     writer.parquet(path)
 
 
+# BigQuery field type names and modes as the reference declares them
+# (FieldSchemaListBuilder.java:27-34: INTEGER/STRING/TIMESTAMP/BOOLEAN/
+# RECORD, REQUIRED/NULLABLE/REPEATED).
+_TO_BQ_TYPE: list[tuple[type, str]] = [
+    (T.LongType, "INTEGER"), (T.IntegerType, "INTEGER"),
+    (T.ShortType, "INTEGER"), (T.ByteType, "INTEGER"),
+    (T.DoubleType, "FLOAT"), (T.FloatType, "FLOAT"),
+    (T.StringType, "STRING"), (T.BooleanType, "BOOLEAN"),
+    (T.BinaryType, "BYTES"), (T.TimestampType, "TIMESTAMP"),
+    (T.DateType, "DATE"), (T.DecimalType, "NUMERIC"),
+]
+_FROM_BQ_TYPE = {
+    "INTEGER": T.LongType(), "INT64": T.LongType(),
+    "FLOAT": T.DoubleType(), "FLOAT64": T.DoubleType(),
+    "STRING": T.StringType(), "BOOLEAN": T.BooleanType(),
+    "BOOL": T.BooleanType(), "BYTES": T.BinaryType(),
+    "TIMESTAMP": T.TimestampType(), "DATE": T.DateType(),
+    "NUMERIC": T.DecimalType(38, 9),
+}
+_PARTITION_TYPES = ("HOUR", "DAY", "MONTH", "YEAR")
+
+
+def schema_to_bigquery(schema: T.StructType) -> list[dict]:
+    """StructType → BigQuery field list (the reference's
+    FieldSchemaListBuilder.java:49-63 surface: name/type/mode, RECORD for
+    structs, REPEATED for arrays). Lossy only where BigQuery is coarser
+    than Spark (all ints → INTEGER ≙ INT64; see bigquery_to_schema)."""
+    def field(f: T.StructField) -> dict:
+        dt, mode = f.dataType, ("NULLABLE" if f.nullable else "REQUIRED")
+        if isinstance(dt, T.ArrayType):
+            mode, dt = "REPEATED", dt.elementType
+        if isinstance(dt, T.StructType):
+            return {"name": f.name, "type": "RECORD", "mode": mode,
+                    "fields": schema_to_bigquery(dt)}
+        for spark_t, bq_t in _TO_BQ_TYPE:
+            if isinstance(dt, spark_t):
+                return {"name": f.name, "type": bq_t, "mode": mode}
+        raise ValueError(f"no BigQuery mapping for {f.name}: {dt}")
+    return [field(f) for f in schema.fields]
+
+
+def bigquery_to_schema(fields: list[dict]) -> T.StructType:
+    """BigQuery field list → StructType (inverse of schema_to_bigquery up
+    to BigQuery's coarser numerics: every INTEGER comes back as LongType,
+    FLOAT as DoubleType — the same widening the connector performs)."""
+    out = []
+    for f in fields:
+        if f["type"] == "RECORD":
+            dt: T.DataType = bigquery_to_schema(f["fields"])
+        else:
+            dt = _FROM_BQ_TYPE[f["type"]]
+        mode = f.get("mode", "NULLABLE")
+        if mode == "REPEATED":
+            dt = T.ArrayType(dt)
+        out.append(T.StructField(f["name"], dt, mode != "REQUIRED"))
+    return T.StructType(out)
+
+
 def bigquery_write_plan(table: str, mode: str = "overwrite",
-                        temp_bucket: str | None = None) -> dict:
+                        temp_bucket: str | None = None,
+                        partition_field: str | None = None,
+                        partition_type: str | None = None,
+                        partition_expiration_ms: int | None = None,
+                        clustered_fields: list[str] | None = None,
+                        schema: T.StructType | None = None) -> dict:
     """The exact sink contract the reference's writer carries
     (BQETLSimple.java:113-120: WRITE_TRUNCATE + CREATE_IF_NEEDED against an
-    explicit schema). Declarative so it can be contract-tested without the
-    connector jar; ``write_bigquery`` consumes it verbatim."""
+    explicit schema), extended with the connector's table-layout options
+    (time partitioning + clustering — the knobs a 100 TB table needs so
+    queries prune partitions server-side). Declarative so it can be
+    contract-tested without the connector jar; ``write_bigquery`` consumes
+    it verbatim."""
     if mode not in ("overwrite", "append", "errorifexists", "ignore"):
         raise ValueError(f"unsupported sink mode: {mode!r}")
+    if partition_type is not None and partition_type not in _PARTITION_TYPES:
+        raise ValueError(f"partition_type must be one of {_PARTITION_TYPES}, "
+                         f"got {partition_type!r}")
+    if partition_expiration_ms is not None and partition_field is None \
+            and partition_type is None:
+        raise ValueError("partition_expiration_ms requires partitioning "
+                         "(partition_field and/or partition_type)")
+    if clustered_fields is not None:
+        if not 0 < len(clustered_fields) <= 4:
+            raise ValueError("BigQuery allows 1-4 clustering fields, got "
+                             f"{len(clustered_fields)}")
+        if schema is not None:
+            known = {f.name for f in schema.fields}
+            missing = [c for c in clustered_fields if c not in known]
+            if missing:
+                raise ValueError(f"clustered fields not in schema: {missing}")
+    if schema is not None and partition_field is not None:
+        ptypes = {f.name: f.dataType for f in schema.fields}
+        if partition_field not in ptypes:
+            raise ValueError(f"partition field {partition_field!r} not in "
+                             "schema")
+        if not isinstance(ptypes[partition_field],
+                          (T.TimestampType, T.DateType)):
+            raise ValueError("time partitioning needs a TIMESTAMP/DATE "
+                             f"field, {partition_field!r} is "
+                             f"{ptypes[partition_field]}")
     plan = {
         "format": "bigquery",
         # WRITE_TRUNCATE ≙ overwrite; CREATE_IF_NEEDED is the connector's
@@ -49,8 +141,19 @@ def bigquery_write_plan(table: str, mode: str = "overwrite",
             "writeMethod": "indirect" if temp_bucket else "direct",
         },
     }
+    opts = plan["options"]
     if temp_bucket:
-        plan["options"]["temporaryGcsBucket"] = temp_bucket
+        opts["temporaryGcsBucket"] = temp_bucket
+    if partition_field:
+        opts["partitionField"] = partition_field
+    if partition_type:
+        opts["partitionType"] = partition_type
+    if partition_expiration_ms is not None:
+        opts["partitionExpirationMs"] = str(int(partition_expiration_ms))
+    if clustered_fields:
+        opts["clusteredFields"] = ",".join(clustered_fields)
+    if schema is not None:
+        plan["bigquery_schema"] = schema_to_bigquery(schema)
     return plan
 
 
