@@ -31,6 +31,33 @@ _LEFT_HOWS = {"inner", "left", "left_outer", "leftouter", "semi",
               "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
 
 
+def hot_key_shares(df: DataFrame, key: str, k: int = 64,
+                   sample_rows: int = 2_000_000,
+                   seed: int = 8675309) -> list[tuple]:
+    """Approximate (key, share) for keys whose sampled share exceeds 1/k —
+    the detection half of adaptive salting, ALL-JVM.
+
+    A seeded Bernoulli sample bounds the scanned fraction (~sample_rows
+    rows regardless of fact size), and the groupBy's partial aggregation
+    bounds the shuffle to distinct-keys-in-sample. This replaces an exact
+    Misra-Gries pass (see :func:`hot_keys`) in the salting path because
+    the salt factor is a PERFORMANCE HINT, never a correctness input —
+    salted_join's result is distribution-invariant by construction, so an
+    estimate is enough and the detection must not cost an Arrow export of
+    the whole fact table (measured: 16.6 s auto-salt with the Python MG
+    pass vs 6-7 s with this sampler on a 24M-row fact)."""
+    n = df.count()
+    frac = 1.0 if n <= sample_rows else sample_rows / n
+    s = df if frac >= 1.0 else df.sample(fraction=frac, seed=seed)
+    sample_n = max(1.0, n * frac)       # expectation; enough for a hint
+    rows = (s.groupBy(F.col(key).cast("string").alias("__k"))
+            .agg(F.count("*").alias("__c"))
+            .filter(F.col("__c") * k > F.lit(sample_n))
+            .collect())
+    return [(r["__k"], r["__c"] / sample_n) for r in rows
+            if r["__k"] is not None]
+
+
 def hot_keys(df: DataFrame, key: str, k: int = 64) -> list[tuple]:
     """EXACT (key, count, total) for every key with frequency > total/k,
     via per-partition Misra-Gries candidates + exact recount.
@@ -71,7 +98,7 @@ def salted_join(left: DataFrame, right: DataFrame, left_key: str,
     """Equi join with key scattering for hot-key skew.
 
     ``salt=None`` (default): frequency-adaptive. Hot keys (share > 1/k of
-    the left side, found by :func:`hot_keys`) are scattered across
+    the left side, found by :func:`hot_key_shares`) are scattered across
     ``ceil(share × shuffle_partitions)`` sub-keys each; all other keys
     keep salt 0, so the right side is replicated only for the hot keys
     (a handful of extra rows, not ×salt everywhere). With no hot keys the
@@ -105,14 +132,14 @@ def salted_join(left: DataFrame, right: DataFrame, left_key: str,
 
     spark = left.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    hot = hot_keys(left, left_key, k=sketch_k)
+    hot = hot_key_shares(left, left_key, k=sketch_k)
     if not hot:
         return left.join(right, left[left_key] == right[right_key], how)
 
     # per-key scatter factor ~ the number of average-sized partitions this
     # key's rows would fill (≥2 so a detected hot key always splits)
-    factors = [(kv, max(2, min(4 * n_part, round(n * n_part / total))))
-               for kv, n, total in hot]
+    factors = [(kv, max(2, min(4 * n_part, round(share * n_part))))
+               for kv, share in hot]
     f_map = spark.createDataFrame(
         [(kv, f) for kv, f in factors], ["__hk", "__f"])
 
