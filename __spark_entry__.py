@@ -1654,9 +1654,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "quality_filter": q_quality_filter,
         "lang_id": q_lang_id,
+        # lookup_decode ahead of token_stats: its last green driver row is
+        # r2 (stalest remaining), token_stats is r3-green — staler first
+        # under the 50-entry sample window
+        "lookup_decode": q_lookup_decode,
         "token_stats": q_token_stats,
         "embed_neardup": q_embed_neardup,
-        "lookup_decode": q_lookup_decode,
     # --- 4. displaced to the r6 rotation (r3-green, unaffected) -------
         "ship_priority_counts": q_ship_priority_counts,
         "union_high_value": q_union_high_value,
