@@ -74,6 +74,14 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> int
     if owns_session:
         spark = (SparkSession.builder.master(args.master)
                  .appName(f"bqetl-{args.pipeline}").getOrCreate())
+        # size initial reducers from the input footprint when it's a local
+        # path (AQE only coalesces down); harmless no-op for bucket URLs
+        import os as _os
+
+        from bqetl_spark.session import tune_shuffle_partitions
+        src = args.loading_bucket_url
+        if _os.path.isdir(src):
+            tune_shuffle_partitions(spark, src)
     try:
         if args.pipeline == "corpus":
             from bqetl_spark.plans.corpus_pipeline import run_corpus_pipeline

@@ -57,6 +57,19 @@ def test_salted_join_auto_left_join_null_and_unmatched(spark):
     assert next(r["rval"] for r in out if r["lval"] == "u") is None
 
 
+def test_hot_keys_exact_counts(spark):
+    """Misra-Gries + recount returns EXACT counts for every key above the
+    1/k frequency threshold and nothing below it."""
+    from bqetl_spark.operators.skew import hot_keys
+    rows = ([(1,)] * 500 + [(2,)] * 150 + [(None,)] * 50
+            + [(i,) for i in range(100, 400)])
+    df = spark.createDataFrame(rows, "k int")
+    got = {kv: n for kv, n, total in hot_keys(df, "k", k=8)}
+    # total = 1000, threshold n > 1000/8 = 125: keys 1 (500) and 2 (150)
+    # qualify; NULLs and the 300 singletons do not
+    assert got == {"1": 500, "2": 150}
+
+
 def test_salted_join_rejects_right_outer(spark):
     import pytest
     left = spark.createDataFrame([(1, "a")], ["k", "lval"])

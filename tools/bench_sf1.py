@@ -83,11 +83,12 @@ def main() -> None:
                  f"winnow_neardup use skew guards (freq<={GUARD}) because "
                  "replication multiplies shared-gram doc-frequency 10x and "
                  "candidate pairs ~100x — the boilerplate blowup the guards "
-                 "exist for. minhash_lsh is superlinear here by synthetic "
-                 "construction: cross-copy siblings sit JUST below the "
-                 "jaccard threshold yet still band-collide ~40% of the "
-                 "time, so LSH pays verify cost on ~100k failing "
-                 "candidates (see BENCH_SF1.json note)."),
+                 "exist for. minhash_lsh runs with the default signature-"
+                 "estimated-Jaccard pre-filter (round 5): cross-copy "
+                 "siblings sit just below the jaccard threshold yet band-"
+                 "collide ~40% of the time, and the pre-filter drops those "
+                 "~100k failing candidates before the exact shingle verify "
+                 "(69.5s -> ~10-13s here)."),
     }
     with open(f"{ROOT}/BENCH_SF1.json", "w") as f:
         f.write(json.dumps(out) + "\n")
