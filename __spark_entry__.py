@@ -790,6 +790,19 @@ def q_stream_sessionize(spark, sf_dir):
             .select("user_id", "n_sessions"))
 
 
+def q_stream_session_window(spark, sf_dir):
+    """Native streaming sessionization (F.session_window through the state
+    store, streaming/events.py) replayed bounded with availableNow in
+    complete mode — must equal the batch islands rule exactly (same
+    oracle as the batch `session_window` gate). Covers the built-in
+    session operator alongside the hand-rolled applyInPandasWithState
+    one (stream_sessionize)."""
+    from bqetl_spark.streaming.events import stream_session_windows
+
+    sess = stream_session_windows(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    return _run_stream_to_table(sess, "complete")
+
+
 def q_events_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (ev.select("event_id",
@@ -810,6 +823,40 @@ def q_sessionize(spark, sf_dir):
     return (marked.groupBy("user_id")
             .agg(F.sum("new_sess").cast("long").alias("n_sessions"),
                  F.count("*").alias("n_events")))
+
+
+def q_session_window(spark, sf_dir):
+    """Native session windows (F.session_window, 30-minute gap): Spark's
+    built-in gap-merge operator — the streaming-capable sibling of the
+    lag-island sessionization in q_sessionize. Verified boundary
+    semantics: events exactly gap-apart MERGE (break strictly on
+    gap-exceeded), end = last event + gap; the oracle reproduces that
+    islands rule in SQL. Epoch-microsecond outputs keep the comparison
+    integer-exact."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.unix_micros(F.col("session_window.start"))
+                    .alias("sess_start_us"),
+                    F.unix_micros(F.col("session_window.end"))
+                    .alias("sess_end_us"),
+                    "n_events"))
+
+
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) layout key in the gate: bit-interleave of
+    (o_custkey, o_orderkey) low 16 bits — the sort key write_zordered
+    lays files out by (operators/layout.py). Pure integer shifts/masks,
+    reproduced exactly in the SQL oracle."""
+    from bqetl_spark.operators.layout import zorder_key
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        zorder_key([F.pmod(F.col("o_custkey"), F.lit(1 << 16)),
+                    F.pmod(F.col("o_orderkey"), F.lit(1 << 16))])
+        .alias("zkey"))
 
 
 def q_asof_purchase(spark, sf_dir):
@@ -1629,6 +1676,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_auto": q_salted_join_auto,
         "multimodal_bytes": q_multimodal_bytes,
         "multimodal_decode": q_multimodal_decode,
+        "session_window": q_session_window,
+        "zorder_key": q_zorder_key,
+        "stream_session_window": q_stream_session_window,
+        "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
     # --- 3. r3 greens rotating in -------------------------------------
         "dedup_exact": q_dedup_exact,
         "embed_topk": q_embed_topk,
@@ -1654,10 +1705,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "quality_filter": q_quality_filter,
         "lang_id": q_lang_id,
-        # lookup_decode ahead of token_stats: its last green driver row is
-        # r2 (stalest remaining), token_stats is r3-green — staler first
-        # under the 50-entry sample window
-        "lookup_decode": q_lookup_decode,
         "token_stats": q_token_stats,
         "embed_neardup": q_embed_neardup,
     # --- 4. displaced to the r6 rotation (r3-green, unaffected) -------
@@ -2327,6 +2374,34 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id""",
+        # native session windows: same islands rule as `sessionize` (break
+        # strictly on gap exceeded — verified boundary semantics: events
+        # exactly 1800s apart merge), grouped to (start, last+gap) spans
+        "session_window": """
+            WITH e AS (
+              SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+              FROM events
+            ), m AS (
+              SELECT user_id, us,
+                     CASE WHEN lag(us) OVER w IS NULL
+                               OR us - lag(us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+            ), g AS (
+              SELECT user_id, us,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+            SELECT user_id,
+                   min(us) AS sess_start_us,
+                   max(us) + 1800000000 AS sess_end_us,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id, sid""",
+        "zorder_key": "SELECT o_orderkey, " + " + ".join(
+            f"((({col} % 65536) >> {b}) & 1) * {1 << (b * 2 + i)}"
+            for b in range(16)
+            for i, col in enumerate(("o_custkey", "o_orderkey"))
+        ) + " AS zkey FROM orders",
         "range_join_bands": """
             WITH bands AS (
               SELECT n_nationkey AS band_id,
@@ -2640,6 +2715,9 @@ def oracle_sql() -> dict[str, str]:
         # reinterpretation. Matches simhash64_vec bit-for-bit.
         "simhash_pairs": _SIMHASH_ORACLE,
     }
+    # streaming session windows must equal the batch islands rule — same
+    # oracle (bounded availableNow replay, complete output mode)
+    d["stream_session_window"] = d["session_window"]
     # the full filter chain composes the already-oracled stage SQLs as
     # subqueries (DuckDB allows WITH inside a derived table)
     d["corpus_keep"] = f"""

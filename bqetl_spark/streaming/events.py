@@ -77,6 +77,31 @@ def stream_click_to_purchase(spark: SparkSession, events_dir: str,
         .select(F.col("c_user").alias("user_id"), "click_id", "purchase_id"))
 
 
+def stream_session_windows(spark: SparkSession, events_dir: str,
+                           gap: str = "30 minutes",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Native streaming sessionization: ``F.session_window`` merges
+    per-user event windows with a gap rule INSIDE the state store — the
+    built-in operator the custom applyInPandasWithState sessionizer
+    (streaming/stateful.py) reimplements by hand. Watermark bounds state:
+    a session older than the watermark can no longer grow and is evicted.
+    Returns (user_id, sess_start_us, sess_end_us, n_events) with
+    epoch-microsecond spans so the batch/oracle comparison is
+    integer-exact (end = last event + gap; events exactly gap-apart
+    merge — verified boundary semantics)."""
+    stream = _read_events_stream(spark, events_dir)
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy("user_id", F.session_window("ts", gap))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.unix_micros(F.col("session_window.start"))
+                    .alias("sess_start_us"),
+                    F.unix_micros(F.col("session_window.end"))
+                    .alias("sess_end_us"),
+                    "n_events"))
+
+
 def stream_event_counts(spark: SparkSession, events_dir: str,
                         window: str = "1 hour",
                         watermark: str = "2 hours") -> DataFrame:
