@@ -803,6 +803,38 @@ def q_stream_session_window(spark, sf_dir):
     return _run_stream_to_table(sess, "complete")
 
 
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static join (streaming/events.py stream_static_enrich):
+    the event stream enriched with the static customer dimension
+    (broadcast, stateless, dim re-planned per micro-batch — the
+    production lookup shape). Bounded availableNow replay; oracle is the
+    plain batch join."""
+    from bqetl_spark.streaming.events import stream_static_enrich
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = stream_static_enrich(spark, f"{sf_dir.rstrip('/')}/events.parquet",
+                             cust, "user_id", "c_custkey")
+    out = _run_stream_to_table(
+        j.select("event_id", "user_id", "c_mktsegment"), "append")
+    return out
+
+
+def q_stream_upsert(spark, sf_dir):
+    """foreachBatch streaming sink (streaming/events.py
+    stream_upsert_user_totals): per-user totals MERGEd into a stored
+    parquet target once per micro-batch — the pattern for sinks
+    Structured Streaming can't write natively. The gate reads the final
+    stored table; oracle = the batch group-by (integer-exact)."""
+    import tempfile
+
+    from bqetl_spark.streaming.events import stream_upsert_user_totals
+
+    target = tempfile.mkdtemp(prefix="bqetl_upsert_") + "/user_totals"
+    stream_upsert_user_totals(
+        spark, f"{sf_dir.rstrip('/')}/events.parquet", target)
+    return spark.read.parquet(target)
+
+
 def q_events_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (ev.select("event_id",
@@ -1679,6 +1711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": q_session_window,
         "zorder_key": q_zorder_key,
         "stream_session_window": q_stream_session_window,
+        "stream_static_join": q_stream_static_join,
+        "stream_upsert": q_stream_upsert,
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
     # --- 3. r3 greens rotating in -------------------------------------
         "dedup_exact": q_dedup_exact,
@@ -2718,6 +2752,12 @@ def oracle_sql() -> dict[str, str]:
     # streaming session windows must equal the batch islands rule — same
     # oracle (bounded availableNow replay, complete output mode)
     d["stream_session_window"] = d["session_window"]
+    d["stream_static_join"] = """
+        SELECT event_id, user_id, c_mktsegment
+        FROM events JOIN customer ON user_id = c_custkey"""
+    # foreachBatch merge sink: stored table must equal the batch group-by
+    d["stream_upsert"] = """
+        SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id"""
     # the full filter chain composes the already-oracled stage SQLs as
     # subqueries (DuckDB allows WITH inside a derived table)
     d["corpus_keep"] = f"""

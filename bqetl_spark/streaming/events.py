@@ -102,6 +102,70 @@ def stream_session_windows(spark: SparkSession, events_dir: str,
                     "n_events"))
 
 
+def stream_static_enrich(spark: SparkSession, events_dir: str,
+                         dim: DataFrame, stream_key: str,
+                         dim_key: str) -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension table —
+    the production lookup shape (events ⋈ slowly-refreshed dim). Spark
+    re-plans the static side per micro-batch, so a dim refresh between
+    batches is picked up without restarting the query; the static side is
+    broadcast (stateless join — no watermark or state store involved,
+    unlike stream-stream joins). Inner join; returns the enriched
+    stream."""
+    stream = _read_events_stream(spark, events_dir)
+    return stream.join(F.broadcast(dim),
+                       stream[stream_key] == dim[dim_key], "inner")
+
+
+def stream_upsert_user_totals(spark: SparkSession, events_dir: str,
+                              target_path: str,
+                              max_files_per_trigger: int = 1) -> None:
+    """foreachBatch streaming sink: per-user event totals MERGEd into a
+    stored table once per micro-batch — the standard pattern for sinks
+    Structured Streaming cannot write natively (JDBC upserts, MERGE INTO
+    a lakehouse table). Each batch computes its partial per-user counts
+    (update-mode aggregation keeps cross-batch state in Spark, so each
+    batch emits the affected users' NEW running totals; the merge is a
+    same-key replace), and the final table equals the batch group-by
+    regardless of how the replay is chopped into batches.
+
+    Runs the query to completion (availableNow) and returns None — the
+    caller reads ``target_path`` for the result. Exactly-once caveat is
+    the standard one for foreachBatch: the merge must be idempotent per
+    batch_id for production restarts; this bounded-replay harness runs
+    each batch once."""
+    from bqetl_spark.operators.merge import upsert
+
+    stream = (_read_events_stream(spark, events_dir)
+              .groupBy("user_id")
+              .agg(F.count("*").alias("n_events")))
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        sp = bdf.sparkSession
+        try:
+            base = sp.read.parquet(target_path)
+        except Exception:
+            base = None
+        if base is None:
+            out = bdf
+        else:
+            # update-mode batches emit the user's NEW running total —
+            # same-key replace is exactly MERGE WHEN MATCHED UPDATE
+            out = upsert(base, bdf, "user_id")
+        # parquet emulation of a transactional target: write-new-then-swap
+        # is merge_into's job for real table formats (operators/merge.py)
+        tmp = target_path + f".batch{batch_id}"
+        out.write.mode("overwrite").parquet(tmp)
+        sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+
+    (stream.writeStream.outputMode("update")
+     .option("maxFilesPerTrigger", max_files_per_trigger)
+     .foreachBatch(sink)
+     .trigger(availableNow=True)
+     .option("checkpointLocation", target_path + ".ckpt")
+     .start().awaitTermination())
+
+
 def stream_event_counts(spark: SparkSession, events_dir: str,
                         window: str = "1 hour",
                         watermark: str = "2 hours") -> DataFrame:

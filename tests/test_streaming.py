@@ -62,3 +62,27 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     batch_distinct = (spark.read.parquet(f"{SF_DIR}/events.parquet")
                       .select("event_id").distinct().count())
     assert got["n"] == got["d"] == batch_distinct
+
+
+def test_stream_upsert_merges_across_batches(spark, tmp_path):
+    """foreachBatch upsert with a REAL multi-batch replay: events split
+    into 3 files, maxFilesPerTrigger=1 → 3 micro-batches, each merging
+    its users' new running totals into the stored table. Final table must
+    equal the batch group-by — the cross-batch merge path, not just a
+    single-batch write."""
+    from bqetl_spark.sources.parquet_source import load_events
+    from bqetl_spark.streaming.events import stream_upsert_user_totals
+
+    ev = load_events(spark, SF_DIR)
+    src = str(tmp_path / "ev3")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    assert len([f for f in __import__("os").listdir(src)
+                if f.endswith(".parquet")]) == 3
+
+    target = str(tmp_path / "totals")
+    stream_upsert_user_totals(spark, src, target, max_files_per_trigger=1)
+    got = {r["user_id"]: r["n_events"]
+           for r in spark.read.parquet(target).collect()}
+    want = {r["user_id"]: r["n"]
+            for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert got == want
