@@ -127,3 +127,50 @@ def test_heavy_hitters_exact_vs_bruteforce(spark, docs, k):
     n = sum(counts.values())
     want = {t: c for t, c in counts.items() if c * k > n}
     assert got == want  # exact despite the sketch: coverage + recount
+
+
+def _zdecode(z: int, k: int, bits: int) -> tuple:
+    vals = [0] * k
+    for b in range(bits):
+        for i in range(k):
+            vals[i] |= ((z >> (b * k + i)) & 1) << b
+    return tuple(vals)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, (1 << 16) - 1),
+                          st.integers(0, (1 << 16) - 1)),
+                min_size=1, max_size=30))
+def test_zorder_key_is_bijective(spark, pts):
+    """The Morton key loses nothing: decoding the interleaved bits
+    recovers exactly the masked inputs (a lossy layout key would make
+    file pruning unsound)."""
+    from bqetl_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select("x", "y",
+                     zorder_key(["x", "y"], bits=16).alias("z")).collect()
+    for r in rows:
+        assert _zdecode(r["z"], 2, 16) == (r["x"], r["y"])
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                min_size=0, max_size=60),
+       st.sampled_from(["inner", "left"]))
+def test_salted_join_auto_equivalence_property(spark, rows, how):
+    """Adaptive salting is value-invisible for ARBITRARY key skew and both
+    supported join directions (hypothesis drives hot/uniform/empty
+    distributions, incl. keys missing from the right side)."""
+    from bqetl_spark.operators.skew import salted_join
+
+    left = (spark.createDataFrame(rows, "k int, v int") if rows
+            else spark.createDataFrame([], "k int, v int"))
+    right = spark.createDataFrame([(0, "a"), (1, "b"), (9, "z")],
+                                  "rk int, rv string")
+    plain = sorted((r["k"], r["v"], r["rv"]) for r in
+                   left.join(right, left["k"] == right["rk"], how).collect())
+    auto = sorted((r["k"], r["v"], r["rv"]) for r in
+                  salted_join(left, right, "k", "rk", salt=None,
+                              how=how).collect())
+    assert auto == plain
