@@ -39,7 +39,7 @@ HEADLINE = [
     "embed_topk",
 ]
 
-# Round-4 additions (timed separately as "extras" in the JSON so the
+# Round-4/5 additions (timed separately as "extras" in the JSON so the
 # headline total stays round-over-round comparable).
 EXTRAS = [
     "doc_chunks",
@@ -49,6 +49,13 @@ EXTRAS = [
     "snapshot_reconcile",
     "interval_overlap",
     "dedup_keep_best",
+    # round 5
+    "salted_join_auto",
+    "session_window",
+    "zorder_key",
+    "multimodal_decode",
+    "simhash_pairs",
+    "semantic_dedup",
 ]
 
 
