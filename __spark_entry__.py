@@ -1471,6 +1471,28 @@ def q_multimodal_decode(spark, sf_dir):
     return feats.select("media_id", "n_bytes", "feature")
 
 
+def q_quota_sample(spark, sf_dir):
+    """Fixed-count per-stratum sampling (functions.chunking.quota_sample):
+    exactly N docs per language chosen by ascending md5(doc_id) — the
+    deterministic shuffle that makes a data-mixing quota reproducible
+    across engines. Quota larger than the stratum (fr: 500) keeps the
+    whole stratum; absent strata (zh, de) drop."""
+    docs = _t(spark, sf_dir, "documents")
+    return ck.quota_sample(docs, {"en": 40, "es": 25, "fr": 500},
+                           strata_col="lang").select("doc_id", "lang")
+
+
+def q_mixture_repeats(spark, sf_dir):
+    """Epoch-mixture repeat counts (functions.chunking.mixture_repeats):
+    weight 2.3 → every doc twice, a deterministic 30% md5-bucket three
+    times; fractional-only and zero weights exercised too. Row-local
+    arithmetic, reproduced exactly in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return ck.mixture_repeats(
+        docs, {"en": 2.3, "es": 0.5, "zh": 0.0},
+        strata_col="lang").select("doc_id", "lang", "n_repeats")
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental exact dedup (functions.dedup.dedup_against): odd-id
     docs are the incoming batch, even-id docs the existing corpus; keep
@@ -1713,6 +1735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_window": q_stream_session_window,
         "stream_static_join": q_stream_static_join,
         "stream_upsert": q_stream_upsert,
+        "quota_sample": q_quota_sample,
+        "mixture_repeats": q_mixture_repeats,
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
     # --- 3. r3 greens rotating in -------------------------------------
         "dedup_exact": q_dedup_exact,
@@ -2996,6 +3020,37 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, cluster_id FROM fa
         WHERE vec_id NOT IN (SELECT vec_id FROM drops)"""
+    # quota_sample: same deterministic md5 shuffle rank per stratum
+    d["quota_sample"] = """
+        WITH r AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents WHERE lang IN ('en', 'es', 'fr'))
+        SELECT doc_id, lang FROM r
+        WHERE rk <= CASE lang WHEN 'en' THEN 40 WHEN 'es' THEN 25
+                    ELSE 500 END"""
+    # mixture_repeats: cuts computed with the IDENTICAL Python float
+    # arithmetic the operator uses ((wt - floor) * 16^8 floored), so the
+    # fractional-bucket membership is bit-for-bit the same rule
+    def _mix(wt: float) -> tuple[int, str]:
+        base = int(wt)
+        return base, format(min(int((wt - base) * 16 ** 8), 16 ** 8 - 1),
+                            "08x")
+
+    _b_en, _c_en = _mix(2.3)
+    _b_es, _c_es = _mix(0.5)
+    _bucket = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    d["mixture_repeats"] = f"""
+        SELECT doc_id, lang,
+               CAST(CASE lang
+                 WHEN 'en' THEN {_b_en} + CASE WHEN {_bucket} < '{_c_en}'
+                                          THEN 1 ELSE 0 END
+                 WHEN 'es' THEN {_b_es} + CASE WHEN {_bucket} < '{_c_es}'
+                                          THEN 1 ELSE 0 END
+                 WHEN 'zh' THEN 0
+                 ELSE 1 END AS BIGINT) AS n_repeats
+        FROM documents"""
     # incremental dedup: the batch/corpus split is doc_id parity
     d["dedup_incremental"] = f"""
         WITH fp AS (

@@ -146,3 +146,72 @@ def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
     if full:
         keep = keep | F.col(strata_col).isin(full)
     return df.filter(keep)
+
+
+def quota_sample(df: DataFrame, quotas: dict[str, int], strata_col: str,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-stratum FIXED-COUNT sampling (data-mixing quotas): keep exactly
+    min(quota, stratum size) documents per stratum, chosen by ascending
+    md5(id) — a deterministic shuffle, so the picked set is stable across
+    runs, engines, and cluster sizes (rate-based sampling can't hit exact
+    counts; quotas are how a training-mixture spec is usually written).
+    Strata
+    absent from ``quotas`` (including NULL) are dropped.
+
+    Scale shape: one window rank per stratum — a single shuffle on the
+    stratum key; skewed strata are exactly the hot-key aggregation case,
+    but the ranked value is a short hash and the quota cap means only
+    quota rows per stratum survive the filter.
+    """
+    for s, q in quotas.items():
+        if q < 0:
+            raise ValueError(f"quota for stratum {s!r} must be >= 0, got {q}")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    quota = F.lit(None).cast("long")
+    for s, q in sorted(quotas.items()):
+        quota = F.when(F.col(strata_col) == s, F.lit(q)).otherwise(quota)
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .withColumn("__q", quota)
+            .filter(F.col("__q").isNotNull() & (F.col("__rk") <= F.col("__q")))
+            .drop("__rk", "__q"))
+
+
+def mixture_repeats(df: DataFrame, weights: dict[str, float],
+                    strata_col: str, id_col: str = "doc_id",
+                    hex_digits: int = 8) -> DataFrame:
+    """Epoch-mixture assignment: each document gets a repeat count for its
+    stratum's sampling weight — weight 2.3 means every doc appears twice
+    and a deterministic 30% md5-bucket of docs a third time (how a
+    training mixture over-/under-samples sources across epochs without
+    RNG). Returns the df with an added ``n_repeats`` column; strata
+    absent from ``weights`` (including NULL) default to weight 1.0.
+
+    Row-local (scan filter + arithmetic, no shuffle); downstream exploding
+    to physical repeats is ``explode(sequence(1, n_repeats))`` when the
+    trainer wants materialized rows.
+    """
+    for s, wt in weights.items():
+        if wt < 0:
+            raise ValueError(f"weight for stratum {s!r} must be >= 0, "
+                             f"got {wt}")
+    # weights are build-time constants, so the per-stratum base count and
+    # fractional md5 cut are computed in PYTHON (lowercase hex, matching
+    # md5's output — same membership rule as hash_sample) and laid into
+    # one CASE expression: the runtime plan is pure row-local arithmetic.
+    span = 16 ** hex_digits
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, hex_digits)
+
+    def repeats_of(wt: float):
+        base = int(wt)
+        frac_cut = min(int((wt - base) * span), span - 1)
+        cut_hex = format(frac_cut, f"0{hex_digits}x")
+        extra = (F.when(bucket < F.lit(cut_hex), F.lit(1)).otherwise(F.lit(0))
+                 if frac_cut > 0 else F.lit(0))
+        return (F.lit(base) + extra).cast("long")
+
+    out = repeats_of(1.0)
+    for s, wt in sorted(weights.items()):
+        out = F.when(F.col(strata_col) == s, repeats_of(float(wt))) \
+               .otherwise(out)
+    return df.withColumn("n_repeats", out)

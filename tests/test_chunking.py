@@ -164,3 +164,39 @@ def test_stratified_null_stratum_default_rate_one_keeps_all(spark):
     out = stratified_hash_sample(df, rates={"en": 1.0}, strata_col="lang",
                                  default_rate=1.0, hex_digits=1)
     assert sorted(r["doc_id"] for r in out.collect()) == [44, 45, 46]
+
+
+def test_quota_sample_exact_counts(spark):
+    rows = [(i, "a" if i < 60 else ("b" if i < 80 else None))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    from bqetl_spark.functions.chunking import quota_sample
+    out = quota_sample(df, {"a": 10, "b": 999}, strata_col="src").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["src"], set()).add(r["doc_id"])
+    assert len(by["a"]) == 10            # exact quota
+    assert len(by["b"]) == 20            # quota > stratum keeps all
+    assert set(by) == {"a", "b"}         # absent strata (None) dropped
+    again = quota_sample(df, {"a": 10, "b": 999}, strata_col="src").collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+    # growing the quota EXTENDS the picked set (hash-rank prefix property)
+    bigger = quota_sample(df, {"a": 20}, strata_col="src").collect()
+    assert by["a"] <= {r["doc_id"] for r in bigger}
+
+
+def test_mixture_repeats_weights(spark):
+    rows = [(i, ["x", "y", "z", None][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    from bqetl_spark.functions.chunking import mixture_repeats
+    out = mixture_repeats(df, {"x": 2.5, "y": 0.0}, strata_col="src").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["src"], []).append(r["n_repeats"])
+    assert set(per["x"]) <= {2, 3}       # base 2 + fractional third pass
+    assert 0.2 < sum(1 for n in per["x"] if n == 3) / len(per["x"]) < 0.8
+    assert set(per["y"]) == {0}          # zero weight drops on explode
+    assert set(per["z"]) == {1} and set(per[None]) == {1}   # default 1.0
+    import pytest
+    with pytest.raises(ValueError, match=">= 0"):
+        mixture_repeats(df, {"x": -1.0}, strata_col="src")
