@@ -1493,6 +1493,17 @@ def q_mixture_repeats(spark, sf_dir):
         strata_col="lang").select("doc_id", "lang", "n_repeats")
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (functions.dedup.contamination_flags):
+    docs with doc_id%10==0 play the benchmark, the rest the corpus; flag
+    corpus docs sharing any 8-gram with a benchmark doc. Exact inverted
+    index on gram md5 digests, reproduced verbatim in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dd.contamination_flags(corpus, bench, n=8)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental exact dedup (functions.dedup.dedup_against): odd-id
     docs are the incoming batch, even-id docs the existing corpus; keep
@@ -1737,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert": q_stream_upsert,
         "quota_sample": q_quota_sample,
         "mixture_repeats": q_mixture_repeats,
+        "contamination": q_contamination,
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
     # --- 3. r3 greens rotating in -------------------------------------
         "dedup_exact": q_dedup_exact,
@@ -3020,6 +3032,23 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, cluster_id FROM fa
         WHERE vec_id NOT IN (SELECT vec_id FROM drops)"""
+    # contamination: same 8-gram construction + md5 digest join
+    d["contamination"] = f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),
+        g AS (
+          SELECT doc_id, md5(g) AS h FROM (
+            SELECT doc_id,
+                   unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+                          for i in range(1, greatest(len(w) - 8, 0) + 2)]))
+                   AS g
+            FROM t)),
+        cg AS (SELECT doc_id, h FROM g WHERE doc_id % 10 != 0),
+        bg AS (SELECT doc_id AS bench_id, h FROM g WHERE doc_id % 10 = 0)
+        SELECT cg.doc_id,
+               CAST(count(DISTINCT cg.h) AS BIGINT) AS n_shared_grams,
+               CAST(count(DISTINCT bench_id) AS BIGINT) AS n_benchmark_docs
+        FROM cg JOIN bg ON cg.h = bg.h
+        GROUP BY cg.doc_id"""
     # quota_sample: same deterministic md5 shuffle rank per stratum
     d["quota_sample"] = """
         WITH r AS (

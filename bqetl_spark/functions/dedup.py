@@ -675,3 +675,46 @@ def minhash_pairs_between(new_df: DataFrame, seen_df: DataFrame,
     jac = inter / F.greatest(union, F.lit(1))
     return (verified.filter(jac >= jaccard_threshold)
             .select("new_id", "seen_id", F.round(jac, 6).alias("jaccard")))
+
+
+def contamination_flags(corpus: DataFrame, benchmark: DataFrame, n: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_gram_freq: int | None = None) -> DataFrame:
+    """Benchmark decontamination: flag every corpus document sharing at
+    least one word n-gram with a benchmark document — the standard
+    train/test-overlap check a pretraining pipeline runs before shipping
+    a corpus (long-n-gram collision, e.g. n=8..13).
+
+    Returns (id_col, n_shared_grams, n_benchmark_docs): how many distinct
+    grams of the doc appear anywhere in the benchmark, and how many
+    distinct benchmark docs it collides with. Exact — the join is an
+    inverted index on gram digests (md5: 16-byte keys over the wire
+    instead of raw gram strings; both engines compute the same digest so
+    the oracle is unchanged). ``max_gram_freq`` is the usual boilerplate
+    guard: a gram appearing in more than N benchmark docs carries no
+    contamination signal and multiplies join output.
+
+    Scale shape: benchmark gram sets are typically millions of rows
+    (benchmarks are small) while the corpus side streams through the join
+    — broadcast the benchmark index when it fits; Spark's size estimate
+    handles that via autoBroadcastJoinThreshold.
+    """
+    n_part = compute_parallelism(corpus.sparkSession)
+    cg = (corpus.repartition(n_part, id_col)
+          .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__tk"))
+          .select("id", F.explode(word_ngrams_of("__tk", n)).alias("g"))
+          .select("id", F.md5("g").alias("h")))
+    bg = (benchmark
+          .select(F.col(id_col).alias("bench_id"),
+                  tokens(F.col(text_col)).alias("__tk"))
+          .select("bench_id", F.explode(word_ngrams_of("__tk", n)).alias("g"))
+          .select("bench_id", F.md5("g").alias("h")))
+    if max_gram_freq is not None:
+        freq = bg.groupBy("h").agg(F.count_distinct("bench_id").alias("df_h"))
+        bg = bg.join(freq.filter(F.col("df_h") <= max_gram_freq), "h").drop("df_h")
+    return (cg.join(bg, "h")
+            .groupBy("id")
+            .agg(F.count_distinct("h").alias("n_shared_grams"),
+                 F.count_distinct("bench_id").alias("n_benchmark_docs"))
+            .select(F.col("id").alias(id_col), "n_shared_grams",
+                    "n_benchmark_docs"))

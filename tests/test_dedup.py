@@ -208,3 +208,28 @@ def test_minhash_prefilter_never_drops_true_pairs(spark):
         docs, num_perm=64, bands=32, jaccard_threshold=0.9).collect()}
     missed = [p for p in true_pairs if p not in got]
     assert not missed, f"pre-filter dropped true pairs: {missed}"
+
+
+def test_contamination_flags_exact(spark):
+    """Known-overlap fixture: corpus doc 1 embeds benchmark doc 100's
+    8-gram run; doc 2 is clean; doc 3 shares with TWO benchmark docs."""
+    from bqetl_spark.functions.dedup import contamination_flags
+
+    run_a = " ".join(f"w{i}" for i in range(8))          # 8 tokens
+    run_b = " ".join(f"x{i}" for i in range(8))
+    bench = spark.createDataFrame(
+        [(100, run_a + " tail tokens here"), (200, run_b)],
+        ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "prefix " + run_a + " suffix"),
+         (2, "totally different words only nothing shared at all ok"),
+         (3, run_a + " and " + run_b)],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_shared_grams"], r["n_benchmark_docs"])
+           for r in contamination_flags(corpus, bench, n=8).collect()}
+    assert set(got) == {1, 3}                            # doc 2 clean
+    assert got[1][1] == 1 and got[1][0] >= 1
+    assert got[3][1] == 2                                # both benchmarks
+    # boilerplate guard: grams in >1 benchmark docs droppable
+    guarded = contamination_flags(corpus, bench, n=8, max_gram_freq=0)
+    assert guarded.count() == 0
