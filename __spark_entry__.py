@@ -1208,6 +1208,31 @@ def q_scd2_intervals(spark, sf_dir):
         F.unix_micros("valid_to").alias("valid_to_us"))
 
 
+def q_point_in_time(spark, sf_dir):
+    """Point-in-time-correct enrichment (operators.merge.point_in_time_join
+    over scd2_intervals): every click joined to the purchase-version of
+    its user valid AT the click's timestamp — the leakage-safe dimension
+    lookup. Left join: clicks before the user's first purchase keep NULLs.
+    Equi join on the key, interval test as residual (no range blowup)."""
+    from bqetl_spark.operators.merge import point_in_time_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "event_id", "value"))
+    dim = scd2_intervals(purchases, key="user_id", time_col="ts",
+                         attr_cols=["event_id", "value"],
+                         tiebreak_cols=["event_id"])
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id", "ts"))
+    j = point_in_time_join(clicks, dim.withColumnRenamed("event_id",
+                                                         "purchase_id"),
+                           "user_id", "ts")
+    return j.select("click_id", "user_id",
+                    F.unix_micros("ts").alias("click_ts_us"),
+                    "purchase_id",
+                    F.col("value").alias("purchase_value"))
+
+
 def q_cube_status_priority(spark, sf_dir):
     """CUBE over (status, priority) — all four grouping-set combinations."""
     orders = _t(spark, sf_dir, "orders")
@@ -1749,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": q_quota_sample,
         "mixture_repeats": q_mixture_repeats,
         "contamination": q_contamination,
+        "point_in_time": q_point_in_time,
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
     # --- 3. r3 greens rotating in -------------------------------------
         "dedup_exact": q_dedup_exact,
@@ -3032,6 +3058,26 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, cluster_id FROM fa
         WHERE vec_id NOT IN (SELECT vec_id FROM drops)"""
+    # point-in-time join: SCD2 intervals from the purchase log, each click
+    # matched to the version containing its timestamp (left join)
+    d["point_in_time"] = """
+        WITH p AS (
+          SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'purchase'
+        ), dim AS (
+          SELECT user_id, event_id AS purchase_id, value, ts AS vf,
+                 lead(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS vt
+          FROM p
+        ), c AS (
+          SELECT event_id AS click_id, user_id, ts FROM events
+          WHERE event_type = 'click')
+        SELECT c.click_id, c.user_id,
+               epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us,
+               dim.purchase_id, dim.value AS purchase_value
+        FROM c LEFT JOIN dim
+          ON c.user_id = dim.user_id AND c.ts >= dim.vf
+             AND (dim.vt IS NULL OR c.ts < dim.vt)"""
     # contamination: same 8-gram construction + md5 digest join
     d["contamination"] = f"""
         WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),

@@ -121,3 +121,34 @@ def reconcile(old: DataFrame, new: DataFrame, key: str,
             .select(key, status.alias("status"),
                     *[F.col(f"old_{c}") for c in compare_cols],
                     *[F.col(f"new_{c}") for c in compare_cols]))
+
+
+def point_in_time_join(facts: DataFrame, dim: DataFrame, key: str,
+                       ts_col: str, valid_from: str = "valid_from",
+                       valid_to: str = "valid_to",
+                       how: str = "left") -> DataFrame:
+    """AS-OF-time dimension lookup: each fact row joined to the dim
+    version valid at its timestamp (``valid_from <= ts < valid_to``,
+    NULL ``valid_to`` = still current) — the point-in-time-correct
+    enrichment that prevents feature leakage when joining facts to a
+    slowly-changing dimension (the consumer of :func:`scd2_intervals`).
+
+    Scale shape: the join is an EQUI join on the key with the interval
+    test as a residual predicate — an ordinary key-shuffle (or broadcast)
+    join, never a range-join row blowup. When the dim's intervals
+    partition time per key (scd2_intervals guarantees it, zero-width
+    intervals from timestamp ties match nothing), at most one version
+    matches per fact row.
+
+    Fact columns keep their names; dim columns are suffixed nothing —
+    callers select/alias; the validity bounds are dropped from the output.
+    """
+    f, d = facts.alias("__f"), dim.alias("__d")
+    cond = ((F.col(f"__f.{key}") == F.col(f"__d.{key}")) &
+            (F.col(f"__f.{ts_col}") >= F.col(f"__d.{valid_from}")) &
+            (F.col(f"__d.{valid_to}").isNull() |
+             (F.col(f"__f.{ts_col}") < F.col(f"__d.{valid_to}"))))
+    dim_cols = [c for c in dim.columns if c not in (key, valid_from, valid_to)]
+    return f.join(d, cond, how).select(
+        *[F.col(f"__f.{c}") for c in facts.columns],
+        *[F.col(f"__d.{c}") for c in dim_cols])

@@ -92,3 +92,35 @@ def test_reconcile_compare_cols_subset(spark):
     # restricted to st only, the price difference is invisible
     out = reconcile(old, new, "k", compare_cols=["st"]).collect()
     assert out[0]["status"] == "unchanged"
+
+
+def test_point_in_time_join_versions(spark):
+    """Facts pick exactly the version containing their timestamp; facts
+    before the first version keep NULLs (left); zero-width intervals from
+    timestamp ties match nothing."""
+    from pyspark.sql import functions as F
+
+    from bqetl_spark.operators.merge import point_in_time_join, scd2_intervals
+
+    changes = spark.createDataFrame(
+        [(1, 100, "v1", 10), (1, 200, "v2", 11), (1, 300, "v3", 12),
+         (2, 150, "w1", 20), (2, 150, "w2", 21)],   # tie: zero-width w1
+        ["k", "t", "attr", "cid"])
+    dim = scd2_intervals(changes, key="k", time_col="t",
+                         attr_cols=["attr", "cid"], tiebreak_cols=["cid"])
+    facts = spark.createDataFrame(
+        [(1, 50), (1, 100), (1, 250), (1, 999),
+         (2, 149), (2, 150), (2, 151)],
+        ["k", "t"])
+    out = {(r["k"], r["t"]): r["attr"] for r in
+           point_in_time_join(
+               facts, dim.select("k", "attr", "valid_from", "valid_to"),
+               "k", "t").collect()}
+    assert out[(1, 50)] is None            # before first version
+    assert out[(1, 100)] == "v1"           # boundary: valid_from inclusive
+    assert out[(1, 250)] == "v2"
+    assert out[(1, 999)] == "v3"           # open-ended current version
+    assert out[(2, 149)] is None
+    # tie at t=150: w1's interval is zero-width -> w2 wins from 150 on
+    assert out[(2, 150)] == "w2" and out[(2, 151)] == "w2"
+    assert len(out) == 7                   # at most one version per fact
