@@ -1734,7 +1734,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. queries whose code or oracle changed this round (minhash/ngram
     #      explode-shape + pre-filter, interval_overlap floor-epoch oracle,
     #      dedup_fingerprint, newly-oracled simhash/winnow/kmeans/semdedup,
-    #      multimodal decoder)
+    #      multimodal decoder) and the BRAND-NEW round-5 gates needing
+    #      first-ever rows (salted_join_auto, multimodal_decode,
+    #      session_window, zorder_key, stream_session_window,
+    #      stream_static_join, stream_upsert, quota_sample,
+    #      mixture_repeats, contamination, point_in_time), plus
+    #      lookup_decode (stalest remaining row, r2)
     #   3. r3 greens rotating back in (fill to 50)
     #   4. displaced to r6 rotation (stable, unaffected, r3-green)
     #   5. r4 greens (tail -- freshest rows already banked)

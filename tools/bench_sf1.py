@@ -55,10 +55,16 @@ def main() -> None:
         load_parquet_table(s, d, "documents"), k=8, w=4, threshold=0.5,
         max_hash_freq=GUARD)
 
-    from bench import EXTRAS
-    # the composite keep-best re-runs the whole unguarded LSH cluster
-    # pipeline, which is the documented replication hotspot — skip at sf1
-    extras = [e for e in EXTRAS if e != "dedup_keep_best"]
+    # EXPLICIT extras list (not bench.EXTRAS): the unguarded replication
+    # hotspots are excluded at sf1 — dedup_keep_best re-runs the full LSH
+    # cluster pipeline, and simhash/semantic_dedup block/cell candidate
+    # sets scale quadratically with the generator's cross-copy sibling
+    # density (the documented 10×-replication artifact, not a real-corpus
+    # shape; their guards live in the operators, exercised at sf0.1).
+    extras = ["doc_chunks", "sample_hash", "stratified_sample",
+              "pack_sequences", "snapshot_reconcile", "interval_overlap",
+              "salted_join_auto", "session_window", "zorder_key",
+              "multimodal_decode"]
 
     for name in HEADLINE + extras:
         qs[name](spark, WARM_DIR).count()
