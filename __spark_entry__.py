@@ -1529,6 +1529,31 @@ def q_contamination(spark, sf_dir):
     return dd.contamination_flags(corpus, bench, n=8)
 
 
+def q_partitioned_roundtrip(spark, sf_dir):
+    """Hive-partitioned lake write in the gate (sources/partitioned.py):
+    customers written partitioned by market segment, read back through a
+    partition filter (directory pruning — prunes_partitions() asserts the
+    scan's PartitionFilters in tests/test_partitioned.py). The oracle is
+    the plain filtered SELECT, so the hash-match proves the partition
+    round-trip is value-faithful including the partition column's
+    string-typed directory encoding."""
+    import tempfile
+
+    from bqetl_spark.sources.partitioned import (read_partitioned,
+                                                 write_partitioned)
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    out = tempfile.mkdtemp(prefix="bqetl_part_") + "/customer"
+    write_partitioned(cust, out, ["c_mktsegment"])
+    back = read_partitioned(spark, out)
+    return (back.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+            .select("c_custkey", "c_name",
+                    F.col("c_acctbal").cast("double").alias("c_acctbal"),
+                    F.col("c_mktsegment").cast("string")
+                    .alias("c_mktsegment")))
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental exact dedup (functions.dedup.dedup_against): odd-id
     docs are the incoming batch, even-id docs the existing corpus; keep
@@ -1780,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_repeats": q_mixture_repeats,
         "contamination": q_contamination,
         "point_in_time": q_point_in_time,
+        "partitioned_roundtrip": q_partitioned_roundtrip,
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
     # --- 3. r3 greens rotating in -------------------------------------
         "dedup_exact": q_dedup_exact,
@@ -3063,6 +3089,10 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, cluster_id FROM fa
         WHERE vec_id NOT IN (SELECT vec_id FROM drops)"""
+    d["partitioned_roundtrip"] = """
+        SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')"""
     # point-in-time join: SCD2 intervals from the purchase log, each click
     # matched to the version containing its timestamp (left join)
     d["point_in_time"] = """
