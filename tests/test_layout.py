@@ -63,16 +63,22 @@ def test_write_zordered_skips_files_in_both_dims(spark, tmp_path):
     (df.repartitionByRange(16, "a").sortWithinPartitions("a")
      .write.mode("overwrite").parquet(spath))
 
-    def hit_frac(path, col, val):
+    def mean_hit(path, col, vals=(16, 48, 64, 100)):
+        # repartitionByRange SAMPLES to pick boundaries, so single-point
+        # hit counts wobble run to run — average several interior probes
         rngs = _file_ranges(path, col)
-        return sum(1 for mn, mx in rngs if mn <= val <= mx) / len(rngs)
+        return sum(sum(1 for mn, mx in rngs if mn <= v <= mx)
+                   for v in vals) / (len(rngs) * len(vals))
 
-    # z-order: both dimensions prune (a point hits ~sqrt(files))
-    assert hit_frac(zpath, "a", 64) <= 0.5
-    assert hit_frac(zpath, "b", 64) <= 0.5
-    # a-sorted layout: 'a' prunes perfectly but 'b' hits every file
-    assert hit_frac(spath, "a", 64) <= 0.25
-    assert hit_frac(spath, "b", 64) == 1.0
+    # z-order: BOTH dimensions prune (ideal point hit ~ sqrt(files)/files
+    # = 0.25; 0.7 leaves headroom for sampled-boundary wobble)
+    assert mean_hit(zpath, "a") <= 0.7
+    assert mean_hit(zpath, "b") <= 0.7
+    # a-sorted layout: 'a' prunes perfectly but 'b' hits EVERY file for
+    # every interior probe — the scattered dimension z-order exists to fix
+    assert mean_hit(spath, "a") <= 0.3
+    assert mean_hit(spath, "b") == 1.0
+    assert mean_hit(zpath, "b") < mean_hit(spath, "b")
     # layout changes bytes on disk, never values
     assert (spark.read.parquet(zpath).orderBy("a", "b").collect()
             == df.orderBy("a", "b").collect())
