@@ -1554,6 +1554,28 @@ def q_partitioned_roundtrip(spark, sf_dir):
                     .alias("c_mktsegment")))
 
 
+def q_multimodal_audio(spark, sf_dir):
+    """REAL audio decode in the gate: each document's first 64 ASCII bytes
+    become the PCM payload of a mono 8 kHz 16-bit WAV (RIFF header built
+    as a binary literal); extract_features(fake=False) parses the RIFF
+    chunks with the pure-Python decoder and emits integer-exact sample
+    statistics (sums + one IEEE division; sqrt is correctly rounded in
+    both engines), which the oracle recomputes in SQL from the same text
+    bytes — the audio sibling of multimodal_decode."""
+    import struct
+
+    header = (b"RIFF" + (100).to_bytes(4, "little") + b"WAVE"
+              + b"fmt " + (16).to_bytes(4, "little")
+              + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+              + b"data" + (64).to_bytes(4, "little"))
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 64)
+    payload = F.concat(F.lit(header),
+                       F.substring(F.col("text"), 1, 64).cast("binary"))
+    media = mm.attach_media(docs, "doc_id", payload, kind="audio", fmt="wav")
+    feats = mm.extract_features(media, fake=False)
+    return feats.select("media_id", "n_bytes", "feature")
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental exact dedup (functions.dedup.dedup_against): odd-id
     docs are the incoming batch, even-id docs the existing corpus; keep
@@ -1796,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_auto": q_salted_join_auto,
         "multimodal_bytes": q_multimodal_bytes,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_audio": q_multimodal_audio,
         "session_window": q_session_window,
         "zorder_key": q_zorder_key,
         "stream_session_window": q_stream_session_window,
@@ -3089,6 +3112,29 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, cluster_id FROM fa
         WHERE vec_id NOT IN (SELECT vec_id FROM drops)"""
+    # multimodal_audio: little-endian 16-bit samples rebuilt from the text
+    # bytes (s_i = byte(2i+1) + 256*byte(2i+2), ASCII so always positive),
+    # statistics as integer sums + one IEEE division / correctly-rounded
+    # sqrt — matching audio_features bit-for-bit
+    d["multimodal_audio"] = """
+        WITH d AS (
+          SELECT doc_id, substr(text, 1, 64) AS s
+          FROM documents WHERE len(text) >= 64
+        ), smp AS (
+          SELECT doc_id,
+                 ord(substr(s, 2 * i + 1, 1))
+                 + 256 * ord(substr(s, 2 * i + 2, 1)) AS v
+          FROM d, (SELECT unnest(range(0, 32)) AS i)
+        ), agg AS (
+          SELECT doc_id, sum(v) AS sv, min(v) AS mn, max(v) AS mx,
+                 sum(v * v) AS sq
+          FROM smp GROUP BY doc_id)
+        SELECT doc_id AS media_id, CAST(108 AS BIGINT) AS n_bytes,
+               [1.0, 8000.0, 32.0, 4.0,
+                CAST(sv AS DOUBLE) / 32.0,
+                CAST(mn AS DOUBLE), CAST(mx AS DOUBLE),
+                sqrt(CAST(sq AS DOUBLE) / 32.0)] AS feature
+        FROM agg"""
     d["partitioned_roundtrip"] = """
         SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
                c_mktsegment

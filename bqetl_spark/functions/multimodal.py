@@ -3,11 +3,12 @@
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
 signatures) is real and tested. Decoding tiers:
 
-- REAL pure-Python decoders for the two public formats that need no
-  external library: binary PPM (P6) and uncompressed 24-bit BMP
-  (:func:`decode_ppm` / :func:`decode_bmp`). ``extract_features`` uses
-  them for ``meta.format in ('ppm','bmp')``.
-- compressed formats (png/jpeg/wav/mp4) still raise NotImplementedError —
+- REAL pure-Python decoders for the three public uncompressed formats
+  that need no external library: binary PPM (P6), 24-bit BMP, and 16-bit
+  PCM WAV (:func:`decode_ppm` / :func:`decode_bmp` / :func:`decode_wav`).
+  ``extract_features`` uses them for ``meta.format in ('ppm','bmp',
+  'wav')``.
+- compressed formats (png/jpeg/mp3/mp4) still raise NotImplementedError —
   their codecs (zlib-DEFLATE aside, DCT/entropy coders) are library
   territory and absent from this container; ``fake=True`` substitutes a
   deterministic fake decoder so those pipeline shapes stay exercised.
@@ -132,6 +133,54 @@ def _build_decoders():
             rows.append(bytes(row))
         return w, h, b"".join(rows)
 
+    def decode_wav(payload):
+        """PCM WAV (RIFF) → (n_channels, sample_rate, samples[int], ...).
+        Pure Python over the public RIFF/WAVE layout: 'RIFF'+size+'WAVE',
+        then chunks; 'fmt ' carries audio_format (must be 1 = PCM),
+        channels, rate, bits (16-bit LE signed supported); 'data' carries
+        the interleaved samples. Unknown chunks are skipped by size."""
+        import struct
+
+        if payload is None or bytes(payload[:4]) != b"RIFF" \
+                or bytes(payload[8:12]) != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        payload = bytes(payload)
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            sz = struct.unpack_from("<I", payload, pos + 4)[0]
+            body = payload[pos + 8:pos + 8 + sz]
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            pos += 8 + sz + (sz & 1)          # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        audio_format, n_ch, rate, _brate, _balign, bits = fmt
+        if audio_format != 1 or bits != 16:
+            raise ValueError(f"only 16-bit PCM supported, got "
+                             f"format={audio_format} bits={bits}")
+        n = len(data) // 2
+        samples = list(struct.unpack(f"<{n}h", data[:2 * n]))
+        return n_ch, rate, samples
+
+    def audio_features(n_ch, rate, samples):
+        """8-dim feature vector, EXACT arithmetic (integer sums, one final
+        IEEE division; sqrt is IEEE-correctly-rounded in every engine):
+        [n_channels, sample_rate, n_frames, duration_ms, mean_sample,
+        min_sample, max_sample, rms]."""
+        import math
+
+        n_frames = len(samples) // n_ch
+        if not samples:
+            return [float(n_ch), float(rate), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        s = [int(x) for x in samples]
+        return [float(n_ch), float(rate), float(n_frames),
+                float(n_frames * 1000 // rate),
+                sum(s) / len(s), float(min(s)), float(max(s)),
+                math.sqrt(sum(x * x for x in s) / len(s))]
+
     def image_features(w, h, rgb):
         """8-dim feature vector from decoded RGB pixels, EXACT arithmetic:
         every aggregate is an integer sum with one final IEEE division, so
@@ -151,10 +200,11 @@ def _build_decoders():
                 int(psum.min()) / 3.0, int(psum.max()) / 3.0,
                 int(csum.sum()) / (3.0 * npix)]
 
-    return decode_ppm, decode_bmp, image_features
+    return decode_ppm, decode_bmp, image_features, decode_wav, audio_features
 
 
-decode_ppm, decode_bmp, image_features = _build_decoders()
+(decode_ppm, decode_bmp, image_features,
+ decode_wav, audio_features) = _build_decoders()
 
 
 def extract_features(media: DataFrame, fake: bool = False,
@@ -174,6 +224,7 @@ def extract_features(media: DataFrame, fake: bool = False,
     sys.path — the external-driver situation.
     """
     ppm, bmp, feats_of = decode_ppm, decode_bmp, image_features  # by-value
+    wav, afeats_of = decode_wav, audio_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd  # worker-side import, always available with pyspark
@@ -193,6 +244,9 @@ def extract_features(media: DataFrame, fake: bool = False,
             if fake:
                 return decode_fake(payload)
             fmt = (meta or {}).get("format")
+            if fmt == "wav":
+                f = afeats_of(*wav(payload))
+                return (f + [0.0] * n_feat)[:n_feat]
             dec = real.get(fmt)
             if dec is None:
                 raise NotImplementedError(

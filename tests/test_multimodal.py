@@ -166,3 +166,59 @@ def test_resize_stub_raises_without_fake(spark):
                          kind="image", fmt="png")
     with pytest.raises(Exception, match="PIL|NotImplemented"):
         resize_images(media, 4, 4, fake=False).collect()
+
+
+def _wav(n_ch, rate, samples) -> bytes:
+    import struct
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    return (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + struct.pack("<HHIIHH", 1, n_ch, rate, rate * 2 * n_ch,
+                          2 * n_ch, 16)
+            + b"data" + len(data).to_bytes(4, "little") + data)
+
+
+def test_decode_wav_golden():
+    n_ch, rate, samples = mm.decode_wav(_wav(1, 8000, [100, -200, 300, 0]))
+    assert (n_ch, rate, samples) == (1, 8000, [100, -200, 300, 0])
+    # stereo + an unknown chunk before data is skipped by size
+    raw = _wav(2, 44100, [1, -1, 32767, -32768])
+    with_junk = raw[:12] + b"LIST" + (4).to_bytes(4, "little") + b"INFO" \
+        + raw[12:]
+    assert mm.decode_wav(with_junk) == (2, 44100, [1, -1, 32767, -32768])
+
+
+def test_decode_wav_errors():
+    import pytest
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        mm.decode_wav(b"RIFX" + b"\x00" * 40)
+    with pytest.raises(ValueError, match="missing fmt"):
+        mm.decode_wav(b"RIFF" + (4).to_bytes(4, "little") + b"WAVE")
+    import struct
+    bad = (b"RIFF" + (36).to_bytes(4, "little") + b"WAVE" + b"fmt "
+           + (16).to_bytes(4, "little")
+           + struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float32
+           + b"data" + (0).to_bytes(4, "little"))
+    with pytest.raises(ValueError, match="16-bit PCM"):
+        mm.decode_wav(bad)
+
+
+def test_audio_features_exact():
+    f = mm.audio_features(1, 8000, [3, -3, 4, -4])
+    assert f[:4] == [1.0, 8000.0, 4.0, 0.0]      # 4 frames @ 8kHz -> 0 ms
+    assert f[4] == 0.0 and f[5] == -4.0 and f[6] == 4.0
+    assert f[7] == (25 / 2) ** 0.5               # rms of {3,3,4,4}
+
+
+def test_extract_features_real_wav(spark):
+    payload = _wav(1, 8000, list(range(8)))
+    df = spark.createDataFrame([(7, payload)], "media_id long, payload binary")
+    media = df.select(
+        "media_id", "payload",
+        F.struct(F.lit("audio").alias("kind"), F.lit("wav").alias("format"),
+                 F.lit(None).cast("long").alias("width"),
+                 F.lit(None).cast("long").alias("height"),
+                 F.lit(None).cast("long").alias("duration_ms")).alias("meta"))
+    out = mm.extract_features(media, fake=False).collect()[0]
+    assert out["feature"] == mm.audio_features(1, 8000, list(range(8)))
+    assert out["n_bytes"] == len(payload)
