@@ -1576,6 +1576,22 @@ def q_multimodal_audio(spark, sf_dir):
     return feats.select("media_id", "n_bytes", "feature")
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """REAL image pipeline in the gate: 4×3 PPM built from document bytes
+    → real nearest-neighbor resize to 2×2 (resize_images fake=False:
+    src = floor(dst·src_extent/dst_extent), integer index math) → real
+    decode + integer-exact features. The oracle samples the SAME source
+    pixels straight from the text bytes, so the hash-match certifies the
+    decode→resample→re-encode→decode chain end to end."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 36)
+    payload = F.concat(F.lit("P6\n4 3\n255\n").cast("binary"),
+                       F.substring(F.col("text"), 1, 36).cast("binary"))
+    media = mm.attach_media(docs, "doc_id", payload, kind="image", fmt="ppm")
+    resized = mm.resize_images(media, 2, 2, fake=False)
+    feats = mm.extract_features(resized, fake=False)
+    return feats.select("media_id", "n_bytes", "feature")
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental exact dedup (functions.dedup.dedup_against): odd-id
     docs are the incoming batch, even-id docs the existing corpus; keep
@@ -1819,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bytes": q_multimodal_bytes,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
+        "multimodal_resize": q_multimodal_resize,
         "session_window": q_session_window,
         "zorder_key": q_zorder_key,
         "stream_session_window": q_stream_session_window,
@@ -3112,6 +3129,37 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, cluster_id FROM fa
         WHERE vec_id NOT IN (SELECT vec_id FROM drops)"""
+    # multimodal_resize: the 2x2 nearest-neighbor sample of the 4x3 image
+    # picks source pixels {0,2,4,6} (floor(dst*src/dst) per axis); the
+    # oracle reads those pixels' bytes straight out of the text
+    d["multimodal_resize"] = """
+        WITH d AS (
+          SELECT doc_id, substr(text, 1, 36) AS s
+          FROM documents WHERE len(text) >= 36
+        ), b AS (
+          SELECT doc_id, p.p, c.c,
+                 ord(substr(s, 3 * p.p + c.c + 1, 1)) AS v
+          FROM d, (SELECT unnest([0, 2, 4, 6]) AS p) p,
+               (SELECT unnest([0, 1, 2]) AS c) c
+        ), px AS (
+          SELECT doc_id, p, sum(v) AS psum FROM b GROUP BY doc_id, p
+        ), ch AS (
+          SELECT doc_id,
+                 sum(CASE WHEN c = 0 THEN v END) AS sr,
+                 sum(CASE WHEN c = 1 THEN v END) AS sg,
+                 sum(CASE WHEN c = 2 THEN v END) AS sb,
+                 sum(v) AS st
+          FROM b GROUP BY doc_id
+        ), lm AS (
+          SELECT doc_id, min(psum) AS mn, max(psum) AS mx
+          FROM px GROUP BY doc_id)
+        SELECT ch.doc_id AS media_id, CAST(23 AS BIGINT) AS n_bytes,
+               [2.0, 2.0,
+                CAST(sr AS DOUBLE) / 4.0, CAST(sg AS DOUBLE) / 4.0,
+                CAST(sb AS DOUBLE) / 4.0,
+                CAST(mn AS DOUBLE) / 3.0, CAST(mx AS DOUBLE) / 3.0,
+                CAST(st AS DOUBLE) / 12.0] AS feature
+        FROM ch JOIN lm ON ch.doc_id = lm.doc_id"""
     # multimodal_audio: little-endian 16-bit samples rebuilt from the text
     # bytes (s_i = byte(2i+1) + 256*byte(2i+2), ASCII so always positive),
     # statistics as integer sums + one IEEE division / correctly-rounded

@@ -287,33 +287,48 @@ def resize_images(media: DataFrame, width: int, height: int,
     """Image resize via mapInPandas, returning a MEDIA_SCHEMA-shaped table
     with the payload replaced and meta.width/height set.
 
-    Real decode+resample needs PIL (absent from this container), so the
-    stub raises unless ``fake=True``; the fake produces a deterministic
-    width*height-byte payload (input bytes tiled/truncated), which keeps
-    the batch shape, sizes, and schema of the real path so the Spark-side
-    plumbing is fully exercised. Map-only: resizing 100 TB of images is a
-    pure scan sized by bytes, not rows."""
+    ``fake=False`` REALLY resizes ``meta.format == 'ppm'`` payloads:
+    decode_ppm → NEAREST-NEIGHBOR resample (source index =
+    ``floor(dst_index * src_extent / dst_extent)`` per axis — integer
+    arithmetic, no interpolation rounding, so the output bytes are
+    reproducible in SQL) → re-encoded P6. Other formats still raise
+    (their codecs need PIL, absent from this container); ``fake=True``
+    keeps the deterministic tiled-bytes fake for those pipeline shapes.
+    Map-only: resizing 100 TB of images is a pure scan sized by bytes,
+    not rows."""
+    ppm = decode_ppm  # closure-local binding → shipped by value
 
     def run(batches):
         import pandas as _pd
 
         target = width * height
 
-        def resize_fake(payload):
+        def resize_fake(payload, _meta):
             if payload is None or len(payload) == 0:
                 return bytes(target)
             reps = -(-target // len(payload))  # ceil
             return (bytes(payload) * reps)[:target]
 
-        def resize_stub(payload):
-            raise NotImplementedError(
-                "image resize requires PIL, not present in this container; "
-                "pass fake=True for the deterministic fake resizer")
+        def resize_real(payload, meta):
+            fmt = (meta or {}).get("format")
+            if fmt != "ppm":
+                raise NotImplementedError(
+                    f"no pure-Python resampler for format {fmt!r} (needs "
+                    "PIL); use 'ppm' or pass fake=True")
+            import numpy as np
+            w0, h0, rgb = ppm(payload)
+            a = np.frombuffer(rgb, dtype=np.uint8).reshape(h0, w0, 3)
+            ys = (np.arange(height) * h0) // height
+            xs = (np.arange(width) * w0) // width
+            out = a[ys][:, xs]
+            return (b"P6\n%d %d\n255\n" % (width, height)
+                    + out.tobytes())
 
-        resize = resize_fake if fake else resize_stub
+        resize = resize_fake if fake else resize_real
         for pdf in batches:
             out = pdf.copy()
-            out["payload"] = pdf["payload"].map(resize)
+            out["payload"] = [resize(p, m)
+                              for p, m in zip(pdf["payload"], pdf["meta"])]
             out["meta"] = pdf["meta"].map(
                 lambda m: {**(m if isinstance(m, dict) else m.asDict()),
                            "width": width, "height": height})

@@ -222,3 +222,27 @@ def test_extract_features_real_wav(spark):
     out = mm.extract_features(media, fake=False).collect()[0]
     assert out["feature"] == mm.audio_features(1, 8000, list(range(8)))
     assert out["n_bytes"] == len(payload)
+
+
+def test_resize_real_ppm_nearest_neighbor(spark):
+    """Golden 2x2→1x1 and 2x2→4x4 nearest-neighbor resizes of a known
+    image; payload is a valid re-encoded P6 that decode_ppm round-trips."""
+    pix = bytes([10, 11, 12,  20, 21, 22,
+                 30, 31, 32,  40, 41, 42])        # 2x2 RGB
+    df = spark.createDataFrame([(1, _ppm(2, 2, pix))],
+                               "media_id long, payload binary")
+    media = df.select(
+        "media_id", "payload",
+        F.struct(F.lit("image").alias("kind"), F.lit("ppm").alias("format"),
+                 F.lit(None).cast("long").alias("width"),
+                 F.lit(None).cast("long").alias("height"),
+                 F.lit(None).cast("long").alias("duration_ms")).alias("meta"))
+    down = mm.resize_images(media, 1, 1, fake=False).collect()[0]
+    w, h, rgb = mm.decode_ppm(bytes(down["payload"]))
+    assert (w, h) == (1, 1) and rgb == pix[:3]    # src idx floor(0*2/1)=0
+    assert down["meta"]["width"] == 1 and down["meta"]["height"] == 1
+    up = mm.resize_images(media, 4, 4, fake=False).collect()[0]
+    w, h, rgb = mm.decode_ppm(bytes(up["payload"]))
+    assert (w, h) == (4, 4)
+    # each source pixel replicated 2x2: row 0 = p0 p0 p1 p1
+    assert rgb[0:6] == pix[0:3] * 2 and rgb[6:12] == pix[3:6] * 2
