@@ -1592,6 +1592,23 @@ def q_multimodal_resize(spark, sf_dir):
     return feats.select("media_id", "n_bytes", "feature")
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """REAL frame sampling in the gate: three 4×3 PPM frames concatenated
+    into one payload (the ffmpeg image2pipe ppm-stream convention), every
+    2nd frame sampled and feature-extracted for real
+    (multimodal.sample_frames). The oracle reads frames 0 and 2's pixels
+    straight from the text bytes — certifying the stream splitter walks
+    variable-length headers and exact pixel extents correctly."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 108)
+    frame = lambda k: F.concat(
+        F.lit("P6\n4 3\n255\n").cast("binary"),
+        F.substring(F.col("text"), 36 * k + 1, 36).cast("binary"))
+    payload = F.concat(frame(0), frame(1), frame(2))
+    media = mm.attach_media(docs, "doc_id", payload, kind="video",
+                            fmt="ppms")
+    return mm.sample_frames(media, every_n=2)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental exact dedup (functions.dedup.dedup_against): odd-id
     docs are the incoming batch, even-id docs the existing corpus; keep
@@ -1836,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "session_window": q_session_window,
         "zorder_key": q_zorder_key,
         "stream_session_window": q_stream_session_window,
@@ -3129,6 +3147,39 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, cluster_id FROM fa
         WHERE vec_id NOT IN (SELECT vec_id FROM drops)"""
+    # multimodal_frames: frame k occupies text bytes 36k+1..36k+36; the
+    # sampler keeps frames 0 and 2 (every_n=2 of 3 frames)
+    d["multimodal_frames"] = """
+        WITH d AS (
+          SELECT doc_id, text FROM documents WHERE len(text) >= 108
+        ), b AS (
+          SELECT doc_id, f.f AS frame_idx, p.p,
+                 ord(substr(text, 36 * f.f + p.p, 1)) AS v,
+                 (p.p - 1) % 3 AS c, (p.p - 1) // 3 AS q
+          FROM d, (SELECT unnest([0, 2]) AS f) f,
+               (SELECT unnest(range(1, 37)) AS p) p
+        ), px AS (
+          SELECT doc_id, frame_idx, q, sum(v) AS psum
+          FROM b GROUP BY doc_id, frame_idx, q
+        ), ch AS (
+          SELECT doc_id, frame_idx,
+                 sum(CASE WHEN c = 0 THEN v END) AS sr,
+                 sum(CASE WHEN c = 1 THEN v END) AS sg,
+                 sum(CASE WHEN c = 2 THEN v END) AS sb,
+                 sum(v) AS st
+          FROM b GROUP BY doc_id, frame_idx
+        ), lm AS (
+          SELECT doc_id, frame_idx, min(psum) AS mn, max(psum) AS mx
+          FROM px GROUP BY doc_id, frame_idx)
+        SELECT ch.doc_id AS media_id, CAST(ch.frame_idx AS BIGINT) AS frame_idx,
+               CAST(47 AS BIGINT) AS n_bytes,
+               [4.0, 3.0,
+                CAST(sr AS DOUBLE) / 12.0, CAST(sg AS DOUBLE) / 12.0,
+                CAST(sb AS DOUBLE) / 12.0,
+                CAST(mn AS DOUBLE) / 3.0, CAST(mx AS DOUBLE) / 3.0,
+                CAST(st AS DOUBLE) / 36.0] AS feature
+        FROM ch JOIN lm ON ch.doc_id = lm.doc_id
+                        AND ch.frame_idx = lm.frame_idx"""
     # multimodal_resize: the 2x2 nearest-neighbor sample of the 4x3 image
     # picks source pixels {0,2,4,6} (floor(dst*src/dst) per axis); the
     # oracle reads those pixels' bytes straight out of the text

@@ -282,6 +282,81 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             .select("media_id", "sample_ts_ms"))
 
 
+def sample_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video-ish frame sampling over PPM STREAMS — concatenated P6
+    images, the public convention ffmpeg's ``image2pipe`` emits — taking
+    every ``every_n``-th frame and returning one FEATURE row per sampled
+    frame: (media_id, frame_idx, n_bytes of the frame, feature) with the
+    same integer-exact image statistics as ``extract_features``.
+
+    One mapInPandas stage; a frame-level explode happens Python-side per
+    Arrow batch (the output row count is frames/every_n per video, known
+    shape). Decode failures surface as errors, not silent drops."""
+    from pyspark.sql import types as TT
+
+    ppm, feats_of = decode_ppm, image_features   # by-value closure bindings
+    out_schema = TT.StructType([
+        TT.StructField("media_id", TT.LongType(), False),
+        TT.StructField("frame_idx", TT.LongType(), False),
+        TT.StructField("n_bytes", TT.LongType(), True),
+        TT.StructField("feature", TT.ArrayType(TT.DoubleType()), True),
+    ])
+
+    def frames_of(payload):
+        """Split a concatenated-P6 payload into per-frame byte slices:
+        decode each frame, then re-walk its header (same tokenizer as
+        decode_ppm) to measure the exact consumed length — header length
+        varies with the digit counts, so it cannot be assumed."""
+        payload = bytes(payload or b"")
+        pos, out = 0, []
+        while pos < len(payload):
+            sub = payload[pos:]
+            w, h, pix = ppm(sub)
+            p2, nfields = 2, 0
+            while nfields < 3:
+                while sub[p2:p2 + 1].isspace():
+                    p2 += 1
+                if sub[p2:p2 + 1] == b"#":
+                    while p2 < len(sub) and sub[p2] != 0x0A:
+                        p2 += 1
+                    continue
+                while p2 < len(sub) and not sub[p2:p2 + 1].isspace():
+                    p2 += 1
+                nfields += 1
+            p2 += 1                       # single whitespace after maxval
+            frame_len = p2 + 3 * w * h
+            out.append((payload[pos:pos + frame_len], w, h, pix))
+            pos += frame_len
+        return out
+
+    def run(batches):
+        import pandas as _pd
+
+        rows = {"media_id": [], "frame_idx": [], "n_bytes": [],
+                "feature": []}
+        for pdf in batches:
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for idx, (frame, w, h, pix) in enumerate(frames_of(payload)):
+                    if idx % every_n:
+                        continue
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(idx)
+                    rows["n_bytes"].append(len(frame))
+                    rows["feature"].append(feats_of(w, h, pix))
+        # explicit object dtype: an EMPTY partition would otherwise give
+        # the feature column float64 dtype, which Arrow refuses to cast
+        # to list<double>
+        yield _pd.DataFrame({
+            "media_id": _pd.Series(rows["media_id"], dtype="int64"),
+            "frame_idx": _pd.Series(rows["frame_idx"], dtype="int64"),
+            "n_bytes": _pd.Series(rows["n_bytes"], dtype="int64"),
+            "feature": _pd.Series(rows["feature"], dtype="object"),
+        })
+
+    return (media.filter(F.col("meta.format") == "ppms")
+            .mapInPandas(run, schema=out_schema))
+
+
 def resize_images(media: DataFrame, width: int, height: int,
                   fake: bool = False) -> DataFrame:
     """Image resize via mapInPandas, returning a MEDIA_SCHEMA-shaped table

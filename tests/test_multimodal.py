@@ -246,3 +246,28 @@ def test_resize_real_ppm_nearest_neighbor(spark):
     assert (w, h) == (4, 4)
     # each source pixel replicated 2x2: row 0 = p0 p0 p1 p1
     assert rgb[0:6] == pix[0:3] * 2 and rgb[6:12] == pix[3:6] * 2
+
+
+def test_sample_frames_ppm_stream(spark):
+    """3-frame concatenated-P6 stream with DIFFERENT header digit widths
+    (1x1, 10x1, 2x2) — the splitter must measure each header exactly."""
+    f0 = _ppm(1, 1, bytes([1, 2, 3]))
+    f1 = _ppm(10, 1, bytes(range(30)))
+    f2 = _ppm(2, 2, bytes(range(12)))
+    df = spark.createDataFrame([(5, f0 + f1 + f2)],
+                               "media_id long, payload binary")
+    media = df.select(
+        "media_id", "payload",
+        F.struct(F.lit("video").alias("kind"), F.lit("ppms").alias("format"),
+                 F.lit(None).cast("long").alias("width"),
+                 F.lit(None).cast("long").alias("height"),
+                 F.lit(None).cast("long").alias("duration_ms")).alias("meta"))
+    allf = {r["frame_idx"]: r for r in
+            mm.sample_frames(media, every_n=1).collect()}
+    assert set(allf) == {0, 1, 2}
+    assert allf[0]["n_bytes"] == len(f0) and allf[2]["n_bytes"] == len(f2)
+    assert allf[0]["feature"] == mm.image_features(1, 1, bytes([1, 2, 3]))
+    assert allf[1]["feature"] == mm.image_features(10, 1, bytes(range(30)))
+    every2 = {r["frame_idx"] for r in
+              mm.sample_frames(media, every_n=2).collect()}
+    assert every2 == {0, 2}
