@@ -1233,6 +1233,21 @@ def q_point_in_time(spark, sf_dir):
                     F.col("value").alias("purchase_value"))
 
 
+def q_compact_changelog(spark, sf_dir):
+    """CDC compaction (operators.merge.compact_changelog): the event log
+    compacted to each user's latest event (ties by event_id desc) — the
+    append-stream → current-snapshot step before serving. Oracle = the
+    same total-ordered window rule in SQL."""
+    from bqetl_spark.operators.merge import compact_changelog
+
+    ev = _t(spark, sf_dir, "events")
+    out = compact_changelog(
+        ev.select("user_id", "ts", "event_id", "event_type", "value"),
+        key="user_id", ts_col="ts", tiebreak_cols=["event_id"])
+    return out.select("user_id", F.unix_micros("ts").alias("ts_us"),
+                      "event_id", "event_type", "value")
+
+
 def q_cube_status_priority(spark, sf_dir):
     """CUBE over (status, priority) — all four grouping-set combinations."""
     orders = _t(spark, sf_dir, "orders")
@@ -1864,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "point_in_time": q_point_in_time,
         "partitioned_roundtrip": q_partitioned_roundtrip,
+        "compact_changelog": q_compact_changelog,
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
     # --- 3. r3 greens rotating in -------------------------------------
         "dedup_exact": q_dedup_exact,
@@ -3234,6 +3250,15 @@ def oracle_sql() -> dict[str, str]:
                 CAST(mn AS DOUBLE), CAST(mx AS DOUBLE),
                 sqrt(CAST(sq AS DOUBLE) / 32.0)] AS feature
         FROM agg"""
+    # changelog compaction: latest row per user by (ts, event_id) desc
+    d["compact_changelog"] = """
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               event_id, event_type, value
+        FROM (SELECT user_id, ts, event_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1"""
     d["partitioned_roundtrip"] = """
         SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
                c_mktsegment

@@ -152,3 +152,22 @@ def point_in_time_join(facts: DataFrame, dim: DataFrame, key: str,
     return f.join(d, cond, how).select(
         *[F.col(f"__f.{c}") for c in facts.columns],
         *[F.col(f"__d.{c}") for c in dim_cols])
+
+
+def compact_changelog(changes: DataFrame, key: str, ts_col: str,
+                      tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """CDC/changelog compaction: keep each key's LATEST row by event time
+    (ties broken by ``tiebreak_cols`` so the winner is total-ordered) —
+    the standard step that turns an append-only change stream into a
+    current-state snapshot before serving or merging downstream.
+
+    One window shuffle on the key; at 100 TB a hot key concentrates its
+    changes on one reducer, but the retained payload per key is a single
+    row and the window ranks a compact (ts, tiebreaks) tuple — the same
+    posture as dedup_keep_best. Deterministic for any partitioning when
+    the ordering is total."""
+    order = [F.col(ts_col).desc()] + \
+        [F.col(c).desc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(key).orderBy(*order)
+    return (changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))

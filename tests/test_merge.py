@@ -124,3 +124,17 @@ def test_point_in_time_join_versions(spark):
     # tie at t=150: w1's interval is zero-width -> w2 wins from 150 on
     assert out[(2, 150)] == "w2" and out[(2, 151)] == "w2"
     assert len(out) == 7                   # at most one version per fact
+
+
+def test_compact_changelog_latest_wins(spark):
+    from bqetl_spark.operators.merge import compact_changelog
+
+    changes = spark.createDataFrame(
+        [(1, 100, 10, "a"), (1, 300, 11, "c"), (1, 200, 12, "b"),
+         (2, 50, 20, "x"),
+         (3, 70, 30, "t1"), (3, 70, 31, "t2")],   # tie -> higher id wins
+        ["k", "t", "cid", "v"])
+    got = {r["k"]: (r["t"], r["v"]) for r in
+           compact_changelog(changes, key="k", ts_col="t",
+                             tiebreak_cols=["cid"]).collect()}
+    assert got == {1: (300, "c"), 2: (50, "x"), 3: (70, "t2")}
