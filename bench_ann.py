@@ -67,6 +67,13 @@ def main() -> None:
         measure("ivf", {"n_lists": 16, "n_probe": n_probe},
                 lambda p=n_probe: sim.ivf_topk(
                     emb, q, k=K, n_lists=16, n_probe=p))
+    # Lloyd refinement: tighter lists -> better recall at the same probe
+    # budget (the knob that matters once probes are fixed by latency)
+    for n_probe in (4, 8):
+        measure("ivf_kmeans", {"n_lists": 16, "n_probe": n_probe,
+                               "iters": 2},
+                lambda p=n_probe: sim.ivf_topk(
+                    emb, q, k=K, n_lists=16, n_probe=p, refine_iters=2))
     # int8 scalar quantization: a different accuracy axis — full scan like
     # exact but 4-8x fewer bytes/vector; error from the grid, not pruning
     measure("sq8", {"bits": 8},
