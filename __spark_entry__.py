@@ -891,6 +891,25 @@ def q_zorder_key(spark, sf_dir):
         .alias("zkey"))
 
 
+def q_session_labels(spark, sf_dir):
+    """Per-EVENT session labels (the join-key downstream feature pipelines
+    need): cumulative-break islands give each event its user-local
+    session ordinal — same 30-min gap rule as q_sessionize/q_session_window
+    but emitting the event→session assignment rather than aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    brk = F.when(gap.isNull() | (gap > 1800 * 1_000_000),
+                 F.lit(1)).otherwise(F.lit(0))
+    return (ev.withColumn("__b", brk)
+            .withColumn("session_id",
+                        F.sum("__b").over(
+                            w.rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)).cast("long"))
+            .select("event_id", "user_id",
+                    F.unix_micros("ts").alias("ts_us"), "session_id"))
+
+
 def q_asof_purchase(spark, sf_dir):
     """As-of join: each event annotated with the user's most recent purchase
     at or before it (operators/asof.py; oracle = DuckDB ASOF JOIN)."""
@@ -1880,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_time": q_point_in_time,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "compact_changelog": q_compact_changelog,
+        "session_labels": q_session_labels,
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
     # --- 3. r3 greens rotating in -------------------------------------
         "dedup_exact": q_dedup_exact,
@@ -2575,6 +2595,25 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id""",
+        # per-event session ordinals: cumulative breaks under the same
+        # (ts, event_id)-ordered islands rule
+        "session_labels": """
+            WITH m AS (
+              SELECT event_id, user_id,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(CAST(ts AS TIMESTAMP))
+                                  - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                                  > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT event_id, user_id, ts_us,
+                   CAST(SUM(brk) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS session_id
+            FROM m""",
         # native session windows: same islands rule as `sessionize` (break
         # strictly on gap exceeded — verified boundary semantics: events
         # exactly 1800s apart merge), grouped to (start, last+gap) spans
