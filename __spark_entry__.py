@@ -910,6 +910,22 @@ def q_session_labels(spark, sf_dir):
                     F.unix_micros("ts").alias("ts_us"), "session_id"))
 
 
+def q_rolling_window(spark, sf_dir):
+    """Event-time RANGE-frame window: per event, the user's activity count
+    and value sum over the trailing 30 minutes (rangeBetween on epoch
+    micros — the time-based frame, vs the ROWS frames elsewhere in the
+    suite). Range frames include all peers, so ties need no ordering
+    tiebreak; the decimal sum keeps the comparison exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+         .rangeBetween(-1800 * 1_000_000, 0))
+    return (ev.select("event_id", "user_id",
+                      F.unix_micros("ts").alias("ts_us"),
+                      F.count("*").over(w).alias("n_last_30m"),
+                      F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+                      .cast("double").alias("value_last_30m")))
+
+
 def q_asof_purchase(spark, sf_dir):
     """As-of join: each event annotated with the user's most recent purchase
     at or before it (operators/asof.py; oracle = DuckDB ASOF JOIN)."""
@@ -1900,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "compact_changelog": q_compact_changelog,
         "session_labels": q_session_labels,
+        "rolling_window": q_rolling_window,
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
     # --- 3. r3 greens rotating in -------------------------------------
         "dedup_exact": q_dedup_exact,
@@ -2595,6 +2612,17 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id""",
+        # event-time RANGE frame: trailing 30 minutes inclusive
+        "rolling_window": """
+            SELECT event_id, user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                   count(*) OVER w AS n_last_30m,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                     AS value_last_30m
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                         RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)""",
         # per-event session ordinals: cumulative breaks under the same
         # (ts, event_id)-ordered islands rule
         "session_labels": """
