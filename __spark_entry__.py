@@ -1659,6 +1659,21 @@ def q_multimodal_frames(spark, sf_dir):
     return mm.sample_frames(media, every_n=2)
 
 
+def q_doc_chunks_udtf(spark, sf_dir):
+    """Chunking through Spark's Python UDTF API (SQL surface:
+    FROM docs, LATERAL chunk_tokens(text, size, stride)) — the same
+    overlapping-window semantics as doc_chunks, verified against the SAME
+    oracle, so the two engine paths (pure-Catalyst slice/explode vs
+    table-function) are pinned equal."""
+    from bqetl_spark.functions.chunking import chunk_tokens_udtf
+
+    spark.udtf.register("chunk_tokens", chunk_tokens_udtf())
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql("""
+        SELECT doc_id, c.chunk_id, c.chunk_text, c.n_tokens
+        FROM __docs_udtf, LATERAL chunk_tokens(text, 16, 12) c""")
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental exact dedup (functions.dedup.dedup_against): odd-id
     docs are the incoming batch, even-id docs the existing corpus; keep
@@ -1917,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_changelog": q_compact_changelog,
         "session_labels": q_session_labels,
         "rolling_window": q_rolling_window,
+        "doc_chunks_udtf": q_doc_chunks_udtf,
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
     # --- 3. r3 greens rotating in -------------------------------------
         "dedup_exact": q_dedup_exact,
@@ -3020,6 +3036,8 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(w[start:start+15], ' ') AS chunk_text,
                CAST(least(16, n - start + 1) AS BIGINT) AS n_tokens
         FROM s"""
+    # the UDTF path must equal the Catalyst path bit-for-bit
+    d["doc_chunks_udtf"] = d["doc_chunks"]
     # 0.3 * 16^8 floors to 0x4ccccccc; lowercase-hex md5 compares the same
     # lexicographically in both engines
     d["sample_hash"] = """

@@ -215,3 +215,32 @@ def mixture_repeats(df: DataFrame, weights: dict[str, float],
         out = F.when(F.col(strata_col) == s, repeats_of(float(wt))) \
                .otherwise(out)
     return df.withColumn("n_repeats", out)
+
+
+def chunk_tokens_udtf():
+    """Document chunking as a Spark Python UDTF (the SQL-surface flat-map:
+    ``FROM docs, LATERAL chunk_tokens(text, size, stride)``) — the same
+    overlapping-token-window semantics as :func:`doc_chunks`, exposed
+    through the first-class table-function API so SQL users can chunk
+    without the DataFrame helper. Built fresh per call with a
+    closure-local class, so cloudpickle ships it by value (workers never
+    need this package importable).
+
+    Row-at-a-time eval is the UDTF contract; chunking is string slicing,
+    so the per-row Python cost is small — for the bulk path prefer
+    doc_chunks (pure Catalyst expressions). Semantics pinned by the gate:
+    doc_chunks_udtf shares doc_chunks' oracle verbatim."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id: bigint, chunk_text: string, n_tokens: bigint")
+    class ChunkTokens:
+        def eval(self, text, size: int, stride: int):
+            toks = (text or "").split()
+            i, cid = 0, 0
+            while i < len(toks):
+                window = toks[i:i + size]
+                yield cid, " ".join(window), len(window)
+                cid += 1
+                i += stride
+
+    return ChunkTokens
