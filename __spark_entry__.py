@@ -31,6 +31,9 @@ from pyspark.sql import functions as F
 
 from bqetl_spark.functions import chunking as ck
 from bqetl_spark.functions import dedup as dd
+from bqetl_spark.functions import graph as gr
+from bqetl_spark.functions import retrieval as rt
+from bqetl_spark.functions import sketch as sk
 from bqetl_spark.functions import multimodal as mm
 from bqetl_spark.functions import similarity as sim
 from bqetl_spark.functions import text as tx
@@ -1871,6 +1874,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_denorm_flat(spark, "/root/testdata/sf0.001")
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """Per-language distinct-token estimate via the K-minimum-values
+    sketch (functions.sketch.kmv_distinct, k=256) — bounded-state distinct
+    counting whose ESTIMATE (not just its error bound) is deterministic,
+    because the hash is md5-derived and the estimate arithmetic is one
+    IEEE-exact division. The oracle replays the same k-th-order-statistic
+    formula over the same 60-bit hashes in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (docs.filter(F.trim(F.col("text")) != "")
+           .select("lang", F.explode(tx.tokens(F.col("text"))).alias("tok")))
+    return sk.kmv_distinct(tok, "tok", "lang", k=256)
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (functions.graph.pagerank_fixed, 5 iterations,
+    damping 0.85) over the undirected customer–supplier trade graph; top
+    100 nodes by rank, ties by node id. Integer rank units make the
+    iterative result bit-identical to the oracle's unrolled-CTE replay."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = gr.cooccurrence_edges(orders, lineitem)
+    ranks = gr.pagerank_fixed(edges, iters=5, damping_pct=85)
+    return (ranks.orderBy(F.desc("rank"), F.asc("node")).limit(100)
+            .select("node", "rank"))
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Top-20 documents by integerized TF-IDF for a fixed query bag
+    (functions.retrieval.tfidf_topk) — the cheap lexical retriever that
+    slices topic-relevant docs out of a corpus before any embedding model
+    runs. idf is floor(1e6·ln(N/df)): deterministic given the margin
+    audit; scores and ranking are pure BIGINT."""
+    docs = _t(spark, sf_dir, "documents")
+    return rt.tfidf_topk(docs, ["spark", "shuffle", "window"], k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver evaluates exactly the FIRST 50 dict
     # entries each round (r1-r4 all confirm). Round-5 priority:
@@ -1933,6 +1972,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_labels": q_session_labels,
         "rolling_window": q_rolling_window,
         "doc_chunks_udtf": q_doc_chunks_udtf,
+        "kmv_distinct": q_kmv_distinct,      # new this session
+        "pagerank": q_pagerank,              # new this session
+        "tfidf_topk": q_tfidf_topk,          # new this session
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
     # --- 3. r3 greens rotating in -------------------------------------
         "dedup_exact": q_dedup_exact,
@@ -3502,4 +3544,98 @@ def oracle_sql() -> dict[str, str]:
                      - n) // 256 AS BIGINT) AS pack_id,
                CAST(n AS BIGINT) AS n_tokens
         FROM t"""
+    # KMV distinct sketch: the ESTIMATE itself is replayed — k-th order
+    # statistic of the 60-bit md5-prefix hashes per group. 255 * 2^60 is
+    # exactly representable in a double (8-bit mantissa, trailing zeros),
+    # so floor(255·2^60 / kth) is one correctly-rounded IEEE division on
+    # both engines.
+    d["kmv_distinct"] = f"""
+        WITH tok AS (
+            SELECT lang, unnest({_TOK}) AS tok
+            FROM documents WHERE trim(text) != ''),
+        h AS (
+            SELECT DISTINCT lang,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+            FROM tok),
+        r AS (
+            SELECT lang, hv,
+                   row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+            FROM h)
+        SELECT lang,
+               CAST(CASE WHEN max(rn) < 256 THEN max(rn)
+                    ELSE floor(255.0 * 1152921504606846976
+                               / max(CASE WHEN rn = 256 THEN hv END))
+                    END AS BIGINT) AS est_distinct,
+               CASE WHEN max(rn) < 256 THEN NULL
+                    ELSE max(CASE WHEN rn = 256 THEN hv END)
+                    END AS kth_hash
+        FROM r GROUP BY lang"""
+    # PageRank: the integer fixed-point recurrence unrolled as 5 CTE
+    # iterations — rank'(v) = base + Σ floor(85·rank(u)/(100·outdeg(u))).
+    # Every quantity < 2^53, so the recurrence is bit-identical to Spark's
+    # join-agg loop regardless of partitioning or summation order.
+    _pr_iter = """
+        SELECT n.node,
+               {base} + COALESCE(s.c, 0) AS rank
+        FROM pr_nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   SUM(CAST(floor(85 * r.rank / (100.0 * e.outdeg)) AS BIGINT)) AS c
+            FROM pr_e e JOIN {prev} r ON e.src = r.node
+            GROUP BY e.dst) s ON n.node = s.node"""
+    _pr_base = ("(SELECT (15 * 1000000000000) // (100 * count(*)) "
+                "FROM pr_nodes)")
+    d["pagerank"] = ("""
+        WITH pairs AS (
+            SELECT DISTINCT 'c:' || o_custkey AS a, 's:' || l_suppkey AS b
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        pr_edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL
+            SELECT b AS src, a AS dst FROM pairs),
+        pr_nodes AS (
+            SELECT src AS node FROM pr_edges
+            UNION
+            SELECT dst AS node FROM pr_edges),
+        pr_deg AS (SELECT src, count(*) AS outdeg FROM pr_edges GROUP BY src),
+        pr_e AS (
+            SELECT e.src, e.dst, g.outdeg
+            FROM pr_edges e JOIN pr_deg g ON e.src = g.src),
+        r0 AS (
+            SELECT node,
+                   (SELECT 1000000000000 // count(*) FROM pr_nodes) AS rank
+            FROM pr_nodes),"""
+        + ",".join(
+            f"\n        r{i} AS ({_pr_iter.format(prev=f'r{i-1}', base=_pr_base)})"
+            for i in range(1, 6))
+        + """
+        SELECT node, CAST(rank AS BIGINT) AS rank
+        FROM r5
+        ORDER BY rank DESC, node ASC
+        LIMIT 100""")
+    # TF-IDF: integerized idf = floor(1e6·ln(N/df)); scores are BIGINT so
+    # ranking is exact. The ln() margin from integer boundaries is audited
+    # in tests/test_oracle_margins.py.
+    d["tfidf_topk"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOK}) AS tok
+            FROM documents WHERE trim(text) != ''),
+        qt AS (
+            SELECT doc_id, tok, count(*) AS tf
+            FROM tok WHERE tok IN ('spark', 'shuffle', 'window')
+            GROUP BY doc_id, tok),
+        dft AS (
+            SELECT tok,
+                   CAST(floor(1000000.0 * ln(
+                       (SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                       / count(*))) AS BIGINT) AS idf
+            FROM qt GROUP BY tok)
+        SELECT q.doc_id,
+               CAST(SUM(q.tf * d.idf) AS BIGINT) AS score,
+               CAST(row_number() OVER (
+                   ORDER BY SUM(q.tf * d.idf) DESC, q.doc_id ASC) AS INT)
+                 AS rank
+        FROM qt q JOIN dft d ON q.tok = d.tok
+        GROUP BY q.doc_id
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 20"""
     return d

@@ -1,0 +1,96 @@
+"""Iterative graph algorithms as bounded DataFrame-join loops.
+
+Reference parity note: the reference pipeline (MusicBrainzTransforms.java)
+has no graph operators; this module is part of the beyond-reference
+training-data surface (link-graph quality signals for web corpora —
+PageRank-weighted sampling, spam down-weighting). Design rule shared with
+``dedup.connected_components``: a FIXED, small number of Spark jobs per
+iteration, no per-row driver logic, and integer fixed-point arithmetic so
+the result is bit-identical across engines, partitionings, and runs —
+which is what lets an iterative algorithm carry a full value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bqetl_spark.caching import pin
+
+SCALE = 10**12  # fixed-point unit: 1.0 of rank mass == 10^12
+
+
+def pagerank_fixed(edges: DataFrame, src: str = "src", dst: str = "dst",
+                   iters: int = 5, damping_pct: int = 85) -> DataFrame:
+    """PageRank with integer fixed-point arithmetic, run for a fixed
+    number of iterations.
+
+    Per iteration exactly TWO shuffles: the rank⋈edges equi-join on the
+    source key and the groupBy on the destination key — the canonical
+    join-agg PageRank shape that scales to billions of edges (each
+    iteration is one pass over the edge list; no driver-side per-row
+    work). Ranks live as BIGINT multiples of 1/SCALE:
+
+        rank'(v) = base + Σ_{u→v} floor(damping·rank(u) / (100·outdeg(u)))
+        base     = floor((100−damping)·SCALE / (100·n))
+
+    All quantities stay < 2^53, so the one double division inside floor()
+    is IEEE-exact and the whole recurrence is engine- and
+    partition-order-independent — a DuckDB oracle can replay it with
+    unrolled CTEs and hash-match bit-for-bit. Dangling nodes (no
+    out-edges) simply leak their damped mass, the standard simplification;
+    total mass therefore decays slightly instead of summing to SCALE,
+    which is fine for ranking use.
+
+    The only driver-side values are n (node count) and the loop counter —
+    metadata scalars, same audit class as the IVF centroid collects.
+    Returns (node, rank BIGINT).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
+    nodes = pin(edges.select(F.col(src).alias("node"))
+                .union(edges.select(F.col(dst).alias("node")))
+                .distinct())
+    n = nodes.count()  # metadata scalar: one long to the driver
+    outdeg = edges.groupBy(src).agg(F.count("*").alias("__outdeg"))
+    e = pin(edges.select(src, dst).join(outdeg, src)
+            .select(F.col(src).alias("__src"), F.col(dst).alias("node"),
+                    "__outdeg"))
+    base = ((100 - damping_pct) * SCALE) // (100 * n)
+    # explicit long: at small n the literal would fit int32 and 85·rank
+    # would constant-fold in 32-bit (ANSI overflow)
+    ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("rank"))
+    for i in range(iters):
+        contrib = (e.join(ranks.withColumnRenamed("node", "__src"), "__src")
+                   .groupBy("node")
+                   .agg(F.sum(F.floor(F.lit(damping_pct) * F.col("rank")
+                                      / (100 * F.col("__outdeg"))))
+                        .alias("__in")))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .select("node", (F.lit(base)
+                                  + F.coalesce("__in", F.lit(0)))
+                         .cast("long").alias("rank")))
+        if i < iters - 1:
+            # cut lineage so plan size stays O(1) per iteration instead of
+            # O(iters); released by the caller via release_pinned()
+            ranks = pin(ranks)
+    return ranks
+
+
+def cooccurrence_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Undirected customer–supplier trade graph from the TPC-H fact
+    tables: one edge per DISTINCT (customer, supplier) pair that appears
+    on an order, materialized in both directions so rank mass flows both
+    ways. Node ids are namespaced strings ('c:<id>' / 's:<id>') — the
+    bipartite sides share no key space."""
+    pairs = (orders.select("o_orderkey", "o_custkey")
+             .join(lineitem.select("l_orderkey", "l_suppkey"),
+                   F.col("o_orderkey") == F.col("l_orderkey"))
+             .select(F.concat(F.lit("c:"), F.col("o_custkey")).alias("a"),
+                     F.concat(F.lit("s:"), F.col("l_suppkey")).alias("b"))
+             .distinct())
+    return (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .union(pairs.select(F.col("b").alias("src"),
+                                F.col("a").alias("dst"))))

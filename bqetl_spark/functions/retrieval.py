@@ -1,0 +1,64 @@
+"""Lexical relevance scoring (TF-IDF) for corpus filtering and retrieval.
+
+Beyond-reference surface: a training-data pipeline uses lexical scores to
+pull topic-relevant slices out of a web corpus ("find the docs that look
+like math") long before any embedding model runs — it is the cheap
+first-stage retriever. Everything here is Catalyst expressions over an
+exploded token relation; Python never touches a row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bqetl_spark.functions.text import tokens
+
+IDF_SCALE = 10**6
+
+
+def tfidf_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-k documents by TF-IDF score for a bag of query terms.
+
+    Scoring is integerized for cross-engine determinism:
+
+        idf(t)      = floor(IDF_SCALE · ln(N / df_t))
+        score(d)    = Σ_{t ∈ query} tf(t,d) · idf(t)        (BIGINT)
+
+    ln() is the one float op; its output is multiplied by 10^6 and
+    floored, so the gate is deterministic as long as no idf value sits
+    within float-noise of an integer boundary — audited on the real
+    corpora by tests/test_oracle_margins.py (same discipline as the
+    ANN cosine margins). Ties break by ascending doc id.
+
+    Scale shape: the term filter lands BEFORE the tf aggregation, so the
+    exploded token relation is pruned to query terms at the scan-side of
+    the first shuffle — df and tf are computed over |query| terms' rows
+    only, never the full token inventory. N (corpus size) is a metadata
+    scalar. Top-k is a single ORDER BY LIMIT k (Spark's TakeOrdered), no
+    full sort.
+
+    Returns (doc_id, score BIGINT, rank INT) — rank 1 = best.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n_docs = docs.count()  # metadata scalar
+    tok = (docs.select(F.col(id_col),
+                       F.explode(tokens(F.col(text_col))).alias("tok"))
+           .filter(F.col("tok").isin(query_terms)))
+    tf = tok.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    # document frequency per term: tf rows are already (doc, term)-unique
+    df_t = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = df_t.select(
+        "tok",
+        F.floor(F.lit(IDF_SCALE)
+                * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("idf"))
+    scored = (tf.join(F.broadcast(idf), "tok")
+              .groupBy(id_col)
+              .agg(F.sum(F.col("tf") * F.col("idf")).alias("score")))
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("int")))

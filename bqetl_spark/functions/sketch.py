@@ -61,3 +61,75 @@ def heavy_hitter_tokens(df: DataFrame, text_col: str = "text",
             .groupBy("tok")
             .agg(F.count("*").alias("n_occurrences"))
             .filter(F.col("n_occurrences") * k > F.lit(total)))
+
+
+def kmv_hash(col) -> "F.Column":
+    """The 60-bit uniform hash KMV sorts on: first 15 hex digits of md5,
+    parsed as an integer. md5 is available bit-identically in every engine
+    (unlike xxhash64), which is what makes the sketch's ESTIMATE — not just
+    an error bound — reproducible in a SQL oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def kmv_distinct(df: DataFrame, value_col: str, group_col: str,
+                 k: int = 256) -> DataFrame:
+    """K-minimum-values distinct-count sketch per group — the bounded-state
+    answer to COUNT(DISTINCT) at corpus scale, with a deterministic
+    estimate.
+
+    Why not count_distinct: exact distinct shuffles one row per DISTINCT
+    value (billions of tokens at 100 TB). KMV keeps only the k smallest
+    hash values per group: uniform hashes' k-th order statistic at
+    fraction f of the hash space implies ≈ (k-1)/f distinct values. State
+    is O(groups·k) per partition; what crosses the wire is ≤ k·partitions
+    rows per group, never the value set.
+
+    Two-phase shape (mirrors ``heavy_hitter_tokens``): a mapInPandas
+    partial pass keeps the per-partition k smallest distinct hashes per
+    group (bounded memory, Arrow-vectorized nsmallest), then ONE groupBy
+    merges candidate lists and takes the global k smallest. When a group
+    has fewer than k distinct hashes the sketch degenerates to the EXACT
+    distinct count (every hash is a candidate), so small groups pay no
+    error.
+
+    Estimate arithmetic is chosen for cross-engine bit-equality: hashes
+    are 60-bit integers (``kmv_hash``), and (k-1)·2^60 is exactly
+    representable in an IEEE double (mantissa k-1 ≤ 2^53, trailing zero
+    bits), so ``floor((k-1)·2^60 / kth)`` is one correctly-rounded IEEE
+    division + floor — identical in Spark and DuckDB. Returns
+    (group_col, est_distinct BIGINT, kth_hash BIGINT).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    # group key travels as a string through the Arrow partial pass; the
+    # original column is restored by name on output
+    hashes = df.select(F.col(group_col).cast("string").alias("grp"),
+                       kmv_hash(value_col).alias("hv"))
+
+    def partial(batches):
+        import pandas as pd
+
+        state: dict[str, set] = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("grp")["hv"]:
+                s = state.setdefault(g, set())
+                s.update(sub.unique().tolist())
+                if len(s) > 4 * k:
+                    state[g] = set(sorted(s)[:k])
+        rows = [(g, hv) for g, s in state.items() for hv in sorted(s)[:k]]
+        yield pd.DataFrame(rows, columns=["grp", "hv"])
+
+    cands = hashes.mapInPandas(partial, "grp string, hv long")
+    merged = (cands.groupBy("grp")
+              .agg(F.slice(F.array_sort(F.collect_set("hv")), 1, k)
+                   .alias("mins")))
+    span = float(16 ** 15)  # 2^60, exactly representable
+    kth = F.element_at("mins", k)
+    return merged.select(
+        F.col("grp").alias(group_col),
+        F.when(F.size("mins") < k, F.size("mins").cast("long"))
+         .otherwise(F.floor(F.lit((k - 1) * span) / kth))
+         .alias("est_distinct"),
+        F.when(F.size("mins") < k, F.lit(None).cast("long"))
+         .otherwise(kth).alias("kth_hash"))

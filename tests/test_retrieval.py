@@ -1,0 +1,85 @@
+"""tfidf_topk: scoring semantics, determinism, and the idf margin audit
+that underwrites the cross-engine oracle (floor(1e6·ln(N/df)) must not
+sit within float noise of an integer boundary on the gate corpora)."""
+
+from __future__ import annotations
+
+import glob
+import math
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from bqetl_spark.functions.retrieval import IDF_SCALE, tfidf_topk
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+           "/root/testdata/sf0.1"]
+QUERY = ["spark", "shuffle", "window"]
+
+
+@pytest.fixture
+def docs(spark):
+    rows = [
+        (1, "apple banana apple"),        # tf(apple)=2
+        (2, "apple cherry"),
+        (3, "banana banana banana"),
+        (4, "cherry date elderberry"),
+        (5, "fig"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_scores_match_hand_computation(docs):
+    n = 5
+    idf_apple = math.floor(IDF_SCALE * math.log(n / 2))   # docs 1,2
+    idf_banana = math.floor(IDF_SCALE * math.log(n / 2))  # docs 1,3
+    got = {r["doc_id"]: (r["score"], r["rank"])
+           for r in tfidf_topk(docs, ["apple", "banana"], k=5).collect()}
+    # only docs containing a query term appear
+    assert set(got) == {1, 2, 3}
+    assert got[1][0] == 2 * idf_apple + 1 * idf_banana
+    assert got[3][0] == 3 * idf_banana
+    assert got[2][0] == 1 * idf_apple
+    # ranking: doc1 (tf 3) > doc3 (tf 3 same score? no -- equal idfs, doc1
+    # scores 3*idf vs doc3 3*idf: tie broken by id)
+    assert got[1][1] < got[3][1] or got[1][0] != got[3][0]
+
+
+def test_rank_ties_break_by_doc_id(spark):
+    df = spark.createDataFrame(
+        [(10, "zebra"), (2, "zebra"), (7, "zebra")], ["doc_id", "text"])
+    rows = tfidf_topk(df, ["zebra"], k=3).collect()
+    assert [r["doc_id"] for r in rows] == [2, 7, 10]
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+
+
+def test_k_truncates(docs):
+    assert tfidf_topk(docs, ["apple", "banana"], k=2).count() == 2
+
+
+def test_validation(docs):
+    with pytest.raises(ValueError):
+        tfidf_topk(docs, [])
+    with pytest.raises(ValueError):
+        tfidf_topk(docs, ["a"], k=0)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_idf_margin_on_gate_corpora(sf_dir):
+    """For every query term on the real corpora, 1e6·ln(N/df) must be far
+    (>1e-3) from an integer, so a 1-ulp libm difference between Java's
+    Math.log and DuckDB's log can never flip the floor()."""
+    files = glob.glob(f"{sf_dir}/documents.parquet")
+    if not files:
+        pytest.skip("corpus missing")
+    t = pq.read_table(files[0], columns=["text"]).to_pydict()
+    texts = t["text"]
+    n = len(texts)
+    for term in QUERY:
+        df_t = sum(1 for x in texts if term in (x or "").split())
+        if df_t == 0:
+            continue
+        v = IDF_SCALE * math.log(n / df_t)
+        frac = abs(v - round(v))
+        assert frac > 1e-3, (term, sf_dir, v)

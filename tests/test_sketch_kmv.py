@@ -1,0 +1,74 @@
+"""kmv_distinct: exactness below k, estimate quality and determinism."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from bqetl_spark.functions.sketch import kmv_distinct, kmv_hash
+
+
+def _hv(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_hash_matches_md5_prefix(spark):
+    df = spark.createDataFrame([("abc",), ("xyz",)], ["v"])
+    got = {r["v"]: r["h"] for r in
+           df.select("v", kmv_hash("v").alias("h")).collect()}
+    assert got == {"abc": _hv("abc"), "xyz": _hv("xyz")}
+
+
+def test_exact_below_k(spark):
+    """Groups with fewer than k distinct values get the EXACT count —
+    duplicates collapse, no estimation error."""
+    rows = [("g1", f"v{i % 7}") for i in range(100)] + \
+           [("g2", f"w{i}") for i in range(33)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    got = {r["grp"]: (r["est_distinct"], r["kth_hash"])
+           for r in kmv_distinct(df, "v", "grp", k=64).collect()}
+    assert got == {"g1": (7, None), "g2": (33, None)}
+
+
+def test_estimate_within_bound_at_k(spark):
+    """At n >> k the estimate must land within the standard KMV relative
+    error ~ 1/sqrt(k-2) (use 3 sigma)."""
+    n, k = 20000, 256
+    df = spark.createDataFrame([(f"x{i}",) for i in range(n)], ["v"]) \
+        .withColumn("grp", F.lit("g"))
+    [row] = kmv_distinct(df, "v", "grp", k=k).collect()
+    est = row["est_distinct"]
+    assert abs(est - n) / n < 3.0 / (k - 2) ** 0.5
+    assert row["kth_hash"] is not None
+
+
+def test_partition_invariant_and_python_replica(spark):
+    """The merged sketch must equal a single-machine KMV computed in
+    Python, under any partitioning — the property that makes the DuckDB
+    oracle legitimate."""
+    rows = [("a", f"t{i % 500}") for i in range(2000)] + \
+           [("b", f"u{i % 90}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+
+    def replica(vals, k=128):
+        hs = sorted({_hv(v) for v in vals})
+        if len(hs) < k:
+            return len(hs), None
+        kth = hs[k - 1]
+        return int((k - 1) * float(16 ** 15) / kth), kth
+
+    expect = {"a": replica([f"t{i}" for i in range(500)]),
+              "b": replica([f"u{i}" for i in range(90)])}
+    for parts in (1, 13):
+        got = {r["grp"]: (r["est_distinct"], r["kth_hash"])
+               for r in kmv_distinct(df.repartition(parts), "v", "grp",
+                                     k=128).collect()}
+        assert got == expect
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([("g", "v")], ["grp", "v"])
+    with pytest.raises(ValueError):
+        kmv_distinct(df, "v", "grp", k=1)
