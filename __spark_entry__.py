@@ -1900,6 +1900,15 @@ def q_pagerank(spark, sf_dir):
             .select("node", "rank"))
 
 
+def q_source_divergence(spark, sf_dir):
+    """Per-source KL divergence from the corpus unigram distribution
+    (functions.text.source_divergence) — the corpus-drift monitor that
+    flags distributionally-weird shards. Integerized log-ratios (Σ c·u is
+    BIGINT) make the iterative-free analytics oracle exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.source_divergence(docs, group_col="source")
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Top-20 documents by integerized TF-IDF for a fixed query bag
     (functions.retrieval.tfidf_topk) — the cheap lexical retriever that
@@ -1975,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,      # new this session
         "pagerank": q_pagerank,              # new this session
         "tfidf_topk": q_tfidf_topk,          # new this session
+        "source_divergence": q_source_divergence,  # new this session
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
     # --- 3. r3 greens rotating in -------------------------------------
         "dedup_exact": q_dedup_exact,
@@ -3612,6 +3622,30 @@ def oracle_sql() -> dict[str, str]:
         FROM r5
         ORDER BY rank DESC, node ASC
         LIMIT 100""")
+    # KL drift: per-term log-ratio integerized as floor(1e6·ln((c/d)·(M/n_g)))
+    # — the ratio is two IEEE divisions + one multiply in a FIXED
+    # association (identical double on both engines); Σ c·u is BIGINT.
+    d["source_divergence"] = f"""
+        WITH tok AS (
+            SELECT source AS grp, unnest({_TOK}) AS tok
+            FROM documents WHERE trim(text) != ''),
+        m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM tok),
+        cts AS (SELECT grp, tok, count(*) AS c FROM tok GROUP BY grp, tok),
+        ng AS (SELECT grp, SUM(c) AS n_g FROM cts GROUP BY grp),
+        dt AS (SELECT tok, SUM(c) AS d FROM cts GROUP BY tok)
+        SELECT cts.grp AS source,
+               CAST(ng.n_g AS BIGINT) AS n_tokens,
+               CAST(SUM(cts.c * CAST(floor(1000000.0
+                    * ln((cts.c / dt.d) * (m.m / ng.n_g))) AS BIGINT))
+                 AS BIGINT) AS kl_e6,
+               CAST(SUM(cts.c * CAST(floor(1000000.0
+                    * ln((cts.c / dt.d) * (m.m / ng.n_g))) AS BIGINT))
+                 AS BIGINT) / (ng.n_g * 1000000.0) AS kl
+        FROM cts
+        JOIN dt ON cts.tok = dt.tok
+        JOIN ng ON cts.grp = ng.grp
+        CROSS JOIN m
+        GROUP BY cts.grp, ng.n_g"""
     # TF-IDF: integerized idf = floor(1e6·ln(N/df)); scores are BIGINT so
     # ranking is exact. The ln() margin from integer boundaries is audited
     # in tests/test_oracle_margins.py.

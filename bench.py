@@ -56,6 +56,9 @@ EXTRAS = [
     "multimodal_decode",
     "simhash_pairs",
     "semantic_dedup",
+    "kmv_distinct",
+    "pagerank",
+    "tfidf_topk",
 ]
 
 

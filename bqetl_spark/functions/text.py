@@ -207,3 +207,50 @@ def gram_repetition(df: DataFrame, text_col: str = "text",
             .select(id_col, "top_count", "n_grams",
                     (F.col("top_count").cast("double") / F.col("n_grams"))
                     .alias("rep_ratio")))
+
+
+def source_divergence(df: DataFrame, group_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """KL(P_group ‖ P_corpus) over token unigram distributions — the
+    corpus-drift monitor: which sources/shards are distributionally weird
+    relative to the whole corpus (spammy vocab, mojibake, template text)
+    and by how many nats.
+
+    Integerized for cross-engine determinism: each term's log-ratio is
+
+        u = floor(10^6 · ln((c/d) · (M/n_g)))
+
+    with c = token count in the group, d = corpus count, n_g = group
+    total, M = corpus total. The ratio is computed as (c/d)·(M/n_g) — two
+    IEEE divisions and one multiply in a FIXED association, so both
+    engines see the identical double; the ln-boundary margin is audited on
+    the gate corpora in tests. The weighted sum Σ c·u is BIGINT-exact and
+    summation-order-free; the final KL (nats) is a single division.
+    Overflow headroom: |u| < 2^35ish only if the ratio were astronomical —
+    in practice |u| ≤ ~5·10^7, so Σ c·u needs c·|u| < 2^63, i.e. group
+    token counts below ~10^11 — beyond that, raise IDF_SCALE discipline
+    applies (drop to 10^3 scaling).
+
+    One explode + three hash aggregations; the (group, token) key space is
+    |groups|·|vocab|, and M is a metadata scalar (one long to the driver,
+    same audit class as PageRank's node count). Returns
+    (group_col, n_tokens, kl_e6 BIGINT, kl DOUBLE).
+    """
+    tok = (df.filter(F.trim(F.col(text_col)) != "")
+           .select(F.col(group_col).alias("grp"),
+                   F.explode(tokens(F.col(text_col))).alias("tok")))
+    m_total = tok.count()  # metadata scalar
+    cts = tok.groupBy("grp", "tok").agg(F.count("*").alias("c"))
+    n_g = cts.groupBy("grp").agg(F.sum("c").alias("n_g"))
+    d_t = cts.groupBy("tok").agg(F.sum("c").alias("d"))
+    ratio = ((F.col("c") / F.col("d"))
+             * (F.lit(float(m_total)) / F.col("n_g")))
+    u = F.floor(F.lit(1e6) * F.log(ratio))
+    return (cts.join(F.broadcast(d_t), "tok").join(F.broadcast(n_g), "grp")
+            .groupBy("grp", "n_g")
+            .agg(F.sum(F.col("c") * u).alias("kl_e6"))
+            .select(F.col("grp").alias(group_col),
+                    F.col("n_g").alias("n_tokens"),
+                    F.col("kl_e6"),
+                    (F.col("kl_e6")
+                     / (F.col("n_g") * F.lit(1e6))).alias("kl")))
