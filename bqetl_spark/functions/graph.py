@@ -20,16 +20,26 @@ from bqetl_spark.caching import pin
 SCALE = 10**12  # fixed-point unit: 1.0 of rank mass == 10^12
 
 
+# Above this node count the per-iteration rank table stops fitting in a
+# broadcast (~40 B/row -> ~400 MB at 10M) and the loop falls back to a
+# shuffle join on the source key.
+BROADCAST_NODES_MAX = 10_000_000
+
+
 def pagerank_fixed(edges: DataFrame, src: str = "src", dst: str = "dst",
                    iters: int = 5, damping_pct: int = 85) -> DataFrame:
     """PageRank with integer fixed-point arithmetic, run for a fixed
     number of iterations.
 
-    Per iteration exactly TWO shuffles: the rank⋈edges equi-join on the
-    source key and the groupBy on the destination key — the canonical
-    join-agg PageRank shape that scales to billions of edges (each
-    iteration is one pass over the edge list; no driver-side per-row
-    work). Ranks live as BIGINT multiples of 1/SCALE:
+    Join strategy by graph size: while the node count stays under
+    BROADCAST_NODES_MAX, each iteration broadcasts the rank table into a
+    map-side hash join — the edge list is NEVER shuffled or sorted, and
+    the only shuffle is the partial-aggregated groupBy on the destination
+    key (≤ distinct-dst rows per partition cross the wire). Beyond that,
+    the loop falls back to the canonical shuffle join on the source key —
+    the shape that scales to billions of edges. Either way each iteration
+    is one pass over the edge list with no driver-side per-row work.
+    Ranks live as BIGINT multiples of 1/SCALE:
 
         rank'(v) = base + Σ_{u→v} floor(damping·rank(u) / (100·outdeg(u)))
         base     = floor((100−damping)·SCALE / (100·n))
@@ -50,12 +60,20 @@ def pagerank_fixed(edges: DataFrame, src: str = "src", dst: str = "dst",
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
+    # pin the raw edge list FIRST: nodes, outdeg and the per-iteration
+    # join all read it, and an unpinned lineage (e.g. a join+distinct edge
+    # builder) would otherwise be recomputed for each of them
+    edges = pin(edges.select(F.col(src).alias(src), F.col(dst).alias(dst)))
     nodes = pin(edges.select(F.col(src).alias("node"))
                 .union(edges.select(F.col(dst).alias("node")))
                 .distinct())
     n = nodes.count()  # metadata scalar: one long to the driver
+    small = n <= BROADCAST_NODES_MAX
     outdeg = edges.groupBy(src).agg(F.count("*").alias("__outdeg"))
-    e = pin(edges.select(src, dst).join(outdeg, src)
+    # degree table has <= n rows — broadcast it so the edge list is not
+    # shuffled just to pick up a per-source count
+    e = pin(edges.select(src, dst)
+            .join(F.broadcast(outdeg) if small else outdeg, src)
             .select(F.col(src).alias("__src"), F.col(dst).alias("node"),
                     "__outdeg"))
     base = ((100 - damping_pct) * SCALE) // (100 * n)
@@ -63,7 +81,8 @@ def pagerank_fixed(edges: DataFrame, src: str = "src", dst: str = "dst",
     # would constant-fold in 32-bit (ANSI overflow)
     ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("rank"))
     for i in range(iters):
-        contrib = (e.join(ranks.withColumnRenamed("node", "__src"), "__src")
+        rk = ranks.withColumnRenamed("node", "__src")
+        contrib = (e.join(F.broadcast(rk) if small else rk, "__src")
                    .groupBy("node")
                    .agg(F.sum(F.floor(F.lit(damping_pct) * F.col("rank")
                                       / (100 * F.col("__outdeg"))))
