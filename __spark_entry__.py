@@ -1900,6 +1900,26 @@ def q_pagerank(spark, sf_dir):
             .select("node", "rank"))
 
 
+def q_embed_centroids(spark, sf_dir):
+    """Per-label mean embedding (functions.similarity.embed_centroids) —
+    class prototypes via fixed-point integer sums: floor(x·2^24) BIGINT
+    accumulation makes the centroid partition-order-independent and
+    bit-identical to the SQL oracle's 64 unrolled component sums."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.embed_centroids(emb, label_col="label")
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (functions.chunking.weighted_sample): top-200 docs by priority
+    u^(1/n_chars) with u an md5-derived exact double — the deterministic
+    training-mixture sampler. Membership (not the float key) is the gate;
+    the cutoff-gap margin is audited in tests."""
+    docs = _t(spark, sf_dir, "documents")
+    return (ck.weighted_sample(docs, "n_chars", n=200)
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
 def q_source_divergence(spark, sf_dir):
     """Per-source KL divergence from the corpus unigram distribution
     (functions.text.source_divergence) — the corpus-drift monitor that
@@ -1985,6 +2005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,              # new this session
         "tfidf_topk": q_tfidf_topk,          # new this session
         "source_divergence": q_source_divergence,  # new this session
+        "embed_centroids": q_embed_centroids,      # new this session
+        "weighted_sample": q_weighted_sample,      # new this session
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
     # --- 3. r3 greens rotating in -------------------------------------
         "dedup_exact": q_dedup_exact,
@@ -3622,6 +3644,28 @@ def oracle_sql() -> dict[str, str]:
         FROM r5
         ORDER BY rank DESC, node ASC
         LIMIT 100""")
+    # class prototypes: 64 fixed-point component sums unrolled — SUM of
+    # floor(x·2^24) BIGINTs is exact and order-free on both engines; the
+    # single trailing division is IEEE-identical
+    _csums = ", ".join(
+        f"SUM(CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 16777216.0)"
+        f" AS BIGINT)) AS s{i}" for i in range(64))
+    _ccols = ", ".join(f"s{i} / (n_vecs * 16777216.0)" for i in range(64))
+    d["embed_centroids"] = f"""
+        SELECT label, n_vecs, list_value({_ccols}) AS centroid
+        FROM (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, {_csums}
+              FROM embeddings GROUP BY label) g"""
+    # A-Res weighted sampling: priority key ln(u)/w with u an exact double
+    # from the 60-bit md5 prefix; only MEMBERSHIP is compared (the float
+    # key stays internal), and the n-th/(n+1)-th gap is margin-audited
+    d["weighted_sample"] = """
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+        ORDER BY ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+                    / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) DESC,
+                 doc_id ASC
+        LIMIT 200"""
     # KL drift: per-term log-ratio integerized as floor(1e6·ln((c/d)·(M/n_g)))
     # — the ratio is two IEEE divisions + one multiply in a FIXED
     # association (identical double on both engines); Σ c·u is BIGINT.

@@ -59,6 +59,9 @@ EXTRAS = [
     "kmv_distinct",
     "pagerank",
     "tfidf_topk",
+    "source_divergence",
+    "embed_centroids",
+    "weighted_sample",
 ]
 
 

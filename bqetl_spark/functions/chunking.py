@@ -244,3 +244,36 @@ def chunk_tokens_udtf():
                 i += stride
 
     return ChunkTokens
+
+
+def weighted_sample(df: DataFrame, weight_col, n: int,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-Res): keep the n rows with the largest priority
+    u^(1/w), ranked equivalently by key = ln(u)/w descending, where
+    u = (60-bit md5 prefix of the id)/2^60 — the training-mixture sampler
+    that favors high-weight docs but never hard-cuts low-weight ones.
+
+    Determinism: u is an exact double (60-bit int rounds identically
+    everywhere), w comes from row columns, and key = ln(u)/w is one libm
+    call + one IEEE division — cross-engine safe as long as no ranking
+    decision sits within ulp noise of the n-th/(n+1)-th gap (audited on
+    the gate corpora in tests). Row-local priority + ORDER BY LIMIT n
+    (TakeOrdered): the only cross-partition traffic is each partition's
+    top-n candidates. Ties break by ascending id.
+
+    Rows with weight <= 0 or NULL are excluded (they cannot be sampled).
+    Returns the sampled rows with `priority_key` (the ln(u)/w key)
+    appended.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    hv = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                16, 10).cast("long")
+    u = hv.cast("double") / F.lit(float(16 ** 15))
+    key = F.log(u) / w.cast("double")
+    return (df.filter(w.isNotNull() & (w.cast("double") > 0))
+            .withColumn("priority_key", key)
+            .orderBy(F.desc("priority_key"), F.asc(id_col))
+            .limit(n))

@@ -534,3 +534,26 @@ def sq_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.round("score", score_decimals).alias("score")))
+
+
+def embed_centroids(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Per-label mean embedding (class prototypes / mean pooling) with
+    fixed-point integer sums, so the centroid is bit-identical across
+    engines, partitionings and runs.
+
+    Same arithmetic discipline as the k-means gate: each component is
+    floored to a 2^-24 grid (float32 inputs lose nothing — cast to double
+    and scaled by an exact power of two), summed as BIGINT (exact,
+    order-free), and divided once at the end. The groupBy carries dim
+    partial sums per label — map-side combine means the shuffle moves
+    |labels|·(dim+1) longs per partition, never vectors.
+    """
+    q = 16777216.0  # 2^24, exact in double
+    sums = [F.sum(F.floor(F.element_at(vec_col, i + 1).cast("double")
+                          * F.lit(q))).alias(f"__s{i}")
+            for i in range(dim)]
+    g = df.groupBy(label_col).agg(F.count("*").alias("n_vecs"), *sums)
+    centroid = F.array(*[
+        F.col(f"__s{i}") / (F.col("n_vecs") * F.lit(q)) for i in range(dim)])
+    return g.select(label_col, "n_vecs", centroid.alias("centroid"))
