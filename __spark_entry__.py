@@ -1900,6 +1900,24 @@ def q_pagerank(spark, sf_dir):
             .select("node", "rank"))
 
 
+def q_bigram_pmi(spark, sf_dir):
+    """Collocation extraction via integerized PMI over adjacent token
+    pairs (functions.text.bigram_pmi, min_count=5) — the tokenizer-merge
+    / multi-word-unit signal. Fixed-association ratio + floor(1e6·ln)
+    keeps the gate exact; margins audited in tests."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bigram_pmi(docs, min_count=5)
+
+
+def q_key_skew(spark, sf_dir):
+    """Top-20 hottest join keys with exact ppm share
+    (functions.text.key_skew_report over events.user_id) — the diagnostic
+    that picks between AQE skew-join, adaptive salting, and frequency
+    guards. Integer share arithmetic makes it exactly oracle-able."""
+    events = _t(spark, sf_dir, "events")
+    return tx.key_skew_report(events, "user_id", k=20)
+
+
 def q_embed_centroids(spark, sf_dir):
     """Per-label mean embedding (functions.similarity.embed_centroids) —
     class prototypes via fixed-point integer sums: floor(x·2^24) BIGINT
@@ -2007,6 +2025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_divergence": q_source_divergence,  # new this session
         "embed_centroids": q_embed_centroids,      # new this session
         "weighted_sample": q_weighted_sample,      # new this session
+        "bigram_pmi": q_bigram_pmi,                # new this session
+        "key_skew": q_key_skew,                    # new this session
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
     # --- 3. r3 greens rotating in -------------------------------------
         "dedup_exact": q_dedup_exact,
@@ -3644,6 +3664,41 @@ def oracle_sql() -> dict[str, str]:
         FROM r5
         ORDER BY rank DESC, node ASC
         LIMIT 100""")
+    # PMI collocations: ratio in the FIXED association
+    # ((c_ab/c_a)·(M/c_b))·(M/B) — identical IEEE operand pairs on both
+    # engines; only ln wobbles (≤1 ulp, margin-audited)
+    d["bigram_pmi"] = f"""
+        WITH base AS (
+            SELECT {_TOK} AS w FROM documents WHERE trim(text) != ''),
+        tok AS (SELECT unnest(w) AS t FROM base),
+        m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM tok),
+        pr AS (
+            SELECT s.a AS a, s.b AS b FROM (
+                SELECT unnest(list_transform(range(1, len(w)),
+                              i -> {{'a': w[i], 'b': w[i+1]}})) AS s
+                FROM base WHERE len(w) >= 2)),
+        bt AS (SELECT CAST(count(*) AS DOUBLE) AS btot FROM pr),
+        uni AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        bg AS (SELECT a, b, count(*) AS n_pair
+               FROM pr GROUP BY a, b HAVING count(*) >= 5)
+        SELECT bg.a AS tok_a, bg.b AS tok_b,
+               CAST(bg.n_pair AS BIGINT) AS n_pair,
+               CAST(floor(1000000.0 * ln(
+                   ((bg.n_pair / ua.c) * (m.m / ub.c)) * (m.m / bt.btot)))
+                 AS BIGINT) AS pmi_e6
+        FROM bg
+        JOIN uni ua ON bg.a = ua.t
+        JOIN uni ub ON bg.b = ub.t
+        CROSS JOIN m CROSS JOIN bt"""
+    # skew report: integer ppm share (n·10^6 div total) — exact
+    d["key_skew"] = """
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST((count(*) * 1000000) // (SELECT count(*) FROM events)
+                 AS BIGINT) AS share_ppm
+        FROM events GROUP BY user_id
+        ORDER BY n DESC, key ASC
+        LIMIT 20"""
     # class prototypes: 64 fixed-point component sums unrolled — SUM of
     # floor(x·2^24) BIGINTs is exact and order-free on both engines; the
     # single trailing division is IEEE-identical

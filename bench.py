@@ -62,6 +62,8 @@ EXTRAS = [
     "source_divergence",
     "embed_centroids",
     "weighted_sample",
+    "bigram_pmi",
+    "key_skew",
 ]
 
 

@@ -254,3 +254,69 @@ def source_divergence(df: DataFrame, group_col: str = "source",
                     F.col("kl_e6"),
                     (F.col("kl_e6")
                      / (F.col("n_g") * F.lit(1e6))).alias("kl")))
+
+
+def bigram_pmi(df: DataFrame, text_col: str = "text",
+               min_count: int = 5) -> DataFrame:
+    """Pointwise mutual information over adjacent token pairs — the
+    collocation extractor ("new york"-style units) and tokenizer-merge
+    signal. PMI = ln(P(ab) / (P(a)·P(b))) with unigram probabilities over
+    all tokens (M) and bigram probability over all adjacent pairs (B);
+    docs shorter than 2 tokens contribute unigrams but no pairs.
+
+    Integerized like ``source_divergence``: the ratio is evaluated in the
+    FIXED association ((c_ab/c_a)·(M/c_b))·(M/B) — every operand pair is
+    identical on both engines, so only ln() can wobble (≤1 ulp, margin-
+    audited), and the published value floor(10^6·ln ratio) is exact.
+
+    Shape: one explode for unigrams, one for pairs (both map-only off the
+    scan), two hash aggregations, and two broadcast joins of the unigram
+    table (|vocab| rows). ``min_count`` prunes the pair table before the
+    joins. M and B are metadata scalars. Returns
+    (tok_a, tok_b, n_pair, pmi_e6).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    base = df.filter(F.trim(F.col(text_col)) != "")
+    tok = base.select(F.explode(tokens(F.col(text_col))).alias("t"))
+    m_total = tok.count()  # metadata scalar
+    uni = tok.groupBy("t").agg(F.count("*").alias("c"))
+    tk = (base.select(tokens(F.col(text_col)).alias("__tk"))
+          .filter(F.size("__tk") >= 2))
+    pairs = tk.select(F.explode(F.zip_with(
+        F.slice("__tk", 1, F.size("__tk") - 1),
+        F.slice("__tk", 2, F.size("__tk") - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")))).alias("p")
+    ).select("p.a", "p.b")
+    b_total = pairs.count()  # metadata scalar
+    bg = (pairs.groupBy("a", "b").agg(F.count("*").alias("n_pair"))
+          .filter(F.col("n_pair") >= min_count))
+    ua = uni.select(F.col("t").alias("a"), F.col("c").alias("__ca"))
+    ub = uni.select(F.col("t").alias("b"), F.col("c").alias("__cb"))
+    m = F.lit(float(m_total))
+    ratio = (((F.col("n_pair") / F.col("__ca")) * (m / F.col("__cb")))
+             * F.lit(float(m_total) / float(b_total)))
+    return (bg.join(F.broadcast(ua), "a").join(F.broadcast(ub), "b")
+            .select(F.col("a").alias("tok_a"), F.col("b").alias("tok_b"),
+                    "n_pair",
+                    F.floor(F.lit(1e6) * F.log(ratio)).alias("pmi_e6")))
+
+
+def key_skew_report(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
+    """Operational skew diagnostic: the top-k hottest keys with exact
+    counts and parts-per-million share — the report you run BEFORE
+    choosing between AQE skew-join, adaptive salting, or a frequency
+    guard (the three skew tools in this engine). Share is integer
+    arithmetic (n·10^6 div total), so the gate is exact. One hash
+    aggregation + TakeOrdered; total is a metadata scalar.
+    Ties break by key ascending. NULL keys are counted as a key.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    total = df.count()  # metadata scalar
+    return (df.groupBy(F.col(key_col).cast("string").alias("key"))
+            .agg(F.count("*").alias("n"))
+            .select("key", "n",
+                    F.expr(f"n * 1000000 DIV {total}").alias("share_ppm"))
+            .orderBy(F.desc("n"), F.asc_nulls_first("key"))
+            .limit(k))
