@@ -24,7 +24,11 @@ def stream_dedup_events(spark: SparkSession, events_dir: str,
             .dropDuplicatesWithinWatermark(["event_id"]))
 
 
-def _read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def _read_events_stream(spark: SparkSession, events_dir: str,
+                        max_files_per_trigger: int | None = None) -> DataFrame:
+    # maxFilesPerTrigger is a SOURCE option: it must be set on readStream
+    # (setting it on writeStream is silently ignored — the late-drop test
+    # found this the hard way)
     import os
 
     from bqetl_spark.sources.parquet_source import ensure_ltz
@@ -37,12 +41,14 @@ def _read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     except Exception:
         pass
     schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if events_dir.endswith(".parquet") and os.path.isfile(events_dir):
         base, fname = os.path.dirname(events_dir), os.path.basename(events_dir)
-        stream = (spark.readStream.schema(schema)
-                  .option("pathGlobFilter", fname).parquet(base))
+        stream = reader.option("pathGlobFilter", fname).parquet(base)
     else:
-        stream = spark.readStream.schema(schema).parquet(events_dir)
+        stream = reader.parquet(events_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         # integer division — see sources.parquet_source.load_events
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -168,13 +174,17 @@ def stream_upsert_user_totals(spark: SparkSession, events_dir: str,
 
 def stream_event_counts(spark: SparkSession, events_dir: str,
                         window: str = "1 hour",
-                        watermark: str = "2 hours") -> DataFrame:
+                        watermark: str = "2 hours",
+                        max_files_per_trigger: int | None = None) -> DataFrame:
     """readStream(events) → watermark → tumbling-window counts per type.
 
     Returns the streaming DataFrame; callers start it with
     ``writeStream.trigger(availableNow=True)`` (tests) or a real trigger.
+    ``max_files_per_trigger`` splits a directory replay into one
+    micro-batch per file (mtime order) — how the late-drop test drives a
+    real watermark advance between batches.
     """
-    stream = _read_events_stream(spark, events_dir)
+    stream = _read_events_stream(spark, events_dir, max_files_per_trigger)
     return (stream
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window).alias("win"), "event_type")

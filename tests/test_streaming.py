@@ -86,3 +86,64 @@ def test_stream_upsert_merges_across_batches(spark, tmp_path):
     want = {r["user_id"]: r["n"]
             for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
     assert got == want
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """REAL late-data drop through the watermark, not just bounded-replay
+    equality: three files -> three micro-batches (mtime-ordered).
+
+    Pinned Spark semantics (two-watermark design, SPARK-40925): the
+    LATE-RECORD FILTER uses the PREVIOUS micro-batch's watermark, while
+    state eviction uses the current one — a straggler arriving in the
+    batch immediately after the watermark-advancing data is still
+    admitted (measured here before writing this test!). So the straggler
+    is delivered TWO batches after the 12:00 event that drags the
+    watermark to 10:00: by then the filter watermark has caught up and
+    the 08:30 row must be dropped — if filtering were broken, append
+    mode would emit an 08:00 window at the final flush (the eviction
+    watermark passes it), so absence is a true discriminator.
+    """
+    import datetime as dt
+    import glob as g
+    import os
+    import time
+
+    from bqetl_spark.streaming.events import stream_event_counts
+
+    def ev(i, hh, mm):
+        return (i, dt.datetime(2024, 1, 1, hh, mm), 1, "click", 1.0, "{}")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    src = str(tmp_path / "late_src")
+    # batch A: three on-time events + a 12:00 event -> watermark (2h
+    # delay) reaches 10:00 at A's end
+    spark.createDataFrame(
+        [ev(1, 9, 10), ev(2, 9, 20), ev(3, 9, 30), ev(4, 12, 0)],
+        cols).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)
+    # batch B: a mover only (lets the filter watermark catch up to 10:00)
+    spark.createDataFrame([ev(6, 12, 30)], cols) \
+        .coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    # batch C: the 08:30 straggler — now below the filter watermark
+    spark.createDataFrame([ev(5, 8, 30), ev(7, 13, 0)], cols) \
+        .coalesce(1).write.mode("append").parquet(src)
+    files = sorted(g.glob(f"{src}/part-*.parquet"), key=os.path.getmtime)
+    assert len(files) == 3
+    now = time.time()
+    for i, f in enumerate(files):
+        os.utime(f, (now - 300 + i * 100, now - 300 + i * 100))
+
+    agg = stream_event_counts(spark, src, window="1 hour",
+                              watermark="2 hours", max_files_per_trigger=1)
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName("late_drop")
+         .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    rows = {r["window_start"].hour: r["n_events"]
+            for r in spark.sql("SELECT * FROM late_drop").collect()}
+    # the straggler's window never appears; the on-time window is intact
+    # and does NOT include the dropped row
+    assert 8 not in rows
+    assert rows.get(9) == 3
