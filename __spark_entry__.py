@@ -1900,6 +1900,34 @@ def q_pagerank(spark, sf_dir):
             .select("node", "rank"))
 
 
+def q_compact_roundtrip(spark, sf_dir):
+    """Small-file compaction gate (sources.compaction.compact_parquet):
+    fragment documents into 64 tiny files, compact to size-targeted
+    files, read back — values must hash-match the original table (the
+    maintenance rewrite is invisible to readers). File-count and
+    clustering effects are pinned by tests/test_compaction.py."""
+    import tempfile
+
+    from bqetl_spark.sources.compaction import compact_parquet
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="compact_gate_")
+    frag, out = f"{tmp}/frag", f"{tmp}/compacted"
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    back = compact_parquet(spark, frag, out, target_bytes=8 * 1024 * 1024)
+    return back.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_events_gapfill(spark, sf_dir):
+    """Zero-filled hourly counts per event type over the observed span
+    (operators.timeseries.dense_hourly_counts) — the gap-filling
+    resample; empty buckets read as 0, not as absent rows. Calendar via
+    map-side explode(sequence); counts broadcast into the grid join."""
+    from bqetl_spark.operators.timeseries import dense_hourly_counts
+
+    return dense_hourly_counts(_t(spark, sf_dir, "events"))
+
+
 def q_bigram_pmi(spark, sf_dir):
     """Collocation extraction via integerized PMI over adjacent token
     pairs (functions.text.bigram_pmi, min_count=5) — the tokenizer-merge
@@ -2027,6 +2055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,      # new this session
         "bigram_pmi": q_bigram_pmi,                # new this session
         "key_skew": q_key_skew,                    # new this session
+        "events_gapfill": q_events_gapfill,        # new this session
+        "compact_roundtrip": q_compact_roundtrip,  # new this session
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
     # --- 3. r3 greens rotating in -------------------------------------
         "dedup_exact": q_dedup_exact,
@@ -3664,6 +3694,27 @@ def oracle_sql() -> dict[str, str]:
         FROM r5
         ORDER BY rank DESC, node ASC
         LIMIT 100""")
+    # compaction is value-invisible: the oracle is the plain table
+    d["compact_roundtrip"] = """
+        SELECT doc_id, lang, source, n_chars FROM documents"""
+    # gap fill: generate_series hour calendar per type, left join counts,
+    # zero-fill — epochs are UTC hour floors (engine convention)
+    d["events_gapfill"] = """
+        WITH bounds AS (
+            SELECT CAST(epoch(date_trunc('hour', min(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS a,
+                   CAST(epoch(date_trunc('hour', max(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS b
+            FROM events),
+        grid AS (
+            SELECT unnest(generate_series(a, b, 3600)) AS hour_epoch, t.event_type
+            FROM bounds, (SELECT DISTINCT event_type FROM events) t),
+        cts AS (
+            SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_epoch,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2)
+        SELECT g.hour_epoch, g.event_type,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+        FROM grid g LEFT JOIN cts c
+          ON g.hour_epoch = c.hour_epoch AND g.event_type = c.event_type"""
     # PMI collocations: ratio in the FIXED association
     # ((c_ab/c_a)·(M/c_b))·(M/B) — identical IEEE operand pairs on both
     # engines; only ln wobbles (≤1 ulp, margin-audited)

@@ -64,6 +64,7 @@ EXTRAS = [
     "weighted_sample",
     "bigram_pmi",
     "key_skew",
+    "events_gapfill",
 ]
 
 

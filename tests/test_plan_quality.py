@@ -27,7 +27,8 @@ ALLOWED_BNLJ = {"embed_topk", "embed_sq_topk", "embed_neardup",
 # streaming queries execute a bounded replay inside the builder, and the
 # roundtrips write temp files — plan text is checked for batch shapes only
 _SKIP_PREFIX = ("stream_",)
-_SKIP = {"csv_roundtrip", "orc_roundtrip", "partitioned_roundtrip"}
+_SKIP = {"csv_roundtrip", "orc_roundtrip", "partitioned_roundtrip",
+         "compact_roundtrip"}
 
 
 def _gate_names():
