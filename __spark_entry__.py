@@ -1999,9 +1999,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      stream_static_join, stream_upsert, quota_sample,
     #      mixture_repeats, contamination, point_in_time), plus
     #      lookup_decode (stalest remaining row, r2)
-    #   3. r3 greens rotating back in (fill to 50)
-    #   4. displaced to r6 rotation (stable, unaffected, r3-green)
-    #   5. r4 greens (tail -- freshest rows already banked)
+    #   3. this session's 11 brand-new gates (kmv..compact_roundtrip)
+    #      need first-ever rows; dedup_clusters / gram_repetition /
+    #      multimodal_bytes yielded their slots (r3-green, light change,
+    #      pytest-pinned) to keep the 50-window closed over new code +
+    #      stale refresh + lookup_decode
+    #   4. r3 greens rotating back in (fill to 50)
+    #   5. displaced to r6 rotation (stable, unaffected, r3-green)
+    #   6. r4 greens (tail -- freshest rows already banked)
     return {
     # --- 1. stale since r1/r2 (refresh) -------------------------------
         "distinct_segments": q_distinct_segments,
@@ -2019,8 +2024,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- 2. changed this round ----------------------------------------
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "gram_repetition": q_gram_repetition,
         "dedup_fingerprint": q_dedup_fingerprint,
         "interval_overlap": q_interval_overlap,
         "simhash_pairs": q_simhash_pairs,
@@ -2028,7 +2031,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_kmeans_topk": q_embed_ivf_kmeans_topk,
         "semantic_dedup": q_semantic_dedup,
         "salted_join_auto": q_salted_join_auto,
-        "multimodal_bytes": q_multimodal_bytes,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_resize": q_multimodal_resize,
@@ -2058,6 +2060,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": q_events_gapfill,        # new this session
         "compact_roundtrip": q_compact_roundtrip,  # new this session
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
+        "dedup_clusters": q_dedup_clusters,      # yielded slot: r3-green, light r5 change, pytest-pinned
+        "gram_repetition": q_gram_repetition,    # yielded slot: same
+        "multimodal_bytes": q_multimodal_bytes,  # yielded slot: superseded by multimodal_decode gate
     # --- 3. r3 greens rotating in -------------------------------------
         "dedup_exact": q_dedup_exact,
         "embed_topk": q_embed_topk,
