@@ -1900,6 +1900,44 @@ def q_pagerank(spark, sf_dir):
             .select("node", "rank"))
 
 
+def q_bq_sink_emulated(spark, sf_dir):
+    """S5 executed end-to-end against the emulated BigQuery sink
+    (sources.sinks.write_bigquery_emulated): the SAME write plan the
+    connector would consume (WRITE_TRUNCATE, declared schema + INT64/
+    FLOAT64 widening, MONTH time-partitioning, clustering) actually runs
+    — rows land under partition-decorator directories, clustered within
+    files — then read back through the emulated reader. Values must
+    hash-match the source table; layout/mode semantics pinned by
+    tests/test_sinks.py."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from bqetl_spark.sources.sinks import (bigquery_write_plan,
+                                           read_bigquery_emulated,
+                                           write_bigquery_emulated)
+
+    orders = _t(spark, sf_dir, "orders")
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+    ])
+    plan = bigquery_write_plan(
+        "demo_project.warehouse.orders_sink", mode="overwrite",
+        partition_field="o_orderdate", partition_type="MONTH",
+        clustered_fields=["o_custkey"], schema=schema)
+    root = tempfile.mkdtemp(prefix="bq_emul_")
+    write_bigquery_emulated(orders, plan, root)
+    back = read_bigquery_emulated(spark, "demo_project.warehouse.orders_sink",
+                                  root)
+    return back.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.unix_timestamp("o_orderdate").alias("orderdate_epoch"))
+
+
 def q_compact_roundtrip(spark, sf_dir):
     """Small-file compaction gate (sources.compaction.compact_parquet):
     fragment documents into 64 tiny files, compact to size-targeted
@@ -2059,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,                    # new this session
         "events_gapfill": q_events_gapfill,        # new this session
         "compact_roundtrip": q_compact_roundtrip,  # new this session
+        "bq_sink_emulated": q_bq_sink_emulated,    # new this session
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
         "dedup_clusters": q_dedup_clusters,      # yielded slot: r3-green, light r5 change, pytest-pinned
         "gram_repetition": q_gram_repetition,    # yielded slot: same
@@ -3699,6 +3738,12 @@ def oracle_sql() -> dict[str, str]:
         FROM r5
         ORDER BY rank DESC, node ASC
         LIMIT 100""")
+    # the emulated BigQuery sink is value-invisible end to end
+    d["bq_sink_emulated"] = """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+                 AS orderdate_epoch
+        FROM orders"""
     # compaction is value-invisible: the oracle is the plain table
     d["compact_roundtrip"] = """
         SELECT doc_id, lang, source, n_chars FROM documents"""

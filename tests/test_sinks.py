@@ -116,3 +116,111 @@ def test_bq_plan_embeds_schema():
         [f.name for f in _NESTED.fields]
     # default write path without a temp bucket is the direct API
     assert plan["options"]["writeMethod"] == "direct"
+
+
+class TestEmulatedBigQuerySink:
+    """write_bigquery_emulated executes the full write-plan contract."""
+
+    @staticmethod
+    def _df(spark, rows):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [(i, m, dt.datetime(2024, (m - 1) % 12 + 1, 1 + i % 3, 12, 0))
+             for i, m in rows],
+            "k bigint, cl bigint, ts timestamp")
+
+    @staticmethod
+    def _plan(mode="overwrite", **kw):
+        from pyspark.sql import types as T
+
+        from bqetl_spark.sources.sinks import bigquery_write_plan
+
+        schema = T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("cl", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ])
+        return bigquery_write_plan("p.d.t", mode=mode, schema=schema, **kw)
+
+    def test_truncate_and_append_semantics(self, spark, tmp_path):
+        from bqetl_spark.sources.sinks import (read_bigquery_emulated,
+                                               write_bigquery_emulated)
+
+        root = str(tmp_path)
+        write_bigquery_emulated(self._df(spark, [(1, 1), (2, 1)]),
+                                self._plan(), root)
+        # WRITE_TRUNCATE replaces
+        write_bigquery_emulated(self._df(spark, [(9, 2)]), self._plan(), root)
+        got = read_bigquery_emulated(spark, "p.d.t", root)
+        assert [r["k"] for r in got.collect()] == [9]
+        # WRITE_APPEND adds
+        write_bigquery_emulated(self._df(spark, [(7, 3)]),
+                                self._plan("append"), root)
+        got = sorted(r["k"] for r in
+                     read_bigquery_emulated(spark, "p.d.t", root).collect())
+        assert got == [7, 9]
+
+    def test_errorifexists_and_ignore(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from bqetl_spark.sources.sinks import (read_bigquery_emulated,
+                                               write_bigquery_emulated)
+
+        root = str(tmp_path)
+        write_bigquery_emulated(self._df(spark, [(1, 1)]), self._plan(), root)
+        with _pytest.raises(FileExistsError):
+            write_bigquery_emulated(self._df(spark, [(2, 1)]),
+                                    self._plan("errorifexists"), root)
+        write_bigquery_emulated(self._df(spark, [(3, 1)]),
+                                self._plan("ignore"), root)
+        got = [r["k"] for r in
+               read_bigquery_emulated(spark, "p.d.t", root).collect()]
+        assert got == [1]  # ignore left the table untouched
+
+    def test_month_partition_decorator_layout(self, spark, tmp_path):
+        import glob
+
+        from bqetl_spark.sources.sinks import write_bigquery_emulated
+
+        root = str(tmp_path)
+        d = write_bigquery_emulated(
+            self._df(spark, [(1, 1), (2, 2), (3, 2)]),
+            self._plan(partition_field="ts", partition_type="MONTH"), root)
+        parts = sorted(p.split("=")[1] for p in
+                       glob.glob(f"{d}/__partition_id=*"))
+        assert parts == ["202401", "202402"]
+
+    def test_clustering_sorts_within_files(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from bqetl_spark.sources.sinks import write_bigquery_emulated
+
+        rows = [(i, (i * 7) % 50) for i in range(500)]
+        d = write_bigquery_emulated(
+            self._df(spark, rows), self._plan(clustered_fields=["cl"]),
+            str(tmp_path))
+        checked = 0
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            cl = pq.read_table(f, columns=["cl"]).to_pydict()["cl"]
+            assert cl == sorted(cl)
+            checked += len(cl)
+        assert checked == 500
+
+    def test_connector_type_widening(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from bqetl_spark.sources.sinks import (bigquery_write_plan,
+                                               read_bigquery_emulated,
+                                               write_bigquery_emulated)
+
+        schema = T.StructType([T.StructField("k", T.IntegerType()),
+                               T.StructField("x", T.FloatType())])
+        df = spark.createDataFrame([(1, 2.5)], "k int, x float")
+        plan = bigquery_write_plan("p.d.w", schema=schema)
+        write_bigquery_emulated(df, plan, str(tmp_path))
+        back = read_bigquery_emulated(spark, "p.d.w", str(tmp_path))
+        got = dict(back.dtypes)
+        assert got == {"k": "bigint", "x": "double"}  # INT64 / FLOAT64
