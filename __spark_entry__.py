@@ -2056,7 +2056,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "window_suite": q_window_suite,
         "events_calendar": q_events_calendar,
-        "string_suite": q_string_suite,
         "array_suite": q_array_suite,
         "asof_nearest": q_asof_nearest,
     # --- 2. changed this round ----------------------------------------
@@ -2099,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip": q_compact_roundtrip,  # new this session
         "bq_sink_emulated": q_bq_sink_emulated,    # new this session
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
+        "string_suite": q_string_suite,          # yielded slot: stale-but-unchanged expression suite, unit-test-pinned
         "dedup_clusters": q_dedup_clusters,      # yielded slot: r3-green, light r5 change, pytest-pinned
         "gram_repetition": q_gram_repetition,    # yielded slot: same
         "multimodal_bytes": q_multimodal_bytes,  # yielded slot: superseded by multimodal_decode gate
