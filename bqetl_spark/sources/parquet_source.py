@@ -70,3 +70,21 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (~1.7e18) exceeds double's 2^53 integer range → off-by-1µs rows
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return ensure_ltz(df)
+
+
+def load_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a directory written by multiple pipeline versions — the
+    schema-evolution path (columns added over time). ``mergeSchema``
+    unions all footer schemas (one footer read per file, driver-side);
+    rows from files that predate a column surface SQL NULL for it, which
+    is exactly the reference's missing-JSON-field behavior
+    (JSONReader.java:86-94) carried to the lake.
+
+    Cost note for 100 TB: schema merging reads every footer at planning
+    time — on tables with millions of files, prefer a declared schema
+    (``spark.read.schema(...)``), which this loader family already
+    supports; mergeSchema is for the version-skew window during a rolling
+    pipeline upgrade."""
+    _ltz_scan_conf(spark)
+    return ensure_ltz(
+        spark.read.option("mergeSchema", "true").parquet(path))
