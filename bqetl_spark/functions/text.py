@@ -289,6 +289,11 @@ def bigram_pmi(df: DataFrame, text_col: str = "text",
         lambda a, b: F.struct(a.alias("a"), b.alias("b")))).alias("p")
     ).select("p.a", "p.b")
     b_total = pairs.count()  # metadata scalar
+    if b_total == 0:  # no doc has 2+ tokens: no pairs, and M/B undefined
+        return pairs.select(
+            F.col("a").alias("tok_a"), F.col("b").alias("tok_b"),
+            F.lit(0).cast("long").alias("n_pair"),
+            F.lit(0).cast("long").alias("pmi_e6")).limit(0)
     bg = (pairs.groupBy("a", "b").agg(F.count("*").alias("n_pair"))
           .filter(F.col("n_pair") >= min_count))
     ua = uni.select(F.col("t").alias("a"), F.col("c").alias("__ca"))
@@ -314,6 +319,11 @@ def key_skew_report(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     total = df.count()  # metadata scalar
+    if total == 0:  # ppm share undefined (ANSI DIV-by-zero otherwise)
+        return (df.select(F.col(key_col).cast("string").alias("key"),
+                          F.lit(0).cast("long").alias("n"),
+                          F.lit(0).cast("long").alias("share_ppm"))
+                .limit(0))
     return (df.groupBy(F.col(key_col).cast("string").alias("key"))
             .agg(F.count("*").alias("n"))
             .select("key", "n",

@@ -104,3 +104,13 @@ def test_pmi_margin_on_gate_corpora(sf_dir):
             continue
         v = 1e6 * math.log(((n / uni[a]) * (m / uni[c2])) * (m / b))
         assert abs(v - round(v)) > 1e-7, (a, c2, v, sf_dir)
+
+
+def test_empty_edges(spark):
+    """No 2-token doc -> empty PMI (M/B undefined); empty input -> empty
+    skew report (ppm undefined) — both return typed empty frames rather
+    than dividing by zero."""
+    only_short = spark.createDataFrame([("x",), ("",)], ["text"])
+    assert bigram_pmi(only_short, min_count=1).count() == 0
+    empty = spark.createDataFrame([], "k bigint")
+    assert key_skew_report(empty, "k").count() == 0
