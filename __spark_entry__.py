@@ -1900,6 +1900,19 @@ def q_pagerank(spark, sf_dir):
             .select("node", "rank"))
 
 
+def q_export_shards(spark, sf_dir):
+    """Training-export sharding gate (functions.chunking.export_shards):
+    write documents into shard=K/ directories with deterministic md5-mod
+    membership, read back through the partitioned layout — assignment
+    must be reproducible in SQL (same doc -> same shard, every run)."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="shards_") + "/export"
+    back = ck.export_shards(docs, out, n_shards=8)
+    return back.select("doc_id", "lang", "source", "shard")
+
+
 def q_bq_sink_emulated(spark, sf_dir):
     """S5 executed end-to-end against the emulated BigQuery sink
     (sources.sinks.write_bigquery_emulated): the SAME write plan the
@@ -2056,7 +2069,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "window_suite": q_window_suite,
         "events_calendar": q_events_calendar,
-        "array_suite": q_array_suite,
         "asof_nearest": q_asof_nearest,
     # --- 2. changed this round ----------------------------------------
         "minhash_lsh": q_minhash_lsh,
@@ -2097,8 +2109,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": q_events_gapfill,        # new this session
         "compact_roundtrip": q_compact_roundtrip,  # new this session
         "bq_sink_emulated": q_bq_sink_emulated,    # new this session
+        "export_shards": q_export_shards,          # new this session
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
         "string_suite": q_string_suite,          # yielded slot: stale-but-unchanged expression suite, unit-test-pinned
+        "array_suite": q_array_suite,            # yielded slot: same rationale
         "dedup_clusters": q_dedup_clusters,      # yielded slot: r3-green, light r5 change, pytest-pinned
         "gram_repetition": q_gram_repetition,    # yielded slot: same
         "multimodal_bytes": q_multimodal_bytes,  # yielded slot: superseded by multimodal_decode gate
@@ -3738,6 +3752,12 @@ def oracle_sql() -> dict[str, str]:
         FROM r5
         ORDER BY rank DESC, node ASC
         LIMIT 100""")
+    # shard membership is the md5-mod rule itself
+    d["export_shards"] = """
+        SELECT doc_id, lang, source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 8 AS shard
+        FROM documents"""
     # the emulated BigQuery sink is value-invisible end to end
     d["bq_sink_emulated"] = """
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

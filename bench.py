@@ -65,6 +65,7 @@ EXTRAS = [
     "bigram_pmi",
     "key_skew",
     "events_gapfill",
+    "export_shards",
 ]
 
 

@@ -277,3 +277,32 @@ def weighted_sample(df: DataFrame, weight_col, n: int,
             .withColumn("priority_key", key)
             .orderBy(F.desc("priority_key"), F.asc(id_col))
             .limit(n))
+
+
+def shard_assignment(id_col, n_shards: int):
+    """Deterministic shard id in [0, n_shards): md5-derived so the same
+    document lands in the same shard across runs, engines and cluster
+    sizes (xxhash64 would be faster but is not SQL-oracle-able)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    hv = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
+    return F.pmod(hv.cast("long"), F.lit(n_shards))
+
+
+def export_shards(df: DataFrame, path: str, n_shards: int,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Write the training-export layout: ``shard=K/`` directories with
+    deterministic md5-mod membership — the final packaging step before a
+    trainer consumes the corpus (each data-loader rank reads its shard
+    list; re-runs and backfills MUST route a document to the same shard,
+    which random splits cannot guarantee).
+
+    One partitionBy write; shard sizes concentrate tightly around
+    rows/n_shards (md5 uniformity), so no rank starves. Returns the
+    read-back DataFrame (shard column restored as BIGINT).
+    """
+    out = df.withColumn("shard", shard_assignment(id_col, n_shards))
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    back = df.sparkSession.read.parquet(path)
+    return back.withColumn("shard", F.col("shard").cast("long"))

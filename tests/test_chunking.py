@@ -200,3 +200,34 @@ def test_mixture_repeats_weights(spark):
     import pytest
     with pytest.raises(ValueError, match=">= 0"):
         mixture_repeats(df, {"x": -1.0}, strata_col="src")
+
+
+def test_export_shards_layout_balance_and_determinism(spark, tmp_path):
+    from bqetl_spark.functions.chunking import export_shards, shard_assignment
+    import glob
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(2000)],
+                               ["doc_id", "text"])
+    out1 = str(tmp_path / "s1")
+    back = export_shards(df, out1, n_shards=8)
+    # layout: one shard=K directory per shard
+    dirs = sorted(int(p.split("=")[1]) for p in glob.glob(f"{out1}/shard=*"))
+    assert dirs == list(range(8))
+    # total preservation + shard range
+    assert back.count() == 2000
+    sizes = {r["shard"]: r["n"] for r in
+             back.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == set(range(8))
+    # md5 uniformity: every shard within 2x of the mean (loose, exact
+    # membership is pinned by the driver oracle)
+    assert all(125 < n < 500 for n in sizes.values())
+    # determinism: a second export yields identical membership
+    out2 = str(tmp_path / "s2")
+    again = export_shards(df, out2, n_shards=8)
+    a = sorted((r["doc_id"], r["shard"]) for r in back.collect())
+    b = sorted((r["doc_id"], r["shard"]) for r in again.collect())
+    assert a == b
+    with _pytest.raises(ValueError):
+        shard_assignment("doc_id", 0)

@@ -28,7 +28,7 @@ ALLOWED_BNLJ = {"embed_topk", "embed_sq_topk", "embed_neardup",
 # roundtrips write temp files — plan text is checked for batch shapes only
 _SKIP_PREFIX = ("stream_",)
 _SKIP = {"csv_roundtrip", "orc_roundtrip", "partitioned_roundtrip",
-         "compact_roundtrip", "bq_sink_emulated"}
+         "compact_roundtrip", "bq_sink_emulated", "export_shards"}
 
 
 def _gate_names():
