@@ -548,6 +548,11 @@ def embed_centroids(df: DataFrame, label_col: str = "label",
     order-free), and divided once at the end. The groupBy carries dim
     partial sums per label — map-side combine means the shuffle moves
     |labels|·(dim+1) longs per partition, never vectors.
+
+    Contract: vectors are fixed-dim (``dim``); a shorter vector yields
+    NULL for its missing components, which SUM skips — the affected
+    component means silently over-weight the remaining rows. Validate
+    dimensionality upstream if the corpus can be ragged.
     """
     q = 16777216.0  # 2^24, exact in double
     sums = [F.sum(F.floor(F.element_at(vec_col, i + 1).cast("double")
