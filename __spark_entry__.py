@@ -1900,6 +1900,18 @@ def q_pagerank(spark, sf_dir):
             .select("node", "rank"))
 
 
+def q_sampled_quantiles(spark, sf_dir):
+    """Bounded-state quantile sketch (functions.sketch.sampled_quantiles):
+    p50/p90/p99 of lineitem extended price from the k=1024 smallest-md5
+    sample — deterministic sample, integer rank arithmetic, so the
+    ESTIMATE itself replays in SQL."""
+    li = _t(spark, sf_dir, "lineitem")
+    return sk.sampled_quantiles(
+        li, "l_extendedprice",
+        F.concat_ws("_", "l_orderkey", "l_linenumber"),
+        qs=(0.5, 0.9, 0.99), k=1024)
+
+
 def q_export_shards(spark, sf_dir):
     """Training-export sharding gate (functions.chunking.export_shards):
     write documents into shard=K/ directories with deterministic md5-mod
@@ -2061,7 +2073,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # --- 1. stale since r1/r2 (refresh) -------------------------------
         "distinct_segments": q_distinct_segments,
-        "events_json": q_events_json,
         "priority_late_ship": q_priority_late_ship,
         "big_orders": q_big_orders,
         "market_share": q_market_share,
@@ -2110,9 +2121,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip": q_compact_roundtrip,  # new this session
         "bq_sink_emulated": q_bq_sink_emulated,    # new this session
         "export_shards": q_export_shards,          # new this session
+        "sampled_quantiles": q_sampled_quantiles,  # new this session
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
         "string_suite": q_string_suite,          # yielded slot: stale-but-unchanged expression suite, unit-test-pinned
         "array_suite": q_array_suite,            # yielded slot: same rationale
+        "events_json": q_events_json,            # yielded slot: same rationale
         "dedup_clusters": q_dedup_clusters,      # yielded slot: r3-green, light r5 change, pytest-pinned
         "gram_repetition": q_gram_repetition,    # yielded slot: same
         "multimodal_bytes": q_multimodal_bytes,  # yielded slot: superseded by multimodal_decode gate
@@ -3752,6 +3765,24 @@ def oracle_sql() -> dict[str, str]:
         FROM r5
         ORDER BY rank DESC, node ASC
         LIMIT 100""")
+    # quantile sketch: deterministic smallest-md5 sample + integer ranks
+    d["sampled_quantiles"] = """
+        WITH s0 AS (
+            SELECT l_extendedprice AS v,
+                   ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_'
+                        || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+                     AS hv
+            FROM lineitem),
+        s AS (SELECT v, hv FROM s0 ORDER BY hv LIMIT 1024),
+        ranked AS (
+            SELECT v, hv, row_number() OVER (ORDER BY v, hv) AS rv,
+                   count(*) OVER () AS n
+            FROM s)
+        SELECT CAST(t.q AS DOUBLE) AS q, r.v AS value,
+               CAST(r.n AS BIGINT) AS n_sample
+        FROM ranked r
+        JOIN (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) AS t(q)
+          ON r.rv = CAST(floor(t.q * (r.n - 1)) AS BIGINT) + 1"""
     # shard membership is the md5-mod rule itself
     d["export_shards"] = """
         SELECT doc_id, lang, source,

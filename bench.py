@@ -66,6 +66,7 @@ EXTRAS = [
     "key_skew",
     "events_gapfill",
     "export_shards",
+    "sampled_quantiles",
 ]
 
 

@@ -133,3 +133,51 @@ def kmv_distinct(df: DataFrame, value_col: str, group_col: str,
          .alias("est_distinct"),
         F.when(F.size("mins") < k, F.lit(None).cast("long"))
          .otherwise(kth).alias("kth_hash"))
+
+
+def sampled_quantiles(df: DataFrame, value_col: str, id_expr,
+                      qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                      k: int = 1024) -> DataFrame:
+    """Bounded-state quantile estimation with a DETERMINISTIC,
+    SQL-replayable answer — the third sketch alongside ``kmv_distinct``
+    and ``heavy_hitter_tokens``.
+
+    The sample is the k rows with the smallest ``kmv_hash(id)`` — a
+    uniform sample that is a pure function of the data (no RNG state), so
+    the same rows are chosen on any engine, partitioning or cluster size.
+    ORDER BY hash LIMIT k is Spark's TakeOrdered: each partition ships at
+    most its own k smallest rows, never the column. The estimate is the
+    lower quantile of the sample (rank floor(q·(n−1))+1, ties broken by
+    the hash) — all-integer rank arithmetic after one IEEE multiply, so
+    the oracle reproduces the VALUE, not an error band. Sampling error is
+    the usual O(1/sqrt(k)) on the quantile's CDF position.
+
+    ``id_expr``: column/expression uniquely identifying a row (hash
+    collisions merely drop one row from the sample). Returns
+    (q DOUBLE, value, n_sample BIGINT).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not qs or not all(0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in [0,1], got {qs}")
+    sample = (df.select(F.col(value_col).alias("v"),
+                        kmv_hash(id_expr).alias("hv"))
+              .orderBy("hv").limit(k))
+    w = Window.orderBy("v", "hv")
+    ranked = (sample
+              .select("v", F.row_number().over(w).alias("rv"),
+                      F.count("*").over(
+                          Window.rowsBetween(Window.unboundedPreceding,
+                                             Window.unboundedFollowing))
+                      .alias("n")))
+    targets = F.array(*[F.struct(F.lit(float(q)).alias("q"),
+                                 (F.floor(F.lit(float(q)) * (F.col("n") - 1))
+                                  + 1).alias("rq")) for q in qs])
+    return (ranked
+            .select("v", "rv", F.col("n").alias("n_sample"),
+                    F.explode(targets).alias("t"))
+            .filter(F.col("rv") == F.col("t.rq"))
+            .select(F.col("t.q").alias("q"), F.col("v").alias("value"),
+                    "n_sample"))

@@ -72,3 +72,52 @@ def test_validation(spark):
     df = spark.createDataFrame([("g", "v")], ["grp", "v"])
     with pytest.raises(ValueError):
         kmv_distinct(df, "v", "grp", k=1)
+
+
+def test_sampled_quantiles_python_replica_and_exact_small(spark):
+    from bqetl_spark.functions.sketch import sampled_quantiles
+
+    rows = [(i, float((i * 37) % 1000)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+
+    def replica(k):
+        hs = sorted(((_hv(str(i)), v) for i, v in rows))[:k]
+        vals = sorted((v, h) for h, v in hs)
+        n = len(vals)
+        out = {}
+        for q in (0.5, 0.95, 0.99):
+            out[q] = vals[int(q * (n - 1))][0]
+        return n, out
+
+    for k in (50, 1024):  # sub-sampled and sample==population
+        got = {r["q"]: (r["value"], r["n_sample"]) for r in
+               sampled_quantiles(df, "v", "id", qs=(0.5, 0.95, 0.99),
+                                 k=k).collect()}
+        n, want = replica(k)
+        assert {q: v for q, (v, _) in got.items()} == want
+        assert all(ns == n for _, ns in got.values())
+    # with k >= population the estimate is the exact lower quantile
+    exact = sorted(v for _, v in rows)
+    got = {r["q"]: r["value"] for r in
+           sampled_quantiles(df, "v", "id", qs=(0.5,), k=1024).collect()}
+    assert got[0.5] == exact[int(0.5 * 299)]
+
+
+def test_sampled_quantiles_partition_invariant(spark):
+    from bqetl_spark.functions.sketch import sampled_quantiles
+
+    rows = [(i, float(i % 97)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    a = sorted(sampled_quantiles(df.repartition(1), "v", "id", k=64).collect())
+    b = sorted(sampled_quantiles(df.repartition(13), "v", "id", k=64).collect())
+    assert a == b
+
+
+def test_sampled_quantiles_validation(spark):
+    from bqetl_spark.functions.sketch import sampled_quantiles
+
+    df = spark.createDataFrame([(1, 1.0)], ["id", "v"])
+    with pytest.raises(ValueError):
+        sampled_quantiles(df, "v", "id", k=0)
+    with pytest.raises(ValueError):
+        sampled_quantiles(df, "v", "id", qs=(1.5,))
