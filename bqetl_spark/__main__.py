@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="corpus pipeline: tokens per chunk")
     p.add_argument("--pack-budget", type=int, default=2048,
                    help="corpus pipeline: tokens per training pack")
+    p.add_argument("--shards", type=int, default=None,
+                   help="corpus pipeline: write shard=K/ trainer layout "
+                        "with deterministic md5-mod membership")
     p.add_argument("--master", default="local[*]",
                    help="Spark master (ignored when run under spark-submit)")
     return p
@@ -89,7 +92,8 @@ def run(argv: list[str] | None = None, spark: SparkSession | None = None) -> int
             n = run_corpus_pipeline(
                 spark, args.loading_bucket_url, args.output,
                 lang=args.lang, sample_rate=args.sample_rate,
-                chunk_size=args.chunk_size, pack_budget=args.pack_budget)
+                chunk_size=args.chunk_size, pack_budget=args.pack_budget,
+                n_shards=args.shards)
             print(f"corpus: wrote {n} chunks to {args.output}")
             return 0
         lookups = args.perform_lookups or args.pipeline == "simple-with-lookups"

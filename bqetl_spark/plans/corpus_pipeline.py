@@ -97,13 +97,25 @@ def curate_corpus(docs: DataFrame,
 
 
 def run_corpus_pipeline(spark: SparkSession, docs_path: str, out_path: str,
-                        **kwargs) -> int:
-    """Load → curate → partitioned parquet write (by source). Returns the
-    number of chunks written."""
+                        n_shards: int | None = None, **kwargs) -> int:
+    """Load → curate → partitioned parquet write. Returns the number of
+    chunks written. Default layout partitions by source (analytics reads);
+    ``n_shards`` switches to the trainer layout — shard=K/ directories
+    with deterministic md5-mod membership over (doc_id, chunk_id), so a
+    resumed or re-run export routes every chunk to the same data-loader
+    rank (functions.chunking.export_shards semantics at the chunk
+    level)."""
     from bqetl_spark.sources.parquet_source import ensure_ltz
     from bqetl_spark.sources.partitioned import write_partitioned
 
     docs = ensure_ltz(spark.read.parquet(docs_path))
     out = curate_corpus(docs, **kwargs)
-    write_partitioned(out, out_path, partition_cols=["source"])
+    if n_shards is not None:
+        from bqetl_spark.functions.chunking import shard_assignment
+
+        key = F.concat_ws("_", "doc_id", "chunk_id")
+        (out.withColumn("shard", shard_assignment(key, n_shards))
+         .write.mode("overwrite").partitionBy("shard").parquet(out_path))
+    else:
+        write_partitioned(out, out_path, partition_cols=["source"])
     return spark.read.parquet(out_path).count()

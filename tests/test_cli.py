@@ -131,3 +131,27 @@ def test_cli_corpus_pipeline_end_to_end(spark, tmp_path):
     for r in rows:
         by_doc.setdefault(r["doc_id"], set()).add(r["source"])
     assert all(len(s) == 1 for s in by_doc.values())
+
+
+def test_corpus_pipeline_shard_layout(spark, tmp_path):
+    """--shards trainer layout: shard=K dirs, deterministic chunk-level
+    membership (same chunk -> same shard on a re-run)."""
+    import glob
+
+    from bqetl_spark.plans.corpus_pipeline import run_corpus_pipeline
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = str(tmp_path / "docs")
+    docs.limit(300).write.parquet(src)
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    n1 = run_corpus_pipeline(spark, src, out1, n_shards=4)
+    assert n1 > 0
+    assert sorted(int(p.split("=")[1])
+                  for p in glob.glob(f"{out1}/shard=*")) == [0, 1, 2, 3]
+    run_corpus_pipeline(spark, src, out2, n_shards=4)
+    a = sorted(map(tuple, spark.read.parquet(out1)
+                   .select("doc_id", "chunk_id", "shard").collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2)
+                   .select("doc_id", "chunk_id", "shard").collect()))
+    assert a == b
