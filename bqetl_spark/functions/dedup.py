@@ -384,7 +384,13 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
     so at corpus scale it is dropped from the index. Exact when None."""
     fp_udf = winnow_fingerprint_vec(k, w)
     n_part = compute_parallelism(df.sparkSession)
-    base = (df.repartition(n_part, id_col)
+    # winnowing's guarantee (a shared substring of length >= k+w-1 yields
+    # a shared fingerprint) is vacuous for docs shorter than k — and the
+    # UDF's whole-string fallback hash made every pair of IDENTICAL short
+    # docs a 1.0-overlap "near-dup" (fuzz-harness finding). Sub-k docs are
+    # exact-dedup territory; winnowing skips them.
+    base = (df.filter(F.length(F.col(text_col)) >= k)
+            .repartition(n_part, id_col)
             .select(F.col(id_col).alias("id"),
                     fp_udf(F.col(text_col)).alias("fp"))
             .withColumn("n_fp", F.size("fp")))
@@ -477,7 +483,12 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     (near-dups almost always share them), compare Hamming distance within a
     block. Returns (id_a, id_b, hamming)."""
     n_part = compute_parallelism(df.sparkSession)
-    base = (df.repartition(n_part, id_col)  # spread the CPU-heavy bit votes
+    # content-free docs carry no signal: an all-whitespace text hashes to
+    # the SAME degenerate simhash (0), so without this filter every empty
+    # doc pairs with every other at hamming 0 — found by the oracle fuzz
+    # harness; exact dedup is the right tool for empties
+    base = (df.filter(F.trim(F.col(text_col)) != "")
+            .repartition(n_part, id_col)  # spread the CPU-heavy bit votes
             .select(F.col(id_col).alias("id"),
                     simhash64_vec()(F.col(text_col)).alias("sh")))
     # persist the compact (id, sh, blk) table: a self-join recomputes its

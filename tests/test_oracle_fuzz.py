@@ -24,7 +24,8 @@ from hypothesis import strategies as st
 import __spark_entry__ as em
 from tests.oracle_harness import compare
 
-_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "k9", "x"]
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "k9", "x",
+          "spark", "shuffle", "window"]  # last three: tfidf query terms
 
 _doc_strategy = st.lists(
     st.tuples(
@@ -76,7 +77,15 @@ def _check(spark, sf_dir, name):
 @pytest.mark.parametrize("gate", ["kmv_distinct", "bigram_pmi",
                                   "weighted_sample", "source_divergence",
                                   "dedup_fingerprint", "doc_chunks",
-                                  "pack_sequences", "export_shards"])
+                                  "pack_sequences", "export_shards",
+                                  # near-dup family: simhash/winnow empty-
+                                  # and short-doc boundary bugs were FOUND
+                                  # by this harness and fixed (contentless
+                                  # docs pairing at hamming 0 / overlap 1)
+                                  "simhash_pairs", "winnow_neardup",
+                                  "ngram_jaccard", "minhash_lsh",
+                                  "dedup_exact", "heavy_tokens",
+                                  "tfidf_topk"])
 def test_doc_gates_on_random_corpora(spark, tmp_path_factory, gate):
     @_SET
     @given(rows=_doc_strategy)
