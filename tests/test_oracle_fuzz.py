@@ -117,5 +117,8 @@ def test_event_gates_on_random_streams(spark, tmp_path_factory, evs):
               "event_type string, value double, props string").coalesce(1) \
         .write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
     for gate in ("events_gapfill", "events_hourly", "key_skew",
-                 "interval_overlap", "sessionize"):
+                 "interval_overlap", "sessionize", "session_window",
+                 "session_labels", "rolling_window", "tumbling_window",
+                 "pivot_event_counts", "events_calendar", "asof_purchase",
+                 "scd2_intervals", "point_in_time", "compact_changelog"):
         _check(spark, d, gate)
