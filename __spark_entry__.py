@@ -2411,14 +2411,19 @@ def oracle_sql() -> dict[str, str]:
               FROM orders GROUP BY o_custkey
             ) o ON c_custkey = o_custkey""",
         "nest_chunked": """
+            -- the operator nests orders UNDER EXISTING customers (join
+            -- before nest), so the oracle must join too: orders with a
+            -- NULL or dangling o_custkey have no parent row and produce
+            -- no chunk (perturbation-fuzz finding — the shortcut without
+            -- the join only agreed under referential integrity)
             WITH seq AS (
-              SELECT o_custkey, o_orderkey,
-                     row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1 AS rn
-              FROM orders)
-            SELECT o_custkey AS c_custkey,
+              SELECT c_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY c_custkey ORDER BY o_orderkey) - 1 AS rn
+              FROM orders JOIN customer ON o_custkey = c_custkey)
+            SELECT c_custkey,
                    count(*) AS chunk_size,
                    min(o_orderkey) AS chunk_min_orderkey
-            FROM seq GROUP BY o_custkey, rn // 10""",
+            FROM seq GROUP BY c_custkey, rn // 10""",
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

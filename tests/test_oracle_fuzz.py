@@ -122,3 +122,48 @@ def test_event_gates_on_random_streams(spark, tmp_path_factory, evs):
                  "pivot_event_counts", "events_calendar", "asof_purchase",
                  "scd2_intervals", "point_in_time", "compact_changelog"):
         _check(spark, d, gate)
+
+
+RI_GATES = ["denorm_flat", "nest_orders", "nest_chunked", "lookup_decode",
+            "q1_pricing_summary", "q3_top_revenue", "q5_region_revenue",
+            "market_share", "top_orders_per_customer",
+            "orders_above_customer_avg", "parts_never_ordered",
+            "suppliers_with_sales", "idle_customers", "big_orders",
+            "upsert_customers", "rollup_revenue", "window_running_total"]
+
+
+def test_relational_gates_survive_broken_referential_integrity(
+        spark, tmp_path_factory):
+    """Perturbation fuzz: subset customers/orders and inject NULL and
+    DANGLING foreign keys, then replay the join-family gates against
+    their oracles. The shipped generator always satisfies referential
+    integrity, so an oracle can silently encode an RI shortcut — this
+    found (and now guards) nest_chunked's missing join: the operator
+    nests orders under EXISTING customers, the old oracle chunked ALL
+    orders."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tests.oracle_harness import TABLES
+
+    SRC = "/root/testdata/sf0.001"
+    for trial in range(2):
+        d = str(tmp_path_factory.mktemp("ri_fuzz"))
+        for t in TABLES:
+            shutil.copy(f"{SRC}/{t}.parquet", f"{d}/{t}.parquet")
+        cust = spark.read.parquet(f"{SRC}/customer.parquet") \
+            .sample(0.6, seed=trial)
+        orders = (spark.read.parquet(f"{SRC}/orders.parquet")
+                  .sample(0.7, seed=trial)
+                  .withColumn("o_custkey",
+                              F.when(F.rand(trial) < 0.05, F.lit(None))
+                               .when(F.rand(trial + 1) < 0.05,
+                                     F.col("o_custkey") + 10**9)
+                               .otherwise(F.col("o_custkey"))))
+        for name, df in (("customer", cust), ("orders", orders)):
+            os.remove(f"{d}/{name}.parquet")
+            df.coalesce(1).write.mode("overwrite") \
+                .parquet(f"{d}/{name}.parquet")
+        for gate in RI_GATES:
+            _check(spark, d, gate)
