@@ -236,10 +236,13 @@ def source_divergence(df: DataFrame, group_col: str = "source",
     same audit class as PageRank's node count). Returns
     (group_col, n_tokens, kl_e6 BIGINT, kl DOUBLE).
     """
-    tok = (df.filter(F.trim(F.col(text_col)) != "")
-           .select(F.col(group_col).alias("grp"),
-                   F.explode(tokens(F.col(text_col))).alias("tok")))
-    m_total = tok.count()  # metadata scalar
+    base = df.filter(F.trim(F.col(text_col)) != "")
+    # one row-local aggregate pass for the corpus-size scalar — cheaper
+    # than counting the exploded token relation
+    m_total = (base.agg(F.sum(token_count(F.col(text_col))).alias("m"))
+               .first()["m"]) or 0
+    tok = base.select(F.col(group_col).alias("grp"),
+                      F.explode(tokens(F.col(text_col))).alias("tok"))
     cts = tok.groupBy("grp", "tok").agg(F.count("*").alias("c"))
     n_g = cts.groupBy("grp").agg(F.sum("c").alias("n_g"))
     d_t = cts.groupBy("tok").agg(F.sum("c").alias("d"))
@@ -278,8 +281,14 @@ def bigram_pmi(df: DataFrame, text_col: str = "text",
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     base = df.filter(F.trim(F.col(text_col)) != "")
+    # both corpus scalars in ONE row-local aggregate pass (token and pair
+    # counts are per-doc expressions — no explode needed just to count)
+    n_tok = token_count(F.col(text_col))
+    totals = base.agg(
+        F.sum(n_tok).alias("m"),
+        F.sum(F.greatest(n_tok - 1, F.lit(0))).alias("b")).first()
+    m_total, b_total = totals["m"] or 0, totals["b"] or 0
     tok = base.select(F.explode(tokens(F.col(text_col))).alias("t"))
-    m_total = tok.count()  # metadata scalar
     uni = tok.groupBy("t").agg(F.count("*").alias("c"))
     tk = (base.select(tokens(F.col(text_col)).alias("__tk"))
           .filter(F.size("__tk") >= 2))
@@ -288,7 +297,6 @@ def bigram_pmi(df: DataFrame, text_col: str = "text",
         F.slice("__tk", 2, F.size("__tk") - 1),
         lambda a, b: F.struct(a.alias("a"), b.alias("b")))).alias("p")
     ).select("p.a", "p.b")
-    b_total = pairs.count()  # metadata scalar
     if b_total == 0:  # no doc has 2+ tokens: no pairs, and M/B undefined
         return pairs.select(
             F.col("a").alias("tok_a"), F.col("b").alias("tok_b"),
