@@ -167,3 +167,43 @@ def test_relational_gates_survive_broken_referential_integrity(
                 .parquet(f"{d}/{name}.parquet")
         for gate in RI_GATES:
             _check(spark, d, gate)
+
+
+STREAM_GATES = ["stream_events_hourly", "stream_dedup", "stream_user_totals",
+                "stream_sessionize", "stream_click_to_purchase",
+                "stream_session_window", "stream_upsert",
+                "stream_static_join"]
+
+
+def test_streaming_gates_on_random_streams(spark, tmp_path_factory):
+    """Streaming ≡ batch pinned as a PROPERTY: replay random event
+    streams (not the fixture) through every streaming gate and compare
+    with the batch SQL oracle. Random timestamps exercise window/
+    watermark/session boundaries the generator's regular stream never
+    hits."""
+    import datetime as dt
+    import random
+    import shutil
+
+    from tests.oracle_harness import TABLES
+
+    SRC = "/root/testdata/sf0.001"
+    rng = random.Random(9)
+    for trial in range(2):
+        d = str(tmp_path_factory.mktemp("stream_fuzz"))
+        for t in TABLES:
+            shutil.copy(f"{SRC}/{t}.parquet", f"{d}/{t}.parquet")
+        os.remove(f"{d}/events.parquet")
+        base = dt.datetime(2024, 1, 1)
+        data = [(i, base + dt.timedelta(seconds=rng.randint(0, 3_000_000),
+                                        microseconds=rng.randint(0, 999999)),
+                 rng.randint(1, 6),
+                 rng.choice(["click", "view", "purchase", "error", "signup"]),
+                 rng.randint(0, 10000) / 100.0, '{"k": 1}')
+                for i in range(rng.randint(5, 80))]
+        spark.createDataFrame(
+            data, "event_id bigint, ts timestamp, user_id bigint, "
+                  "event_type string, value double, props string") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        for gate in STREAM_GATES:
+            _check(spark, d, gate)
