@@ -207,3 +207,23 @@ def test_streaming_gates_on_random_streams(spark, tmp_path_factory):
             .coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
         for gate in STREAM_GATES:
             _check(spark, d, gate)
+
+
+def test_tfidf_floor_margin_exhaustive():
+    """PROOF, not sampling: floor(1e6·ln(N/df)) is flip-proof for EVERY
+    possible corpus up to 800 docs. idf's argument is a ratio of two
+    integers ≤ 800; sweeping all of them, the closest any 1e6·ln(a/b)
+    comes to an integer is ~3.7e-6 (a=359, b=473) — three orders of
+    magnitude above the ≤1-ulp libm wobble (~4e-9 after scaling). So the
+    random-corpus fuzz above can never flake on tfidf_topk, and neither
+    can any real corpus that size."""
+    import math
+
+    worst = 1.0
+    for a in range(1, 801):
+        for b in range(1, 801):
+            if a == b:
+                continue
+            v = 1e6 * math.log(a / b)
+            worst = min(worst, abs(v - round(v)))
+    assert worst > 1e-6, worst
