@@ -227,3 +227,24 @@ def test_tfidf_floor_margin_exhaustive():
             v = 1e6 * math.log(a / b)
             worst = min(worst, abs(v - round(v)))
     assert worst > 1e-6, worst
+
+
+@_SET
+@given(vecs=st.lists(
+    st.tuples(st.integers(0, 7),                      # label
+              st.lists(st.floats(-2.0, 2.0, allow_nan=False,
+                                 width=32),
+                       min_size=64, max_size=64)),
+    min_size=1, max_size=40))
+def test_embed_centroids_on_random_vectors(spark, tmp_path_factory, vecs):
+    """The one embeddings gate whose arithmetic is margin-FREE (fixed-
+    point integer sums), so it can be fuzzed without float-tie flake
+    risk; the ANN/cosine gates stay on the real corpus where their
+    ranking margins are audited."""
+    d = str(tmp_path_factory.mktemp("fuzz_emb"))
+    data = [(i, v, lbl) for i, (lbl, v) in enumerate(vecs)]
+    spark.createDataFrame(
+        data, "vec_id bigint, embedding array<float>, label int") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(d, "embeddings.parquet"))
+    _check(spark, d, "embed_centroids")
