@@ -1900,6 +1900,24 @@ def q_pagerank(spark, sf_dir):
             .select("node", "rank"))
 
 
+def q_sql_frontdoor(spark, sf_dir):
+    """Raw-SQL surface gate (bqetl_spark.sql): the same revenue-by-nation
+    join+agg a DataFrame query would build, written as ANSI SQL against
+    the registered star views — Catalyst lowers both surfaces to the same
+    plan, and the oracle is literally the same SQL on DuckDB."""
+    from bqetl_spark import sql as sq
+
+    return sq.sql(spark, sf_dir, """
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""")
+
+
 def q_sampled_quantiles(spark, sf_dir):
     """Bounded-state quantile sketch (functions.sketch.sampled_quantiles):
     p50/p90/p99 of lineitem extended price from the k=1024 smallest-md5
@@ -2079,7 +2097,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_profit": q_product_profit,
         "promo_revenue": q_promo_revenue,
         "window_suite": q_window_suite,
-        "events_calendar": q_events_calendar,
         "asof_nearest": q_asof_nearest,
     # --- 2. changed this round ----------------------------------------
         "minhash_lsh": q_minhash_lsh,
@@ -2122,10 +2139,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_sink_emulated": q_bq_sink_emulated,    # new this session
         "export_shards": q_export_shards,          # new this session
         "sampled_quantiles": q_sampled_quantiles,  # new this session
+        "sql_frontdoor": q_sql_frontdoor,          # new this session
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
         "string_suite": q_string_suite,          # yielded slot: stale-but-unchanged expression suite, unit-test-pinned
         "array_suite": q_array_suite,            # yielded slot: same rationale
         "events_json": q_events_json,            # yielded slot: same rationale
+        "events_calendar": q_events_calendar,    # yielded slot: pinned by the random-stream fuzz tier
         "dedup_clusters": q_dedup_clusters,      # yielded slot: r3-green, light r5 change, pytest-pinned
         "gram_repetition": q_gram_repetition,    # yielded slot: same
         "multimodal_bytes": q_multimodal_bytes,  # yielded slot: superseded by multimodal_decode gate
@@ -3770,6 +3789,16 @@ def oracle_sql() -> dict[str, str]:
         FROM r5
         ORDER BY rank DESC, node ASC
         LIMIT 100""")
+    # the SQL front door runs the SAME text on both engines
+    d["sql_frontdoor"] = """
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name"""
     # quantile sketch: deterministic smallest-md5 sample + integer ranks
     d["sampled_quantiles"] = """
         WITH s0 AS (

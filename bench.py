@@ -67,6 +67,7 @@ EXTRAS = [
     "events_gapfill",
     "export_shards",
     "sampled_quantiles",
+    "sql_frontdoor",
 ]
 
 

@@ -155,3 +155,22 @@ def test_corpus_pipeline_shard_layout(spark, tmp_path):
     b = sorted(map(tuple, spark.read.parquet(out2)
                    .select("doc_id", "chunk_id", "shard").collect()))
     assert a == b
+
+
+def test_sql_frontdoor_views_and_pushdown(spark):
+    """register_star creates lazy views; a raw-SQL query over them gets
+    the same Catalyst treatment (broadcast join for the dims) as the
+    DataFrame surface."""
+    from bqetl_spark import sql as sq
+    from tests.conftest import SF_DIR
+
+    names = sq.register_star(spark, SF_DIR)
+    assert "orders" in names and "nation" in names
+    df = spark.sql("SELECT count(*) AS n FROM orders")
+    assert df.first()["n"] > 0
+    joined = sq.sql(spark, SF_DIR, """
+        SELECT n_name, count(*) AS n FROM customer
+        JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert joined.count() > 0
