@@ -129,7 +129,8 @@ RI_GATES = ["denorm_flat", "nest_orders", "nest_chunked", "lookup_decode",
             "market_share", "top_orders_per_customer",
             "orders_above_customer_avg", "parts_never_ordered",
             "suppliers_with_sales", "idle_customers", "big_orders",
-            "upsert_customers", "rollup_revenue", "window_running_total"]
+            "upsert_customers", "rollup_revenue", "window_running_total",
+            "sql_frontdoor"]
 
 
 def test_relational_gates_survive_broken_referential_integrity(
