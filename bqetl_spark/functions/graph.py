@@ -27,7 +27,8 @@ BROADCAST_NODES_MAX = 10_000_000
 
 
 def pagerank_fixed(edges: DataFrame, src: str = "src", dst: str = "dst",
-                   iters: int = 5, damping_pct: int = 85) -> DataFrame:
+                   iters: int = 5, damping_pct: int = 85,
+                   broadcast_nodes_max: int = BROADCAST_NODES_MAX) -> DataFrame:
     """PageRank with integer fixed-point arithmetic, run for a fixed
     number of iterations.
 
@@ -68,7 +69,7 @@ def pagerank_fixed(edges: DataFrame, src: str = "src", dst: str = "dst",
                 .union(edges.select(F.col(dst).alias("node")))
                 .distinct())
     n = nodes.count()  # metadata scalar: one long to the driver
-    small = n <= BROADCAST_NODES_MAX
+    small = n <= broadcast_nodes_max
     outdeg = edges.groupBy(src).agg(F.count("*").alias("__outdeg"))
     # degree table has <= n rows — broadcast it so the edge list is not
     # shuffled just to pick up a per-source count

@@ -82,3 +82,15 @@ def test_python_replica_matches(spark, tri):
     got = _ranks(pagerank_fixed(tri, iters=3))
     release_pinned()
     assert got == rank
+
+
+def test_shuffle_join_fallback_equals_broadcast_path(spark, tri):
+    """Above broadcast_nodes_max the loop switches to shuffle joins for
+    ranks and degrees — integer arithmetic makes the two physical paths
+    bit-identical, which this pins (the fallback is what runs at
+    billion-node scale, so it must not be dead untested code)."""
+    a = _ranks(pagerank_fixed(tri, iters=3))
+    release_pinned()
+    b = _ranks(pagerank_fixed(tri, iters=3, broadcast_nodes_max=0))
+    release_pinned()
+    assert a == b
