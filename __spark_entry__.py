@@ -2080,11 +2080,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      stream_static_join, stream_upsert, quota_sample,
     #      mixture_repeats, contamination, point_in_time), plus
     #      lookup_decode (stalest remaining row, r2)
-    #   3. this session's 11 brand-new gates (kmv..compact_roundtrip)
+    #   3. this session's 14 brand-new gates (kmv_distinct .. sql_frontdoor)
     #      need first-ever rows; dedup_clusters / gram_repetition /
-    #      multimodal_bytes yielded their slots (r3-green, light change,
-    #      pytest-pinned) to keep the 50-window closed over new code +
-    #      stale refresh + lookup_decode
+    #      multimodal_bytes / string_suite / array_suite / events_json /
+    #      events_calendar yielded their slots (r3-or-earlier green, light-
+    #      or-no change, pytest- and/or fuzz-pinned) so the 50-window closes
+    #      over all new code + the remaining stale refresh + lookup_decode
     #   4. r3 greens rotating back in (fill to 50)
     #   5. displaced to r6 rotation (stable, unaffected, r3-green)
     #   6. r4 greens (tail -- freshest rows already banked)
