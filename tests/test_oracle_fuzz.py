@@ -249,3 +249,36 @@ def test_embed_centroids_on_random_vectors(spark, tmp_path_factory, vecs):
         .coalesce(1).write.mode("overwrite") \
         .parquet(os.path.join(d, "embeddings.parquet"))
     _check(spark, d, "embed_centroids")
+
+
+_TEXT_WORDS = ["alpha", "beta", "the", "and", "is", "a", "x9", "...", "-",
+               "user@example.com", "https://ex.org/p", "+1 (555) 123-4567",
+               "spark", "shuffle", "window", "Ünïcode", "½"]
+# NOTE: this vocabulary (PII patterns, unicode, bare punctuation) is
+# deliberately NOT shared with the near-dup tier: winnowing hashes UTF-8
+# BYTES while its oracle walks characters — identical on the ascii corpora
+# both use, a documented divergence surface for multi-byte text.
+
+TEXT_GATES = ["quality_filter", "lang_id", "token_stats", "gram_repetition",
+              "corpus_keep", "pii_redact", "top_tokens", "text_quality"]
+
+
+@pytest.mark.parametrize("gate", TEXT_GATES)
+def test_text_gates_on_adversarial_corpora(spark, tmp_path_factory, gate):
+    """Regex/empty-text boundary fuzz: random corpora laced with PII
+    shapes, unicode, and bare punctuation through every text-analysis
+    gate — the regex-parity (RE2 ∩ java.util.regex) and tokenizer
+    boundary claims checked on hostile input, not just the generator's
+    clean prose."""
+    @_SET
+    @given(rows=st.lists(
+        st.tuples(st.lists(st.sampled_from(_TEXT_WORDS),
+                           min_size=0, max_size=20),
+                  st.sampled_from(["en", "de"]),
+                  st.sampled_from(["s0", "s1"])),
+        min_size=1, max_size=40))
+    def run(rows):
+        sf = _docs_dir(spark, tmp_path_factory, rows)
+        _check(spark, sf, gate)
+
+    run()
