@@ -378,6 +378,12 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
     that word tokenization misses (punctuation/casing edits inside words).
     Hash-seeded → rows-only in the driver contract.
 
+    Encoding contract: k-grams are hashed over UTF-8 BYTES (numpy view);
+    the SQL oracle walks CHARACTERS. Identical for single-byte text (the
+    gate corpora are ascii); multi-byte text shifts gram boundaries
+    between the two — deliberately excluded from the adversarial-text
+    fuzz vocabulary for this reason (tests/test_oracle_fuzz.py).
+
     ``max_hash_freq`` is the boilerplate-skew guard (same contract as
     ngram_jaccard_pairs.max_gram_freq): a fingerprint hash appearing in
     more than N docs contributes O(N²) candidate pairs and ~no precision,
