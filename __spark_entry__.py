@@ -1900,6 +1900,51 @@ def q_pagerank(spark, sf_dir):
             .select("node", "rank"))
 
 
+def q_funnel_stages(spark, sf_dir):
+    """Ordered-funnel analysis (click → view → purchase, strictly
+    increasing event times per user): how many users reach each stage.
+    The canonical product-analytics sequential-pattern query — expressed
+    as three chained min-timestamp aggregations (each stage joins the
+    per-user frontier of the previous one; no window over raw events, no
+    explode). Microsecond epochs keep stage boundaries exact."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    c1 = (ev.filter(F.col("event_type") == "click")
+          .groupBy("user_id").agg(F.min(us).alias("t1")))
+    c2 = (ev.filter(F.col("event_type") == "view")
+          .select("user_id", us.alias("u"))
+          .join(c1, "user_id").filter(F.col("u") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("u").alias("t2")))
+    c3 = (ev.filter(F.col("event_type") == "purchase")
+          .select("user_id", us.alias("u"))
+          .join(c2, "user_id").filter(F.col("u") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("u").alias("t3")))
+    def stage(df, name):
+        return df.agg(F.count("*").alias("n_users")) \
+                 .select(F.lit(name).alias("stage"), "n_users")
+
+    return (stage(c1, "1_click")
+            .unionByName(stage(c2, "2_view_after_click"))
+            .unionByName(stage(c3, "3_purchase_after_view")))
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention triangle: users grouped by their FIRST active
+    week (cohort), counted in each later week they return. Pure integer
+    week arithmetic (epoch-seconds div 604800), so the classic cohort
+    table is exactly oracle-able. Output (cohort_week, week_offset,
+    n_users) for offsets 0..4."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.expr("unix_timestamp(ts) div 604800")
+    act = ev.select("user_id", wk.alias("wk")).distinct()
+    coh = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (act.join(coh, "user_id")
+            .withColumn("week_offset", F.col("wk") - F.col("cohort_wk"))
+            .filter(F.col("week_offset") <= 4)
+            .groupBy(F.col("cohort_wk").alias("cohort_week"), "week_offset")
+            .agg(F.count("*").alias("n_users")))
+
+
 def q_sql_frontdoor(spark, sf_dir):
     """Raw-SQL surface gate (bqetl_spark.sql): the same revenue-by-nation
     join+agg a DataFrame query would build, written as ANSI SQL against
@@ -2093,8 +2138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- 1. stale since r1/r2 (refresh) -------------------------------
         "distinct_segments": q_distinct_segments,
         "priority_late_ship": q_priority_late_ship,
-        "big_orders": q_big_orders,
-        "market_share": q_market_share,
         "product_profit": q_product_profit,
         "promo_revenue": q_promo_revenue,
         "window_suite": q_window_suite,
@@ -2141,11 +2184,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": q_export_shards,          # new this session
         "sampled_quantiles": q_sampled_quantiles,  # new this session
         "sql_frontdoor": q_sql_frontdoor,          # new this session
+        "funnel_stages": q_funnel_stages,          # new this session
+        "retention_cohorts": q_retention_cohorts,  # new this session
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
         "string_suite": q_string_suite,          # yielded slot: stale-but-unchanged expression suite, unit-test-pinned
         "array_suite": q_array_suite,            # yielded slot: same rationale
         "events_json": q_events_json,            # yielded slot: same rationale
         "events_calendar": q_events_calendar,    # yielded slot: pinned by the random-stream fuzz tier
+        "big_orders": q_big_orders,              # yielded slot: pinned by the broken-RI fuzz tier
+        "market_share": q_market_share,          # yielded slot: same
         "dedup_clusters": q_dedup_clusters,      # yielded slot: r3-green, light r5 change, pytest-pinned
         "gram_repetition": q_gram_repetition,    # yielded slot: same
         "multimodal_bytes": q_multimodal_bytes,  # yielded slot: superseded by multimodal_decode gate
@@ -3790,6 +3837,41 @@ def oracle_sql() -> dict[str, str]:
         FROM r5
         ORDER BY rank DESC, node ASC
         LIMIT 100""")
+    # ordered funnel: chained min-timestamp frontiers, strict > per stage
+    d["funnel_stages"] = """
+        WITH c1 AS (
+            SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+            FROM events WHERE event_type = 'click' GROUP BY user_id),
+        c2 AS (
+            SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t2
+            FROM events e JOIN c1 ON e.user_id = c1.user_id
+            WHERE e.event_type = 'view'
+              AND epoch_us(CAST(e.ts AS TIMESTAMP)) > c1.t1
+            GROUP BY e.user_id),
+        c3 AS (
+            SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t3
+            FROM events e JOIN c2 ON e.user_id = c2.user_id
+            WHERE e.event_type = 'purchase'
+              AND epoch_us(CAST(e.ts AS TIMESTAMP)) > c2.t2
+            GROUP BY e.user_id)
+        SELECT '1_click' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM c1
+        UNION ALL
+        SELECT '2_view_after_click', CAST(count(*) AS BIGINT) FROM c2
+        UNION ALL
+        SELECT '3_purchase_after_view', CAST(count(*) AS BIGINT) FROM c3"""
+    # retention triangle: integer week arithmetic (epoch div 604800)
+    d["retention_cohorts"] = """
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) // 604800 AS wk
+            FROM events),
+        coh AS (SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id)
+        SELECT coh.cohort_wk AS cohort_week,
+               act.wk - coh.cohort_wk AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM act JOIN coh ON act.user_id = coh.user_id
+        WHERE act.wk - coh.cohort_wk <= 4
+        GROUP BY 1, 2"""
     # the SQL front door runs the SAME text on both engines
     d["sql_frontdoor"] = """
         SELECT n_name,

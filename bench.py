@@ -68,6 +68,8 @@ EXTRAS = [
     "export_shards",
     "sampled_quantiles",
     "sql_frontdoor",
+    "funnel_stages",
+    "retention_cohorts",
 ]
 
 

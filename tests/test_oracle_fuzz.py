@@ -120,7 +120,8 @@ def test_event_gates_on_random_streams(spark, tmp_path_factory, evs):
                  "interval_overlap", "sessionize", "session_window",
                  "session_labels", "rolling_window", "tumbling_window",
                  "pivot_event_counts", "events_calendar", "asof_purchase",
-                 "scd2_intervals", "point_in_time", "compact_changelog"):
+                 "scd2_intervals", "point_in_time", "compact_changelog",
+                 "funnel_stages", "retention_cohorts"):
         _check(spark, d, gate)
 
 

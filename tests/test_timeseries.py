@@ -40,3 +40,59 @@ def test_empty_input(spark):
     ev = spark.createDataFrame(
         [], "event_id bigint, ts timestamp, event_type string")
     assert dense_hourly_counts(ev).count() == 0
+
+
+def test_funnel_strict_ordering(spark, tmp_path, monkeypatch):
+    """A view at the SAME microsecond as the click does not advance the
+    funnel (strict >); one microsecond later does."""
+    import datetime as dt
+
+    import __spark_entry__ as em
+
+    def mk(rows):
+        d = str(tmp_path / f"f{len(rows)}")
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+                  "event_type string, value double, props string") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        return d
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0, 500000)
+    same = mk([(1, t0, 1, "click", 0.0, "{}"),
+               (2, t0, 1, "view", 0.0, "{}")])
+    got = {r["stage"]: r["n_users"]
+           for r in em.queries()["funnel_stages"](spark, same).collect()}
+    assert got == {"1_click": 1, "2_view_after_click": 0,
+                   "3_purchase_after_view": 0}
+    later = mk([(1, t0, 1, "click", 0.0, "{}"),
+                (2, t0 + dt.timedelta(microseconds=1), 1, "view", 0.0, "{}"),
+                (3, t0 + dt.timedelta(seconds=5), 1, "purchase", 0.0, "{}")])
+    got = {r["stage"]: r["n_users"]
+           for r in em.queries()["funnel_stages"](spark, later).collect()}
+    assert got == {"1_click": 1, "2_view_after_click": 1,
+                   "3_purchase_after_view": 1}
+
+
+def test_retention_offsets(spark, tmp_path):
+    """User active in weeks {0, 2} of their cohort appears at offsets 0
+    and 2 only; a second user's cohort is independent."""
+    import datetime as dt
+
+    import __spark_entry__ as em
+
+    base = dt.datetime(2024, 1, 4)  # mid-epoch-week, avoids boundary
+    rows = [(1, base, 1, "click", 0.0, "{}"),
+            (2, base + dt.timedelta(weeks=2), 1, "view", 0.0, "{}"),
+            (3, base + dt.timedelta(weeks=1), 2, "click", 0.0, "{}")]
+    d = str(tmp_path / "ret")
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {(r["cohort_week"] - min(
+        rr["cohort_week"] for rr in
+        em.queries()["retention_cohorts"](spark, d).collect()),
+            r["week_offset"]): r["n_users"]
+           for r in em.queries()["retention_cohorts"](spark, d).collect()}
+    # user1 cohort week W: offsets 0 and 2; user2 cohort W+1: offset 0
+    assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
