@@ -1900,6 +1900,21 @@ def q_pagerank(spark, sf_dir):
             .select("node", "rank"))
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order transition matrix over each user's time-ordered event
+    stream: (from_type, to_type, n) — the Markov-chain view behind
+    next-action prediction and anomaly scoring. One window (lag over
+    user/ts/event_id — the deterministic total order every session query
+    here uses) + one hash aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("prev", F.lag("event_type").over(w))
+            .filter(F.col("prev").isNotNull())
+            .groupBy(F.col("prev").alias("from_type"),
+                     F.col("event_type").alias("to_type"))
+            .agg(F.count("*").alias("n")))
+
+
 def q_funnel_stages(spark, sf_dir):
     """Ordered-funnel analysis (click → view → purchase, strictly
     increasing event times per user): how many users reach each stage.
@@ -2138,7 +2153,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- 1. stale since r1/r2 (refresh) -------------------------------
         "distinct_segments": q_distinct_segments,
         "priority_late_ship": q_priority_late_ship,
-        "product_profit": q_product_profit,
         "promo_revenue": q_promo_revenue,
         "window_suite": q_window_suite,
         "asof_nearest": q_asof_nearest,
@@ -2185,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_quantiles": q_sampled_quantiles,  # new this session
         "sql_frontdoor": q_sql_frontdoor,          # new this session
         "funnel_stages": q_funnel_stages,          # new this session
+        "event_transitions": q_event_transitions,  # new this session
         "retention_cohorts": q_retention_cohorts,  # new this session
         "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
         "string_suite": q_string_suite,          # yielded slot: stale-but-unchanged expression suite, unit-test-pinned
@@ -2193,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_calendar": q_events_calendar,    # yielded slot: pinned by the random-stream fuzz tier
         "big_orders": q_big_orders,              # yielded slot: pinned by the broken-RI fuzz tier
         "market_share": q_market_share,          # yielded slot: same
+        "product_profit": q_product_profit,      # yielded slot: stable r2-green DECIMAL agg, suite-pinned
         "dedup_clusters": q_dedup_clusters,      # yielded slot: r3-green, light r5 change, pytest-pinned
         "gram_repetition": q_gram_repetition,    # yielded slot: same
         "multimodal_bytes": q_multimodal_bytes,  # yielded slot: superseded by multimodal_decode gate
@@ -3837,6 +3853,17 @@ def oracle_sql() -> dict[str, str]:
         FROM r5
         ORDER BY rank DESC, node ASC
         LIMIT 100""")
+    # transition matrix: lag over the deterministic (ts, event_id) order
+    d["event_transitions"] = """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events)
+        SELECT prev AS from_type, event_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY 1, 2"""
     # ordered funnel: chained min-timestamp frontiers, strict > per stage
     d["funnel_stages"] = """
         WITH c1 AS (

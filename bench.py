@@ -70,6 +70,7 @@ EXTRAS = [
     "sql_frontdoor",
     "funnel_stages",
     "retention_cohorts",
+    "event_transitions",
 ]
 
 

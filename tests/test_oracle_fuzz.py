@@ -121,7 +121,8 @@ def test_event_gates_on_random_streams(spark, tmp_path_factory, evs):
                  "session_labels", "rolling_window", "tumbling_window",
                  "pivot_event_counts", "events_calendar", "asof_purchase",
                  "scd2_intervals", "point_in_time", "compact_changelog",
-                 "funnel_stages", "retention_cohorts"):
+                 "funnel_stages", "retention_cohorts",
+                 "event_transitions"):
         _check(spark, d, gate)
 
 
