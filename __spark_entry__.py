@@ -1887,6 +1887,24 @@ def q_kmv_distinct(spark, sf_dir):
     return sk.kmv_distinct(tok, "tok", "lang", k=256)
 
 
+def q_kmv_incremental(spark, sf_dir):
+    """Sketch MERGEABILITY gate: sketch the odd-id and even-id halves of
+    the corpus separately, kmv_merge them, estimate — the oracle is the
+    PLAIN full-corpus KMV, so the hash-match proves
+    merge(sketch(A), sketch(B)) == sketch(A ∪ B) exactly (the property
+    that lets a daily pipeline fold new batches into a stored sketch
+    without re-scanning history)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (docs.filter(F.trim(F.col("text")) != "")
+           .select("lang", "doc_id",
+                   F.explode(tx.tokens(F.col("text"))).alias("tok")))
+    a = sk.kmv_sketch(tok.filter(F.col("doc_id") % 2 == 1), "tok", "lang",
+                      k=256)
+    b = sk.kmv_sketch(tok.filter(F.col("doc_id") % 2 == 0), "tok", "lang",
+                      k=256)
+    return sk.kmv_estimate(sk.kmv_merge(a, b, k=256), "lang", 256)
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-point PageRank (functions.graph.pagerank_fixed, 5 iterations,
     damping 0.85) over the undirected customer–supplier trade graph; top
@@ -2157,7 +2175,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- 1. stale since r1/r2 (refresh) -------------------------------
         "distinct_segments": q_distinct_segments,
         "priority_late_ship": q_priority_late_ship,
-        "promo_revenue": q_promo_revenue,
         "window_suite": q_window_suite,
         "asof_nearest": q_asof_nearest,
     # --- 2. changed this round ----------------------------------------
@@ -2189,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_window": q_rolling_window,
         "doc_chunks_udtf": q_doc_chunks_udtf,
         "kmv_distinct": q_kmv_distinct,      # new this session
+        "kmv_incremental": q_kmv_incremental,  # new this session
         "pagerank": q_pagerank,              # new this session
         "tfidf_topk": q_tfidf_topk,          # new this session
         "source_divergence": q_source_divergence,  # new this session
@@ -2213,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_orders": q_big_orders,              # yielded slot: pinned by the broken-RI fuzz tier
         "market_share": q_market_share,          # yielded slot: same
         "product_profit": q_product_profit,      # yielded slot: stable r2-green DECIMAL agg, suite-pinned
+        "promo_revenue": q_promo_revenue,        # yielded slot: same class
         "dedup_clusters": q_dedup_clusters,      # yielded slot: r3-green, light r5 change, pytest-pinned
         "gram_repetition": q_gram_repetition,    # yielded slot: same
         "multimodal_bytes": q_multimodal_bytes,  # yielded slot: superseded by multimodal_decode gate
@@ -3815,6 +3834,9 @@ def oracle_sql() -> dict[str, str]:
                     ELSE max(CASE WHEN rn = 256 THEN hv END)
                     END AS kth_hash
         FROM r GROUP BY lang"""
+    # mergeability: the incremental (split-sketch-merge) gate must equal
+    # the plain full-corpus sketch — same SQL
+    d["kmv_incremental"] = d["kmv_distinct"]
     # PageRank: the integer fixed-point recurrence unrolled as 5 CTE
     # iterations — rank'(v) = base + Σ floor(85·rank(u)/(100·outdeg(u))).
     # Every quantity < 2^53, so the recurrence is bit-identical to Spark's

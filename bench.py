@@ -71,6 +71,7 @@ EXTRAS = [
     "funnel_stages",
     "retention_cohorts",
     "event_transitions",
+    "kmv_incremental",
 ]
 
 

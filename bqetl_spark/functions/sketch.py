@@ -102,8 +102,18 @@ def kmv_distinct(df: DataFrame, value_col: str, group_col: str,
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    # group key travels as a string through the Arrow partial pass; the
-    # original column is restored by name on output
+    return kmv_estimate(kmv_sketch(df, value_col, group_col, k),
+                        group_col, k)
+
+
+def kmv_sketch(df: DataFrame, value_col: str, group_col: str,
+               k: int = 256) -> DataFrame:
+    """The persistable sketch itself: (grp, mins array<long>) - what a
+    daily pipeline WRITES so tomorrow's run can ``kmv_merge`` instead of
+    re-scanning history. Bounded state: a mapInPandas partial pass keeps
+    the per-partition k smallest distinct hashes per group (trimmed at
+    4k), then ONE groupBy merges candidate lists; the group key travels
+    as a string through the Arrow pass."""
     hashes = df.select(F.col(group_col).cast("string").alias("grp"),
                        kmv_hash(value_col).alias("hv"))
 
@@ -113,26 +123,17 @@ def kmv_distinct(df: DataFrame, value_col: str, group_col: str,
         state: dict[str, set] = {}
         for pdf in batches:
             for g, sub in pdf.groupby("grp")["hv"]:
-                s = state.setdefault(g, set())
-                s.update(sub.unique().tolist())
-                if len(s) > 4 * k:
-                    state[g] = set(sorted(s)[:k])
-        rows = [(g, hv) for g, s in state.items() for hv in sorted(s)[:k]]
+                st = state.setdefault(g, set())
+                st.update(sub.unique().tolist())
+                if len(st) > 4 * k:
+                    state[g] = set(sorted(st)[:k])
+        rows = [(g, hv) for g, st in state.items() for hv in sorted(st)[:k]]
         yield pd.DataFrame(rows, columns=["grp", "hv"])
 
     cands = hashes.mapInPandas(partial, "grp string, hv long")
-    merged = (cands.groupBy("grp")
-              .agg(F.slice(F.array_sort(F.collect_set("hv")), 1, k)
-                   .alias("mins")))
-    span = float(16 ** 15)  # 2^60, exactly representable
-    kth = F.element_at("mins", k)
-    return merged.select(
-        F.col("grp").alias(group_col),
-        F.when(F.size("mins") < k, F.size("mins").cast("long"))
-         .otherwise(F.floor(F.lit((k - 1) * span) / kth))
-         .alias("est_distinct"),
-        F.when(F.size("mins") < k, F.lit(None).cast("long"))
-         .otherwise(kth).alias("kth_hash"))
+    return (cands.groupBy("grp")
+            .agg(F.slice(F.array_sort(F.collect_set("hv")), 1, k)
+                 .alias("mins")))
 
 
 def sampled_quantiles(df: DataFrame, value_col: str, id_expr,
@@ -181,3 +182,36 @@ def sampled_quantiles(df: DataFrame, value_col: str, id_expr,
             .filter(F.col("rv") == F.col("t.rq"))
             .select(F.col("t.q").alias("q"), F.col("v").alias("value"),
                     "n_sample"))
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Merge KMV candidate tables — the property that makes the sketch
+    production-useful: yesterday's corpus sketch + today's batch sketch
+    gives the union's distinct estimate WITHOUT re-scanning the corpus.
+
+    Input: (grp, mins array<long>) frames as produced inside
+    ``kmv_distinct`` (its merged candidate shape); output has the same
+    schema. Lossless: the k smallest of a union is computable from each
+    side's k smallest — so merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B)
+    exactly, which the incremental gate pins against the full-corpus
+    oracle."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (out.select("grp", F.explode("mins").alias("hv"))
+            .groupBy("grp")
+            .agg(F.slice(F.array_sort(F.collect_set("hv")), 1, k)
+                 .alias("mins")))
+
+
+def kmv_estimate(merged: DataFrame, group_col: str, k: int) -> DataFrame:
+    """(grp, mins) → the estimate row, same arithmetic as kmv_distinct."""
+    span = float(16 ** 15)
+    kth = F.element_at("mins", k)
+    return merged.select(
+        F.col("grp").alias(group_col),
+        F.when(F.size("mins") < k, F.size("mins").cast("long"))
+         .otherwise(F.floor(F.lit((k - 1) * span) / kth))
+         .alias("est_distinct"),
+        F.when(F.size("mins") < k, F.lit(None).cast("long"))
+         .otherwise(kth).alias("kth_hash"))

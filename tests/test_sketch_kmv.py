@@ -121,3 +121,22 @@ def test_sampled_quantiles_validation(spark):
         sampled_quantiles(df, "v", "id", k=0)
     with pytest.raises(ValueError):
         sampled_quantiles(df, "v", "id", qs=(1.5,))
+
+
+def test_kmv_merge_equals_union_sketch(spark):
+    """merge(sketch(A), sketch(B)) must equal sketch(A ∪ B) exactly —
+    the mergeability property, on overlapping halves and any k."""
+    from bqetl_spark.functions.sketch import (kmv_estimate, kmv_merge,
+                                              kmv_sketch)
+
+    rows = [("g", f"v{i % 300}") for i in range(900)] + \
+           [("h", f"w{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    half_a = df.filter((F.length("v") % 2) == 0)
+    half_b = df.filter((F.length("v") % 2) == 1)
+    merged = kmv_merge(kmv_sketch(half_a, "v", "grp", 64),
+                       kmv_sketch(half_b, "v", "grp", 64), k=64)
+    got = sorted(map(tuple, kmv_estimate(merged, "grp", 64).collect()))
+    want = sorted(map(tuple, kmv_estimate(
+        kmv_sketch(df, "v", "grp", 64), "grp", 64).collect()))
+    assert got == want
