@@ -1540,13 +1540,21 @@ def q_multimodal_decode(spark, sf_dir):
     with pure Spark expressions); extract_features(fake=False) parses the
     PPM with the pure-Python decoder and emits integer-exact channel/
     luminance statistics, which the oracle recomputes in SQL from the same
-    text bytes — a full value-hash gate over a genuine media decode."""
+    text bytes — a full value-hash gate over a genuine media decode.
+
+    The feature vector is scalarized to (media_id, n_bytes, idx, value)
+    rows: the driver's canonicalizer hashes scalar cells only (array cells
+    broke the r5 driver run with `unhashable type: 'list'`), and the
+    posexplode costs nothing — 8 rows per media replace 1."""
     docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 36)
     payload = F.concat(F.lit("P6\n4 3\n255\n").cast("binary"),
                        F.substring(F.col("text"), 1, 36).cast("binary"))
     media = mm.attach_media(docs, "doc_id", payload, kind="image", fmt="ppm")
     feats = mm.extract_features(media, fake=False)
-    return feats.select("media_id", "n_bytes", "feature")
+    return (feats.select("media_id", "n_bytes",
+                         F.posexplode("feature").alias("idx", "value"))
+            .select("media_id", "n_bytes",
+                    F.col("idx").cast("long").alias("idx"), "value"))
 
 
 def q_quota_sample(spark, sf_dir):
@@ -1614,7 +1622,8 @@ def q_multimodal_audio(spark, sf_dir):
     chunks with the pure-Python decoder and emits integer-exact sample
     statistics (sums + one IEEE division; sqrt is correctly rounded in
     both engines), which the oracle recomputes in SQL from the same text
-    bytes — the audio sibling of multimodal_decode."""
+    bytes — the audio sibling of multimodal_decode. Feature scalarized to
+    (media_id, n_bytes, idx, value) rows for the driver canonicalizer."""
     import struct
 
     header = (b"RIFF" + (100).to_bytes(4, "little") + b"WAVE"
@@ -1626,7 +1635,10 @@ def q_multimodal_audio(spark, sf_dir):
                        F.substring(F.col("text"), 1, 64).cast("binary"))
     media = mm.attach_media(docs, "doc_id", payload, kind="audio", fmt="wav")
     feats = mm.extract_features(media, fake=False)
-    return feats.select("media_id", "n_bytes", "feature")
+    return (feats.select("media_id", "n_bytes",
+                         F.posexplode("feature").alias("idx", "value"))
+            .select("media_id", "n_bytes",
+                    F.col("idx").cast("long").alias("idx"), "value"))
 
 
 def q_multimodal_resize(spark, sf_dir):
@@ -1635,14 +1647,18 @@ def q_multimodal_resize(spark, sf_dir):
     src = floor(dst·src_extent/dst_extent), integer index math) → real
     decode + integer-exact features. The oracle samples the SAME source
     pixels straight from the text bytes, so the hash-match certifies the
-    decode→resample→re-encode→decode chain end to end."""
+    decode→resample→re-encode→decode chain end to end. Feature scalarized
+    to (media_id, n_bytes, idx, value) rows for the driver canonicalizer."""
     docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 36)
     payload = F.concat(F.lit("P6\n4 3\n255\n").cast("binary"),
                        F.substring(F.col("text"), 1, 36).cast("binary"))
     media = mm.attach_media(docs, "doc_id", payload, kind="image", fmt="ppm")
     resized = mm.resize_images(media, 2, 2, fake=False)
     feats = mm.extract_features(resized, fake=False)
-    return feats.select("media_id", "n_bytes", "feature")
+    return (feats.select("media_id", "n_bytes",
+                         F.posexplode("feature").alias("idx", "value"))
+            .select("media_id", "n_bytes",
+                    F.col("idx").cast("long").alias("idx"), "value"))
 
 
 def q_multimodal_frames(spark, sf_dir):
@@ -1651,7 +1667,9 @@ def q_multimodal_frames(spark, sf_dir):
     2nd frame sampled and feature-extracted for real
     (multimodal.sample_frames). The oracle reads frames 0 and 2's pixels
     straight from the text bytes — certifying the stream splitter walks
-    variable-length headers and exact pixel extents correctly."""
+    variable-length headers and exact pixel extents correctly. Feature
+    scalarized to (media_id, frame_idx, n_bytes, idx, value) rows for the
+    driver canonicalizer."""
     docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 108)
     frame = lambda k: F.concat(
         F.lit("P6\n4 3\n255\n").cast("binary"),
@@ -1659,7 +1677,11 @@ def q_multimodal_frames(spark, sf_dir):
     payload = F.concat(frame(0), frame(1), frame(2))
     media = mm.attach_media(docs, "doc_id", payload, kind="video",
                             fmt="ppms")
-    return mm.sample_frames(media, every_n=2)
+    return (mm.sample_frames(media, every_n=2)
+            .select("media_id", "frame_idx", "n_bytes",
+                    F.posexplode("feature").alias("idx", "value"))
+            .select("media_id", "frame_idx", "n_bytes",
+                    F.col("idx").cast("long").alias("idx"), "value"))
 
 
 def q_doc_chunks_udtf(spark, sf_dir):
@@ -2109,9 +2131,15 @@ def q_embed_centroids(spark, sf_dir):
     """Per-label mean embedding (functions.similarity.embed_centroids) —
     class prototypes via fixed-point integer sums: floor(x·2^24) BIGINT
     accumulation makes the centroid partition-order-independent and
-    bit-identical to the SQL oracle's 64 unrolled component sums."""
+    bit-identical to the SQL oracle's 64 unrolled component sums. The
+    centroid vector is scalarized to (label, n_vecs, idx, value) rows so
+    the driver canonicalizer can hash it (r5 driver ERR on array cells)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.embed_centroids(emb, label_col="label")
+    return (sim.embed_centroids(emb, label_col="label")
+            .select("label", "n_vecs",
+                    F.posexplode("centroid").alias("idx", "value"))
+            .select("label", "n_vecs",
+                    F.col("idx").cast("long").alias("idx"), "value"))
 
 
 def q_weighted_sample(spark, sf_dir):
@@ -3283,13 +3311,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, min(psum) AS mn, max(psum) AS mx
               FROM px GROUP BY doc_id
             )
-            SELECT ch.doc_id AS media_id, CAST(47 AS BIGINT) AS n_bytes,
-                   [4.0, 3.0,
-                    CAST(sr AS DOUBLE) / 12.0, CAST(sg AS DOUBLE) / 12.0,
-                    CAST(sb AS DOUBLE) / 12.0,
-                    CAST(mn AS DOUBLE) / 3.0, CAST(mx AS DOUBLE) / 3.0,
-                    CAST(st AS DOUBLE) / 36.0] AS feature
-            FROM ch JOIN lm ON ch.doc_id = lm.doc_id""",
+            , feat AS (
+              SELECT ch.doc_id AS media_id, CAST(47 AS BIGINT) AS n_bytes,
+                     [4.0, 3.0,
+                      CAST(sr AS DOUBLE) / 12.0, CAST(sg AS DOUBLE) / 12.0,
+                      CAST(sb AS DOUBLE) / 12.0,
+                      CAST(mn AS DOUBLE) / 3.0, CAST(mx AS DOUBLE) / 3.0,
+                      CAST(st AS DOUBLE) / 36.0] AS feature
+              FROM ch JOIN lm ON ch.doc_id = lm.doc_id)
+            SELECT media_id, n_bytes, unnest(range(8)) AS idx,
+                   unnest(feature) AS value
+            FROM feat""",
         # winnow_neardup: exact SQL replica of winnow_fingerprint_vec — the
         # Rabin-Karp k-gram hash is a base-1000003 polynomial mod 2^64
         # (HUGEINT arithmetic), window minima via ROWS BETWEEN CURRENT AND
@@ -3577,16 +3609,21 @@ def oracle_sql() -> dict[str, str]:
           FROM b GROUP BY doc_id, frame_idx
         ), lm AS (
           SELECT doc_id, frame_idx, min(psum) AS mn, max(psum) AS mx
-          FROM px GROUP BY doc_id, frame_idx)
-        SELECT ch.doc_id AS media_id, CAST(ch.frame_idx AS BIGINT) AS frame_idx,
-               CAST(47 AS BIGINT) AS n_bytes,
-               [4.0, 3.0,
-                CAST(sr AS DOUBLE) / 12.0, CAST(sg AS DOUBLE) / 12.0,
-                CAST(sb AS DOUBLE) / 12.0,
-                CAST(mn AS DOUBLE) / 3.0, CAST(mx AS DOUBLE) / 3.0,
-                CAST(st AS DOUBLE) / 36.0] AS feature
-        FROM ch JOIN lm ON ch.doc_id = lm.doc_id
-                        AND ch.frame_idx = lm.frame_idx"""
+          FROM px GROUP BY doc_id, frame_idx
+        ), feat AS (
+          SELECT ch.doc_id AS media_id,
+                 CAST(ch.frame_idx AS BIGINT) AS frame_idx,
+                 CAST(47 AS BIGINT) AS n_bytes,
+                 [4.0, 3.0,
+                  CAST(sr AS DOUBLE) / 12.0, CAST(sg AS DOUBLE) / 12.0,
+                  CAST(sb AS DOUBLE) / 12.0,
+                  CAST(mn AS DOUBLE) / 3.0, CAST(mx AS DOUBLE) / 3.0,
+                  CAST(st AS DOUBLE) / 36.0] AS feature
+          FROM ch JOIN lm ON ch.doc_id = lm.doc_id
+                          AND ch.frame_idx = lm.frame_idx)
+        SELECT media_id, frame_idx, n_bytes, unnest(range(8)) AS idx,
+               unnest(feature) AS value
+        FROM feat"""
     # multimodal_resize: the 2x2 nearest-neighbor sample of the 4x3 image
     # picks source pixels {0,2,4,6} (floor(dst*src/dst) per axis); the
     # oracle reads those pixels' bytes straight out of the text
@@ -3610,14 +3647,18 @@ def oracle_sql() -> dict[str, str]:
           FROM b GROUP BY doc_id
         ), lm AS (
           SELECT doc_id, min(psum) AS mn, max(psum) AS mx
-          FROM px GROUP BY doc_id)
-        SELECT ch.doc_id AS media_id, CAST(23 AS BIGINT) AS n_bytes,
-               [2.0, 2.0,
-                CAST(sr AS DOUBLE) / 4.0, CAST(sg AS DOUBLE) / 4.0,
-                CAST(sb AS DOUBLE) / 4.0,
-                CAST(mn AS DOUBLE) / 3.0, CAST(mx AS DOUBLE) / 3.0,
-                CAST(st AS DOUBLE) / 12.0] AS feature
-        FROM ch JOIN lm ON ch.doc_id = lm.doc_id"""
+          FROM px GROUP BY doc_id
+        ), feat AS (
+          SELECT ch.doc_id AS media_id, CAST(23 AS BIGINT) AS n_bytes,
+                 [2.0, 2.0,
+                  CAST(sr AS DOUBLE) / 4.0, CAST(sg AS DOUBLE) / 4.0,
+                  CAST(sb AS DOUBLE) / 4.0,
+                  CAST(mn AS DOUBLE) / 3.0, CAST(mx AS DOUBLE) / 3.0,
+                  CAST(st AS DOUBLE) / 12.0] AS feature
+          FROM ch JOIN lm ON ch.doc_id = lm.doc_id)
+        SELECT media_id, n_bytes, unnest(range(8)) AS idx,
+               unnest(feature) AS value
+        FROM feat"""
     # multimodal_audio: little-endian 16-bit samples rebuilt from the text
     # bytes (s_i = byte(2i+1) + 256*byte(2i+2), ASCII so always positive),
     # statistics as integer sums + one IEEE division / correctly-rounded
@@ -3634,13 +3675,17 @@ def oracle_sql() -> dict[str, str]:
         ), agg AS (
           SELECT doc_id, sum(v) AS sv, min(v) AS mn, max(v) AS mx,
                  sum(v * v) AS sq
-          FROM smp GROUP BY doc_id)
-        SELECT doc_id AS media_id, CAST(108 AS BIGINT) AS n_bytes,
-               [1.0, 8000.0, 32.0, 4.0,
-                CAST(sv AS DOUBLE) / 32.0,
-                CAST(mn AS DOUBLE), CAST(mx AS DOUBLE),
-                sqrt(CAST(sq AS DOUBLE) / 32.0)] AS feature
-        FROM agg"""
+          FROM smp GROUP BY doc_id
+        ), feat AS (
+          SELECT doc_id AS media_id, CAST(108 AS BIGINT) AS n_bytes,
+                 [1.0, 8000.0, 32.0, 4.0,
+                  CAST(sv AS DOUBLE) / 32.0,
+                  CAST(mn AS DOUBLE), CAST(mx AS DOUBLE),
+                  sqrt(CAST(sq AS DOUBLE) / 32.0)] AS feature
+          FROM agg)
+        SELECT media_id, n_bytes, unnest(range(8)) AS idx,
+               unnest(feature) AS value
+        FROM feat"""
     # changelog compaction: latest row per user by (ts, event_id) desc
     d["compact_changelog"] = """
         SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
@@ -4029,9 +4074,11 @@ def oracle_sql() -> dict[str, str]:
         f" AS BIGINT)) AS s{i}" for i in range(64))
     _ccols = ", ".join(f"s{i} / (n_vecs * 16777216.0)" for i in range(64))
     d["embed_centroids"] = f"""
-        SELECT label, n_vecs, list_value({_ccols}) AS centroid
-        FROM (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, {_csums}
-              FROM embeddings GROUP BY label) g"""
+        SELECT label, n_vecs, unnest(range(64)) AS idx,
+               unnest(centroid) AS value
+        FROM (SELECT label, n_vecs, list_value({_ccols}) AS centroid
+              FROM (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, {_csums}
+                    FROM embeddings GROUP BY label) g) c"""
     # A-Res weighted sampling: priority key ln(u)/w with u an exact double
     # from the 60-bit md5 prefix; only MEMBERSHIP is compared (the float
     # key stays internal), and the n-th/(n+1)-th gap is margin-audited

@@ -46,3 +46,21 @@ def test_oracle_match(spark, duck, name):
 def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_gate_outputs_are_scalar(spark, name):
+    """Driver-canonicalizer contract: gate outputs must be scalar columns
+    only. The r5 driver run ERRed five gates whose outputs carried
+    array<double> cells — pandas sort_values raises `unhashable type:
+    'list'` in the driver's hasher (the local harness canonicalizes lists,
+    which is exactly how the gap shipped). This lint closes the class:
+    every queries() entry must posexplode/flatten complex values."""
+    from pyspark.sql import types as T
+
+    df = QUERIES[name](spark, SF_DIR)
+    bad = [f"{f.name}: {f.dataType.simpleString()}" for f in df.schema.fields
+           if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))]
+    assert not bad, (f"{name} returns non-scalar column(s) {bad}; the "
+                     "driver canonicalizer cannot hash these — scalarize "
+                     "(posexplode / per-component columns)")
