@@ -4064,7 +4064,7 @@ def oracle_sql() -> dict[str, str]:
                CAST((count(*) * 1000000) // (SELECT count(*) FROM events)
                  AS BIGINT) AS share_ppm
         FROM events GROUP BY user_id
-        ORDER BY n DESC, key ASC
+        ORDER BY n DESC, key ASC NULLS FIRST
         LIMIT 20"""
     # class prototypes: 64 fixed-point component sums unrolled — SUM of
     # floor(x·2^24) BIGINTs is exact and order-free on both engines; the

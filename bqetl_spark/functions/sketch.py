@@ -113,20 +113,30 @@ def kmv_sketch(df: DataFrame, value_col: str, group_col: str,
     re-scanning history. Bounded state: a mapInPandas partial pass keeps
     the per-partition k smallest distinct hashes per group (trimmed at
     4k), then ONE groupBy merges candidate lists; the group key travels
-    as a string through the Arrow pass."""
-    hashes = df.select(F.col(group_col).cast("string").alias("grp"),
-                       kmv_hash(value_col).alias("hv"))
+    as a string through the Arrow pass.
+
+    NULL semantics: NULL group keys are kept (a real group, matching the
+    merging groupBy and SQL GROUP BY); NULL values are dropped before the
+    Arrow pass (COUNT(DISTINCT) ignores NULLs) — which also keeps the hv
+    column int64 end-to-end (a NULL hash would coerce the Arrow batch to
+    float64 and lose precision on 60-bit hashes)."""
+    hashes = (df.select(F.col(group_col).cast("string").alias("grp"),
+                        kmv_hash(value_col).alias("hv"))
+              .filter(F.col("hv").isNotNull()))
 
     def partial(batches):
         import pandas as pd
 
-        state: dict[str, set] = {}
+        state: dict = {}
         for pdf in batches:
-            for g, sub in pdf.groupby("grp")["hv"]:
-                st = state.setdefault(g, set())
+            # dropna=False: pandas' default silently drops NULL group keys,
+            # which the merging groupBy (and the oracle) keep
+            for g, sub in pdf.groupby("grp", dropna=False)["hv"]:
+                key = None if pd.isna(g) else g
+                st = state.setdefault(key, set())
                 st.update(sub.unique().tolist())
                 if len(st) > 4 * k:
-                    state[g] = set(sorted(st)[:k])
+                    state[key] = set(sorted(st)[:k])
         rows = [(g, hv) for g, st in state.items() for hv in sorted(st)[:k]]
         yield pd.DataFrame(rows, columns=["grp", "hv"])
 
@@ -194,7 +204,14 @@ def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
     schema. Lossless: the k smallest of a union is computable from each
     side's k smallest — so merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B)
     exactly, which the incremental gate pins against the full-corpus
-    oracle."""
+    oracle.
+
+    PRECONDITION (k-consistency): the identity above requires the merge
+    ``k`` to be ≤ every input sketch's k. Merging k=128 sketches at the
+    default k=256 yields mins arrays shorter than k for groups that were
+    truncated at build time, and ``kmv_estimate`` would then take its
+    exact-count path (size < k) and silently return the truncated 128
+    instead of an estimate. Build and merge with the same k."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)

@@ -43,12 +43,22 @@ def compact_parquet(spark: SparkSession, src: str, dst: str,
     """
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    if os.path.realpath(src) == os.path.realpath(dst):
+        # the overwrite write reads src LAZILY — compacting in place would
+        # truncate the directory mid-scan and destroy the data
+        raise ValueError(f"compact_parquet src == dst ({src}); "
+                         "write to a new directory and swap")
     total = parquet_bytes(src)
     n_files = max(1, -(-total // target_bytes))
     df = spark.read.parquet(src)
     if sort_cols:
         out = (df.repartitionByRange(n_files, *sort_cols)
                .sortWithinPartitions(*sort_cols))
+    elif df.rdd.getNumPartitions() < n_files:
+        # coalesce can only DECREASE partition count; a few huge input
+        # files targeted at many small outputs needs a real repartition or
+        # every output file would far exceed target_bytes
+        out = df.repartition(n_files)
     else:
         out = df.coalesce(n_files)
     out.write.mode("overwrite").parquet(dst)

@@ -68,3 +68,33 @@ def test_validation(spark, tmp_path):
     with pytest.raises(ValueError):
         compact_parquet(spark, str(tmp_path), str(tmp_path / "x"),
                         target_bytes=0)
+
+
+def test_in_place_compaction_refused(spark, tmp_path):
+    """ADVICE r5: the overwrite write reads src lazily, so src == dst
+    would truncate the data mid-scan; must refuse, including via
+    symlink/relative aliases."""
+    src = tmp_path / "t"
+    spark.range(10).write.parquet(str(src))
+    with pytest.raises(ValueError, match="src == dst"):
+        compact_parquet(spark, str(src), str(src))
+    with pytest.raises(ValueError, match="src == dst"):
+        compact_parquet(spark, str(src), str(tmp_path / "." / "t"))
+
+
+def test_split_up_when_fewer_input_partitions(spark, tmp_path):
+    """ADVICE r5: coalesce cannot increase partition count — one big
+    input file targeted at small output files must repartition UP so
+    output file sizes track target_bytes."""
+    import glob
+
+    src, dst = tmp_path / "big", tmp_path / "out"
+    spark.range(200_000).selectExpr(
+        "id", "repeat(uuid(), 4) AS pad").coalesce(1).write.parquet(str(src))
+    from bqetl_spark.sources.compaction import parquet_bytes
+    total = parquet_bytes(str(src))
+    out = compact_parquet(spark, str(src), str(dst),
+                          target_bytes=max(total // 4, 1))
+    n_out = len(glob.glob(str(dst / "*.parquet")))
+    assert n_out >= 3  # split upward from 1 input file
+    assert out.count() == 200_000

@@ -140,3 +140,30 @@ def test_kmv_merge_equals_union_sketch(spark):
     want = sorted(map(tuple, kmv_estimate(
         kmv_sketch(df, "v", "grp", 64), "grp", 64).collect()))
     assert got == want
+
+
+def test_null_group_and_null_value_semantics(spark):
+    """ADVICE r5: NULL group keys must survive the Arrow partial pass
+    (pandas' default dropna=True silently dropped them), and NULL values
+    must be ignored like COUNT(DISTINCT) — without coercing hv to
+    float64."""
+    rows = ([(None, f"v{i}") for i in range(10)]
+            + [("g", f"v{i}") for i in range(5)]
+            + [("g", None), (None, None)])
+    df = spark.createDataFrame(rows, "grp string, v string")
+    got = {r["grp"]: r["est_distinct"]
+           for r in kmv_distinct(df, "v", "grp", k=64).collect()}
+    # NULL group: 10 distinct non-null values; g: 5 (its NULL v ignored)
+    assert got == {None: 10, "g": 5}
+
+
+def test_null_only_values_group_absent(spark):
+    """A group whose every value is NULL contributes no hashes — it is
+    absent from the sketch, matching COUNT(DISTINCT)=0 semantics where
+    the SQL oracle's GROUP BY would still show it; documented: callers
+    wanting 0-rows must left-join group keys."""
+    df = spark.createDataFrame([("g", None), ("h", "x")],
+                               "grp string, v string")
+    got = {r["grp"]: r["est_distinct"]
+           for r in kmv_distinct(df, "v", "grp", k=8).collect()}
+    assert got == {"h": 1}

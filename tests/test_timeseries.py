@@ -96,3 +96,14 @@ def test_retention_offsets(spark, tmp_path):
            for r in em.queries()["retention_cohorts"](spark, d).collect()}
     # user1 cohort week W: offsets 0 and 2; user2 cohort W+1: offset 0
     assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_hour_epoch_is_bigint(spark):
+    """ADVICE r5: F.lit(int < 2^31) creates IntegerType, so the grid's
+    hour_epoch was INT (contract says BIGINT) and would silently flip to
+    LONG past 2038. The bounds are now cast explicitly."""
+    ev = _ev(spark, [(0, 5, "a"), (1, 0, "a")])
+    schema = {f.name: f.dataType.simpleString()
+              for f in dense_hourly_counts(ev).schema.fields}
+    assert schema["hour_epoch"] == "bigint"
+    assert schema["n_events"] == "bigint"
