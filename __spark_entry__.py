@@ -1931,13 +1931,16 @@ def q_pagerank(spark, sf_dir):
     """Fixed-point PageRank (functions.graph.pagerank_fixed, 5 iterations,
     damping 0.85) over the undirected customer–supplier trade graph; top
     100 nodes by rank, ties by node id. Integer rank units make the
-    iterative result bit-identical to the oracle's unrolled-CTE replay."""
+    iterative result bit-identical to the oracle's unrolled-CTE replay.
+    The loop runs on LONG node ids (r6: 2·custkey / 2·suppkey+1 — compact
+    broadcast + shuffle keys); only this final projection decodes to the
+    'c:'/'s:' strings, so the oracle and its tie-break are unchanged."""
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
     edges = gr.cooccurrence_edges(orders, lineitem)
     ranks = gr.pagerank_fixed(edges, iters=5, damping_pct=85)
-    return (ranks.orderBy(F.desc("rank"), F.asc("node")).limit(100)
-            .select("node", "rank"))
+    labeled = ranks.select(gr.node_label("node").alias("node"), "rank")
+    return labeled.orderBy(F.desc("rank"), F.asc("node")).limit(100)
 
 
 def q_event_transitions(spark, sf_dir):

@@ -103,14 +103,29 @@ def cooccurrence_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Undirected customer–supplier trade graph from the TPC-H fact
     tables: one edge per DISTINCT (customer, supplier) pair that appears
     on an order, materialized in both directions so rank mass flows both
-    ways. Node ids are namespaced strings ('c:<id>' / 's:<id>') — the
-    bipartite sides share no key space."""
+    ways.
+
+    Node ids are disjoint LONGS — 2·custkey for customers, 2·suppkey+1
+    for suppliers. The r5 verdict measured pagerank as the heaviest gate
+    (37 s cold at sf1) with variable-length 'c:<id>'/'s:<id>' STRING keys
+    in every per-iteration broadcast and groupBy; 8-byte longs shrink the
+    rank-table broadcast and every shuffle key with zero semantic change.
+    ``node_label`` decodes back to the namespaced string for display."""
     pairs = (orders.select("o_orderkey", "o_custkey")
              .join(lineitem.select("l_orderkey", "l_suppkey"),
                    F.col("o_orderkey") == F.col("l_orderkey"))
-             .select(F.concat(F.lit("c:"), F.col("o_custkey")).alias("a"),
-                     F.concat(F.lit("s:"), F.col("l_suppkey")).alias("b"))
+             .select((F.col("o_custkey").cast("long") * 2).alias("a"),
+                     (F.col("l_suppkey").cast("long") * 2 + 1).alias("b"))
              .distinct())
     return (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
             .union(pairs.select(F.col("b").alias("src"),
                                 F.col("a").alias("dst"))))
+
+
+def node_label(node) -> "F.Column":
+    """Decode a long node id from ``cooccurrence_edges`` back to its
+    namespaced string form ('c:<custkey>' / 's:<suppkey>') — applied only
+    in final output projections, never on join/shuffle keys."""
+    c = F.col(node) if isinstance(node, str) else node
+    return (F.when(c % 2 == 0, F.concat(F.lit("c:"), (c / 2).cast("long")))
+            .otherwise(F.concat(F.lit("s:"), ((c - 1) / 2).cast("long"))))

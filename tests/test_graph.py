@@ -94,3 +94,22 @@ def test_shuffle_join_fallback_equals_broadcast_path(spark, tri):
     b = _ranks(pagerank_fixed(tri, iters=3, broadcast_nodes_max=0))
     release_pinned()
     assert a == b
+
+
+def test_cooccurrence_long_ids_and_label_roundtrip(spark):
+    """r6: node ids are disjoint longs (2c / 2s+1) so per-iteration
+    broadcasts and shuffle keys are 8 bytes; node_label decodes back to
+    the 'c:'/'s:' strings for display."""
+    from bqetl_spark.functions.graph import cooccurrence_edges, node_label
+
+    orders = spark.createDataFrame([(1, 10), (2, 11)],
+                                   ["o_orderkey", "o_custkey"])
+    li = spark.createDataFrame([(1, 5), (2, 5)],
+                               ["l_orderkey", "l_suppkey"])
+    e = cooccurrence_edges(orders, li)
+    assert dict(e.dtypes) == {"src": "bigint", "dst": "bigint"}
+    got = {(r["src"], r["dst"]) for r in e.collect()}
+    assert got == {(20, 11), (22, 11), (11, 20), (11, 22)}
+    labels = {r["l"] for r in
+              e.select(node_label("src").alias("l")).collect()}
+    assert labels == {"c:10", "c:11", "s:5"}
