@@ -1715,11 +1715,20 @@ def q_minhash_incremental(spark, sf_dir):
     """Cross-corpus MinHash-LSH (functions.dedup.minhash_pairs_between):
     near-dup pairs between the odd-id batch and the even-id corpus — the
     "which new docs duplicate something we already have?" question. The
-    oracle is the exact cross-corpus jaccard join."""
+    oracle is the exact cross-corpus jaccard join.
+
+    r6 hardening (r5 verdict #3 / ADVICE): the gate runs at threshold 0.9
+    with 64 perms / 32 bands — the same certifiable regime as minhash_lsh:
+    the banded miss probability at j ≥ 0.9 is (1−0.9²)³² ≈ 9e-24, so LSH
+    output == the exact oracle for ANY corpus, including adversarial
+    exactly-at-threshold pairs (fuzz tier plants j = 18/20 pairs). The
+    old 0.5-threshold/16-band gate matched only because generated dup
+    pairs sat far above threshold — a data-dependent gate."""
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 2 == 1)
     seen = docs.filter(F.col("doc_id") % 2 == 0)
-    return dd.minhash_pairs_between(new, seen)
+    return dd.minhash_pairs_between(new, seen, num_perm=64, bands=32,
+                                    jaccard_threshold=0.9)
 
 
 def q_salted_join(spark, sf_dir):
@@ -3781,16 +3790,12 @@ def oracle_sql() -> dict[str, str]:
         keepers AS (SELECT f, min(doc_id) AS doc_id FROM fresh GROUP BY f)
         SELECT fr.doc_id, fr.lang, fr.source
         FROM fresh fr JOIN keepers k ON fr.f = k.f AND fr.doc_id = k.doc_id"""
-    # DATA-DEPENDENCE CAVEAT: this oracle is the EXACT cross-corpus jaccard
-    # join, while the Spark side is banded LSH (recall < 1 near the
-    # threshold: at j = 0.5 with 16 bands x 4 rows, collision probability
-    # is ~64%). They agree because the generator's dup pairs sit far above
-    # 0.5 (j >= ~0.9, collision ~1) and non-dup pairs sit far below; the
-    # band hashes are xxhash64, which DuckDB lacks, so the band restriction
-    # itself is not SQL-expressible. If the test corpus ever grows
-    # near-threshold cross-parity pairs, a red here means LSH recall, not
-    # a bug — re-derive the corpus or lower the oracle to band-colliding
-    # pairs via a Spark-side export.
+    # r6: the gate runs at threshold 0.9 / 32 bands, where banded-LSH miss
+    # probability at j >= 0.9 is (1-0.81)^32 ~ 9e-24 — so the exact-jaccard
+    # oracle is equal to the LSH output for ANY corpus (the r5 gate at
+    # 0.5/16x4 matched only because generated dups sat far above 0.5;
+    # near-threshold data could flip it without a real bug). The fuzz tier
+    # test_minhash_incremental_at_threshold_pairs plants exactly-0.9 pairs.
     d["minhash_incremental"] = f"""
         WITH t AS MATERIALIZED (
             SELECT doc_id, {_GRAMS} AS g
@@ -3801,7 +3806,7 @@ def oracle_sql() -> dict[str, str]:
                      6) AS jaccard
         FROM t a JOIN t b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
         WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-              / greatest(len(list_distinct(list_concat(a.g, b.g))), 1) >= 0.5"""
+              / greatest(len(list_distinct(list_concat(a.g, b.g))), 1) >= 0.9"""
     # stateful sessionization: final snapshots == batch lag-window rule
     d["stream_sessionize"] = """
         SELECT user_id,

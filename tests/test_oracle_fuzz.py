@@ -284,3 +284,50 @@ def test_text_gates_on_adversarial_corpora(spark, tmp_path_factory, gate):
         _check(spark, sf, gate)
 
     run()
+
+
+def test_minhash_incremental_at_threshold_pairs(spark, tmp_path_factory):
+    """r6 hardening tier (r5 verdict #3): plant cross-parity pairs whose
+    TRUE 3-gram jaccard is EXACTLY the 0.9 threshold (21 distinct tokens,
+    last token swapped → 18 shared shingles / 20 union = 0.9), plus a
+    just-below pair and an identical pair. At 64 perms / 32 bands the
+    banded miss probability at j ≥ 0.9 is (1−0.81)³² ≈ 9e-24, so the LSH
+    gate must equal the exact-jaccard oracle even on this adversarial
+    corpus — the property the old 0.5-threshold gate lacked."""
+    base = [f"tok{i:02d}" for i in range(21)]
+
+    def doc(words):
+        return " ".join(words)
+
+    rows = []
+    # pair at exactly 0.9: doc 1 (odd/new) vs doc 2 (even/seen)
+    rows.append((1, doc(base)))
+    rows.append((2, doc(base[:-1] + ["zzz"])))
+    # identical pair (j = 1.0): doc 3 vs doc 4
+    alt = [f"alt{i:02d}" for i in range(10)]
+    rows.append((3, doc(alt)))
+    rows.append((4, doc(alt)))
+    # just-below pair: swap TWO interior tokens of a 21-token doc —
+    # each interior swap disturbs 3 windows → j well under 0.9
+    other = [f"oth{i:02d}" for i in range(21)]
+    mod = list(other)
+    mod[5], mod[15] = "xxx", "yyy"
+    rows.append((5, doc(other)))
+    rows.append((6, doc(mod)))
+    # same-parity near-dups must NOT pair (7 odd vs 1 odd)
+    rows.append((7, doc(base)))
+
+    d = str(tmp_path_factory.mktemp("fuzz_mh_inc"))
+    data = [(i, t, "en", "s0", len(t)) for i, t in rows]
+    spark.createDataFrame(
+        data, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint").coalesce(1) \
+        .write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    _check(spark, d, "minhash_incremental")
+    got = {(r["new_id"], r["seen_id"]): r["jaccard"] for r in
+           em.queries()["minhash_incremental"](spark, d).collect()}
+    assert got[(1, 2)] == 0.9          # exactly-at-threshold kept
+    assert got[(3, 4)] == 1.0
+    assert got[(7, 2)] == 0.9          # second odd copy pairs with seen
+    assert (5, 6) not in got           # below threshold dropped
+    assert all(a % 2 == 1 and b % 2 == 0 for a, b in got)
