@@ -1557,6 +1557,26 @@ def q_multimodal_decode(spark, sf_dir):
                     F.col("idx").cast("long").alias("idx"), "value"))
 
 
+def q_multimodal_png(spark, sf_dir):
+    """REAL compressed-image decode in the gate (r6): each document's
+    first 36 ASCII bytes become the pixels of a 4×3 truecolor PNG —
+    encoded per row with filters none/sub/up, DEFLATE-compressed with
+    stdlib zlib (multimodal.attach_png_media), then decoded by the
+    pure-Python PNG decoder (CRC-checked chunks, unfiltering) and
+    feature-extracted with the same integer-exact statistics as the PPM
+    gate. The oracle recomputes the statistics straight from the text
+    bytes, so a hash-match certifies the full encode→DEFLATE→decode→
+    unfilter→stats chain. n_bytes is compression-dependent (not
+    SQL-replayable) and deliberately excluded from the gate output."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 36)
+    media = mm.attach_png_media(docs, "doc_id", "text", 4, 3)
+    feats = mm.extract_features(media, fake=False)
+    return (feats.select("media_id",
+                         F.posexplode("feature").alias("idx", "value"))
+            .select("media_id", F.col("idx").cast("long").alias("idx"),
+                    "value"))
+
+
 def q_quota_sample(spark, sf_dir):
     """Fixed-count per-stratum sampling (functions.chunking.quota_sample):
     exactly N docs per language chosen by ascending md5(doc_id) — the
@@ -2227,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_kmeans_topk": q_embed_ivf_kmeans_topk,
         "semantic_dedup": q_semantic_dedup,
         "salted_join_auto": q_salted_join_auto,
+        "multimodal_png": q_multimodal_png,        # new r6: real PNG codec
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_resize": q_multimodal_resize,
@@ -3332,6 +3353,41 @@ def oracle_sql() -> dict[str, str]:
                       CAST(st AS DOUBLE) / 36.0] AS feature
               FROM ch JOIN lm ON ch.doc_id = lm.doc_id)
             SELECT media_id, n_bytes, unnest(range(8)) AS idx,
+                   unnest(feature) AS value
+            FROM feat""",
+        # multimodal_png: same pixel statistics as multimodal_decode (the
+        # pixels ARE the same 36 text bytes), no n_bytes (DEFLATE output
+        # size is not SQL-replayable) — a hash-match certifies the PNG
+        # encode→decode chain reproduces the source bytes exactly
+        "multimodal_png": """
+            WITH d AS (
+              SELECT doc_id, substr(text, 1, 36) AS s
+              FROM documents WHERE len(text) >= 36
+            ), b AS (
+              SELECT doc_id, p, ord(substr(s, p, 1)) AS v,
+                     (p - 1) % 3 AS c, (p - 1) // 3 AS q
+              FROM d, (SELECT unnest(range(1, 37)) AS p)
+            ), px AS (
+              SELECT doc_id, q, sum(v) AS psum FROM b GROUP BY doc_id, q
+            ), ch AS (
+              SELECT doc_id,
+                     sum(CASE WHEN c = 0 THEN v END) AS sr,
+                     sum(CASE WHEN c = 1 THEN v END) AS sg,
+                     sum(CASE WHEN c = 2 THEN v END) AS sb,
+                     sum(v) AS st
+              FROM b GROUP BY doc_id
+            ), lm AS (
+              SELECT doc_id, min(psum) AS mn, max(psum) AS mx
+              FROM px GROUP BY doc_id
+            ), feat AS (
+              SELECT ch.doc_id AS media_id,
+                     [4.0, 3.0,
+                      CAST(sr AS DOUBLE) / 12.0, CAST(sg AS DOUBLE) / 12.0,
+                      CAST(sb AS DOUBLE) / 12.0,
+                      CAST(mn AS DOUBLE) / 3.0, CAST(mx AS DOUBLE) / 3.0,
+                      CAST(st AS DOUBLE) / 36.0] AS feature
+              FROM ch JOIN lm ON ch.doc_id = lm.doc_id)
+            SELECT media_id, unnest(range(8)) AS idx,
                    unnest(feature) AS value
             FROM feat""",
         # winnow_neardup: exact SQL replica of winnow_fingerprint_vec — the

@@ -3,15 +3,16 @@
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
 signatures) is real and tested. Decoding tiers:
 
-- REAL pure-Python decoders for the three public uncompressed formats
-  that need no external library: binary PPM (P6), 24-bit BMP, and 16-bit
-  PCM WAV (:func:`decode_ppm` / :func:`decode_bmp` / :func:`decode_wav`).
-  ``extract_features`` uses them for ``meta.format in ('ppm','bmp',
-  'wav')``.
-- compressed formats (png/jpeg/mp3/mp4) still raise NotImplementedError —
-  their codecs (zlib-DEFLATE aside, DCT/entropy coders) are library
-  territory and absent from this container; ``fake=True`` substitutes a
-  deterministic fake decoder so those pipeline shapes stay exercised.
+- REAL pure-Python decoders for the public formats that need no external
+  library: binary PPM (P6), 24-bit BMP, 16-bit PCM WAV, and — r6 — PNG
+  (8-bit depth, color types 0/2/4/6, all five filter types; DEFLATE via
+  the stdlib ``zlib``, which is not an external dependency).
+  ``extract_features`` uses them for ``meta.format in ('ppm','bmp','wav',
+  'png')``. :func:`encode_png` writes the matching subset.
+- remaining compressed formats (jpeg/mp3/mp4) still raise
+  NotImplementedError — DCT/entropy coders are library territory and
+  absent from this container; ``fake=True`` substitutes a deterministic
+  fake decoder so those pipeline shapes stay exercised.
 
 Pattern: mapInPandas over batches of (id, media: binary, meta: struct) —
 each Arrow batch decodes vectorized in Python, features return as typed
@@ -62,6 +63,40 @@ def attach_media(df: DataFrame, id_col: str, payload_expr,
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+def attach_png_media(df: DataFrame, id_col: str, text_col: str,
+                     w: int, h: int) -> DataFrame:
+    """Encode the first 3·w·h bytes of ``text_col`` as a w×h truecolor
+    PNG per row — the gate-side generator that makes the PNG decode path
+    value-oracle-able (the oracle recomputes pixel statistics straight
+    from the same text bytes, so the encode→DEFLATE→decode→unfilter chain
+    is certified end to end).
+
+    Row filters cycle 0..4 (``r % 5``), so any image ≥5 rows exercises
+    every PNG filter type in the decode path, and the 3-row gate images
+    exercise none/sub/up. One mapInPandas stage, byte-sized batches."""
+    enc = encode_png  # by-value closure binding
+    need = 3 * w * h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = [
+                enc(w, h, t.encode("utf-8")[:need],
+                    filters=[r % 5 for r in range(h)])
+                for t in pdf["text"]]
+            yield _pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "payload": _pd.Series(payloads, dtype="object"),
+                "meta": [{"kind": "image", "format": "png", "width": w,
+                          "height": h, "duration_ms": None}] * len(pdf),
+            })
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"),
+                    F.col(text_col).alias("text"))
+    return src.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def _build_decoders():
@@ -165,6 +200,149 @@ def _build_decoders():
         samples = list(struct.unpack(f"<{n}h", data[:2 * n]))
         return n_ch, rate, samples
 
+    def _paeth(a, b, c):
+        """PNG Paeth predictor (public spec, RFC 2083 §6.6)."""
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def decode_png(payload):
+        """PNG → (width, height, RGB bytes). Pure Python + stdlib zlib
+        over the public spec (RFC 2083): 8-byte signature, IHDR/IDAT/IEND
+        chunks (CRC-verified), DEFLATE-compressed scanlines each led by a
+        filter byte. Supports bit depth 8, color types 0 (gray),
+        2 (RGB), 4 (gray+alpha), 6 (RGBA — alpha dropped), all five
+        filter types (none/sub/up/average/paeth), no interlace.
+
+        Per-byte unfiltering is Python-loop (average/paeth are
+        inherently sequential along both axes); fine for the thumbnail-
+        scale payloads this engine's media gates carry per row — a
+        megapixel-scale corpus would want a C codec, which is exactly the
+        honest NotImplementedError boundary for jpeg."""
+        import struct
+        import zlib
+
+        if payload is None or bytes(payload[:8]) != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG (missing signature)")
+        payload = bytes(payload)
+        pos, ihdr, idat = 8, None, []
+        while pos + 8 <= len(payload):
+            ln, typ = struct.unpack_from(">I4s", payload, pos)
+            data = payload[pos + 8:pos + 8 + ln]
+            crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+            if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+            if typ == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if ihdr is None or not idat:
+            raise ValueError("PNG missing IHDR or IDAT")
+        w, h, depth, ctype, comp, filt, interlace = ihdr
+        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            raise ValueError(
+                f"unsupported PNG: depth={depth} compression={comp} "
+                f"filter_method={filt} interlace={interlace} "
+                "(8-bit non-interlaced only)")
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+        if nch is None:
+            raise ValueError(f"unsupported PNG color type {ctype}")
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * nch
+        if len(raw) != (stride + 1) * h:
+            raise ValueError(f"truncated PNG scanlines: want "
+                             f"{(stride + 1) * h}, got {len(raw)}")
+        prev = bytearray(stride)
+        planes = bytearray()
+        for r in range(h):
+            ft = raw[r * (stride + 1)]
+            line = bytearray(raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)])
+            if ft == 1:                                   # sub
+                for i in range(nch, stride):
+                    line[i] = (line[i] + line[i - nch]) & 0xFF
+            elif ft == 2:                                 # up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ft == 3:                                 # average
+                for i in range(stride):
+                    a = line[i - nch] if i >= nch else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif ft == 4:                                 # paeth
+                for i in range(stride):
+                    a = line[i - nch] if i >= nch else 0
+                    c = prev[i - nch] if i >= nch else 0
+                    line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"unknown PNG filter type {ft}")
+            prev = line
+            planes += line
+        if ctype == 2:
+            rgb = bytes(planes)
+        elif ctype == 6:
+            rgb = bytes(v for i, v in enumerate(planes) if i % 4 != 3)
+        elif ctype == 0:
+            rgb = bytes(v for v in planes for _ in range(3))
+        else:                                             # 4: gray+alpha
+            rgb = bytes(v for i, v in enumerate(planes) if i % 2 == 0
+                        for _ in range(3))
+        return w, h, rgb
+
+    def encode_png(w, h, rgb, filters=None, level=6):
+        """RGB bytes → 8-bit truecolor PNG (color type 2). ``filters``
+        picks the per-row filter type (default all 0) — the gates use a
+        mixed pattern so their decode path exercises real unfiltering,
+        not just the trivial type-0 lane. Deterministic for fixed zlib
+        level (stdlib zlib, stable across runs/workers)."""
+        import struct
+        import zlib
+
+        stride = 3 * w
+        if len(rgb) != stride * h:
+            raise ValueError(f"rgb length {len(rgb)} != 3*{w}*{h}")
+        filters = list(filters) if filters is not None else [0] * h
+        if len(filters) != h:
+            raise ValueError(f"need {h} filter types, got {len(filters)}")
+        raw = bytearray()
+        prev = bytes(stride)
+        for r in range(h):
+            line = rgb[r * stride:(r + 1) * stride]
+            ft = filters[r]
+            raw.append(ft)
+            if ft == 0:
+                raw += line
+            elif ft == 1:
+                raw += bytes((line[i] - (line[i - 3] if i >= 3 else 0))
+                             & 0xFF for i in range(stride))
+            elif ft == 2:
+                raw += bytes((line[i] - prev[i]) & 0xFF
+                             for i in range(stride))
+            elif ft == 3:
+                raw += bytes((line[i] - (((line[i - 3] if i >= 3 else 0)
+                                          + prev[i]) >> 1)) & 0xFF
+                             for i in range(stride))
+            elif ft == 4:
+                raw += bytes((line[i] - _paeth(
+                    line[i - 3] if i >= 3 else 0, prev[i],
+                    prev[i - 3] if i >= 3 else 0)) & 0xFF
+                    for i in range(stride))
+            else:
+                raise ValueError(f"unknown PNG filter type {ft}")
+            prev = line
+
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw), level))
+                + chunk(b"IEND", b""))
+
     def audio_features(n_ch, rate, samples):
         """8-dim feature vector, EXACT arithmetic (integer sums, one final
         IEEE division; sqrt is IEEE-correctly-rounded in every engine):
@@ -200,11 +378,12 @@ def _build_decoders():
                 int(psum.min()) / 3.0, int(psum.max()) / 3.0,
                 int(csum.sum()) / (3.0 * npix)]
 
-    return decode_ppm, decode_bmp, image_features, decode_wav, audio_features
+    return (decode_ppm, decode_bmp, image_features, decode_wav,
+            audio_features, decode_png, encode_png)
 
 
 (decode_ppm, decode_bmp, image_features,
- decode_wav, audio_features) = _build_decoders()
+ decode_wav, audio_features, decode_png, encode_png) = _build_decoders()
 
 
 def extract_features(media: DataFrame, fake: bool = False,
@@ -212,8 +391,8 @@ def extract_features(media: DataFrame, fake: bool = False,
     """Decode/feature-extract via mapInPandas (Arrow-batched; one Python
     round-trip per batch, not per row).
 
-    ``fake=False`` REALLY decodes ``meta.format in ('ppm','bmp')`` with the
-    pure-Python decoders above and computes :func:`image_features`
+    ``fake=False`` REALLY decodes ``meta.format in ('ppm','bmp','png')``
+    with the pure-Python decoders above and computes :func:`image_features`
     (integer-exact, so the driver gate hash-checks the vectors against a
     SQL oracle); other formats raise NotImplementedError (their codecs need
     libraries absent from this container). ``fake=True`` keeps the
@@ -225,6 +404,7 @@ def extract_features(media: DataFrame, fake: bool = False,
     """
     ppm, bmp, feats_of = decode_ppm, decode_bmp, image_features  # by-value
     wav, afeats_of = decode_wav, audio_features
+    png = decode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd  # worker-side import, always available with pyspark
@@ -238,7 +418,7 @@ def extract_features(media: DataFrame, fake: bool = False,
             n = float(len(payload))
             return [round(a / n, 6) for a in acc]
 
-        real = {"ppm": ppm, "bmp": bmp}
+        real = {"ppm": ppm, "bmp": bmp, "png": png}
 
         def decode(payload, meta):
             if fake:
@@ -250,10 +430,10 @@ def extract_features(media: DataFrame, fake: bool = False,
             dec = real.get(fmt)
             if dec is None:
                 raise NotImplementedError(
-                    f"no pure-Python decoder for format {fmt!r}: compressed "
-                    "codecs (png/jpeg/wav/mp4) need media libraries absent "
-                    "from this container; pass fake=True for the "
-                    "deterministic fake decoder, or use 'ppm'/'bmp'")
+                    f"no pure-Python decoder for format {fmt!r}: DCT/"
+                    "entropy codecs (jpeg/mp3/mp4) need media libraries "
+                    "absent from this container; pass fake=True for the "
+                    "deterministic fake decoder, or use 'ppm'/'bmp'/'png'")
             f = feats_of(*dec(payload))
             return (f + [0.0] * n_feat)[:n_feat]
 

@@ -21,8 +21,16 @@ def test_media_schema_shape(spark):
 
 
 def test_extract_features_stub_raises(spark):
-    media = _media(spark)
+    """jpeg stays honestly gated (DCT codec needs external libs); png is
+    REAL as of r6, so a non-PNG payload labeled png now raises the
+    decoder's signature error rather than NotImplementedError."""
+    df = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    jpeg = mm.attach_media(df, "doc_id", F.encode(F.col("text"), "UTF-8"),
+                           kind="image", fmt="jpeg")
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        mm.extract_features(jpeg, fake=False).collect()
+    media = _media(spark)  # fmt="png", garbage payload
+    with pytest.raises(Exception, match="not a PNG"):
         mm.extract_features(media, fake=False).collect()
 
 
@@ -271,3 +279,89 @@ def test_sample_frames_ppm_stream(spark):
     every2 = {r["frame_idx"] for r in
               mm.sample_frames(media, every_n=2).collect()}
     assert every2 == {0, 2}
+
+
+# --- PNG (r6: real compressed-format decode via stdlib zlib) -----------
+
+
+def test_png_roundtrip_all_filters():
+    """encode→decode must be the identity for every per-row filter type
+    (none/sub/up/average/paeth are lossless predictors)."""
+    import random
+
+    from bqetl_spark.functions.multimodal import decode_png, encode_png
+
+    rng = random.Random(42)
+    w, h = 7, 10
+    rgb = bytes(rng.randrange(256) for _ in range(3 * w * h))
+    for filt in range(5):
+        payload = encode_png(w, h, rgb, filters=[filt] * h)
+        assert decode_png(payload) == (w, h, rgb), f"filter {filt}"
+    # mixed pattern (the gate's r % 5 cycle)
+    payload = encode_png(w, h, rgb, filters=[r % 5 for r in range(h)])
+    assert decode_png(payload) == (w, h, rgb)
+
+
+def test_png_color_types_gray_and_alpha():
+    """Gray (0), gray+alpha (4) and RGBA (6) decode to RGB: gray
+    replicates, alpha drops. Hand-built type-0-filtered scanlines."""
+    import struct
+    import zlib
+
+    from bqetl_spark.functions.multimodal import decode_png
+
+    def build(w, h, ctype, planes):
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data)))
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        raw = b"".join(b"\x00" + planes[r * w * nch:(r + 1) * w * nch]
+                       for r in range(h))
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype,
+                                             0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    assert decode_png(build(2, 1, 0, bytes([10, 200]))) == \
+        (2, 1, bytes([10, 10, 10, 200, 200, 200]))
+    assert decode_png(build(1, 1, 4, bytes([77, 128]))) == \
+        (1, 1, bytes([77, 77, 77]))
+    assert decode_png(build(1, 2, 6, bytes([1, 2, 3, 255, 9, 8, 7, 0]))) == \
+        (1, 2, bytes([1, 2, 3, 9, 8, 7]))
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import pytest as _pytest
+
+    from bqetl_spark.functions.multimodal import decode_png, encode_png
+
+    good = encode_png(2, 2, bytes(range(12)))
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png(b"JUNK" + good)
+    bad = bytearray(good)
+    bad[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with _pytest.raises(ValueError):
+        encode_png(2, 2, b"short")
+
+
+def test_png_extract_features_matches_ppm(spark):
+    """The SAME pixels through the PNG path and the PPM path must give
+    identical integer-exact features — codec-independence of the feature
+    contract."""
+    from bqetl_spark.functions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz0123456789XX")],
+        "doc_id bigint, text string")
+    png_media = mm.attach_png_media(docs, "doc_id", "text", 4, 3)
+    png_feats = mm.extract_features(png_media, fake=False) \
+        .select("media_id", "feature").collect()
+    ppm_payload = F.concat(F.lit("P6\n4 3\n255\n").cast("binary"),
+                           F.substring(F.col("text"), 1, 36).cast("binary"))
+    ppm_media = mm.attach_media(docs, "doc_id", ppm_payload,
+                                kind="image", fmt="ppm")
+    ppm_feats = mm.extract_features(ppm_media, fake=False) \
+        .select("media_id", "feature").collect()
+    assert png_feats == ppm_feats
