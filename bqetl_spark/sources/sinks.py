@@ -93,7 +93,8 @@ def bigquery_write_plan(table: str, mode: str = "overwrite",
                         partition_type: str | None = None,
                         partition_expiration_ms: int | None = None,
                         clustered_fields: list[str] | None = None,
-                        schema: T.StructType | None = None) -> dict:
+                        schema: T.StructType | None = None,
+                        allow_field_addition: bool = False) -> dict:
     """The exact sink contract the reference's writer carries
     (BQETLSimple.java:113-120: WRITE_TRUNCATE + CREATE_IF_NEEDED against an
     explicit schema), extended with the connector's table-layout options
@@ -152,6 +153,11 @@ def bigquery_write_plan(table: str, mode: str = "overwrite",
         opts["partitionExpirationMs"] = str(int(partition_expiration_ms))
     if clustered_fields:
         opts["clusteredFields"] = ",".join(clustered_fields)
+    if allow_field_addition:
+        if mode != "append":
+            raise ValueError("allowFieldAddition only applies to append "
+                             "writes (schema evolution)")
+        opts["allowFieldAddition"] = "true"
     if schema is not None:
         plan["bigquery_schema"] = schema_to_bigquery(schema)
     return plan
@@ -204,9 +210,26 @@ def write_bigquery_emulated(df: DataFrame, plan: dict, root: str) -> str:
 
     Returns the table directory. A ``_bq_table.json`` sidecar holds the
     plan (schema + options) — the emulated table metadata.
+
+    Two live-divergence-prone behaviors are emulated faithfully (r6, per
+    the r5 verdict's "keep the live-BQ gap visible" item):
+
+    - **Schema evolution on append**: appending with fields the stored
+      table lacks fails unless the connector's ``allowFieldAddition``
+      option is "true", and added fields must be NULLABLE/REPEATED (BigQuery
+      never adds REQUIRED columns to a non-empty table). On success the
+      sidecar schema becomes the union and old rows read NULL for the new
+      field. A type change for an existing field always fails.
+    - **REQUIRED-field violations**: a NULL reaching a REQUIRED field
+      fails the WRITE JOB (executor-side ``raise_error`` inside the
+      projection — single-pass, like the real connector's storage-API
+      rejection), including NULLs introduced by projecting a missing
+      column.
     """
     import json
     import os
+
+    from pyspark.sql import functions as F
 
     table_dir = os.path.join(root, *plan["save"].replace(":", ".").split("."))
     mode = plan["mode"]
@@ -216,9 +239,57 @@ def write_bigquery_emulated(df: DataFrame, plan: dict, root: str) -> str:
     if mode == "errorifexists" and exists:
         raise FileExistsError(f"emulated BigQuery table exists: {table_dir}")
     bq_fields = plan.get("bigquery_schema")
+    opts = plan["options"]
+    sidecar = os.path.join(table_dir, "_bq_table.json")
+    if mode == "append" and exists and bq_fields is not None \
+            and os.path.isfile(sidecar):
+        with open(sidecar) as fh:
+            prior = json.load(fh).get("bigquery_schema")
+        if prior is not None:
+            prior_by_name = {f["name"]: f for f in prior}
+            for f in bq_fields:
+                p = prior_by_name.get(f["name"])
+                if p is not None and (p["type"] != f["type"]
+                                      or p.get("mode") != f.get("mode")):
+                    raise ValueError(
+                        f"append schema mismatch on {f['name']!r}: table "
+                        f"has {p['type']}/{p.get('mode')}, append brings "
+                        f"{f['type']}/{f.get('mode')} (BigQuery never "
+                        "relaxes or retypes an existing column on append)")
+            added = [f for f in bq_fields if f["name"] not in prior_by_name]
+            if added:
+                if opts.get("allowFieldAddition") != "true":
+                    raise ValueError(
+                        f"append adds new field(s) "
+                        f"{[f['name'] for f in added]} but allowFieldAddition "
+                        "is not set — BigQuery rejects schema-expanding "
+                        "appends unless the connector option "
+                        "allowFieldAddition=true is passed")
+                req = [f["name"] for f in added if f.get("mode") == "REQUIRED"]
+                if req:
+                    raise ValueError(
+                        f"appended field(s) {req} are REQUIRED — BigQuery "
+                        "only ever ADDS NULLABLE/REPEATED columns (existing "
+                        "rows have no value for them)")
+            # union schema: prior order first, additions after (BigQuery's
+            # column-append behavior); missing-from-append prior fields
+            # are filled NULL by the projection and then REQUIRED-checked
+            bq_fields = prior + added
     if bq_fields is not None:
         df = project_to_schema(df, bigquery_to_schema(bq_fields))
-    opts = plan["options"]
+        # REQUIRED enforcement: coalesce(col, raise_error) evaluates the
+        # error branch only on NULL rows, executor-side, in the same pass
+        # as the write — the emulated analogue of the storage API
+        # rejecting the row batch
+        for f in bq_fields:
+            if f.get("mode") == "REQUIRED":
+                dt = bigquery_to_schema([dict(f, mode="NULLABLE")])[0].dataType
+                df = df.withColumn(f["name"], F.coalesce(
+                    F.col(f["name"]),
+                    F.raise_error(F.lit(
+                        f"REQUIRED field {f['name']!r} received NULL "
+                        f"(emulated BigQuery write to {plan['save']})"))
+                    .cast(dt)))
     pf = opts.get("partitionField")
     out = df
     pcols: list[str] = []
@@ -236,18 +307,23 @@ def write_bigquery_emulated(df: DataFrame, plan: dict, root: str) -> str:
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(table_dir)
+    meta = {k: v for k, v in plan.items() if k != "format"}
+    if bq_fields is not None:
+        meta["bigquery_schema"] = bq_fields  # union after field addition
     with open(os.path.join(table_dir, "_bq_table.json"), "w") as fh:
-        json.dump({k: v for k, v in plan.items() if k != "format"}, fh)
+        json.dump(meta, fh)
     return table_dir
 
 
 def read_bigquery_emulated(spark, table: str, root: str) -> DataFrame:
     """Read an emulated table back (partition decorator column dropped —
-    readers of the real table never see it either)."""
+    readers of the real table never see it either). mergeSchema handles
+    field-addition evolution: pre-addition files lack the new column, and
+    their rows read NULL for it, exactly as BigQuery backfills."""
     import os
 
     table_dir = os.path.join(root, *table.replace(":", ".").split("."))
-    df = spark.read.parquet(table_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(table_dir)
     if "__partition_id" in df.columns:
         df = df.drop("__partition_id")
     return df
