@@ -1577,6 +1577,27 @@ def q_multimodal_png(spark, sf_dir):
                     "value"))
 
 
+def q_temperature_quotas(spark, sf_dir):
+    """Temperature-scaled mixture quotas (functions.chunking.
+    temperature_quotas, α = 0.5, budget 300) — the multilingual-corpus
+    rebalancing rule (sample ∝ share^α; α<1 upsamples the tail). Exact
+    cross-engine arithmetic: one IEEE division + correctly-rounded sqrt,
+    integerized to BIGINT before the all-integer floor(budget·w DIV Σw)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ck.temperature_quotas(docs, "source", budget=300, alpha=0.5)
+
+
+def q_temperature_sample(spark, sf_dir):
+    """End-to-end temperature sampling (functions.chunking.
+    temperature_sample): the α=0.5/300-budget quotas drive a per-source
+    deterministic md5-rank selection — the complete "build a rebalanced
+    training mixture" op. Membership is a pure function of the data, so
+    the oracle replays quota arithmetic + rank in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return (ck.temperature_sample(docs, "source", budget=300, alpha=0.5)
+            .select("doc_id", "source", "lang"))
+
+
 def q_quota_sample(spark, sf_dir):
     """Fixed-count per-stratum sampling (functions.chunking.quota_sample):
     exactly N docs per language chosen by ascending md5(doc_id) — the
@@ -2248,6 +2269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "salted_join_auto": q_salted_join_auto,
         "multimodal_png": q_multimodal_png,        # new r6: real PNG codec
+        "temperature_quotas": q_temperature_quotas,  # new r6
+        "temperature_sample": q_temperature_sample,  # new r6
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_resize": q_multimodal_resize,
@@ -3804,6 +3827,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT bench_id) AS BIGINT) AS n_benchmark_docs
         FROM cg JOIN bg ON cg.h = bg.h
         GROUP BY cg.doc_id"""
+    # temperature quotas: p = n/N (one IEEE division), sqrt (correctly
+    # rounded in both engines), floor(·1e12) BIGINT, then ALL-INTEGER
+    # budget*w DIV sum(w) — replayed verbatim
+    d["temperature_quotas"] = """
+        WITH c AS (SELECT source, count(*) AS n_docs
+                   FROM documents GROUP BY source),
+        n AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS nt FROM c),
+        w AS (SELECT source, n_docs,
+                     CAST(floor(sqrt(n_docs / nt) * 1000000000000.0)
+                          AS BIGINT) AS wq
+              FROM c, n)
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(300 AS BIGINT) * wq // (SELECT sum(wq) FROM w) AS quota
+        FROM w"""
+    d["temperature_sample"] = """
+        WITH c AS (SELECT source, count(*) AS n_docs
+                   FROM documents GROUP BY source),
+        n AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS nt FROM c),
+        w AS (SELECT source, n_docs,
+                     CAST(floor(sqrt(n_docs / nt) * 1000000000000.0)
+                          AS BIGINT) AS wq
+              FROM c, n),
+        q AS (SELECT source,
+                     CAST(300 AS BIGINT) * wq
+                       // (SELECT sum(wq) FROM w) AS quota
+              FROM w),
+        r AS (SELECT doc_id, source, lang,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM documents)
+        SELECT r.doc_id, r.source, r.lang
+        FROM r JOIN q ON r.source IS NOT DISTINCT FROM q.source
+        WHERE rk <= quota"""
     # quota_sample: same deterministic md5 shuffle rank per stratum
     d["quota_sample"] = """
         WITH r AS (

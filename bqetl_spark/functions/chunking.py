@@ -177,6 +177,91 @@ def quota_sample(df: DataFrame, quotas: dict[str, int], strata_col: str,
             .drop("__rk", "__q"))
 
 
+def temperature_quotas(df: DataFrame, strata_col: str, budget: int,
+                       alpha: float = 0.5) -> DataFrame:
+    """Temperature-scaled sampling quotas per stratum — the standard
+    multilingual/multi-source rebalancing rule (sample source i with
+    probability ∝ p_i^α where p_i is its corpus share; α < 1 upsamples
+    the tail, α = 1 is proportional, α = 0 uniform).
+
+    Cross-engine-exact arithmetic discipline (the repo's fixed-point
+    pattern): p_i = n_i / N is one IEEE division; p_i^α goes through
+    ``sqrt`` when α = 0.5 (correctly rounded everywhere, unlike the
+    general ``pow``) and is then integerized as w_i = floor(p_i^α · 10^12)
+    BIGINT; the quota is the all-integer floor((budget · w_i) DIV Σw) —
+    no float leaves the per-stratum scalar, so the result is
+    bit-identical on any engine or partitioning. For α ∉ {0.5, 1.0, 2.0}
+    the general ``pow`` path is used and cross-engine bit-equality is NOT
+    guaranteed (documented; the gate pins α = 0.5).
+
+    Scale shape: one hash aggregation over the stratum key (map-side
+    combined), then a |strata|-row window — the data-sized pass is the
+    count, everything after is metadata-sized. Returns
+    (strata_col, n_docs BIGINT, quota BIGINT). NULL strata count as a
+    stratum. Σquota ≤ budget (floor rounding; the remainder is the
+    standard largest-remainder follow-up a trainer applies if it wants
+    the budget exact).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_docs"))
+    n_total = F.sum("n_docs").over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing))
+    p = F.col("n_docs") / n_total
+    if alpha == 0.5:
+        pa = F.sqrt(p)
+    elif alpha == 1.0:
+        pa = p
+    elif alpha == 2.0:
+        pa = p * p
+    else:  # general path: pow is not correctly rounded — see docstring
+        pa = F.pow(p, F.lit(float(alpha)))
+    wq = F.floor(pa * F.lit(1e12)).cast("long")
+    wsum = F.sum(wq).over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing))
+    return (counts
+            .withColumn("__wq", wq)
+            .withColumn("__wsum", wsum)
+            .select(strata_col,
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.expr(f"CAST({int(budget)} AS BIGINT) * __wq "
+                           "DIV __wsum").alias("quota")))
+
+
+def temperature_sample(df: DataFrame, strata_col: str, budget: int,
+                       alpha: float = 0.5,
+                       id_col: str = "doc_id") -> DataFrame:
+    """End-to-end temperature sampling: compute :func:`temperature_quotas`
+    then keep each stratum's quota docs chosen by ascending md5(id) — the
+    deterministic shuffle :func:`quota_sample` uses, so the picked SET is
+    a pure function of the data.
+
+    The quota table is |strata| rows — a metadata-sized collect (same
+    audit class as the IVF centroid collects), driving one window rank
+    over the corpus. NULL strata get a quota like any other stratum but
+    ``quota_sample``'s equality test drops them from the output
+    (documented there); this wrapper keeps NULL strata by ranking
+    directly instead.
+    """
+    quotas = {r[strata_col]: int(r["quota"])
+              for r in temperature_quotas(df, strata_col, budget,
+                                          alpha).collect()}
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    quota = F.lit(None).cast("long")
+    for s, q in sorted(quotas.items(), key=lambda kv: (kv[0] is None,
+                                                       str(kv[0]))):
+        cond = (F.col(strata_col).isNull() if s is None
+                else (F.col(strata_col) == s))
+        quota = F.when(cond, F.lit(q)).otherwise(quota)
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .withColumn("__q", quota)
+            .filter(F.col("__rk") <= F.col("__q"))
+            .drop("__rk", "__q"))
+
+
 def mixture_repeats(df: DataFrame, weights: dict[str, float],
                     strata_col: str, id_col: str = "doc_id",
                     hex_digits: int = 8) -> DataFrame:

@@ -231,3 +231,68 @@ def test_export_shards_layout_balance_and_determinism(spark, tmp_path):
     assert a == b
     with _pytest.raises(ValueError):
         shard_assignment("doc_id", 0)
+
+
+def test_temperature_quotas_tail_upsampled(spark):
+    """α=0.5 must upsample tail strata vs proportional: 90/9/1 corpus at
+    budget 1000 → 703/222/74 (exact python replica of the fixed-point
+    arithmetic), vs 900/90/10 proportional."""
+    import math
+
+    from bqetl_spark.functions.chunking import temperature_quotas
+
+    df = spark.createDataFrame([("a",)] * 90 + [("b",)] * 9 + [("c",)] * 1,
+                               "src string")
+    got = {r["src"]: (r["n_docs"], r["quota"]) for r in
+           temperature_quotas(df, "src", budget=1000, alpha=0.5).collect()}
+    wq = {s: math.floor(math.sqrt(n / 100) * 1e12)
+          for s, n in (("a", 90), ("b", 9), ("c", 1))}
+    ws = sum(wq.values())
+    want = {s: ((90, 9, 1)[i], 1000 * wq[s] // ws)
+            for i, s in enumerate("abc")}
+    assert got == want
+    assert sum(q for _, q in got.values()) <= 1000
+    # alpha=1 is proportional
+    got1 = {r["src"]: r["quota"] for r in
+            temperature_quotas(df, "src", budget=1000, alpha=1.0).collect()}
+    assert got1 == {"a": 900, "b": 90, "c": 10}
+
+
+def test_temperature_sample_membership_deterministic(spark):
+    """The picked set per stratum is the quota-many smallest md5(id) —
+    stable across runs and partitionings; NULL strata are kept."""
+    import hashlib
+
+    from bqetl_spark.functions.chunking import temperature_sample
+
+    rows = [(i, "a") for i in range(90)] + \
+           [(i, "b") for i in range(100, 109)] + [(200, None)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    got = {(r["doc_id"], r["src"]) for r in
+           temperature_sample(df, "src", budget=50, alpha=0.5,
+                              id_col="doc_id").collect()}
+    again = {(r["doc_id"], r["src"]) for r in
+             temperature_sample(df.repartition(7), "src", budget=50,
+                                alpha=0.5, id_col="doc_id").collect()}
+    assert got == again and len(got) > 0
+    assert any(s is None for _, s in got)   # NULL stratum sampled too
+    # per-stratum membership == smallest md5 ranks
+    from bqetl_spark.functions.chunking import temperature_quotas
+    quotas = {r["src"]: r["quota"] for r in
+              temperature_quotas(df, "src", budget=50, alpha=0.5).collect()}
+    for s, ids in (("a", range(90)), ("b", range(100, 109))):
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(
+            str(i).encode()).hexdigest(), i))
+        want = {(i, s) for i in ranked[:quotas[s]]}
+        assert {x for x in got if x[1] == s} == want
+
+
+def test_temperature_quotas_validation(spark):
+    from bqetl_spark.functions.chunking import temperature_quotas
+
+    df = spark.createDataFrame([("a",)], "src string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_quotas(df, "src", budget=-1)
+    with _pytest.raises(ValueError):
+        temperature_quotas(df, "src", budget=10, alpha=-0.5)

@@ -85,7 +85,12 @@ def _check(spark, sf_dir, name):
                                   "simhash_pairs", "winnow_neardup",
                                   "ngram_jaccard", "minhash_lsh",
                                   "dedup_exact", "heavy_tokens",
-                                  "tfidf_topk"])
+                                  "tfidf_topk",
+                                  # r6: temperature mixture — random
+                                  # corpora give UNEQUAL strata, which the
+                                  # equal-sized sf tables cannot
+                                  "temperature_quotas",
+                                  "temperature_sample"])
 def test_doc_gates_on_random_corpora(spark, tmp_path_factory, gate):
     @_SET
     @given(rows=_doc_strategy)
