@@ -838,6 +838,27 @@ def q_stream_upsert(spark, sf_dir):
     return spark.read.parquet(target)
 
 
+def q_stream_kmv(spark, sf_dir):
+    """Streaming KMV sketch maintenance (streaming/events.py
+    stream_kmv_user_distinct, k=64): events are chopped into 4 files so
+    the availableNow replay folds 4 REAL micro-batches into the persisted
+    per-event_type sketch of distinct user_ids; the gate estimates from
+    the final stored sketch. Oracle = the plain batch KMV SQL — the
+    hash-match proves the streaming fold is lossless for any batch chop
+    (the kmv_merge property, now exercised through foreachBatch)."""
+    import tempfile
+
+    from bqetl_spark.functions.sketch import kmv_estimate
+    from bqetl_spark.streaming.events import stream_kmv_user_distinct
+
+    base = tempfile.mkdtemp(prefix="bqetl_skmv_")
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    ev.repartition(4).write.parquet(base + "/events_split")
+    target = base + "/sketch"
+    stream_kmv_user_distinct(spark, base + "/events_split", target, k=64)
+    return kmv_estimate(spark.read.parquet(target), "event_type", 64)
+
+
 def q_events_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (ev.select("event_id",
@@ -2271,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png": q_multimodal_png,        # new r6: real PNG codec
         "temperature_quotas": q_temperature_quotas,  # new r6
         "temperature_sample": q_temperature_sample,  # new r6
+        "stream_kmv": q_stream_kmv,                  # new r6
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_resize": q_multimodal_resize,
@@ -4002,6 +4024,30 @@ def oracle_sql() -> dict[str, str]:
     # mergeability: the incremental (split-sketch-merge) gate must equal
     # the plain full-corpus sketch — same SQL
     d["kmv_incremental"] = d["kmv_distinct"]
+    # streaming KMV fold == plain batch KMV (merge losslessness through
+    # foreachBatch); user_id hashes via md5 of the decimal string, k=64.
+    # NULL user_ids are excluded on both sides (COUNT DISTINCT semantics —
+    # kmv_sketch filters NULL hashes before the Arrow pass).
+    d["stream_kmv"] = """
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                     ::BIGINT AS hv
+            FROM events WHERE user_id IS NOT NULL),
+        r AS (
+            SELECT event_type, hv,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY hv) AS rn
+            FROM h)
+        SELECT event_type,
+               CAST(CASE WHEN max(rn) < 64 THEN max(rn)
+                    ELSE floor(63.0 * 1152921504606846976
+                               / max(CASE WHEN rn = 64 THEN hv END))
+                    END AS BIGINT) AS est_distinct,
+               CASE WHEN max(rn) < 64 THEN NULL
+                    ELSE max(CASE WHEN rn = 64 THEN hv END)
+                    END AS kth_hash
+        FROM r GROUP BY event_type"""
     # PageRank: the integer fixed-point recurrence unrolled as 5 CTE
     # iterations — rank'(v) = base + Σ floor(85·rank(u)/(100·outdeg(u))).
     # Every quantity < 2^53, so the recurrence is bit-identical to Spark's

@@ -172,6 +172,52 @@ def stream_upsert_user_totals(spark: SparkSession, events_dir: str,
      .start().awaitTermination())
 
 
+def stream_kmv_user_distinct(spark: SparkSession, events_dir: str,
+                             target_path: str, k: int = 64,
+                             max_files_per_trigger: int = 1) -> None:
+    """Streaming SKETCH MAINTENANCE (r6): fold each micro-batch's KMV
+    sketch of distinct user_ids per event_type into a persisted
+    (grp, mins) sketch table — the streaming half of the kmv_incremental
+    story: a live pipeline keeps bounded per-group state (k longs) and
+    answers COUNT(DISTINCT ...) at any moment without ever re-scanning
+    history.
+
+    Correctness is the merge losslessness property (sketch.kmv_merge):
+    the k smallest of a union is computable from each side's k smallest,
+    so the final persisted sketch equals the full-corpus sketch REGARDLESS
+    of how the replay is chopped into micro-batches — which is what makes
+    a streaming op value-oracle-able (the gate's oracle is the plain
+    batch KMV SQL). State per group is k 60-bit hashes; the per-batch
+    fold is one bounded-size merge, never a history re-scan.
+
+    Runs to completion (availableNow) and returns None; callers read
+    ``target_path`` and apply ``kmv_estimate``. Same foreachBatch
+    idempotency caveat as ``stream_upsert_user_totals``."""
+    from bqetl_spark.functions.sketch import kmv_merge, kmv_sketch
+
+    stream = (_read_events_stream(spark, events_dir, max_files_per_trigger)
+              .select("event_type", "user_id"))
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        sp = bdf.sparkSession
+        batch_sketch = kmv_sketch(bdf, "user_id", "event_type", k)
+        try:
+            base = sp.read.parquet(target_path)
+        except Exception:
+            base = None
+        out = (batch_sketch if base is None
+               else kmv_merge(base, batch_sketch, k=k))
+        tmp = target_path + f".batch{batch_id}"
+        out.write.mode("overwrite").parquet(tmp)
+        sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+
+    (stream.writeStream.outputMode("append")
+     .foreachBatch(sink)
+     .trigger(availableNow=True)
+     .option("checkpointLocation", target_path + ".ckpt")
+     .start().awaitTermination())
+
+
 def stream_event_counts(spark: SparkSession, events_dir: str,
                         window: str = "1 hour",
                         watermark: str = "2 hours",

@@ -147,3 +147,30 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # and does NOT include the dropped row
     assert 8 not in rows
     assert rows.get(9) == 3
+
+
+def test_stream_kmv_fold_is_chop_invariant(spark, tmp_path):
+    """r6 streaming sketch maintenance: the persisted KMV sketch after an
+    availableNow replay must be IDENTICAL whatever the micro-batch chop
+    (2-file vs 4-file split vs plain batch sketch) — the kmv_merge
+    losslessness property exercised through foreachBatch."""
+    from bqetl_spark.functions.sketch import (kmv_estimate, kmv_merge,
+                                              kmv_sketch)
+    from bqetl_spark.streaming.events import stream_kmv_user_distinct
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_type", "user_id")
+
+    def run(n_files, tag):
+        src = str(tmp_path / f"src{tag}")
+        ev.repartition(n_files).write.parquet(src)
+        target = str(tmp_path / f"sk{tag}")
+        stream_kmv_user_distinct(spark, src, target, k=32)
+        return sorted(map(tuple, kmv_estimate(
+            spark.read.parquet(target), "event_type", 32).collect()))
+
+    batch = sorted(map(tuple, kmv_estimate(
+        kmv_sketch(ev, "user_id", "event_type", 32),
+        "event_type", 32).collect()))
+    assert run(2, "a") == batch
+    assert run(4, "b") == batch
