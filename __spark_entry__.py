@@ -1516,6 +1516,17 @@ def q_embed_sq_topk(spark, sf_dir):
                               score_decimals=6)
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (functions.similarity.hard_negatives): per
+    query vector the top-5 most-similar vectors with a DIFFERENT label —
+    the contrastive-training batch builder. Brute-force exact (the
+    ANN variants share the label-filter composition); the oracle mirrors
+    the null-safe label inequality with IS DISTINCT FROM."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                              score_decimals=6)
+
+
 def q_embed_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return sim.cosine_neardup_pairs(emb, threshold=0.45)
@@ -2293,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_quotas": q_temperature_quotas,  # new r6
         "temperature_sample": q_temperature_sample,  # new r6
         "stream_kmv": q_stream_kmv,                  # new r6
+        "hard_negatives": q_hard_negatives,          # new r6
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_resize": q_multimodal_resize,
@@ -3325,6 +3337,26 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
                    round(s, 6) AS score
+            FROM ranked WHERE rank <= 5""",
+        # hard negatives: same brute-force cosine shape, label-inequality
+        # (null-safe IS DISTINCT FROM ≙ Spark ~eqNullSafe) in the join
+        "hard_negatives": f"""
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, q.label AS query_label,
+                     c.vec_id AS neighbor_id, c.label AS neighbor_label,
+                     {_cosine_sql('q.embedding', 'c.embedding')} AS s
+              FROM embeddings q JOIN embeddings c
+                ON q.label IS DISTINCT FROM c.label
+              WHERE q.vec_id < 10),
+            ranked AS (
+              SELECT query_id, query_label, neighbor_id, neighbor_label,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY s DESC, neighbor_id ASC)
+                       AS rank,
+                     s
+              FROM scored)
+            SELECT query_id, query_label, neighbor_id, neighbor_label,
+                   CAST(rank AS INT) AS rank, round(s, 6) AS score
             FROM ranked WHERE rank <= 5""",
         "embed_sq_topk": """
             WITH base AS (

@@ -76,6 +76,51 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     F.round("score", score_decimals).alias("score")))
 
 
+def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   score_decimals: int = 4) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the k most-cosine-similar corpus vectors carrying a DIFFERENT label —
+    the negatives that sit closest to the decision boundary, which is
+    what metric-learning losses (InfoNCE, triplet) want batched with
+    each anchor.
+
+    Same scale shape as :func:`cosine_topk` (queries broadcast, corpus
+    never moved, per-query window top-k = TakeOrdered-style partial
+    ranking); the label filter rides the broadcast-join condition so
+    same-label pairs never materialize. NULL labels: the inequality is
+    null-safe (NULL is a label distinct from every non-NULL label and
+    equal to itself), matching SQL's IS DISTINCT FROM.
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label, rank,
+    score).
+    """
+    n_part = compute_parallelism(corpus.sparkSession)
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(label_col).alias("query_label"),
+                        F.col(vec_col).alias("q_vec"))
+         .withColumn("q_norm", _norm(F.col("q_vec"))))
+    c = (corpus.repartition(n_part)
+         .select(F.col(id_col).alias("neighbor_id"),
+                 F.col(label_col).alias("neighbor_label"),
+                 F.col(vec_col).alias("c_vec"))
+         .withColumn("c_norm", _norm(F.col("c_vec"))))
+    scored = (c.join(F.broadcast(q),
+                     ~F.col("query_label").eqNullSafe(F.col("neighbor_label")))
+              .withColumn("score",
+                          _dot(F.col("q_vec"), F.col("c_vec"))
+                          / (F.col("q_norm") * F.col("c_norm"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("neighbor_id"))
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "query_label", "neighbor_id",
+                    "neighbor_label", "rank",
+                    F.round("score", score_decimals).alias("score")))
+
+
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          block_col: str | None = None,

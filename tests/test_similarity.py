@@ -115,3 +115,33 @@ def test_sq_scores_close_to_exact(spark):
     assert both
     for key in both:
         assert abs(exact[key] - quant[key]) < 0.02
+
+
+def test_hard_negatives_label_filter_and_null_safety(spark):
+    """r6: negatives must carry a DIFFERENT label than the query,
+    null-safely — NULL-label corpus rows ARE negatives for labeled
+    queries, NULL-label queries treat every labeled row as a negative,
+    and two NULL labels are the SAME label (excluded)."""
+    from bqetl_spark.functions.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.9, 0.1], 1),      # same label as 0 -> never a negative of 0
+        (2, [0.8, 0.2], 2),
+        (3, [0.7, 0.3], None),   # NULL label
+        (4, [0.0, 1.0], None),   # NULL label
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, "
+                                     "label int")
+    out = hard_negatives(df, df, k=10).collect()
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in out}
+    assert (0, 1) not in pairs and (1, 0) not in pairs   # same label
+    assert (3, 4) not in pairs and (4, 3) not in pairs   # NULL == NULL
+    assert (0, 3) in pairs and (3, 0) in pairs           # NULL vs 1 differ
+    # ranking: for query 0 the closest different-label vector is 2
+    q0 = sorted((r["rank"], r["neighbor_id"]) for r in out
+                if r["query_id"] == 0)
+    assert q0[0] == (1, 2)
+    # schema carries both labels for downstream batch construction
+    cols = {f.name for f in hard_negatives(df, df, k=1).schema.fields}
+    assert {"query_label", "neighbor_label"} <= cols
