@@ -838,6 +838,20 @@ def q_stream_upsert(spark, sf_dir):
     return spark.read.parquet(target)
 
 
+def q_compression_ratio(spark, sf_dir):
+    """DEFLATE compression-ratio quality signal (functions.
+    compressibility.compression_ratio, zlib level 6) — the Gopher-style
+    repetition detector. ROWS-ONLY GATE by documented necessity: DuckDB
+    has no DEFLATE function, so the value contract is pinned by pytest
+    (ratio arithmetic replayed in Python, ordering properties, partition
+    invariance) instead of a SQL oracle — the one op family where the
+    weaker check is the honest maximum."""
+    from bqetl_spark.functions.compressibility import compression_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return compression_ratio(docs)
+
+
 def q_stream_kmv(spark, sf_dir):
     """Streaming KMV sketch maintenance (streaming/events.py
     stream_kmv_user_distinct, k=64): events are chopped into 4 files so
@@ -2305,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,  # new r6
         "stream_kmv": q_stream_kmv,                  # new r6
         "hard_negatives": q_hard_negatives,          # new r6
+        "compression_ratio": q_compression_ratio,    # new r6, rows-only
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_resize": q_multimodal_resize,
