@@ -2273,102 +2273,67 @@ def q_tfidf_topk(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver evaluates exactly the FIRST 50 dict
-    # entries each round (r1-r4 all confirm). Gates outside the window are
-    # NOT unverified: SWEEP_r05.json records a full 140/140 hash-match
-    # sweep under driver conditions this round, and the fuzz tiers
-    # (tests/test_oracle_fuzz.py) re-verify 60+ gates on random data
-    # every suite run. Round-5 priority:
-    #   1. the 12 queries whose last green driver row is r1/r2 (stale per
-    #      the r4 verdict) -- freshness refresh
-    #   2. queries whose code or oracle changed this round (minhash/ngram
-    #      explode-shape + pre-filter, interval_overlap floor-epoch oracle,
-    #      dedup_fingerprint, newly-oracled simhash/winnow/kmeans/semdedup,
-    #      multimodal decoder) and the BRAND-NEW round-5 gates needing
-    #      first-ever rows (salted_join_auto, multimodal_decode,
-    #      session_window, zorder_key, stream_session_window,
-    #      stream_static_join, stream_upsert, quota_sample,
-    #      mixture_repeats, contamination, point_in_time), plus
-    #      lookup_decode (stalest remaining row, r2)
-    #   3. this session's 14 brand-new gates (kmv_distinct .. sql_frontdoor)
-    #      need first-ever rows; dedup_clusters / gram_repetition /
-    #      multimodal_bytes / string_suite / array_suite / events_json /
-    #      events_calendar yielded their slots (r3-or-earlier green, light-
-    #      or-no change, pytest- and/or fuzz-pinned) so the 50-window closes
-    #      over all new code + the remaining stale refresh + lookup_decode
-    #   4. r3 greens rotating back in (fill to 50)
-    #   5. displaced to r6 rotation (stable, unaffected, r3-green)
-    #   6. r4 greens (tail -- freshest rows already banked)
+    # entries each round (r1-r5 all confirm). Gates outside the window are
+    # NOT unverified: the full-sweep artifact (SWEEP_r06.json) hash-checks
+    # every oracle under driver conditions each round, and the fuzz tiers
+    # (tests/test_oracle_fuzz.py) re-verify 60+ gates on random data every
+    # suite run. Round-6 window, in priority order:
+    #   1. the 6 brand-new r6 gates needing first-ever driver rows
+    #      (multimodal_png, temperature_quotas/sample, stream_kmv,
+    #      hard_negatives, compression_ratio — the last is the repo's one
+    #      rows-only gate, DEFLATE not being SQL-replayable)
+    #   2. the 5 gates that ERRed in the r5 driver run (array outputs, now
+    #      scalarized via posexplode + guarded by the scalar-output lint
+    #      in tests/test_entry.py) — re-certification is the round's top
+    #      verdict demand
+    #   3. gates whose code or oracle changed this round: pagerank (long
+    #      node ids), minhash_incremental (0.9/32-band hardening),
+    #      key_skew (oracle NULLS FIRST), events_gapfill (BIGINT grid),
+    #      kmv_distinct/kmv_incremental (NULL-group/value fix),
+    #      compact_roundtrip (in-place guard + split-up),
+    #      bq_sink_emulated (schema evolution + REQUIRED enforcement)
+    #   4. the 8 gates whose last driver row is r2 (stale per the r5
+    #      verdict item 3) — freshness refresh
+    #   5. the 5 gates the r5 ordering explicitly displaced to this round
+    #   6. r3 greens rotating back in (fill to 50, oldest first)
+    # Tail: remaining r3 greens (rotate to r7), then r4 greens, then r5
+    # greens (freshest rows already banked).
     return {
-    # --- 1. stale since r1/r2 (refresh) -------------------------------
-        "distinct_segments": q_distinct_segments,
-        "priority_late_ship": q_priority_late_ship,
-        "window_suite": q_window_suite,
-        "asof_nearest": q_asof_nearest,
-    # --- 2. changed this round ----------------------------------------
-        "minhash_lsh": q_minhash_lsh,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_fingerprint": q_dedup_fingerprint,
-        "interval_overlap": q_interval_overlap,
-        "simhash_pairs": q_simhash_pairs,
-        "winnow_neardup": q_winnow_neardup,
-        "embed_ivf_kmeans_topk": q_embed_ivf_kmeans_topk,
-        "semantic_dedup": q_semantic_dedup,
-        "salted_join_auto": q_salted_join_auto,
-        "multimodal_png": q_multimodal_png,        # new r6: real PNG codec
-        "temperature_quotas": q_temperature_quotas,  # new r6
-        "temperature_sample": q_temperature_sample,  # new r6
-        "stream_kmv": q_stream_kmv,                  # new r6
-        "hard_negatives": q_hard_negatives,          # new r6
-        "compression_ratio": q_compression_ratio,    # new r6, rows-only
+        "multimodal_png": q_multimodal_png,
+        "temperature_quotas": q_temperature_quotas,
+        "temperature_sample": q_temperature_sample,
+        "stream_kmv": q_stream_kmv,
+        "hard_negatives": q_hard_negatives,
+        "compression_ratio": q_compression_ratio,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
-        "session_window": q_session_window,
-        "zorder_key": q_zorder_key,
-        "stream_session_window": q_stream_session_window,
-        "stream_static_join": q_stream_static_join,
-        "stream_upsert": q_stream_upsert,
-        "quota_sample": q_quota_sample,
-        "mixture_repeats": q_mixture_repeats,
-        "contamination": q_contamination,
-        "point_in_time": q_point_in_time,
-        "partitioned_roundtrip": q_partitioned_roundtrip,
-        "compact_changelog": q_compact_changelog,
-        "session_labels": q_session_labels,
-        "rolling_window": q_rolling_window,
-        "doc_chunks_udtf": q_doc_chunks_udtf,
-        "kmv_distinct": q_kmv_distinct,      # new this session
-        "kmv_incremental": q_kmv_incremental,  # new this session
-        "pagerank": q_pagerank,              # new this session
-        "tfidf_topk": q_tfidf_topk,          # new this session
-        "source_divergence": q_source_divergence,  # new this session
-        "embed_centroids": q_embed_centroids,      # new this session
-        "weighted_sample": q_weighted_sample,      # new this session
-        "bigram_pmi": q_bigram_pmi,                # new this session
-        "key_skew": q_key_skew,                    # new this session
-        "events_gapfill": q_events_gapfill,        # new this session
-        "compact_roundtrip": q_compact_roundtrip,  # new this session
-        "bq_sink_emulated": q_bq_sink_emulated,    # new this session
-        "export_shards": q_export_shards,          # new this session
-        "sampled_quantiles": q_sampled_quantiles,  # new this session
-        "sql_frontdoor": q_sql_frontdoor,          # new this session
-        "funnel_stages": q_funnel_stages,          # new this session
-        "event_transitions": q_event_transitions,  # new this session
-        "retention_cohorts": q_retention_cohorts,  # new this session
-        "lookup_decode": q_lookup_decode,  # stalest oracle row (r2)
-        "string_suite": q_string_suite,          # yielded slot: stale-but-unchanged expression suite, unit-test-pinned
-        "array_suite": q_array_suite,            # yielded slot: same rationale
-        "events_json": q_events_json,            # yielded slot: same rationale
-        "events_calendar": q_events_calendar,    # yielded slot: pinned by the random-stream fuzz tier
-        "big_orders": q_big_orders,              # yielded slot: pinned by the broken-RI fuzz tier
-        "market_share": q_market_share,          # yielded slot: same
-        "product_profit": q_product_profit,      # yielded slot: stable r2-green DECIMAL agg, suite-pinned
-        "promo_revenue": q_promo_revenue,        # yielded slot: same class
-        "dedup_clusters": q_dedup_clusters,      # yielded slot: r3-green, light r5 change, pytest-pinned
-        "gram_repetition": q_gram_repetition,    # yielded slot: same
-        "multimodal_bytes": q_multimodal_bytes,  # yielded slot: superseded by multimodal_decode gate
-    # --- 3. r3 greens rotating in -------------------------------------
+        "embed_centroids": q_embed_centroids,
+        "pagerank": q_pagerank,
+        "minhash_incremental": q_minhash_incremental,
+        "key_skew": q_key_skew,
+        "events_gapfill": q_events_gapfill,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_incremental": q_kmv_incremental,
+        "compact_roundtrip": q_compact_roundtrip,
+        "bq_sink_emulated": q_bq_sink_emulated,
+        "string_suite": q_string_suite,
+        "array_suite": q_array_suite,
+        "events_json": q_events_json,
+        "events_calendar": q_events_calendar,
+        "big_orders": q_big_orders,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "promo_revenue": q_promo_revenue,
+        "ship_priority_counts": q_ship_priority_counts,
+        "union_high_value": q_union_high_value,
+        "intersect_customers": q_intersect_customers,
+        "tumbling_window": q_tumbling_window,
+        "pivot_event_counts": q_pivot_event_counts,
+        "dedup_clusters": q_dedup_clusters,
+        "gram_repetition": q_gram_repetition,
+        "multimodal_bytes": q_multimodal_bytes,
         "dedup_exact": q_dedup_exact,
         "embed_topk": q_embed_topk,
         "corpus_keep": q_corpus_keep,
@@ -2395,13 +2360,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "embed_neardup": q_embed_neardup,
-    # --- 4. displaced to the r6 rotation (r3-green, unaffected) -------
-        "ship_priority_counts": q_ship_priority_counts,
-        "union_high_value": q_union_high_value,
-        "intersect_customers": q_intersect_customers,
-        "tumbling_window": q_tumbling_window,
-        "pivot_event_counts": q_pivot_event_counts,
-    # --- 5. r4 greens (tail -- banked) --------------------------------
         "scd2_intervals": q_scd2_intervals,
         "stream_events_hourly": q_stream_events_hourly,
         "stream_click_to_purchase": q_stream_click_to_purchase,
@@ -2447,10 +2405,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_topk": q_embed_lsh_topk,
         "embed_ivf_topk": q_embed_ivf_topk,
         "dedup_incremental": q_dedup_incremental,
-        "minhash_incremental": q_minhash_incremental,
         "stream_sessionize": q_stream_sessionize,
         "heavy_tokens": q_heavy_tokens,
         "salted_join": q_salted_join,
+        "distinct_segments": q_distinct_segments,
+        "priority_late_ship": q_priority_late_ship,
+        "window_suite": q_window_suite,
+        "asof_nearest": q_asof_nearest,
+        "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "interval_overlap": q_interval_overlap,
+        "simhash_pairs": q_simhash_pairs,
+        "winnow_neardup": q_winnow_neardup,
+        "embed_ivf_kmeans_topk": q_embed_ivf_kmeans_topk,
+        "semantic_dedup": q_semantic_dedup,
+        "salted_join_auto": q_salted_join_auto,
+        "session_window": q_session_window,
+        "zorder_key": q_zorder_key,
+        "stream_session_window": q_stream_session_window,
+        "stream_static_join": q_stream_static_join,
+        "stream_upsert": q_stream_upsert,
+        "quota_sample": q_quota_sample,
+        "mixture_repeats": q_mixture_repeats,
+        "contamination": q_contamination,
+        "point_in_time": q_point_in_time,
+        "partitioned_roundtrip": q_partitioned_roundtrip,
+        "compact_changelog": q_compact_changelog,
+        "session_labels": q_session_labels,
+        "rolling_window": q_rolling_window,
+        "doc_chunks_udtf": q_doc_chunks_udtf,
+        "tfidf_topk": q_tfidf_topk,
+        "source_divergence": q_source_divergence,
+        "weighted_sample": q_weighted_sample,
+        "bigram_pmi": q_bigram_pmi,
+        "export_shards": q_export_shards,
+        "sampled_quantiles": q_sampled_quantiles,
+        "sql_frontdoor": q_sql_frontdoor,
+        "funnel_stages": q_funnel_stages,
+        "event_transitions": q_event_transitions,
+        "retention_cohorts": q_retention_cohorts,
+        "lookup_decode": q_lookup_decode,
     }
 
 

@@ -5,7 +5,7 @@ the classic scale-killer (O(N·M) at 100 TB). This test freezes the
 current, audited set of justified occurrences; any NEW one fails loudly
 and must either be re-planned or explicitly justified here.
 
-Justified allowlist (each audited round 4):
+Justified allowlist (each audited round 4; hard_negatives round 6):
 - embed_topk / embed_sq_topk: the DELIBERATE brute-force baselines — the
   broadcast side is the ≤10-row query set; the ANN paths are the scale
   story.
@@ -13,6 +13,10 @@ Justified allowlist (each audited round 4):
   metadata-sized by construction) broadcasts into the candidate join.
 - important_parts / idle_customers: one-row global-aggregate scalars
   attached via broadcast crossJoin (TPC-H q11/q22 shapes).
+- hard_negatives: same class as embed_topk — the label-inequality join
+  condition is non-equi by definition (a negative is ANY different
+  label), and the broadcast side is the ≤10-row query set; at corpus
+  scale the composition goes through the ANN bucket paths first.
 """
 
 from __future__ import annotations
@@ -22,7 +26,7 @@ import pytest
 from tests.conftest import SF_DIR
 
 ALLOWED_BNLJ = {"embed_topk", "embed_sq_topk", "embed_neardup",
-                "important_parts", "idle_customers"}
+                "important_parts", "idle_customers", "hard_negatives"}
 
 # streaming queries execute a bounded replay inside the builder, and the
 # roundtrips write temp files — plan text is checked for batch shapes only
