@@ -838,6 +838,18 @@ def q_stream_upsert(spark, sf_dir):
     return spark.read.parquet(target)
 
 
+def q_increasing_runs(spark, sf_dir):
+    """Grouped applyInPandas exemplar (operators.timeseries.
+    longest_increasing_run): longest strictly-increasing value run per
+    user in (ts, event_id) order — sequential per-group Python under a
+    full value-hash oracle (gaps-and-islands SQL replays the imperative
+    loop). Pins the grouped-map API path, not just mapInPandas."""
+    from bqetl_spark.operators.timeseries import longest_increasing_run
+
+    ev = _t(spark, sf_dir, "events")
+    return longest_increasing_run(ev)
+
+
 def q_compression_ratio(spark, sf_dir):
     """DEFLATE compression-ratio quality signal (functions.
     compressibility.compression_ratio, zlib level 6) — the Gopher-style
@@ -2305,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_kmv": q_stream_kmv,
         "hard_negatives": q_hard_negatives,
         "compression_ratio": q_compression_ratio,
+        "increasing_runs": q_increasing_runs,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_resize": q_multimodal_resize,
@@ -4066,6 +4079,27 @@ def oracle_sql() -> dict[str, str]:
     # mergeability: the incremental (split-sketch-merge) gate must equal
     # the plain full-corpus sketch — same SQL
     d["kmv_incremental"] = d["kmv_distinct"]
+    # longest strictly-increasing run: gaps-and-islands replay of the
+    # applyInPandas loop (brk=1 unless value > lag(value); NULL breaks and
+    # counts as its own singleton run, three-valued logic on both sides)
+    d["increasing_runs"] = """
+        WITH s AS (
+            SELECT user_id, value,
+                   row_number() OVER w AS rn,
+                   CASE WHEN value > lag(value) OVER w THEN 0 ELSE 1 END
+                     AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        g AS (
+            SELECT user_id, rn,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS grp
+            FROM s),
+        runs AS (
+            SELECT user_id, grp, count(*) AS len
+            FROM g GROUP BY user_id, grp)
+        SELECT user_id, CAST(max(len) AS BIGINT) AS longest_run,
+               CAST(sum(len) AS BIGINT) AS n_events
+        FROM runs GROUP BY user_id"""
     # streaming KMV fold == plain batch KMV (merge losslessness through
     # foreachBatch); user_id hashes via md5 of the decimal string, k=64.
     # NULL user_ids are excluded on both sides (COUNT DISTINCT semantics —

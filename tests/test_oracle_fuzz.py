@@ -127,7 +127,8 @@ def test_event_gates_on_random_streams(spark, tmp_path_factory, evs):
                  "pivot_event_counts", "events_calendar", "asof_purchase",
                  "scd2_intervals", "point_in_time", "compact_changelog",
                  "funnel_stages", "retention_cohorts",
-                 "event_transitions"):
+                 "event_transitions",
+                 "increasing_runs"):  # r6: duplicate values + ts ties
         _check(spark, d, gate)
 
 

@@ -107,3 +107,33 @@ def test_hour_epoch_is_bigint(spark):
               for f in dense_hourly_counts(ev).schema.fields}
     assert schema["hour_epoch"] == "bigint"
     assert schema["n_events"] == "bigint"
+
+
+def test_longest_increasing_run_semantics(spark):
+    """r6 applyInPandas exemplar: strict increase, (ts, event_id) order,
+    NULL breaks and is its own singleton run."""
+    import datetime as dt
+
+    from bqetl_spark.operators.timeseries import longest_increasing_run
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: 1,2,3 then drop, then 5 -> longest 3
+        (1, base, 1, 1.0), (2, base + dt.timedelta(1), 1, 2.0),
+        (3, base + dt.timedelta(2), 1, 3.0),
+        (4, base + dt.timedelta(3), 1, 0.5),
+        (5, base + dt.timedelta(4), 1, 5.0),
+        # user 2: equal values never increase -> longest 1
+        (6, base, 2, 7.0), (7, base + dt.timedelta(1), 2, 7.0),
+        # user 3: NULL in the middle breaks both sides
+        (8, base, 3, 1.0), (9, base + dt.timedelta(1), 3, None),
+        (10, base + dt.timedelta(2), 3, 2.0),
+        (11, base + dt.timedelta(3), 3, 3.0),
+        # user 4: same ts -> event_id tiebreak (4,5 in id order = run 2)
+        (12, base, 4, 4.0), (13, base, 4, 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {r["user_id"]: (r["longest_run"], r["n_events"])
+           for r in longest_increasing_run(ev).collect()}
+    assert got == {1: (3, 5), 2: (1, 2), 3: (2, 4), 4: (2, 2)}
