@@ -72,6 +72,14 @@ EXTRAS = [
     "retention_cohorts",
     "event_transitions",
     "kmv_incremental",
+    # round 6
+    "multimodal_png",
+    "temperature_quotas",
+    "temperature_sample",
+    "stream_kmv",
+    "hard_negatives",
+    "compression_ratio",
+    "increasing_runs",
 ]
 
 

@@ -90,7 +90,10 @@ def _check(spark, sf_dir, name):
                                   # corpora give UNEQUAL strata, which the
                                   # equal-sized sf tables cannot
                                   "temperature_quotas",
-                                  "temperature_sample"])
+                                  "temperature_sample",
+                                  # r6: PNG codec — random ASCII corpora
+                                  # vary pixel bytes + short-doc filtering
+                                  "multimodal_png"])
 def test_doc_gates_on_random_corpora(spark, tmp_path_factory, gate):
     @_SET
     @given(rows=_doc_strategy)
