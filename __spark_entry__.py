@@ -3916,7 +3916,8 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) AS wq
               FROM c, n)
         SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-               CAST(300 AS BIGINT) * wq // (SELECT sum(wq) FROM w) AS quota
+               CAST(CAST(300 AS HUGEINT) * wq // (SELECT sum(wq) FROM w)
+                 AS BIGINT) AS quota
         FROM w"""
     d["temperature_sample"] = """
         WITH c AS (SELECT source, count(*) AS n_docs
@@ -3927,8 +3928,8 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) AS wq
               FROM c, n),
         q AS (SELECT source,
-                     CAST(300 AS BIGINT) * wq
-                       // (SELECT sum(wq) FROM w) AS quota
+                     CAST(CAST(300 AS HUGEINT) * wq
+                       // (SELECT sum(wq) FROM w) AS BIGINT) AS quota
               FROM w),
         r AS (SELECT doc_id, source, lang,
                      row_number() OVER (PARTITION BY source

@@ -221,13 +221,18 @@ def temperature_quotas(df: DataFrame, strata_col: str, budget: int,
     wq = F.floor(pa * F.lit(1e12)).cast("long")
     wsum = F.sum(wq).over(Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing))
+    # DECIMAL(38,0) product: budget·wq reaches budget·10^12, which
+    # overflows int64 for any budget > ~9.2M — exactly the corpus-scale
+    # budgets this op exists for (code-review r6 finding). DECIMAL keeps
+    # the product exact to 38 digits; DIV floors back to BIGINT (quota ≤
+    # budget, so the quotient always fits). Oracle mirrors with HUGEINT.
     return (counts
             .withColumn("__wq", wq)
             .withColumn("__wsum", wsum)
             .select(strata_col,
                     F.col("n_docs").cast("long").alias("n_docs"),
-                    F.expr(f"CAST({int(budget)} AS BIGINT) * __wq "
-                           "DIV __wsum").alias("quota")))
+                    F.expr(f"CAST(CAST({int(budget)} AS DECIMAL(38,0)) "
+                           "* __wq DIV __wsum AS BIGINT)").alias("quota")))
 
 
 def temperature_sample(df: DataFrame, strata_col: str, budget: int,
@@ -238,28 +243,23 @@ def temperature_sample(df: DataFrame, strata_col: str, budget: int,
     deterministic shuffle :func:`quota_sample` uses, so the picked SET is
     a pure function of the data.
 
-    The quota table is |strata| rows — a metadata-sized collect (same
-    audit class as the IVF centroid collects), driving one window rank
-    over the corpus. NULL strata get a quota like any other stratum but
-    ``quota_sample``'s equality test drops them from the output
-    (documented there); this wrapper keeps NULL strata by ranking
-    directly instead.
+    The quota table is |strata| rows and joins BROADCAST onto the ranked
+    corpus (null-safe equality, so NULL strata sample like any other) —
+    no driver collect, no per-stratum literal expression chain, and a
+    thousands-of-sources corpus costs the same plan depth as three
+    (code-review r6: the earlier chained-CASE version would have
+    StackOverflowed Catalyst at that width).
     """
-    quotas = {r[strata_col]: int(r["quota"])
-              for r in temperature_quotas(df, strata_col, budget,
-                                          alpha).collect()}
+    quotas = (temperature_quotas(df, strata_col, budget, alpha)
+              .select(F.col(strata_col).alias("__strat"),
+                      F.col("quota").alias("__q")))
     w = Window.partitionBy(strata_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col))
-    quota = F.lit(None).cast("long")
-    for s, q in sorted(quotas.items(), key=lambda kv: (kv[0] is None,
-                                                       str(kv[0]))):
-        cond = (F.col(strata_col).isNull() if s is None
-                else (F.col(strata_col) == s))
-        quota = F.when(cond, F.lit(q)).otherwise(quota)
     return (df.withColumn("__rk", F.row_number().over(w))
-            .withColumn("__q", quota)
+            .join(F.broadcast(quotas),
+                  F.col(strata_col).eqNullSafe(F.col("__strat")))
             .filter(F.col("__rk") <= F.col("__q"))
-            .drop("__rk", "__q"))
+            .drop("__rk", "__q", "__strat"))
 
 
 def mixture_repeats(df: DataFrame, weights: dict[str, float],

@@ -241,10 +241,17 @@ def write_bigquery_emulated(df: DataFrame, plan: dict, root: str) -> str:
     bq_fields = plan.get("bigquery_schema")
     opts = plan["options"]
     sidecar = os.path.join(table_dir, "_bq_table.json")
-    if mode == "append" and exists and bq_fields is not None \
-            and os.path.isfile(sidecar):
+    prior = None
+    if mode == "append" and exists and os.path.isfile(sidecar):
         with open(sidecar) as fh:
             prior = json.load(fh).get("bigquery_schema")
+    if prior is not None and bq_fields is None:
+        # schema-less append inherits the TABLE schema — BigQuery always
+        # enforces the stored schema on append, and forgetting it here
+        # would both erase the sidecar schema and skip REQUIRED
+        # enforcement (code-review r6 finding)
+        bq_fields = prior
+    elif mode == "append" and bq_fields is not None:
         if prior is not None:
             prior_by_name = {f["name"]: f for f in prior}
             for f in bq_fields:
@@ -303,10 +310,39 @@ def write_bigquery_emulated(df: DataFrame, plan: dict, root: str) -> str:
     cl = opts.get("clusteredFields")
     if cl:
         out = out.sortWithinPartitions(*cl.split(","))
-    writer = out.write.mode("overwrite" if mode == "overwrite" else "append")
-    if pcols:
-        writer = writer.partitionBy(*pcols)
-    writer.parquet(table_dir)
+    # STAGE-THEN-SWAP (code-review r6): write the batch into a staging
+    # directory first, so a mid-job failure (e.g. the REQUIRED raise_error
+    # firing) leaves the existing table and its sidecar untouched — the
+    # local analogue of BigQuery's atomic load jobs. Only on success does
+    # overwrite replace the table dir / append move the new files in.
+    import shutil
+    import uuid
+
+    stage = f"{table_dir}.stage-{uuid.uuid4().hex[:12]}"
+    try:
+        writer = out.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(stage)
+        if mode == "overwrite" or not exists:
+            if exists:
+                shutil.rmtree(table_dir)
+            os.makedirs(os.path.dirname(table_dir), exist_ok=True)
+            os.rename(stage, table_dir)
+        else:  # append: move data files in, preserving partition dirs
+            for sroot, _dirs, files in os.walk(stage):
+                rel = os.path.relpath(sroot, stage)
+                dst_dir = (table_dir if rel == "." else
+                           os.path.join(table_dir, rel))
+                os.makedirs(dst_dir, exist_ok=True)
+                for f in files:
+                    if f.endswith(".parquet"):  # part names carry job UUIDs
+                        os.rename(os.path.join(sroot, f),
+                                  os.path.join(dst_dir, f))
+            shutil.rmtree(stage)
+    except Exception:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
     meta = {k: v for k, v in plan.items() if k != "format"}
     if bq_fields is not None:
         meta["bigquery_schema"] = bq_fields  # union after field addition

@@ -147,11 +147,13 @@ def stream_upsert_user_totals(spark: SparkSession, events_dir: str,
               .agg(F.count("*").alias("n_events")))
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
         sp = bdf.sparkSession
-        try:
-            base = sp.read.parquet(target_path)
-        except Exception:
-            base = None
+        # explicit existence check — see stream_kmv_user_distinct's sink
+        base = (sp.read.parquet(target_path)
+                if os.path.isdir(target_path) else None)
         if base is None:
             out = bdf
         else:
@@ -163,6 +165,7 @@ def stream_upsert_user_totals(spark: SparkSession, events_dir: str,
         tmp = target_path + f".batch{batch_id}"
         out.write.mode("overwrite").parquet(tmp)
         sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        shutil.rmtree(tmp, ignore_errors=True)  # bound on-disk state
 
     (stream.writeStream.outputMode("update")
      .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -199,17 +202,24 @@ def stream_kmv_user_distinct(spark: SparkSession, events_dir: str,
               .select("event_type", "user_id"))
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
         sp = bdf.sparkSession
         batch_sketch = kmv_sketch(bdf, "user_id", "event_type", k)
-        try:
-            base = sp.read.parquet(target_path)
-        except Exception:
-            base = None
+        # explicit existence check, NOT try/except-Exception: a corrupt or
+        # transiently unreadable sketch must FAIL the batch, not silently
+        # restart accumulation from scratch — a reset sketch produces a
+        # plausible-but-wrong estimate nothing downstream would notice
+        # (code-review r6 finding)
+        base = (sp.read.parquet(target_path)
+                if os.path.isdir(target_path) else None)
         out = (batch_sketch if base is None
                else kmv_merge(base, batch_sketch, k=k))
         tmp = target_path + f".batch{batch_id}"
         out.write.mode("overwrite").parquet(tmp)
         sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        shutil.rmtree(tmp, ignore_errors=True)  # bound on-disk state
 
     (stream.writeStream.outputMode("append")
      .foreachBatch(sink)

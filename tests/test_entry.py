@@ -15,6 +15,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
+# Builders are side-effectful (streaming gates run bounded replays, the
+# roundtrip gates write temp dirs) — build each gate's DataFrame ONCE and
+# share it across the oracle / rows-only / scalar-lint tests instead of
+# re-running the replica work per parametrized test (code-review r6).
+_DF_CACHE: dict[str, object] = {}
+
+
+def _gate_df(spark, name):
+    if name not in _DF_CACHE:
+        _DF_CACHE[name] = QUERIES[name](spark, SF_DIR)
+    return _DF_CACHE[name]
+
 
 @pytest.fixture(scope="module")
 def duck():
@@ -35,7 +47,7 @@ def test_all_oracle_keys_have_queries():
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(spark, duck, name):
-    df = QUERIES[name](spark, SF_DIR)
+    df = _gate_df(spark, name)
     res = compare(df, duck, ORACLES[name])
     if not res["hash_match"]:
         diff = first_diff(QUERIES[name](spark, SF_DIR), duck, ORACLES[name])
@@ -44,7 +56,7 @@ def test_oracle_match(spark, duck, name):
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
+    df = _gate_df(spark, name)
     assert df.count() >= 0
 
 
@@ -58,7 +70,7 @@ def test_gate_outputs_are_scalar(spark, name):
     every queries() entry must posexplode/flatten complex values."""
     from pyspark.sql import types as T
 
-    df = QUERIES[name](spark, SF_DIR)
+    df = _gate_df(spark, name)
     bad = [f"{f.name}: {f.dataType.simpleString()}" for f in df.schema.fields
            if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))]
     assert not bad, (f"{name} returns non-scalar column(s) {bad}; the "

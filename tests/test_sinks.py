@@ -337,3 +337,42 @@ class TestSchemaEvolutionAndRequired:
         with pytest.raises(ValueError, match="append"):
             bigquery_write_plan("p.d.t", mode="overwrite",
                                 allow_field_addition=True)
+
+    def test_failed_overwrite_leaves_table_intact(self, spark, tmp_path):
+        """code-review r6: a REQUIRED violation during a truncate-load
+        must NOT destroy the existing table (stage-then-swap, like
+        BigQuery's atomic load jobs)."""
+        from bqetl_spark.sources.sinks import (bigquery_write_plan,
+                                               read_bigquery_emulated,
+                                               write_bigquery_emulated)
+
+        self._write_base(spark, tmp_path)
+        bad = spark.createDataFrame([(None, "x")], "id long, name string")
+        plan = bigquery_write_plan("p.d.evo", schema=self._base_schema())
+        with pytest.raises(Exception, match="REQUIRED field 'id'"):
+            write_bigquery_emulated(bad, plan, str(tmp_path))
+        back = read_bigquery_emulated(spark, "p.d.evo", str(tmp_path))
+        assert {r["id"] for r in back.collect()} == {1, 2}  # untouched
+        import glob
+        assert not glob.glob(str(tmp_path / "p" / "d" / "evo.stage-*"))
+
+    def test_schemaless_append_inherits_table_schema(self, spark, tmp_path):
+        """code-review r6: an append WITHOUT a declared schema must
+        enforce the STORED table schema (REQUIRED fields included) and
+        must not erase the sidecar schema."""
+        from bqetl_spark.sources.sinks import (bigquery_write_plan,
+                                               write_bigquery_emulated)
+
+        self._write_base(spark, tmp_path)
+        bad = spark.createDataFrame([(None, "x")], "id long, name string")
+        plan = bigquery_write_plan("p.d.evo", mode="append")  # no schema
+        with pytest.raises(Exception, match="REQUIRED field 'id'"):
+            write_bigquery_emulated(bad, plan, str(tmp_path))
+        ok = spark.createDataFrame([(3, "c")], "id long, name string")
+        write_bigquery_emulated(ok, plan, str(tmp_path))
+        import json
+        import os
+        with open(os.path.join(str(tmp_path), "p", "d", "evo",
+                               "_bq_table.json")) as fh:
+            names = [f["name"] for f in json.load(fh)["bigquery_schema"]]
+        assert names == ["id", "name"]  # sidecar schema preserved

@@ -52,8 +52,11 @@ def main() -> None:
     spark = get_spark("ab_aqe")
     tune_shuffle_partitions(spark, SF_DIR)
     qs = entry_mod.queries()
+    warm = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm):
+        warm = SF_DIR
     for name in QUERIES:                       # warm shapes
-        qs[name](spark, "/root/testdata/sf0.001").count()
+        qs[name](spark, warm).count()
 
     out: dict[str, dict[str, float]] = {a: {} for a in ARMS}
     for name in QUERIES:

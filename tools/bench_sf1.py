@@ -64,7 +64,16 @@ def main() -> None:
     extras = ["doc_chunks", "sample_hash", "stratified_sample",
               "pack_sequences", "snapshot_reconcile", "interval_overlap",
               "salted_join_auto", "session_window", "zorder_key",
-              "multimodal_decode"]
+              "multimodal_decode",
+              # round-5 set (restored — the r5 artifact carried these but
+              # the script edit was not committed)
+              "kmv_distinct", "tfidf_topk", "source_divergence",
+              "embed_centroids", "weighted_sample", "bigram_pmi",
+              "key_skew", "pagerank", "sampled_quantiles", "sql_frontdoor",
+              "events_gapfill", "export_shards",
+              # round 6
+              "multimodal_png", "temperature_sample", "stream_kmv",
+              "hard_negatives", "compression_ratio", "increasing_runs"]
 
     for name in HEADLINE + extras:
         qs[name](spark, WARM_DIR).count()
