@@ -838,6 +838,30 @@ def q_stream_upsert(spark, sf_dir):
     return spark.read.parquet(target)
 
 
+def q_corpus_keep_reasons(spark, sf_dir):
+    """Filter AUDITABILITY (r6): the corpus_keep chain with a per-doc
+    verdict — (doc_id, reason) where reason is the FIRST failing rule in
+    the fixed order quality → lang → repetition → duplicate, else
+    'keep'. The table a pipeline owner actually debugs with ("why did we
+    lose 40% of src7?"); same one-scan row-local chain + compact-key
+    joins as corpus_keep, each stage reusing its individually-oracled
+    operator."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = tx.lang_id(tx.quality_score(docs, "text"))
+    rep = tx.gram_repetition(docs, n=2).select(
+        F.col("doc_id").alias("__rd"), "rep_ratio")
+    reps = dd.dedup_exact(docs).select(F.col("doc_id").alias("__kid"))
+    return (scored
+            .join(rep, F.col("doc_id") == F.col("__rd"), "left")
+            .join(reps, F.col("doc_id") == F.col("__kid"), "left")
+            .select("doc_id",
+                    F.when(~F.col("keep"), F.lit("quality"))
+                    .when(F.col("lang_pred") != "en", F.lit("lang"))
+                    .when(F.col("rep_ratio") > 0.2, F.lit("repetition"))
+                    .when(F.col("__kid").isNull(), F.lit("duplicate"))
+                    .otherwise(F.lit("keep")).alias("reason")))
+
+
 def q_increasing_runs(spark, sf_dir):
     """Grouped applyInPandas exemplar (operators.timeseries.
     longest_increasing_run): longest strictly-increasing value run per
@@ -2318,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "compression_ratio": q_compression_ratio,
         "increasing_runs": q_increasing_runs,
+        "corpus_keep_reasons": q_corpus_keep_reasons,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_resize": q_multimodal_resize,
@@ -3524,6 +3549,24 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN ({d["gram_repetition"]}) r ON d.doc_id = r.doc_id
         WHERE (r.rep_ratio IS NULL OR r.rep_ratio <= 0.2)
           AND d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))"""
+    # per-doc first-failing-rule verdict; CASE order mirrors the Spark
+    # when-chain exactly (NULL rep_ratio falls through on both engines)
+    d["corpus_keep_reasons"] = f"""
+        WITH q AS ({d["quality_filter"]}),
+        l AS ({d["lang_id"]}),
+        r AS ({d["gram_repetition"]}),
+        k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        SELECT d.doc_id,
+               CASE WHEN NOT q.keep THEN 'quality'
+                    WHEN l.lang_pred != 'en' THEN 'lang'
+                    WHEN r.rep_ratio > 0.2 THEN 'repetition'
+                    WHEN k.doc_id IS NULL THEN 'duplicate'
+                    ELSE 'keep' END AS reason
+        FROM documents d
+        JOIN q ON d.doc_id = q.doc_id
+        JOIN l ON d.doc_id = l.doc_id
+        LEFT JOIN r ON d.doc_id = r.doc_id
+        LEFT JOIN k ON d.doc_id = k.doc_id"""
     # round-4 training-pipeline ops: chunking / hash sampling / packing.
     # stride 12 = size 16 - overlap 4; duckdb range() excludes its stop, so
     # range(1, n+1, 12) = Spark sequence(1, n, 12); list slice w[s:s+15] is

@@ -93,7 +93,11 @@ def _check(spark, sf_dir, name):
                                   "temperature_sample",
                                   # r6: PNG codec — random ASCII corpora
                                   # vary pixel bytes + short-doc filtering
-                                  "multimodal_png"])
+                                  "multimodal_png",
+                                  # r6: verdict table — random corpora hit
+                                  # the quality/duplicate branches the
+                                  # clean sf tables never produce
+                                  "corpus_keep_reasons"])
 def test_doc_gates_on_random_corpora(spark, tmp_path_factory, gate):
     @_SET
     @given(rows=_doc_strategy)
