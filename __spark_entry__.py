@@ -838,6 +838,34 @@ def q_stream_upsert(spark, sf_dir):
     return spark.read.parquet(target)
 
 
+def q_incremental_agg(spark, sf_dir):
+    """Incremental aggregate maintenance (operators.incremental.
+    incremental_agg): the stored per-user (count, decimal sum) aggregate
+    over the base slice (event_id % 5 != 0) is folded with a CDC
+    changelog — inserts (the % 5 == 0 rows) and deletes (base rows with
+    % 9 == 0) — WITHOUT rescanning the base. Exact BIGINT/DECIMAL
+    arithmetic makes the maintained table bit-identical to the oracle's
+    full recompute over (base − deletes) ∪ inserts."""
+    from bqetl_spark.operators.incremental import incremental_agg
+
+    ev = _t(spark, sf_dir, "events")
+    base_rows = ev.filter(F.col("event_id") % 5 != 0)
+    base = (base_rows.groupBy("user_id")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .alias("sum_value")))
+    inserts = (ev.filter(F.col("event_id") % 5 == 0)
+               .withColumn("op", F.lit("I")))
+    deletes = (base_rows.filter(F.col("event_id") % 9 == 0)
+               .withColumn("op", F.lit("D")))
+    out = incremental_agg(base, inserts.unionByName(deletes),
+                          keys=["user_id"],
+                          sum_specs={"sum_value": "value"},
+                          count_col="n_rows")
+    return out.select("user_id", "n_rows",
+                      F.col("sum_value").cast("double").alias("sum_value"))
+
+
 def q_corpus_keep_reasons(spark, sf_dir):
     """Filter AUDITABILITY (r6): the corpus_keep chain with a per-doc
     verdict — (doc_id, reason) where reason is the FIRST failing rule in
@@ -2343,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         "increasing_runs": q_increasing_runs,
         "corpus_keep_reasons": q_corpus_keep_reasons,
+        "incremental_agg": q_incremental_agg,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_resize": q_multimodal_resize,
@@ -3549,6 +3578,17 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN ({d["gram_repetition"]}) r ON d.doc_id = r.doc_id
         WHERE (r.rep_ratio IS NULL OR r.rep_ratio <= 0.2)
           AND d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))"""
+    # incremental aggregate maintenance: the maintained table must equal
+    # the full recompute over (base - deletes) UNION inserts; DECIMAL sums
+    # are exact on both engines, cast to double only at output
+    d["incremental_agg"] = """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE event_id % 5 = 0
+           OR (event_id % 5 != 0 AND event_id % 9 != 0)
+        GROUP BY user_id
+        HAVING count(*) > 0"""
     # per-doc first-failing-rule verdict; CASE order mirrors the Spark
     # when-chain exactly (NULL rep_ratio falls through on both engines)
     d["corpus_keep_reasons"] = f"""

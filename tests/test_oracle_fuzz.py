@@ -135,7 +135,8 @@ def test_event_gates_on_random_streams(spark, tmp_path_factory, evs):
                  "scd2_intervals", "point_in_time", "compact_changelog",
                  "funnel_stages", "retention_cohorts",
                  "event_transitions",
-                 "increasing_runs"):  # r6: duplicate values + ts ties
+                 "increasing_runs",   # r6: duplicate values + ts ties
+                 "incremental_agg"):  # r6: random insert/delete mixes
         _check(spark, d, gate)
 
 
