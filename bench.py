@@ -80,6 +80,8 @@ EXTRAS = [
     "hard_negatives",
     "compression_ratio",
     "increasing_runs",
+    "corpus_keep_reasons",
+    "incremental_agg",
 ]
 
 
