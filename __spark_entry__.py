@@ -838,6 +838,30 @@ def q_stream_upsert(spark, sf_dir):
     return spark.read.parquet(target)
 
 
+def q_pyds_ndjson(spark, sf_dir):
+    """Custom Python DataSource round-trip (sources/pyds.py — Spark 4's
+    DataSource API, the MODERN connector path for the reference's S1/S2
+    NDJSON surface): documents exported as 4 NDJSON shards, read back
+    through `format("bqetl_ndjson")` with one InputPartition per shard
+    (df.rdd.getNumPartitions() == shard count — asserted in tests). The
+    oracle is the plain documents SELECT, so the hash-match certifies the
+    connector is value-faithful including absent-field→NULL and
+    schema-driven coercion."""
+    import tempfile
+
+    from bqetl_spark.sources.pyds import NdjsonDataSource
+
+    try:
+        spark.dataSource.register(NdjsonDataSource)
+    except Exception:
+        pass  # already registered in this session
+    d = tempfile.mkdtemp(prefix="bqetl_pyds_") + "/docs"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    docs.repartition(4).write.mode("overwrite").json(d)
+    return spark.read.format("bqetl_ndjson").schema(docs.schema).load(d)
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental aggregate maintenance (operators.incremental.
     incremental_agg): the stored per-user (count, decimal sum) aggregate
@@ -2372,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "increasing_runs": q_increasing_runs,
         "corpus_keep_reasons": q_corpus_keep_reasons,
         "incremental_agg": q_incremental_agg,
+        "pyds_ndjson": q_pyds_ndjson,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_resize": q_multimodal_resize,
@@ -3578,6 +3603,9 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN ({d["gram_repetition"]}) r ON d.doc_id = r.doc_id
         WHERE (r.rep_ratio IS NULL OR r.rep_ratio <= 0.2)
           AND d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))"""
+    # custom Python DataSource round-trip == the plain table
+    d["pyds_ndjson"] = """
+        SELECT doc_id, text, lang, source, n_chars FROM documents"""
     # incremental aggregate maintenance: the maintained table must equal
     # the full recompute over (base - deletes) UNION inserts; DECIMAL sums
     # are exact on both engines, cast to double only at output

@@ -98,3 +98,59 @@ def test_load_evolved_merges_added_columns(spark, tmp_path):
     got = {r["id"]: (r["x"], r["score"])
            for r in load_evolved(spark, path).collect()}
     assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+# --- custom Python DataSource (r6, Spark 4 DataSource API) -------------
+
+
+def test_pyds_partition_per_shard_and_coercion(spark, tmp_path):
+    """One InputPartition per shard file; schema-driven coercion with
+    try_cast-to-NULL semantics; JSON null / absent / nested all read as
+    SQL NULL (the reference's JSONReader contract)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from bqetl_spark.sources.pyds import NdjsonDataSource
+
+    spark.dataSource.register(NdjsonDataSource)
+    d = tmp_path / "shards"
+    d.mkdir()
+    rows = [
+        {"id": 1, "name": "a", "x": 1.5, "ok": True},
+        {"id": 2, "name": None, "nested": {"k": 1}},   # null + nested
+        {"id": "bad", "name": "c"},                     # uncastable id
+        {"id": 4, "name": 7, "ok": "yes"},              # name stringified,
+                                                        # ok not bool->NULL
+    ]
+    for i, chunk in enumerate([rows[:2], rows[2:]]):
+        with open(d / f"s{i}.json", "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r) + "\n")
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("name", T.StringType()),
+                           T.StructField("x", T.DoubleType()),
+                           T.StructField("ok", T.BooleanType())])
+    df = spark.read.format("bqetl_ndjson").schema(schema).load(str(d))
+    assert df.rdd.getNumPartitions() == 2
+    got = sorted((tuple(r) for r in df.collect()),
+                 key=lambda t: (t[0] is None, t[0]))
+    assert got == [(1, "a", 1.5, True), (2, None, None, None),
+                   (4, "7", None, None), (None, "c", None, None)]
+
+
+def test_pyds_requires_schema_and_path(spark, tmp_path):
+    import pytest
+
+    from bqetl_spark.sources.pyds import NdjsonDataSource
+
+    spark.dataSource.register(NdjsonDataSource)
+    with pytest.raises(Exception, match="explicit .schema"):
+        spark.read.format("bqetl_ndjson").load(str(tmp_path)).collect()
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    empty = tmp_path / "none"
+    empty.mkdir()
+    with pytest.raises(Exception, match="no NDJSON shards"):
+        spark.read.format("bqetl_ndjson").schema(schema) \
+            .load(str(empty)).collect()
