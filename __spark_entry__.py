@@ -2217,6 +2217,19 @@ def q_sampled_quantiles(spark, sf_dir):
         qs=(0.5, 0.9, 0.99), k=1024)
 
 
+def q_percentile_band(spark, sf_dir):
+    """Percentile-band tail pruning (functions.sketch.
+    percentile_band_filter): keep documents in the [p05, p95] band of
+    n_chars — the distribution trim before training. Thresholds come
+    from the deterministic quantile SKETCH (never a global sort), so the
+    membership is exact-oracle-able: the SQL replays the k-smallest-md5
+    sample, the integer rank thresholds, and the same inclusive filter."""
+    docs = _t(spark, sf_dir, "documents")
+    return (sk.percentile_band_filter(docs, "n_chars", F.col("doc_id"),
+                                      lo=0.05, hi=0.95, k=1024)
+            .select("doc_id", "n_chars"))
+
+
 def q_export_shards(spark, sf_dir):
     """Training-export sharding gate (functions.chunking.export_shards):
     write documents into shard=K/ directories with deterministic md5-mod
@@ -2397,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_keep_reasons": q_corpus_keep_reasons,
         "incremental_agg": q_incremental_agg,
         "pyds_ndjson": q_pyds_ndjson,
+        "percentile_band": q_percentile_band,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_resize": q_multimodal_resize,
@@ -4352,6 +4366,28 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked r
         JOIN (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) AS t(q)
           ON r.rv = CAST(floor(t.q * (r.n - 1)) AS BIGINT) + 1"""
+    # percentile band: same sample/rank machinery as sampled_quantiles,
+    # thresholds at q=0.05/0.95 over n_chars, inclusive row filter
+    d["percentile_band"] = """
+        WITH s0 AS (
+            SELECT n_chars AS v,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     ::BIGINT AS hv
+            FROM documents),
+        s AS (SELECT v, hv FROM s0 ORDER BY hv LIMIT 1024),
+        ranked AS (
+            SELECT v, hv, row_number() OVER (ORDER BY v, hv) AS rv,
+                   count(*) OVER () AS n
+            FROM s),
+        thr AS (
+            SELECT max(CASE WHEN t.q = 0.05 THEN r.v END) AS lo,
+                   max(CASE WHEN t.q = 0.95 THEN r.v END) AS hi
+            FROM ranked r
+            JOIN (VALUES (0.05::DOUBLE), (0.95::DOUBLE)) AS t(q)
+              ON r.rv = CAST(floor(t.q * (r.n - 1)) AS BIGINT) + 1)
+        SELECT d.doc_id, d.n_chars
+        FROM documents d, thr
+        WHERE d.n_chars >= thr.lo AND d.n_chars <= thr.hi"""
     # shard membership is the md5-mod rule itself
     d["export_shards"] = """
         SELECT doc_id, lang, source,

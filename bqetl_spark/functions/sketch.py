@@ -194,6 +194,38 @@ def sampled_quantiles(df: DataFrame, value_col: str, id_expr,
                     "n_sample"))
 
 
+def percentile_band_filter(df: DataFrame, value_col: str, id_expr,
+                           lo: float = 0.05, hi: float = 0.95,
+                           k: int = 1024) -> DataFrame:
+    """Keep rows whose ``value_col`` lies within the [lo, hi] percentile
+    band — tail pruning (drop the shortest/longest, lowest/highest-score
+    documents), the standard quality-distribution trim before training.
+
+    Scale-correct composition: the thresholds come from
+    :func:`sampled_quantiles` (deterministic k-smallest-md5 sample +
+    integer rank arithmetic), NOT a global sort — percent_rank over the
+    corpus would be a single-partition window. The two threshold values
+    are a metadata-sized collect (same audit class as the IVF centroid
+    collects); the filter itself is a row-local scan predicate that
+    pushes down to the parquet reader. Below ~k rows the sample is the
+    whole corpus and the band is exact; beyond, thresholds carry the
+    sketch's O(1/sqrt(k)) CDF error — deterministically, so the result
+    is still value-oracle-able.
+
+    Inclusive on both ends; NULL values never match (SQL comparison
+    semantics).
+    """
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError(f"need 0 <= lo <= hi <= 1, got {lo}, {hi}")
+    thresholds = {float(r["q"]): r["value"] for r in
+                  sampled_quantiles(df, value_col, id_expr,
+                                    qs=(lo, hi), k=k).collect()}
+    if not thresholds:  # empty input
+        return df.filter(F.lit(False))
+    return df.filter((F.col(value_col) >= F.lit(thresholds[lo]))
+                     & (F.col(value_col) <= F.lit(thresholds[hi])))
+
+
 def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
     """Merge KMV candidate tables — the property that makes the sketch
     production-useful: yesterday's corpus sketch + today's batch sketch

@@ -365,3 +365,26 @@ def test_png_extract_features_matches_ppm(spark):
     ppm_feats = mm.extract_features(ppm_media, fake=False) \
         .select("media_id", "feature").collect()
     assert png_feats == ppm_feats
+
+
+def test_png_roundtrip_hypothesis():
+    """Property: encode→decode is the identity for ANY image dims,
+    pixel bytes, and per-row filter assignment (hypothesis-driven)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bqetl_spark.functions.multimodal import decode_png, encode_png
+
+    @settings(max_examples=30, deadline=None)
+    @given(w=st.integers(1, 9), h=st.integers(1, 9),
+           data=st.data())
+    def run(w, h, data):
+        rgb = bytes(data.draw(st.lists(st.integers(0, 255),
+                                       min_size=3 * w * h,
+                                       max_size=3 * w * h)))
+        filters = data.draw(st.lists(st.integers(0, 4),
+                                     min_size=h, max_size=h))
+        payload = encode_png(w, h, rgb, filters=filters)
+        assert decode_png(payload) == (w, h, rgb)
+
+    run()

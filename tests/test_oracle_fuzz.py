@@ -94,6 +94,8 @@ def _check(spark, sf_dir, name):
                                   # r6: PNG codec — random ASCII corpora
                                   # vary pixel bytes + short-doc filtering
                                   "multimodal_png",
+                                  # r6: band thresholds on random n_chars
+                                  "percentile_band",
                                   # r6: verdict table — random corpora hit
                                   # the quality/duplicate branches the
                                   # clean sf tables never produce

