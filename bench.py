@@ -82,6 +82,8 @@ EXTRAS = [
     "increasing_runs",
     "corpus_keep_reasons",
     "incremental_agg",
+    "pyds_ndjson",
+    "percentile_band",
 ]
 
 
