@@ -137,3 +137,47 @@ def test_longest_increasing_run_semantics(spark):
     got = {r["user_id"]: (r["longest_run"], r["n_events"])
            for r in longest_increasing_run(ev).collect()}
     assert got == {1: (3, 5), 2: (1, 2), 3: (2, 4), 4: (2, 2)}
+
+
+def test_increasing_run_default_is_catalyst(spark):
+    """r7: the default longest_increasing_run is the pure-window
+    gaps-and-islands plan — no Python evaluation anywhere in it (the
+    grouped-map variant moved to longest_increasing_run_grouped_map)."""
+    from bqetl_spark.operators.timeseries import longest_increasing_run
+
+    ev = _ev(spark, [(0, 1, "a"), (1, 2, "a")]).selectExpr(
+        "event_id", "ts", "event_id % 2 AS user_id",
+        "CAST(event_id AS DOUBLE) AS value")
+    plan = longest_increasing_run(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "PythonEval" not in plan and "ArrowEval" not in plan
+
+
+def test_increasing_run_grouped_map_matches_default(spark):
+    """The applyInPandas API exemplar must agree with the Catalyst
+    default — including int64 values above 2^53 where a float64 cast
+    would collapse strict increases (ADVICE r6)."""
+    import datetime as dt
+
+    from bqetl_spark.operators.timeseries import (
+        longest_increasing_run, longest_increasing_run_grouped_map)
+
+    base = dt.datetime(2024, 1, 1)
+    big = 2 ** 53
+    rows = [
+        # consecutive int64 above 2^53: equal as doubles, increasing as ints
+        (1, base, 1, big), (2, base + dt.timedelta(1), 1, big + 1),
+        (3, base + dt.timedelta(2), 1, big + 2),
+        (4, base + dt.timedelta(3), 1, big),
+        # nulls and ties
+        (5, base, 2, 10), (6, base + dt.timedelta(1), 2, None),
+        (7, base + dt.timedelta(2), 2, 11),
+        (8, base + dt.timedelta(3), 2, 12),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value long")
+    want = {r["user_id"]: (r["longest_run"], r["n_events"])
+            for r in longest_increasing_run(ev).collect()}
+    got = {r["user_id"]: (r["longest_run"], r["n_events"])
+           for r in longest_increasing_run_grouped_map(ev).collect()}
+    assert want == got == {1: (3, 4), 2: (2, 4)}
