@@ -60,6 +60,37 @@ def _money(col) -> F.Column:
     return F.col(col).cast(DEC) if isinstance(col, str) else col.cast(DEC)
 
 
+def _scratch(tag: str, sf_dir: str, wipe: bool = False) -> str:
+    """Stable per-(gate, sf) scratch dir under /tmp — reused across
+    invocations instead of leaking one mkdtemp per call (ADVICE r6).
+    Deterministic path, so a re-run overwrites rather than accumulates."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), "bqetl_scratch",
+                     f"{tag}_{key}")
+    if wipe:
+        # streaming gates: a stale checkpoint/target from an interrupted
+        # run must not leak into this one — start clean every time
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _register_pyds(spark):
+    """Register the NDJSON DataSource + enable Python filter pushdown
+    (sources.pyds.register): tolerates ONLY double registration; genuine
+    failures (e.g. a Spark without the 4.x DataSource API) re-raise so
+    the gate fails diagnosably at register time, not at load()
+    (ADVICE r6)."""
+    from bqetl_spark.sources import pyds
+
+    pyds.register(spark)
+
+
 # --------------------------------------------------------------------------
 # Parity queries (SURVEY.md §2 operators, mapped onto the TPC-H-ish tables
 # per FIXTURES.md: customer↔artist, orders/lineitem↔credit/recording,
@@ -828,11 +859,9 @@ def q_stream_upsert(spark, sf_dir):
     parquet target once per micro-batch — the pattern for sinks
     Structured Streaming can't write natively. The gate reads the final
     stored table; oracle = the batch group-by (integer-exact)."""
-    import tempfile
-
     from bqetl_spark.streaming.events import stream_upsert_user_totals
 
-    target = tempfile.mkdtemp(prefix="bqetl_upsert_") + "/user_totals"
+    target = _scratch("upsert", sf_dir, wipe=True) + "/user_totals"
     stream_upsert_user_totals(
         spark, f"{sf_dir.rstrip('/')}/events.parquet", target)
     return spark.read.parquet(target)
@@ -847,19 +876,38 @@ def q_pyds_ndjson(spark, sf_dir):
     oracle is the plain documents SELECT, so the hash-match certifies the
     connector is value-faithful including absent-field→NULL and
     schema-driven coercion."""
-    import tempfile
-
-    from bqetl_spark.sources.pyds import NdjsonDataSource
-
-    try:
-        spark.dataSource.register(NdjsonDataSource)
-    except Exception:
-        pass  # already registered in this session
-    d = tempfile.mkdtemp(prefix="bqetl_pyds_") + "/docs"
+    _register_pyds(spark)
+    d = _scratch("pyds", sf_dir) + "/docs"
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars")
     docs.repartition(4).write.mode("overwrite").json(d)
     return spark.read.format("bqetl_ndjson").schema(docs.schema).load(d)
+
+
+def q_pyds_pushdown(spark, sf_dir):
+    """Filter pushdown through the Python DataSource (sources/pyds.py
+    pushFilters — Spark 4.1 DataSourceReader API): the WHERE conjunction
+    (lang = 'en', n_chars range, source IN set, text IS NOT NULL) is
+    accepted by the reader and applied BEFORE rows cross the
+    Python->JVM Arrow boundary; the oracle runs the same WHERE over the
+    original table, so the hash-match certifies pushed-filter semantics
+    (three-valued logic included) end to end. Column pruning cannot flow
+    through this engine version (PythonScanBuilder implements only
+    SupportsPushDownFilters — probe in pyds.py docstring); projection
+    narrowing is done by declaring the narrow schema, which is also what
+    this gate reads back."""
+    _register_pyds(spark)
+    d = _scratch("pyds", sf_dir) + "/docs_pd"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    docs.repartition(4).write.mode("overwrite").json(d)
+    loaded = spark.read.format("bqetl_ndjson").schema(docs.schema).load(d)
+    return (loaded
+            .where((F.col("lang") == "en")
+                   & (F.col("n_chars") >= 200) & (F.col("n_chars") < 2000)
+                   & F.col("source").isin("web", "books")
+                   & F.col("text").isNotNull())
+            .select("doc_id", "lang", "source", "n_chars"))
 
 
 def q_incremental_agg(spark, sf_dir):
@@ -951,12 +999,10 @@ def q_stream_kmv(spark, sf_dir):
     the final stored sketch. Oracle = the plain batch KMV SQL — the
     hash-match proves the streaming fold is lossless for any batch chop
     (the kmv_merge property, now exercised through foreachBatch)."""
-    import tempfile
-
     from bqetl_spark.functions.sketch import kmv_estimate
     from bqetl_spark.streaming.events import stream_kmv_user_distinct
 
-    base = tempfile.mkdtemp(prefix="bqetl_skmv_")
+    base = _scratch("skmv", sf_dir, wipe=True)
     ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
     ev.repartition(4).write.parquet(base + "/events_split")
     target = base + "/sketch"
@@ -2413,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_keep_reasons": q_corpus_keep_reasons,
         "incremental_agg": q_incremental_agg,
         "pyds_ndjson": q_pyds_ndjson,
+        "pyds_pushdown": q_pyds_pushdown,
         "percentile_band": q_percentile_band,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
@@ -3623,6 +3670,14 @@ def oracle_sql() -> dict[str, str]:
     # custom Python DataSource round-trip == the plain table
     d["pyds_ndjson"] = """
         SELECT doc_id, text, lang, source, n_chars FROM documents"""
+    # pushed-filter semantics: the reader applies the conjunction before
+    # Arrow serialization; the oracle runs the identical WHERE on the
+    # original table (text IS NOT NULL is vacuous on this corpus but
+    # exercises the IsNotNull pushdown path)
+    d["pyds_pushdown"] = """
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE lang = 'en' AND n_chars >= 200 AND n_chars < 2000
+          AND source IN ('web', 'books') AND text IS NOT NULL"""
     # incremental aggregate maintenance: the maintained table must equal
     # the full recompute over (base - deletes) UNION inserts; DECIMAL sums
     # are exact on both engines, cast to double only at output

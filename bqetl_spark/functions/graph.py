@@ -125,7 +125,13 @@ def cooccurrence_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
 def node_label(node) -> "F.Column":
     """Decode a long node id from ``cooccurrence_edges`` back to its
     namespaced string form ('c:<custkey>' / 's:<suppkey>') — applied only
-    in final output projections, never on join/shuffle keys."""
+    in final output projections, never on join/shuffle keys.
+
+    Integer DIV, not ``/``: float division round-trips through double and
+    would decode ids at or above 2^53 lossily (ADVICE r6)."""
     c = F.col(node) if isinstance(node, str) else node
-    return (F.when(c % 2 == 0, F.concat(F.lit("c:"), (c / 2).cast("long")))
-            .otherwise(F.concat(F.lit("s:"), ((c - 1) / 2).cast("long"))))
+    # shiftright(c, 1) == c DIV 2 for even c and (c-1) DIV 2 for odd c,
+    # so one LONG shift decodes both namespaces exactly
+    half = F.shiftright(c, 1).cast("long")
+    return (F.when(c % 2 == 0, F.concat(F.lit("c:"), half))
+            .otherwise(F.concat(F.lit("s:"), half)))

@@ -113,3 +113,16 @@ def test_cooccurrence_long_ids_and_label_roundtrip(spark):
     labels = {r["l"] for r in
               e.select(node_label("src").alias("l")).collect()}
     assert labels == {"c:10", "c:11", "s:5"}
+
+
+def test_node_label_exact_above_2_53(spark):
+    """ADVICE r6: float division decoded ids >= 2^53 lossily; the shift
+    formulation must be exact for the full LONG range of keys."""
+    from bqetl_spark.functions.graph import node_label
+
+    big = (1 << 60) + 12345
+    df = spark.createDataFrame(
+        [(big * 2,), (big * 2 + 1,), (0,), (1,)], "node long")
+    got = sorted(r["l"] for r in
+                 df.select(node_label("node").alias("l")).collect())
+    assert got == sorted([f"c:{big}", f"s:{big}", "c:0", "s:0"])

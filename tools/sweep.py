@@ -5,8 +5,11 @@ at sf0.01. Complements the driver's 50-gate-per-round window by
 hash-checking EVERY oracle each round.
 
 Usage: cd /tmp && python3 /root/repo/tools/sweep.py [OUT_JSON]
-Writes the artifact (default SWEEP_r06.json at the repo root) and prints a
+       cd /tmp && python3 /root/repo/tools/sweep.py --only g1,g2
+Writes the artifact (default SWEEP_r07.json at the repo root) and prints a
 one-line summary. Rows-only gates (no oracle) are counted separately.
+--only runs just the named gates and does NOT write the artifact (quick
+iteration check after touching a gate or oracle).
 """
 
 from __future__ import annotations
@@ -18,8 +21,12 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-OUT = sys.argv[1] if len(sys.argv) > 1 else os.path.join(ROOT,
-                                                         "SWEEP_r06.json")
+ONLY = None
+args = sys.argv[1:]
+if args and args[0] == "--only":
+    ONLY = set(args[1].split(","))
+    args = args[2:]
+OUT = args[0] if args else os.path.join(ROOT, "SWEEP_r07.json")
 SF = "/root/testdata/sf0.01"
 
 
@@ -39,6 +46,8 @@ def main() -> None:
     results: dict[str, dict] = {}
     n_match = 0
     for name in sorted(qs):
+        if ONLY is not None and name not in ONLY:
+            continue
         try:
             if name in osql:
                 r = compare(qs[name](spark, SF), con, osql[name])
@@ -55,7 +64,7 @@ def main() -> None:
             print(f"ERR {name} {type(exc).__name__}", flush=True)
     artifact = {
         "sf": SF,
-        "session": "round-6",
+        "session": "round-7",
         "method": ("vanilla local[8] SparkSession from cwd=/tmp (driver "
                    "conditions), tests/oracle_harness.compare (rows + "
                    "sorted columns + order-insensitive value hash) vs "
@@ -65,8 +74,9 @@ def main() -> None:
         "n_rows_only": len(qs) - len(osql),
         "results": results,
     }
-    with open(OUT, "w") as fh:
-        json.dump(artifact, fh, indent=1)
+    if ONLY is None:
+        with open(OUT, "w") as fh:
+            json.dump(artifact, fh, indent=1)
     print(f"SUMMARY {n_match}/{len(osql)} hash-match, "
           f"{len(qs) - len(osql)} rows-only -> {OUT}", flush=True)
 
