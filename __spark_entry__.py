@@ -1729,7 +1729,14 @@ def q_multimodal_decode(spark, sf_dir):
     rows: the driver's canonicalizer hashes scalar cells only (array cells
     broke the r5 driver run with `unhashable type: 'list'`), and the
     posexplode costs nothing — 8 rows per media replace 1."""
-    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 36)
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 36)
+        # ASCII prefix required EXPLICITLY (ADVICE r6): the payload is a
+        # byte slice while the oracle reads per-character ord(); equal
+        # char/byte counts pin the prefix to 1-byte codepoints, making
+        # the gate data-independent instead of relying on the corpus
+        # happening to be ASCII
+        & (F.octet_length(F.substring("text", 1, 36)) == 36))
     payload = F.concat(F.lit("P6\n4 3\n255\n").cast("binary"),
                        F.substring(F.col("text"), 1, 36).cast("binary"))
     media = mm.attach_media(docs, "doc_id", payload, kind="image", fmt="ppm")
@@ -1751,7 +1758,14 @@ def q_multimodal_png(spark, sf_dir):
     bytes, so a hash-match certifies the full encode→DEFLATE→decode→
     unfilter→stats chain. n_bytes is compression-dependent (not
     SQL-replayable) and deliberately excluded from the gate output."""
-    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 36)
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 36)
+        # ASCII prefix required EXPLICITLY (ADVICE r6): the payload is a
+        # byte slice while the oracle reads per-character ord(); equal
+        # char/byte counts pin the prefix to 1-byte codepoints, making
+        # the gate data-independent instead of relying on the corpus
+        # happening to be ASCII
+        & (F.octet_length(F.substring("text", 1, 36)) == 36))
     media = mm.attach_png_media(docs, "doc_id", "text", 4, 3)
     feats = mm.extract_features(media, fake=False)
     return (feats.select("media_id",
@@ -1854,7 +1868,10 @@ def q_multimodal_audio(spark, sf_dir):
               + b"fmt " + (16).to_bytes(4, "little")
               + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
               + b"data" + (64).to_bytes(4, "little"))
-    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 64)
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 64)
+        # ASCII prefix required explicitly — see q_multimodal_decode
+        & (F.octet_length(F.substring("text", 1, 64)) == 64))
     payload = F.concat(F.lit(header),
                        F.substring(F.col("text"), 1, 64).cast("binary"))
     media = mm.attach_media(docs, "doc_id", payload, kind="audio", fmt="wav")
@@ -1873,7 +1890,14 @@ def q_multimodal_resize(spark, sf_dir):
     pixels straight from the text bytes, so the hash-match certifies the
     decode→resample→re-encode→decode chain end to end. Feature scalarized
     to (media_id, n_bytes, idx, value) rows for the driver canonicalizer."""
-    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 36)
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 36)
+        # ASCII prefix required EXPLICITLY (ADVICE r6): the payload is a
+        # byte slice while the oracle reads per-character ord(); equal
+        # char/byte counts pin the prefix to 1-byte codepoints, making
+        # the gate data-independent instead of relying on the corpus
+        # happening to be ASCII
+        & (F.octet_length(F.substring("text", 1, 36)) == 36))
     payload = F.concat(F.lit("P6\n4 3\n255\n").cast("binary"),
                        F.substring(F.col("text"), 1, 36).cast("binary"))
     media = mm.attach_media(docs, "doc_id", payload, kind="image", fmt="ppm")
@@ -3570,6 +3594,7 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (
               SELECT doc_id, substr(text, 1, 36) AS s
               FROM documents WHERE len(text) >= 36
+                AND octet_length(encode(substr(text, 1, 36))) = 36
             ), b AS (
               SELECT doc_id, p, ord(substr(s, p, 1)) AS v,
                      (p - 1) % 3 AS c, (p - 1) // 3 AS q
@@ -3606,6 +3631,7 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (
               SELECT doc_id, substr(text, 1, 36) AS s
               FROM documents WHERE len(text) >= 36
+                AND octet_length(encode(substr(text, 1, 36))) = 36
             ), b AS (
               SELECT doc_id, p, ord(substr(s, p, 1)) AS v,
                      (p - 1) % 3 AS c, (p - 1) // 3 AS q
@@ -3982,6 +4008,7 @@ def oracle_sql() -> dict[str, str]:
         WITH d AS (
           SELECT doc_id, substr(text, 1, 36) AS s
           FROM documents WHERE len(text) >= 36
+                AND octet_length(encode(substr(text, 1, 36))) = 36
         ), b AS (
           SELECT doc_id, p.p, c.c,
                  ord(substr(s, 3 * p.p + c.c + 1, 1)) AS v
@@ -4018,6 +4045,7 @@ def oracle_sql() -> dict[str, str]:
         WITH d AS (
           SELECT doc_id, substr(text, 1, 64) AS s
           FROM documents WHERE len(text) >= 64
+                AND octet_length(encode(substr(text, 1, 64))) = 64
         ), smp AS (
           SELECT doc_id,
                  ord(substr(s, 2 * i + 1, 1))

@@ -388,3 +388,25 @@ def test_png_roundtrip_hypothesis():
         assert decode_png(payload) == (w, h, rgb)
 
     run()
+
+
+def test_png_gate_ascii_boundary_is_explicit(spark):
+    """ADVICE r6: the PNG/PPM gates slice BYTES while their oracles read
+    per-character ord(); the gates now require octet_length == char
+    length over the prefix, so a non-ASCII doc is excluded identically
+    on both sides instead of silently hashing differently."""
+    from pyspark.sql import functions as F
+
+    from bqetl_spark.functions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 40), (2, "é" + "a" * 39), (3, "a" * 35 + "é" + "a" * 4)],
+        "doc_id long, text string")
+    kept = docs.filter(
+        (F.length("text") >= 36)
+        & (F.octet_length(F.substring("text", 1, 36)) == 36))
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    # and the kept doc round-trips through the real PNG chain
+    media = mm.attach_png_media(kept, "doc_id", "text", 4, 3)
+    feats = mm.extract_features(media, fake=False).collect()
+    assert len(feats) == 1 and feats[0]["feature"][0] == 4.0
