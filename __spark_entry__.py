@@ -1774,6 +1774,31 @@ def q_multimodal_png(spark, sf_dir):
                     "value"))
 
 
+def q_multimodal_jpeg(spark, sf_dir):
+    """REAL lossy-codec decode in the gate (r7): each document's first 12
+    ASCII bytes become the 8×8-CONSTANT blocks of a 32×24 grayscale
+    baseline JPEG — encoded with the pure-Python T.81 encoder (float
+    FDCT, quantize, Annex-K Huffman, byte stuffing), decoded by the full
+    baseline decoder (marker parse, canonical Huffman, dequant, float
+    IDCT), then feature-extracted with the same integer-exact statistics
+    as the other image gates. Constant blocks are DC-only and survive
+    quantization EXACTLY (DC = 8·(v−128), ACs quantize to 0), so the
+    decoded pixels equal the source bytes and the oracle recomputes the
+    statistics per character in SQL — the one shape that makes a lossy
+    DCT codec value-hash-oracle-able. The decoder itself is layout-
+    agnostic (tests decode arbitrary images). n_bytes is entropy-coded
+    size (not SQL-replayable), excluded like the PNG gate."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 12)
+        & (F.octet_length(F.substring("text", 1, 12)) == 12))
+    media = mm.attach_jpeg_media(docs, "doc_id", "text", 4, 3)
+    feats = mm.extract_features(media, fake=False)
+    return (feats.select("media_id",
+                         F.posexplode("feature").alias("idx", "value"))
+            .select("media_id", F.col("idx").cast("long").alias("idx"),
+                    "value"))
+
+
 def q_temperature_quotas(spark, sf_dir):
     """Temperature-scaled mixture quotas (functions.chunking.
     temperature_quotas, α = 0.5, budget 300) — the multilingual-corpus
@@ -2474,6 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # greens (freshest rows already banked).
     return {
         "multimodal_png": q_multimodal_png,
+        "multimodal_jpeg": q_multimodal_jpeg,
         "temperature_quotas": q_temperature_quotas,
         "temperature_sample": q_temperature_sample,
         "stream_kmv": q_stream_kmv,
@@ -3656,6 +3682,37 @@ def oracle_sql() -> dict[str, str]:
                       CAST(mn AS DOUBLE) / 3.0, CAST(mx AS DOUBLE) / 3.0,
                       CAST(st AS DOUBLE) / 36.0] AS feature
               FROM ch JOIN lm ON ch.doc_id = lm.doc_id)
+            SELECT media_id, unnest(range(8)) AS idx,
+                   unnest(feature) AS value
+            FROM feat""",
+        # multimodal_jpeg: the decoded pixels ARE the first 12 text bytes
+        # (8×8-constant blocks survive the lossy codec exactly — see the
+        # gate docstring), so the statistics replay per character. Each
+        # byte owns one 64-pixel block of a 32×24 gray image, so channel
+        # means are sum(v)·64/768, luminance is (r+g+b)/3 = v, and the
+        # divisions reproduce image_features' IEEE operations verbatim.
+        "multimodal_jpeg": """
+            WITH d AS (
+              SELECT doc_id, substr(text, 1, 12) AS s
+              FROM documents WHERE len(text) >= 12
+                AND octet_length(encode(substr(text, 1, 12))) = 12
+            ), b AS (
+              SELECT doc_id, ord(substr(s, p, 1)) AS v
+              FROM d, (SELECT unnest(range(1, 13)) AS p)
+            ), agg AS (
+              SELECT doc_id AS media_id, sum(v) AS sv,
+                     min(v) AS mn, max(v) AS mx
+              FROM b GROUP BY doc_id
+            ), feat AS (
+              SELECT media_id,
+                     [32.0, 24.0,
+                      CAST(sv * 64 AS DOUBLE) / 768,
+                      CAST(sv * 64 AS DOUBLE) / 768,
+                      CAST(sv * 64 AS DOUBLE) / 768,
+                      CAST(3 * mn AS DOUBLE) / 3.0,
+                      CAST(3 * mx AS DOUBLE) / 3.0,
+                      CAST(sv * 192 AS DOUBLE) / 2304.0] AS feature
+              FROM agg)
             SELECT media_id, unnest(range(8)) AS idx,
                    unnest(feature) AS value
             FROM feat""",

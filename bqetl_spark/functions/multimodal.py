@@ -99,6 +99,50 @@ def attach_png_media(df: DataFrame, id_col: str, text_col: str,
     return src.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def attach_jpeg_media(df: DataFrame, id_col: str, text_col: str,
+                      bw: int, bh: int) -> DataFrame:
+    """Encode the first bw·bh bytes of ``text_col`` as a (8·bw)×(8·bh)
+    grayscale baseline JPEG per row, one 8×8 CONSTANT block per byte —
+    the layout that makes a LOSSY codec value-oracle-able: constant
+    blocks are DC-only, survive quantization exactly (see
+    encode_jpeg_gray), so the decoded pixels equal the source bytes and
+    the oracle can recompute the statistics per character in SQL. The
+    decode side is the full baseline decoder (Huffman, dequant, IDCT) —
+    nothing about the DECODER is special-cased to this layout.
+
+    One mapInPandas stage, thumbnail-sized batches (same scale posture
+    as attach_png_media)."""
+    enc = encode_jpeg_gray  # by-value closure binding
+    need = bw * bh
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        w, h = bw * 8, bh * 8
+
+        def build(t):
+            vals = t.encode("utf-8")[:need]
+            gray = bytearray(w * h)
+            for y in range(h):
+                row_base = (y // 8) * bw
+                for x in range(w):
+                    gray[y * w + x] = vals[row_base + x // 8]
+            return enc(w, h, bytes(gray))
+
+        for pdf in batches:
+            payloads = [build(t) for t in pdf["text"]]
+            yield _pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "payload": _pd.Series(payloads, dtype="object"),
+                "meta": [{"kind": "image", "format": "jpeg", "width": w,
+                          "height": h, "duration_ms": None}] * len(pdf),
+            })
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"),
+                    F.col(text_col).alias("text"))
+    return src.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def _build_decoders():
     """Real decoders as CLOSURE-LOCAL defs: their __qualname__ is not
     importable, so cloudpickle ships them BY VALUE into UDF closures —
@@ -343,6 +387,378 @@ def _build_decoders():
                 + chunk(b"IDAT", zlib.compress(bytes(raw), level))
                 + chunk(b"IEND", b""))
 
+    # ---- baseline JPEG (ITU T.81 public spec), r7 --------------------
+    # Shared constants: zigzag order and the Annex K "typical" luminance
+    # Huffman tables (the spec's own example tables, public domain).
+    _ZIGZAG = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+    _DC_BITS = [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    _DC_VALS = list(range(12))
+    _AC_BITS = [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    _AC_VALS = [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+    def _huff_codes(bits, vals):
+        """(value -> (code, length)) from a DHT BITS/HUFFVAL spec — the
+        canonical code assignment of T.81 Annex C."""
+        out, code = {}, 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length]):
+                out[vals[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    def decode_jpeg(payload):
+        """Baseline JPEG (JFIF) → (width, height, RGB bytes). Pure Python
+        over the public ITU T.81 spec: marker parse (DQT/DHT/SOF0/SOS,
+        DRI + RSTn supported), canonical Huffman decode with EXTEND,
+        dequantize, de-zigzag, float 2-D IDCT per 8×8 block, level shift
+        + clamp. Supports 8-bit baseline sequential, 1 component (gray,
+        replicated to RGB) or 3 components with no chroma subsampling
+        (1×1, JFIF YCbCr→RGB). Progressive / arithmetic / subsampled
+        streams raise — the honest boundary, like the PNG decoder's
+        no-interlace rule.
+
+        Python-loop IDCT is thumbnail-scale by design (same caveat as the
+        PNG unfilter loop); a megapixel corpus wants a C codec.
+        """
+        import math
+        import struct
+
+        if payload is None or bytes(payload[:2]) != b"\xFF\xD8":
+            raise ValueError("not a JPEG (missing SOI)")
+        data = bytes(payload)
+        qt, dc_tabs, ac_tabs = {}, {}, {}
+        frame = None
+        restart_interval = 0
+        pos = 2
+        scan = None
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError(f"bad marker alignment at {pos}")
+            marker = data[pos + 1]
+            if marker == 0xD9:                      # EOI
+                break
+            seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+            body = data[pos + 4:pos + 2 + seg_len]
+            if marker == 0xDB:                      # DQT
+                b = 0
+                while b < len(body):
+                    pq, tq = body[b] >> 4, body[b] & 0x0F
+                    if pq != 0:
+                        raise ValueError("16-bit quant tables unsupported")
+                    qt[tq] = list(body[b + 1:b + 65])
+                    b += 65
+            elif marker == 0xC4:                    # DHT
+                b = 0
+                while b < len(body):
+                    tc, th = body[b] >> 4, body[b] & 0x0F
+                    bits = [0] + list(body[b + 1:b + 17])
+                    n = sum(bits)
+                    vals = list(body[b + 17:b + 17 + n])
+                    tab = {}
+                    for v, (code, ln) in _huff_codes(bits, vals).items():
+                        tab[(ln, code)] = v
+                    (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                    b += 17 + n
+            elif marker == 0xC0:                    # SOF0 baseline
+                prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+                if prec != 8:
+                    raise ValueError("only 8-bit precision supported")
+                comps = []
+                for c in range(nc):
+                    # SOF body: prec(1)+h(2)+w(2)+nc(1) = 6 header bytes
+                    cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                    if hv != 0x11:
+                        raise ValueError(
+                            "chroma subsampling unsupported (1x1 only)")
+                    comps.append((cid, tq))
+                frame = (w, h, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError(
+                    f"non-baseline SOF marker 0xFF{marker:02X} "
+                    "(progressive/arithmetic unsupported)")
+            elif marker == 0xDD:                    # DRI
+                restart_interval = struct.unpack_from(">H", body, 0)[0]
+            elif marker == 0xDA:                    # SOS
+                ns = body[0]
+                sel = {}
+                for c in range(ns):
+                    cid, tdta = body[1 + 2 * c:3 + 2 * c]
+                    sel[cid] = (tdta >> 4, tdta & 0x0F)
+                scan = (sel, pos + 2 + seg_len)
+                break
+            pos += 2 + seg_len
+        if frame is None or scan is None:
+            raise ValueError("JPEG missing SOF0 or SOS")
+        w, h, comps = frame
+        sel, spos = scan
+
+        # entropy-coded bit reader with byte unstuffing + RST skip
+        class _Bits:
+            __slots__ = ("d", "p", "acc", "n")
+
+            def __init__(self, d, p):
+                self.d, self.p, self.acc, self.n = d, p, 0, 0
+
+            def read(self, k):
+                while self.n < k:
+                    if self.p >= len(self.d):
+                        raise ValueError("truncated entropy data")
+                    byte = self.d[self.p]
+                    self.p += 1
+                    if byte == 0xFF:
+                        nxt = self.d[self.p] if self.p < len(self.d) else 0
+                        if nxt == 0x00:
+                            self.p += 1            # stuffed FF
+                        else:
+                            raise ValueError("marker inside entropy data")
+                    self.acc = (self.acc << 8) | byte
+                    self.n += 8
+                self.n -= k
+                v = (self.acc >> self.n) & ((1 << k) - 1)
+                return v
+
+            def restart(self):
+                # drop partial byte, expect FFD0-FFD7
+                self.acc, self.n = 0, 0
+                while (self.p + 1 < len(self.d)
+                       and not (self.d[self.p] == 0xFF
+                                and 0xD0 <= self.d[self.p + 1] <= 0xD7)):
+                    self.p += 1
+                self.p += 2
+
+        def huff_decode(bits_reader, tab):
+            code, ln = 0, 0
+            while ln < 17:
+                code = (code << 1) | bits_reader.read(1)
+                ln += 1
+                v = tab.get((ln, code))
+                if v is not None:
+                    return v
+            raise ValueError("invalid Huffman code")
+
+        def extend(v, t):
+            return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+        cos_tab = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in
+                    range(8)] for x in range(8)]
+        c_of = [1 / math.sqrt(2)] + [1.0] * 7
+
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        planes = [bytearray(bw * 8 * bh * 8) for _ in comps]
+        rdr = _Bits(data, spos)
+        pred = {cid: 0 for cid, _ in comps}
+        mcu = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    rdr.restart()
+                    pred = {cid: 0 for cid, _ in comps}
+                mcu += 1
+                for ci, (cid, tq) in enumerate(comps):
+                    td, ta = sel[cid]
+                    q = qt[tq]
+                    zz = [0] * 64
+                    t = huff_decode(rdr, dc_tabs[td])
+                    diff = extend(rdr.read(t), t) if t else 0
+                    pred[cid] += diff
+                    zz[0] = pred[cid] * q[0]
+                    k = 1
+                    while k < 64:
+                        rs = huff_decode(rdr, ac_tabs[ta])
+                        r, ssss = rs >> 4, rs & 0x0F
+                        if ssss == 0:
+                            if r == 15:
+                                k += 16        # ZRL
+                                continue
+                            break              # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index overrun")
+                        zz[k] = extend(rdr.read(ssss), ssss) * q[k]
+                        k += 1
+                    blk = [0.0] * 64
+                    for i, z in enumerate(_ZIGZAG):
+                        blk[z] = float(zz[i])
+                    # separable IDCT: rows then columns
+                    tmp = [0.0] * 64
+                    for y in range(8):
+                        for x in range(8):
+                            s = 0.0
+                            for u in range(8):
+                                s += c_of[u] * blk[y * 8 + u] \
+                                    * cos_tab[x][u]
+                            tmp[y * 8 + x] = s / 2
+                    plane = planes[ci]
+                    for x in range(8):
+                        for y in range(8):
+                            s = 0.0
+                            for v in range(8):
+                                s += c_of[v] * tmp[v * 8 + x] \
+                                    * cos_tab[y][v]
+                            val = int(round(s / 2 + 128))
+                            val = 0 if val < 0 else (255 if val > 255
+                                                     else val)
+                            px, py = bx * 8 + x, by * 8 + y
+                            plane[py * bw * 8 + px] = val
+
+        stride = bw * 8
+        if len(comps) == 1:
+            rgb = bytearray(3 * w * h)
+            p0 = planes[0]
+            for y in range(h):
+                for x in range(w):
+                    v = p0[y * stride + x]
+                    i = 3 * (y * w + x)
+                    rgb[i] = rgb[i + 1] = rgb[i + 2] = v
+            return w, h, bytes(rgb)
+        if len(comps) == 3:
+            rgb = bytearray(3 * w * h)
+            py_, pcb, pcr = planes
+            for y in range(h):
+                for x in range(w):
+                    yy = py_[y * stride + x]
+                    cb = pcb[y * stride + x] - 128
+                    cr = pcr[y * stride + x] - 128
+                    i = 3 * (y * w + x)
+                    for j, f in enumerate((yy + 1.402 * cr,
+                                           yy - 0.344136 * cb
+                                           - 0.714136 * cr,
+                                           yy + 1.772 * cb)):
+                        v = int(round(f))
+                        rgb[i + j] = 0 if v < 0 else (255 if v > 255
+                                                      else v)
+            return w, h, bytes(rgb)
+        raise ValueError(f"unsupported component count {len(comps)}")
+
+    def encode_jpeg_gray(w, h, gray, quant=None):
+        """Grayscale bytes → baseline JFIF JPEG. Real T.81 encoder: float
+        FDCT per 8×8 block, quantize (default table: all 1s — near-
+        lossless), zigzag, DC-differential + Annex K Huffman coding, byte
+        stuffing. Width/height must be multiples of 8 (no edge-block
+        replication — the gate layouts are block-aligned by
+        construction).
+
+        Exactness contract the jpeg gate leans on: a block whose pixels
+        are all equal produces a DC-only spectrum (AC sums cancel; float
+        noise ~1e-13 rounds to 0) with DC = 8·(v−128) exact, and the
+        decoder's IDCT returns v exactly — so block-constant images
+        round-trip bit-exact through the LOSSY codec, which is what
+        makes a JPEG decode SQL-oracle-able at all."""
+        import math
+        import struct
+
+        if w % 8 or h % 8:
+            raise ValueError("encode_jpeg_gray needs block-aligned dims")
+        if len(gray) != w * h:
+            raise ValueError(f"gray length {len(gray)} != {w}*{h}")
+        q = list(quant) if quant is not None else [1] * 64
+        dc_code = _huff_codes(_DC_BITS, _DC_VALS)
+        ac_code = _huff_codes(_AC_BITS, _AC_VALS)
+        cos_tab = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in
+                    range(8)] for x in range(8)]
+        c_of = [1 / math.sqrt(2)] + [1.0] * 7
+
+        out = bytearray()
+        acc = [0, 0]                                # bit accumulator, count
+
+        def put(code, ln):
+            acc[0] = (acc[0] << ln) | code
+            acc[1] += ln
+            while acc[1] >= 8:
+                acc[1] -= 8
+                byte = (acc[0] >> acc[1]) & 0xFF
+                acc[0] &= (1 << acc[1]) - 1        # keep the int small
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)               # byte stuffing
+
+        def put_val(v, ssss):
+            if ssss:
+                put(v if v >= 0 else v + (1 << ssss) - 1, ssss)
+
+        def category(v):
+            return abs(v).bit_length()
+
+        pred = 0
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                # FDCT (separable), level-shifted input
+                px = [[gray[(by * 8 + y) * w + bx * 8 + x] - 128
+                       for x in range(8)] for y in range(8)]
+                tmp = [[sum(px[y][x] * cos_tab[x][u] for x in range(8))
+                        * c_of[u] / 2 for u in range(8)] for y in range(8)]
+                coef = [0.0] * 64
+                for u in range(8):
+                    for v in range(8):
+                        coef[v * 8 + u] = sum(
+                            tmp[y][u] * cos_tab[y][v]
+                            for y in range(8)) * c_of[v] / 2
+                # quantize in zigzag order
+                zz = [int(round(coef[_ZIGZAG[i]] / q[i])) for i in
+                      range(64)]
+                diff = zz[0] - pred
+                pred = zz[0]
+                t = category(diff)
+                put(*dc_code[t])
+                put_val(diff, t)
+                k, run = 1, 0
+                while k < 64:
+                    if zz[k] == 0:
+                        run += 1
+                    else:
+                        while run > 15:
+                            put(*ac_code[0xF0])    # ZRL
+                            run -= 16
+                        ssss = category(zz[k])
+                        put(*ac_code[(run << 4) | ssss])
+                        put_val(zz[k], ssss)
+                        run = 0
+                    k += 1
+                if run:
+                    put(*ac_code[0x00])            # EOB
+        if acc[1]:                                  # pad final byte with 1s
+            pad = 8 - acc[1]
+            put((1 << pad) - 1, pad)
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + struct.pack(
+                ">H", len(body) + 2) + body
+
+        dqt = seg(0xDB, bytes([0]) + bytes(q))
+        sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)
+                  + bytes([1, 0x11, 0]))
+        dht = seg(0xC4, bytes([0x00]) + bytes(_DC_BITS[1:])
+                  + bytes(_DC_VALS)) \
+            + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS[1:])
+                  + bytes(_AC_VALS))
+        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        return (b"\xFF\xD8" + app0 + dqt + sof + dht + sos
+                + bytes(out) + b"\xFF\xD9")
+
     def audio_features(n_ch, rate, samples):
         """8-dim feature vector, EXACT arithmetic (integer sums, one final
         IEEE division; sqrt is IEEE-correctly-rounded in every engine):
@@ -379,11 +795,13 @@ def _build_decoders():
                 int(csum.sum()) / (3.0 * npix)]
 
     return (decode_ppm, decode_bmp, image_features, decode_wav,
-            audio_features, decode_png, encode_png)
+            audio_features, decode_png, encode_png, decode_jpeg,
+            encode_jpeg_gray)
 
 
 (decode_ppm, decode_bmp, image_features,
- decode_wav, audio_features, decode_png, encode_png) = _build_decoders()
+ decode_wav, audio_features, decode_png, encode_png,
+ decode_jpeg, encode_jpeg_gray) = _build_decoders()
 
 
 def extract_features(media: DataFrame, fake: bool = False,
@@ -404,7 +822,7 @@ def extract_features(media: DataFrame, fake: bool = False,
     """
     ppm, bmp, feats_of = decode_ppm, decode_bmp, image_features  # by-value
     wav, afeats_of = decode_wav, audio_features
-    png = decode_png
+    png, jpg = decode_png, decode_jpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd  # worker-side import, always available with pyspark
@@ -418,7 +836,8 @@ def extract_features(media: DataFrame, fake: bool = False,
             n = float(len(payload))
             return [round(a / n, 6) for a in acc]
 
-        real = {"ppm": ppm, "bmp": bmp, "png": png}
+        real = {"ppm": ppm, "bmp": bmp, "png": png, "jpeg": jpg,
+                "jpg": jpg}
 
         def decode(payload, meta):
             if fake:
@@ -430,10 +849,11 @@ def extract_features(media: DataFrame, fake: bool = False,
             dec = real.get(fmt)
             if dec is None:
                 raise NotImplementedError(
-                    f"no pure-Python decoder for format {fmt!r}: DCT/"
-                    "entropy codecs (jpeg/mp3/mp4) need media libraries "
-                    "absent from this container; pass fake=True for the "
-                    "deterministic fake decoder, or use 'ppm'/'bmp'/'png'")
+                    f"no pure-Python decoder for format {fmt!r}: "
+                    "perceptual audio/video codecs (mp3/mp4) need media "
+                    "libraries absent from this container; pass fake=True "
+                    "for the deterministic fake decoder, or use "
+                    "'ppm'/'bmp'/'png'/'jpeg'/'wav'")
             f = feats_of(*dec(payload))
             return (f + [0.0] * n_feat)[:n_feat]
 

@@ -21,13 +21,18 @@ def test_media_schema_shape(spark):
 
 
 def test_extract_features_stub_raises(spark):
-    """jpeg stays honestly gated (DCT codec needs external libs); png is
-    REAL as of r6, so a non-PNG payload labeled png now raises the
-    decoder's signature error rather than NotImplementedError."""
+    """mp3/mp4 stay honestly gated (perceptual codecs need external
+    libs); jpeg is REAL as of r7 and png as of r6, so mislabeled garbage
+    payloads now raise the decoders' signature errors rather than
+    NotImplementedError."""
     df = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    mp3 = mm.attach_media(df, "doc_id", F.encode(F.col("text"), "UTF-8"),
+                          kind="audio", fmt="mp3")
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        mm.extract_features(mp3, fake=False).collect()
     jpeg = mm.attach_media(df, "doc_id", F.encode(F.col("text"), "UTF-8"),
                            kind="image", fmt="jpeg")
-    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+    with pytest.raises(Exception, match="not a JPEG"):
         mm.extract_features(jpeg, fake=False).collect()
     media = _media(spark)  # fmt="png", garbage payload
     with pytest.raises(Exception, match="not a PNG"):
@@ -410,3 +415,114 @@ def test_png_gate_ascii_boundary_is_explicit(spark):
     media = mm.attach_png_media(kept, "doc_id", "text", 4, 3)
     feats = mm.extract_features(media, fake=False).collect()
     assert len(feats) == 1 and feats[0]["feature"][0] == 4.0
+
+
+# --- baseline JPEG codec (r7, pure Python over public ITU T.81) --------
+
+
+def test_jpeg_block_constant_exact_roundtrip():
+    """The gate's exactness contract: an image whose 8×8 blocks are each
+    constant is DC-only, survives quantization exactly, and decodes to
+    the source bytes bit-for-bit through the REAL lossy codec."""
+    from bqetl_spark.functions.multimodal import (decode_jpeg,
+                                                  encode_jpeg_gray)
+
+    vals = [0, 255, 128, 1, 254, 127, 63, 192, 17, 200, 90, 33]
+    bw, bh = 4, 3
+    w, h = bw * 8, bh * 8
+    gray = bytes(vals[(y // 8) * bw + (x // 8)]
+                 for y in range(h) for x in range(w))
+    W, H, rgb = decode_jpeg(encode_jpeg_gray(w, h, gray))
+    assert (W, H) == (w, h)
+    assert all(rgb[3 * i] == rgb[3 * i + 1] == rgb[3 * i + 2] == gray[i]
+               for i in range(w * h))
+
+
+def test_jpeg_decoder_is_layout_agnostic():
+    """The decoder is a general baseline decoder, not special-cased to
+    constant blocks: an arbitrary image at quant=1 decodes within ±1
+    (DCT int-rounding), and a REAL quantization table compresses and
+    still decodes."""
+    import random
+
+    from bqetl_spark.functions.multimodal import (decode_jpeg,
+                                                  encode_jpeg_gray)
+
+    random.seed(11)
+    w, h = 16, 16
+    gray = bytes(random.randrange(256) for _ in range(w * h))
+    _, _, rgb = decode_jpeg(encode_jpeg_gray(w, h, gray))
+    assert max(abs(rgb[3 * i] - gray[i]) for i in range(w * h)) <= 1
+    # lossy table: smaller payload, decode still runs and is bounded
+    q = [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+         14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+         18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113,
+         92, 49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112,
+         100, 103, 99]
+    lossy = encode_jpeg_gray(w, h, gray, quant=q)
+    assert len(lossy) < len(encode_jpeg_gray(w, h, gray))
+    _, _, rgb_l = decode_jpeg(lossy)
+    assert len(rgb_l) == 3 * w * h
+
+
+def test_jpeg_rejects_unsupported():
+    import pytest
+
+    from bqetl_spark.functions.multimodal import (decode_jpeg,
+                                                  encode_jpeg_gray)
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG")
+    jp = bytearray(encode_jpeg_gray(8, 8, bytes(range(64))))
+    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
+    idx = jp.find(b"\xFF\xC0")
+    jp[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(jp))
+    with pytest.raises(ValueError, match="block-aligned"):
+        encode_jpeg_gray(7, 8, bytes(56))
+
+
+def test_jpeg_roundtrip_hypothesis():
+    """Property: block-constant exactness holds for ANY byte values and
+    grid shape (hypothesis-driven, mirrors the PNG fuzz tier)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bqetl_spark.functions.multimodal import (decode_jpeg,
+                                                  encode_jpeg_gray)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 4), st.integers(1, 3),
+           st.lists(st.integers(0, 255), min_size=12, max_size=12))
+    def run(bw, bh, vals):
+        w, h = bw * 8, bh * 8
+        gray = bytes(vals[((y // 8) * bw + (x // 8)) % len(vals)]
+                     for y in range(h) for x in range(w))
+        _, _, rgb = decode_jpeg(encode_jpeg_gray(w, h, gray))
+        assert all(rgb[3 * i] == gray[i] for i in range(w * h))
+
+    run()
+
+
+def test_jpeg_extract_features_matches_ppm(spark):
+    """extract_features through the jpeg path equals the PPM path on the
+    same gray pixels — decoder-independent statistics."""
+    from pyspark.sql import functions as F
+
+    from bqetl_spark.functions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijkl"), (2, "ABCDEFGHIJKL")],
+        "doc_id long, text string")
+    media = mm.attach_jpeg_media(docs, "doc_id", "text", 4, 3)
+    jf = {r["media_id"]: r["feature"]
+          for r in mm.extract_features(media, fake=False).collect()}
+    for mid, text in [(1, "abcdefghijkl"), (2, "ABCDEFGHIJKL")]:
+        vals = text.encode()
+        n = len(vals)
+        assert jf[mid][0] == 32.0 and jf[mid][1] == 24.0
+        assert jf[mid][2] == sum(vals) * 64 / 768
+        assert jf[mid][5] == 3 * min(vals) / 3.0
+        assert jf[mid][6] == 3 * max(vals) / 3.0
+        assert jf[mid][7] == sum(vals) * 192 / 2304.0
