@@ -1678,6 +1678,22 @@ def q_hard_negatives(spark, sf_dir):
                               score_decimals=6)
 
 
+def q_hard_negatives_ann(spark, sf_dir):
+    """Hard-negative mining through the IVF path (similarity.
+    hard_negatives_ann, r7): corpus bucket-assigned to 16 stride-seeded
+    lists, queries probe 4, candidates from the list_id EQUI-join with
+    the null-safe label inequality pruning before scoring — the
+    production shape whose brute-force sibling (hard_negatives) is
+    BNLJ-allowlisted as a deliberate baseline. Deterministic buckets →
+    the oracle replays seed selection + argmax assignment in SQL and the
+    driver hash-checks the complete approximate result; recall vs exact
+    is floored in tests/test_ann_recall.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.hard_negatives_ann(emb, emb.filter(F.col("vec_id") < 10),
+                                  k=5, n_lists=16, n_probe=4,
+                                  score_decimals=6)
+
+
 def q_embed_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return sim.cosine_neardup_pairs(emb, threshold=0.45)
@@ -2504,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "stream_kmv": q_stream_kmv,
         "hard_negatives": q_hard_negatives,
+        "hard_negatives_ann": q_hard_negatives_ann,
         "compression_ratio": q_compression_ratio,
         "increasing_runs": q_increasing_runs,
         "corpus_keep_reasons": q_corpus_keep_reasons,
@@ -3964,6 +3981,50 @@ def oracle_sql() -> dict[str, str]:
                  {_cosine_sql('qv', 'cv')} AS s
           FROM cand)
         SELECT query_id, neighbor_id, rank, round(s, 4) AS score
+        FROM ranked WHERE rank <= 5"""
+    # hard-negatives through IVF: same deterministic seed/assignment
+    # replay as embed_ivf_topk, with the null-safe label inequality
+    # (IS DISTINCT FROM) applied at the candidate stage — ann variant of
+    # the brute-force hard_negatives oracle above
+    d["hard_negatives_ann"] = f"""
+        WITH params AS (
+          SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
+        seeds AS (
+          SELECT vec_id AS list_id, embedding AS centroid
+          FROM embeddings, params WHERE vec_id % stride = 0
+          ORDER BY vec_id LIMIT 16
+        ), c_assign AS (
+          SELECT vec_id AS c_id, label AS c_label, embedding AS cv,
+                 list_id FROM (
+            SELECT e.vec_id, e.label, e.embedding, s.list_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_cosine_sql('e.embedding', 's.centroid')} DESC,
+                              s.list_id ASC) AS rn
+            FROM embeddings e, seeds s) WHERE rn = 1
+        ), q_assign AS (
+          SELECT vec_id AS q_id, label AS q_label, embedding AS qv,
+                 list_id FROM (
+            SELECT e.vec_id, e.label, e.embedding, s.list_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_cosine_sql('e.embedding', 's.centroid')} DESC,
+                              s.list_id ASC) AS rn
+            FROM embeddings e, seeds s WHERE e.vec_id < 10) WHERE rn <= 4
+        ), cand AS (
+          SELECT DISTINCT q.q_id AS query_id, q.q_label AS query_label,
+                 c.c_id AS neighbor_id, c.c_label AS neighbor_label,
+                 q.qv, c.cv
+          FROM q_assign q JOIN c_assign c USING (list_id)
+          WHERE c.c_id != q.q_id
+            AND q.q_label IS DISTINCT FROM c.c_label
+        ), ranked AS (
+          SELECT query_id, query_label, neighbor_id, neighbor_label,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY {_cosine_sql('qv', 'cv')} DESC,
+                                             neighbor_id ASC) AS rank,
+                 {_cosine_sql('qv', 'cv')} AS s
+          FROM cand)
+        SELECT query_id, query_label, neighbor_id, neighbor_label,
+               CAST(rank AS INT) AS rank, round(s, 6) AS score
         FROM ranked WHERE rank <= 5"""
     # IVF + k-means: the 2 Lloyd iterations are unrolled as CTE stages
     # (_kmeans_cte); centroid means are fixed-point exact in BOTH engines

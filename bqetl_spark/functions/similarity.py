@@ -121,6 +121,66 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     F.round("score", score_decimals).alias("score")))
 
 
+def hard_negatives_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       label_col: str = "label",
+                       n_lists: int = 16, n_probe: int = 4,
+                       score_decimals: int = 4) -> DataFrame:
+    """Hard-negative mining through the IVF candidate path — the
+    PRODUCTION shape of :func:`hard_negatives` (r6 verdict item 5): the
+    brute-force variant's broadcast non-equi join is the deliberate
+    baseline, but at 100 TB the corpus side must be bucket-pruned, not
+    scanned per query. Composition: corpus vectors coarse-assign to
+    their 1 nearest of ``n_lists`` seed lists (Arrow-vectorized, same
+    machinery as :func:`ivf_topk`), queries probe their ``n_probe``
+    nearest lists, candidates come from the EQUI-join on list_id (no
+    BNLJ anywhere in the plan), and the null-safe label inequality
+    (IS DISTINCT FROM semantics) prunes candidates BEFORE scoring.
+
+    Approximate by design — recall vs the exact miner is floored in
+    tests/test_ann_recall.py; determinism (stride seeds + stable argmax
+    assignment) makes the full result SQL-replayable, so the gate is
+    value-hash-checked like embed_ivf_topk, not rows-only.
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label, rank,
+    score)."""
+    stride = _count_stride(corpus, n_lists)
+    seeds = (corpus.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
+             .limit(n_lists)
+             .select(F.col(id_col).alias("list_id"),
+                     F.col(vec_col).alias("centroid")))
+    seed_rows = sorted(seeds.collect(), key=lambda r: r["list_id"])
+    seed_ids = [int(r["list_id"]) for r in seed_rows]
+    seed_vecs = [[float(x) for x in r["centroid"]] for r in seed_rows]
+
+    def assign(df: DataFrame, prefix: str, keep: int) -> DataFrame:
+        top_udf = _top_lists_udf(seed_ids, seed_vecs, keep)
+        return (df.select(F.col(id_col).alias(f"{prefix}_id"),
+                          F.col(label_col).alias(f"{prefix}_label"),
+                          F.col(vec_col).alias(f"{prefix}_vec"))
+                .select(f"{prefix}_id", f"{prefix}_label", f"{prefix}_vec",
+                        F.explode(top_udf(F.col(f"{prefix}_vec")))
+                        .alias("list_id")))
+
+    c_assign = assign(corpus, "c", 1)
+    q_assign = assign(queries, "q", n_probe)
+    cand = (c_assign.join(F.broadcast(q_assign), "list_id")
+            .filter((F.col("c_id") != F.col("q_id"))
+                    & ~F.col("q_label").eqNullSafe(F.col("c_label")))
+            .dropDuplicates(["q_id", "c_id"]))
+    scored = cand.withColumn(
+        "score", _dot(F.col("q_vec"), F.col("c_vec"))
+        / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("q_id").alias("query_id"),
+                    F.col("q_label").alias("query_label"),
+                    F.col("c_id").alias("neighbor_id"),
+                    F.col("c_label").alias("neighbor_label"), "rank",
+                    F.round("score", score_decimals).alias("score")))
+
+
 def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          block_col: str | None = None,

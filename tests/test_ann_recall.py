@@ -64,3 +64,27 @@ def test_ivf_refined_not_worse(spark, emb):
     # refinement may shuffle list boundaries; require it not to collapse
     assert _recall(refined, exact) >= _recall(plain, exact) - 0.25
     assert _recall(refined, exact) > 0
+
+def test_hard_negatives_ann_recall_floor(spark, emb):
+    """r7: the IVF-path hard-negative miner must recover most of the
+    exact miner's negatives (verdict floor >= 0.9 at generous probes)
+    and every pair it emits must satisfy the label constraint."""
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = sim.hard_negatives(emb, q, k=5).collect()
+    ann = sim.hard_negatives_ann(emb, q, k=5, n_lists=16,
+                                 n_probe=12).collect()
+    assert _recall(ann, exact) >= 0.9
+    for r in ann:
+        assert r["query_label"] != r["neighbor_label"]
+
+
+def test_hard_negatives_ann_plan_is_equi_join(spark, emb):
+    """The production shape's whole point: candidates come from the
+    list_id equi-join — no BroadcastNestedLoopJoin / CartesianProduct
+    anywhere in the plan (the brute-force sibling is the allowlisted
+    exception, not this)."""
+    q = emb.filter(F.col("vec_id") < 10)
+    plan = sim.hard_negatives_ann(emb, q, k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
