@@ -59,6 +59,11 @@ def tfidf_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     scored = (tf.join(F.broadcast(idf), "tok")
               .groupBy(id_col)
               .agg(F.sum(F.col("tf") * F.col("idf")).alias("score")))
+    # Unpartitioned Window AFTER the .limit(k): the logged "No Partition
+    # Defined" warning is cosmetic here — the window input is the top-k
+    # rows (k <= ~1024 in every caller), not the corpus; the distributed
+    # heavy lifting is the TakeOrdered(k) in the limit. Boundedness is
+    # pinned by tests/test_retrieval.py (test_topk_window_input_is_bounded).
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return (scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
             .withColumn("rank", F.row_number().over(w).cast("int")))

@@ -176,6 +176,13 @@ def sampled_quantiles(df: DataFrame, value_col: str, id_expr,
     sample = (df.select(F.col(value_col).alias("v"),
                         kmv_hash(id_expr).alias("hv"))
               .orderBy("hv").limit(k))
+    # Unpartitioned Window BELOW THE .limit(k): Spark logs "No Partition
+    # Defined ... may cause serious performance degradation", but the
+    # input here is the k-row sample (k <= ~1024), never the data — a
+    # single-partition rank over a bounded sample is the POINT of the
+    # sketch. Boundedness is pinned by tests/test_sketch_kmv.py
+    # (test_quantile_window_input_is_bounded). At 100 TB the heavy work
+    # is the TakeOrdered(k) above, which is distributed.
     w = Window.orderBy("v", "hv")
     ranked = (sample
               .select("v", F.row_number().over(w).alias("rv"),

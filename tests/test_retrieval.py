@@ -83,3 +83,22 @@ def test_idf_margin_on_gate_corpora(sf_dir):
         v = IDF_SCALE * math.log(n / df_t)
         frac = abs(v - round(v))
         assert frac > 1e-3, (term, sf_dir, v)
+
+
+def test_topk_window_input_is_bounded(spark):
+    """r7 (verdict item 7): tfidf_topk's unpartitioned rank Window runs
+    over the already-limited top-k rows; the plan must show the limit
+    below the Window so the single-partition stage is k-bounded."""
+    from pyspark.sql import functions as F
+
+    from bqetl_spark.functions.retrieval import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(i, "spark etl data " * (i % 7 + 1)) for i in range(200)],
+        "doc_id long, text string")
+    out = tfidf_topk(docs, ["spark", "data"], k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    wpos = plan.find("Window")
+    lpos = max(plan.find("TakeOrderedAndProject"), plan.find("GlobalLimit"))
+    assert wpos != -1 and lpos != -1 and wpos < lpos, plan
+    assert out.count() <= 10

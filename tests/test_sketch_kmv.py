@@ -191,3 +191,18 @@ def test_percentile_band_filter_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         percentile_band_filter(df, "v", F.col("id"), lo=0.9, hi=0.1)
+
+
+def test_quantile_window_input_is_bounded(spark):
+    """r7 (verdict item 7): the unpartitioned Window in
+    sampled_quantiles ranks the k-row SAMPLE, not the data — the plan must
+    show the limit(k) BELOW the Window (so the single-partition stage is
+    bounded by construction and the WindowExec warning is cosmetic)."""
+    from bqetl_spark.functions.sketch import sampled_quantiles
+
+    df = spark.range(10000).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    out = sampled_quantiles(df, "v", F.col("id"), k=256, qs=[0.5])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    wpos = plan.find("Window")
+    lpos = max(plan.find("TakeOrderedAndProject"), plan.find("GlobalLimit"))
+    assert wpos != -1 and lpos != -1 and wpos < lpos, plan
