@@ -2488,187 +2488,182 @@ def q_tfidf_topk(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver evaluates exactly the FIRST 50 dict
-    # entries each round (r1-r5 all confirm). Gates outside the window are
-    # NOT unverified: the full-sweep artifact (SWEEP_r06.json) hash-checks
+    # entries each round (r1-r6 all confirm). Gates outside the window are
+    # NOT unverified: the full-sweep artifact (SWEEP_r07.json) hash-checks
     # every oracle under driver conditions each round, and the fuzz tiers
     # (tests/test_oracle_fuzz.py) re-verify 60+ gates on random data every
-    # suite run. Round-6 window, in priority order:
-    #   1. the 6 brand-new r6 gates needing first-ever driver rows
-    #      (multimodal_png, temperature_quotas/sample, stream_kmv,
-    #      hard_negatives, compression_ratio — the last is the repo's one
-    #      rows-only gate, DEFLATE not being SQL-replayable)
-    #   2. the 5 gates that ERRed in the r5 driver run (array outputs, now
-    #      scalarized via posexplode + guarded by the scalar-output lint
-    #      in tests/test_entry.py) — re-certification is the round's top
-    #      verdict demand
-    #   3. gates whose code or oracle changed this round: pagerank (long
-    #      node ids), minhash_incremental (0.9/32-band hardening),
-    #      key_skew (oracle NULLS FIRST), events_gapfill (BIGINT grid),
-    #      kmv_distinct/kmv_incremental (NULL-group/value fix),
-    #      compact_roundtrip (in-place guard + split-up),
-    #      bq_sink_emulated (schema evolution + REQUIRED enforcement)
-    #   4. the 8 gates whose last driver row is r2 (stale per the r5
-    #      verdict item 3) — freshness refresh
-    #   5. the 5 gates the r5 ordering explicitly displaced to this round
-    #   6. r3 greens rotating back in (fill to 50, oldest first)
-    # Tail: remaining r3 greens (rotate to r7), then r4 greens, then r5
-    # greens (freshest rows already banked).
+    # suite run.
+    #
+    # As of r7 this ordering is GENERATED, not hand-maintained (verdict r6
+    # item 1): tools/window_order.py derives it from the CORRECTNESS_r*
+    # history — (1) brand-new gates needing first-ever driver rows
+    # (pyds_pushdown, multimodal_jpeg, hard_negatives_ann), (2) gates whose
+    # code or oracle changed this round (increasing_runs Catalyst default;
+    # pyds_ndjson pushFilters+coercion; pagerank node_label integer shift;
+    # the four multimodal gates' explicit ASCII predicate; stream_kmv /
+    # upsert_customers scratch-dir handling), (3) everything else oldest
+    # newest-driver-row first — which pulls the 16 r3-stale gates from the
+    # r6 verdict into the window, then fills with the oldest r4 rows.
+    # Regenerate after gate changes with:
+    #   python3 tools/window_order.py --new <gates> --changed <gates>
+    # tests/test_entry.py::test_window_order_matches_tool pins dict order
+    # to the tool's output so the comment cannot drift from reality.
     return {
-        "multimodal_png": q_multimodal_png,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "temperature_quotas": q_temperature_quotas,
-        "temperature_sample": q_temperature_sample,
-        "stream_kmv": q_stream_kmv,
-        "hard_negatives": q_hard_negatives,
-        "hard_negatives_ann": q_hard_negatives_ann,
-        "compression_ratio": q_compression_ratio,
-        "increasing_runs": q_increasing_runs,
-        "corpus_keep_reasons": q_corpus_keep_reasons,
-        "incremental_agg": q_incremental_agg,
-        "pyds_ndjson": q_pyds_ndjson,
         "pyds_pushdown": q_pyds_pushdown,
-        "percentile_band": q_percentile_band,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        "embed_centroids": q_embed_centroids,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "hard_negatives_ann": q_hard_negatives_ann,
+        "increasing_runs": q_increasing_runs,
+        "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
-        "minhash_incremental": q_minhash_incremental,
-        "key_skew": q_key_skew,
-        "events_gapfill": q_events_gapfill,
-        "kmv_distinct": q_kmv_distinct,
-        "kmv_incremental": q_kmv_incremental,
-        "compact_roundtrip": q_compact_roundtrip,
-        "bq_sink_emulated": q_bq_sink_emulated,
-        "string_suite": q_string_suite,
-        "array_suite": q_array_suite,
-        "events_json": q_events_json,
-        "events_calendar": q_events_calendar,
-        "big_orders": q_big_orders,
-        "market_share": q_market_share,
-        "product_profit": q_product_profit,
-        "promo_revenue": q_promo_revenue,
-        "ship_priority_counts": q_ship_priority_counts,
-        "union_high_value": q_union_high_value,
-        "intersect_customers": q_intersect_customers,
-        "tumbling_window": q_tumbling_window,
-        "pivot_event_counts": q_pivot_event_counts,
-        "dedup_clusters": q_dedup_clusters,
-        "gram_repetition": q_gram_repetition,
-        "multimodal_bytes": q_multimodal_bytes,
-        "dedup_exact": q_dedup_exact,
-        "embed_topk": q_embed_topk,
-        "corpus_keep": q_corpus_keep,
-        "csv_roundtrip": q_csv_roundtrip,
-        "embed_sq_topk": q_embed_sq_topk,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "pii_redact": q_pii_redact,
-        "rollup_grouping_id": q_rollup_grouping_id,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "median_quantity": q_median_quantity,
-        "distinct_suppliers_per_brand": q_distinct_suppliers_per_brand,
-        "range_join_bands": q_range_join_bands,
-        "unpivot_part_metrics": q_unpivot_part_metrics,
-        "ndjson_roundtrip": q_ndjson_roundtrip,
-        "schema_projection": q_schema_projection,
-        "orders_above_customer_avg": q_orders_above_customer_avg,
-        "customer_variance": q_customer_variance,
-        "frame_samples": q_frame_samples,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_png": q_multimodal_png,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_audio": q_multimodal_audio,
+        "stream_kmv": q_stream_kmv,
         "upsert_customers": q_upsert_customers,
         "cube_status_priority": q_cube_status_priority,
-        "top_tokens": q_top_tokens,
-        "text_quality": q_text_quality,
-        "quality_filter": q_quality_filter,
-        "lang_id": q_lang_id,
-        "token_stats": q_token_stats,
+        "customer_variance": q_customer_variance,
+        "distinct_suppliers_per_brand": q_distinct_suppliers_per_brand,
         "embed_neardup": q_embed_neardup,
-        "scd2_intervals": q_scd2_intervals,
-        "stream_events_hourly": q_stream_events_hourly,
-        "stream_click_to_purchase": q_stream_click_to_purchase,
-        "stream_dedup": q_stream_dedup,
+        "frame_samples": q_frame_samples,
+        "lang_id": q_lang_id,
+        "ndjson_roundtrip": q_ndjson_roundtrip,
+        "orders_above_customer_avg": q_orders_above_customer_avg,
+        "quality_filter": q_quality_filter,
+        "range_join_bands": q_range_join_bands,
+        "schema_projection": q_schema_projection,
+        "text_quality": q_text_quality,
+        "token_stats": q_token_stats,
+        "top_tokens": q_top_tokens,
+        "unpivot_part_metrics": q_unpivot_part_metrics,
+        "asof_purchase": q_asof_purchase,
+        "conditional_aggs": q_conditional_aggs,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_keep_best": q_dedup_keep_best,
         "denorm_flat": q_denorm_flat,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "doc_chunks": q_doc_chunks,
+        "embed_ivf_topk": q_embed_ivf_topk,
+        "embed_lsh_topk": q_embed_lsh_topk,
+        "events_hourly": q_events_hourly,
+        "except_segments": q_except_segments,
+        "forecast_revenue": q_forecast_revenue,
+        "heavy_suppliers": q_heavy_suppliers,
+        "heavy_tokens": q_heavy_tokens,
+        "idle_customers": q_idle_customers,
+        "important_parts": q_important_parts,
+        "min_price_supplier": q_min_price_supplier,
         "namespace_project": q_namespace_project,
-        "nest_orders": q_nest_orders,
         "nest_chunked": q_nest_chunked,
+        "nest_orders": q_nest_orders,
+        "orc_roundtrip": q_orc_roundtrip,
+        "order_count_histogram": q_order_count_histogram,
+        "pack_sequences": q_pack_sequences,
+        "parts_never_ordered": q_parts_never_ordered,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue": q3_top_revenue,
         "q5_region_revenue": q5_region_revenue,
-        "min_price_supplier": q_min_price_supplier,
-        "returned_revenue_topn": q_returned_revenue_topn,
-        "forecast_revenue": q_forecast_revenue,
-        "volume_shipping": q_volume_shipping,
-        "important_parts": q_important_parts,
-        "order_count_histogram": q_order_count_histogram,
-        "top_supplier": q_top_supplier,
-        "supplier_cnt_by_attrs": q_supplier_cnt_by_attrs,
-        "small_qty_revenue": q_small_qty_revenue,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "heavy_suppliers": q_heavy_suppliers,
-        "waiting_suppliers": q_waiting_suppliers,
-        "idle_customers": q_idle_customers,
-        "window_running_total": q_window_running_total,
         "quantity_percentiles": q_quantity_percentiles,
-        "conditional_aggs": q_conditional_aggs,
-        "events_hourly": q_events_hourly,
-        "sessionize": q_sessionize,
-        "asof_purchase": q_asof_purchase,
-        "parts_never_ordered": q_parts_never_ordered,
-        "suppliers_with_sales": q_suppliers_with_sales,
-        "except_segments": q_except_segments,
+        "returned_revenue_topn": q_returned_revenue_topn,
         "rollup_revenue": q_rollup_revenue,
-        "doc_chunks": q_doc_chunks,
-        "sample_hash": q_sample_hash,
-        "pack_sequences": q_pack_sequences,
-        "stream_user_totals": q_stream_user_totals,
-        "snapshot_reconcile": q_snapshot_reconcile,
-        "dedup_keep_best": q_dedup_keep_best,
-        "stratified_sample": q_stratified_sample,
-        "orc_roundtrip": q_orc_roundtrip,
-        "embed_lsh_topk": q_embed_lsh_topk,
-        "embed_ivf_topk": q_embed_ivf_topk,
-        "dedup_incremental": q_dedup_incremental,
-        "stream_sessionize": q_stream_sessionize,
-        "heavy_tokens": q_heavy_tokens,
         "salted_join": q_salted_join,
-        "distinct_segments": q_distinct_segments,
-        "priority_late_ship": q_priority_late_ship,
-        "window_suite": q_window_suite,
+        "sample_hash": q_sample_hash,
+        "scd2_intervals": q_scd2_intervals,
+        "sessionize": q_sessionize,
+        "small_qty_revenue": q_small_qty_revenue,
+        "snapshot_reconcile": q_snapshot_reconcile,
+        "stratified_sample": q_stratified_sample,
+        "stream_click_to_purchase": q_stream_click_to_purchase,
+        "stream_dedup": q_stream_dedup,
+        "stream_events_hourly": q_stream_events_hourly,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_user_totals": q_stream_user_totals,
+        "supplier_cnt_by_attrs": q_supplier_cnt_by_attrs,
+        "suppliers_with_sales": q_suppliers_with_sales,
+        "top_supplier": q_top_supplier,
+        "volume_shipping": q_volume_shipping,
+        "waiting_suppliers": q_waiting_suppliers,
+        "window_running_total": q_window_running_total,
         "asof_nearest": q_asof_nearest,
-        "minhash_lsh": q_minhash_lsh,
-        "ngram_jaccard": q_ngram_jaccard,
+        "bigram_pmi": q_bigram_pmi,
+        "compact_changelog": q_compact_changelog,
+        "contamination": q_contamination,
         "dedup_fingerprint": q_dedup_fingerprint,
-        "interval_overlap": q_interval_overlap,
-        "simhash_pairs": q_simhash_pairs,
-        "winnow_neardup": q_winnow_neardup,
+        "distinct_segments": q_distinct_segments,
+        "doc_chunks_udtf": q_doc_chunks_udtf,
         "embed_ivf_kmeans_topk": q_embed_ivf_kmeans_topk,
-        "semantic_dedup": q_semantic_dedup,
+        "event_transitions": q_event_transitions,
+        "export_shards": q_export_shards,
+        "funnel_stages": q_funnel_stages,
+        "interval_overlap": q_interval_overlap,
+        "lookup_decode": q_lookup_decode,
+        "minhash_lsh": q_minhash_lsh,
+        "mixture_repeats": q_mixture_repeats,
+        "ngram_jaccard": q_ngram_jaccard,
+        "partitioned_roundtrip": q_partitioned_roundtrip,
+        "point_in_time": q_point_in_time,
+        "priority_late_ship": q_priority_late_ship,
+        "quota_sample": q_quota_sample,
+        "retention_cohorts": q_retention_cohorts,
+        "rolling_window": q_rolling_window,
         "salted_join_auto": q_salted_join_auto,
+        "sampled_quantiles": q_sampled_quantiles,
+        "semantic_dedup": q_semantic_dedup,
+        "session_labels": q_session_labels,
         "session_window": q_session_window,
-        "zorder_key": q_zorder_key,
+        "simhash_pairs": q_simhash_pairs,
+        "source_divergence": q_source_divergence,
+        "sql_frontdoor": q_sql_frontdoor,
         "stream_session_window": q_stream_session_window,
         "stream_static_join": q_stream_static_join,
         "stream_upsert": q_stream_upsert,
-        "quota_sample": q_quota_sample,
-        "mixture_repeats": q_mixture_repeats,
-        "contamination": q_contamination,
-        "point_in_time": q_point_in_time,
-        "partitioned_roundtrip": q_partitioned_roundtrip,
-        "compact_changelog": q_compact_changelog,
-        "session_labels": q_session_labels,
-        "rolling_window": q_rolling_window,
-        "doc_chunks_udtf": q_doc_chunks_udtf,
         "tfidf_topk": q_tfidf_topk,
-        "source_divergence": q_source_divergence,
         "weighted_sample": q_weighted_sample,
-        "bigram_pmi": q_bigram_pmi,
-        "export_shards": q_export_shards,
-        "sampled_quantiles": q_sampled_quantiles,
-        "sql_frontdoor": q_sql_frontdoor,
-        "funnel_stages": q_funnel_stages,
-        "event_transitions": q_event_transitions,
-        "retention_cohorts": q_retention_cohorts,
-        "lookup_decode": q_lookup_decode,
+        "window_suite": q_window_suite,
+        "winnow_neardup": q_winnow_neardup,
+        "zorder_key": q_zorder_key,
+        "array_suite": q_array_suite,
+        "big_orders": q_big_orders,
+        "bq_sink_emulated": q_bq_sink_emulated,
+        "compact_roundtrip": q_compact_roundtrip,
+        "compression_ratio": q_compression_ratio,
+        "corpus_keep": q_corpus_keep,
+        "corpus_keep_reasons": q_corpus_keep_reasons,
+        "csv_roundtrip": q_csv_roundtrip,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_exact": q_dedup_exact,
+        "embed_centroids": q_embed_centroids,
+        "embed_sq_topk": q_embed_sq_topk,
+        "embed_topk": q_embed_topk,
+        "events_calendar": q_events_calendar,
+        "events_gapfill": q_events_gapfill,
+        "events_json": q_events_json,
+        "gram_repetition": q_gram_repetition,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "hard_negatives": q_hard_negatives,
+        "incremental_agg": q_incremental_agg,
+        "intersect_customers": q_intersect_customers,
+        "key_skew": q_key_skew,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_incremental": q_kmv_incremental,
+        "market_share": q_market_share,
+        "median_quantity": q_median_quantity,
+        "minhash_incremental": q_minhash_incremental,
+        "multimodal_bytes": q_multimodal_bytes,
+        "multimodal_frames": q_multimodal_frames,
+        "percentile_band": q_percentile_band,
+        "pii_redact": q_pii_redact,
+        "pivot_event_counts": q_pivot_event_counts,
+        "product_profit": q_product_profit,
+        "promo_revenue": q_promo_revenue,
+        "rollup_grouping_id": q_rollup_grouping_id,
+        "ship_priority_counts": q_ship_priority_counts,
+        "string_suite": q_string_suite,
+        "temperature_quotas": q_temperature_quotas,
+        "temperature_sample": q_temperature_sample,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "tumbling_window": q_tumbling_window,
+        "union_high_value": q_union_high_value,
     }
 
 

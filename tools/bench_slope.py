@@ -30,7 +30,10 @@ POINTS = [("sf0.1", "/root/testdata/sf0.1", 1),
           ("sf3", "/tmp/sf3", 30)]
 QUERIES = ["denorm_flat", "q3_top_revenue", "dedup_fingerprint",
            "minhash_lsh", "ngram_jaccard", "winnow_neardup", "pagerank",
-           "embed_topk", "temperature_sample", "incremental_agg"]
+           "embed_topk", "temperature_sample", "incremental_agg",
+           # r7 (verdict item 6): slope evidence for the newer op families
+           "percentile_band", "corpus_keep_reasons", "multimodal_png",
+           "multimodal_jpeg"]
 
 
 def main() -> None:

@@ -32,6 +32,18 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# The CURRENT round's head: brand-new gates (no driver row yet) and gates
+# whose code/oracle changed this round. Update this each round; the
+# --new/--changed CLI flags override it. tests/test_entry.py pins the
+# queries() dict order to compute_order(..., **ROUND_HEAD), so a stale
+# constant fails the suite instead of silently drifting.
+ROUND_HEAD = {
+    "new_first": ["pyds_pushdown", "multimodal_jpeg", "hard_negatives_ann"],
+    "changed": ["increasing_runs", "pyds_ndjson", "pagerank",
+                "multimodal_decode", "multimodal_png", "multimodal_resize",
+                "multimodal_audio", "stream_kmv", "upsert_customers"],
+}
+
 
 def gate_history(repo=REPO):
     """gate -> newest round with a GREEN driver row (0 = never)."""
@@ -77,8 +89,8 @@ def compute_order(gates, newest, changed=(), new_first=()):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--changed", default="", help="comma list of gates whose code/oracle changed")
-    ap.add_argument("--new", default="", help="comma list of brand-new gates, in desired order")
+    ap.add_argument("--changed", default=None, help="comma list of gates whose code/oracle changed (default: ROUND_HEAD)")
+    ap.add_argument("--new", default=None, help="comma list of brand-new gates, in desired order (default: ROUND_HEAD)")
     ap.add_argument("--window", type=int, default=50)
     args = ap.parse_args(argv)
 
@@ -87,8 +99,10 @@ def main(argv=None):
     order = compute_order(
         gates,
         newest,
-        changed=[g for g in args.changed.split(",") if g],
-        new_first=[g for g in args.new.split(",") if g],
+        changed=(ROUND_HEAD["changed"] if args.changed is None
+                 else [g for g in args.changed.split(",") if g]),
+        new_first=(ROUND_HEAD["new_first"] if args.new is None
+                   else [g for g in args.new.split(",") if g]),
     )
     for i, g in enumerate(order):
         marker = "  <-- window edge" if i == args.window - 1 else ""
