@@ -1694,6 +1694,20 @@ def q_hard_negatives_ann(spark, sf_dir):
                                   score_decimals=6)
 
 
+def q_substring_dup(spark, sf_dir):
+    """EXACT substring-duplication pairs (functions.dedup.
+    substring_dup_pairs, r7): doc pairs sharing an identical 64-char
+    window at stride-8 offsets — the verbatim-span detector of
+    Lee et al.'s exact-substring dedup, char-granular. Literal equality
+    through md5 digests both engines compute identically (char-indexed
+    substr + UTF-8 md5 on both sides, so non-ASCII is safe here unlike
+    the byte-sliced media gates); inverted-index equi-join with the
+    standard max_window_freq boilerplate guard — never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.substring_dup_pairs(docs, window=64, stride=8,
+                                  max_window_freq=50)
+
+
 def q_embed_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return sim.cosine_neardup_pairs(emb, threshold=0.45)
@@ -2512,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyds_pushdown": q_pyds_pushdown,
         "multimodal_jpeg": q_multimodal_jpeg,
         "hard_negatives_ann": q_hard_negatives_ann,
+        "substring_dup": q_substring_dup,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -4212,6 +4227,33 @@ def oracle_sql() -> dict[str, str]:
           ON c.user_id = dim.user_id AND c.ts >= dim.vf
              AND (dim.vt IS NULL OR c.ts < dim.vt)"""
     # contamination: same 8-gram construction + md5 digest join
+    # exact substring duplication: literal 64-char window equality via
+    # md5 (both engines hash the UTF-8 of the same char-indexed slice);
+    # CONTENT-DEFINED selection (digest-derived hv % 8 = 0 — alignment-
+    # independent, same 15-hex-digit integerization as Spark's
+    # conv(substr(md5,1,15),16,10)); DISTINCT (id, digest) before the
+    # guard so df_h counts documents; guard <= 50 documents per digest,
+    # pairs from the digest equi-join
+    d["substring_dup"] = """
+        WITH w AS (
+          SELECT DISTINCT id, h FROM (
+            SELECT doc_id AS id,
+                   md5(substr(text, CAST(p AS INT), 64)) AS h
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(
+                            1, len(text) - 63)) AS p) s
+            WHERE len(text) >= 64)
+          WHERE ('0x' || substr(h, 1, 15))::BIGINT % 8 = 0
+        ), f AS (
+          SELECT h FROM w GROUP BY h HAVING count(*) <= 50
+        ), wf AS (
+          SELECT w.id, w.h FROM w JOIN f USING (h)
+        )
+        SELECT a.id AS doc_a, b.id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM wf a JOIN wf b USING (h)
+        WHERE a.id < b.id
+        GROUP BY a.id, b.id"""
     d["contamination"] = f"""
         WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),
         g AS (

@@ -735,3 +735,68 @@ def contamination_flags(corpus: DataFrame, benchmark: DataFrame, n: int = 8,
                  F.count_distinct("bench_id").alias("n_benchmark_docs"))
             .select(F.col("id").alias(id_col), "n_shared_grams",
                     "n_benchmark_docs"))
+
+
+def substring_dup_pairs(df: DataFrame, window: int = 64, stride: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_window_freq: int | None = 50) -> DataFrame:
+    """EXACT substring-duplication mining (r7): all document pairs
+    sharing an identical ``window``-character substring — the
+    character-level exact-overlap signal ("Deduplicating Training Data
+    Makes Language Models Better" finds verbatim ≥50-token spans are the
+    dominant duplication mode in web corpora; this is that detector with
+    characters for tokens).
+
+    Sampling is CONTENT-DEFINED, not positional: a window is indexed iff
+    its digest ≡ 0 (mod ``stride``) — the selection decision depends
+    only on the window's BYTES, so the same span is sampled identically
+    in every document containing it, at any alignment (a positional
+    stride would only match docs whose span offsets agree mod stride —
+    the classic misalignment failure winnowing also exists to avoid).
+    stride=1 indexes every window (fully exact); stride=s keeps an
+    expected 1/s of them, and a shared span of L chars is missed with
+    probability (1−1/s)^(L−window+1) — ~2e-4 already at L = 2·window,
+    s=8. Matches themselves stay EXACT: the join predicate is literal
+    equality of the windows via md5 digests both engines compute
+    identically, so the oracle replays everything verbatim.
+
+    Scale shape: digest computation is the O(n·window) exact-detector
+    cost paid ONCE per corpus, map-only; the index that shuffles is the
+    selected ~|chars|/stride rows of (digest, id); pairs come from the
+    digest equi-join, never all-pairs; ``max_window_freq`` drops digests
+    appearing in more documents than that (boilerplate — headers,
+    license blocks — the same guard every gram op here carries). The
+    cheap probabilistic sibling is winnow_overlap_pairs (rolling-hash
+    minima); this op is the exact end of that dial.
+
+    Returns (doc_a, doc_b, n_shared BIGINT) with doc_a < doc_b, where
+    n_shared counts DISTINCT shared selected digests.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError(f"window/stride must be >= 1, got {window}/{stride}")
+    n_part = compute_parallelism(df.sparkSession)
+    digest = F.md5(F.expr(f"substring(__t, p, {window})"))
+    hv = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    wins = (df.repartition(n_part, id_col)
+            .filter(F.length(text_col) >= window)
+            .select(F.col(id_col).alias("id"),
+                    F.explode(F.sequence(
+                        F.lit(1),
+                        F.length(text_col) - window + 1)).alias("p"),
+                    F.col(text_col).alias("__t"))
+            .select("id", digest.alias("h"), hv.alias("__hv"))
+            .filter(F.pmod(F.col("__hv"), F.lit(stride)) == 0)
+            .select("id", "h")
+            .distinct())
+    if max_window_freq is not None:
+        freq = wins.groupBy("h").agg(F.count("*").alias("df_h"))
+        wins = (wins.join(freq.filter(F.col("df_h") <= max_window_freq),
+                          "h").drop("df_h"))
+    a = wins.select(F.col("id").alias("doc_a"), "h")
+    b = wins.select(F.col("id").alias("doc_b"), "h")
+    return (a.join(b, "h")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_shared"))
+            .select("doc_a", "doc_b",
+                    F.col("n_shared").cast("long").alias("n_shared")))

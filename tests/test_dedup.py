@@ -233,3 +233,65 @@ def test_contamination_flags_exact(spark):
     # boilerplate guard: grams in >1 benchmark docs droppable
     guarded = contamination_flags(corpus, bench, n=8, max_gram_freq=0)
     assert guarded.count() == 0
+
+
+# --- exact substring duplication (r7) ----------------------------------
+
+
+def test_substring_dup_exact_pairs(spark):
+    """Docs sharing a long verbatim span are caught at ANY alignment
+    (content-defined selection); docs with no shared window are not."""
+    from bqetl_spark.functions.dedup import substring_dup_pairs
+
+    span = "the quick brown fox jumps over the lazy dog " * 4  # 176 chars
+    docs = spark.createDataFrame(
+        [(1, "A" * 7 + span + "tail one"),      # span at offset 8
+         (2, "BB" + span + "different tail"),   # same span, offset 3
+         (3, "unrelated text " * 20),
+         (4, "unrelated text " * 20)],          # 3,4 identical -> pair
+        "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+           for r in substring_dup_pairs(
+               docs, window=64, stride=8, max_window_freq=None).collect()}
+    assert (1, 2) in out and (3, 4) in out
+    assert (1, 3) not in out and (2, 4) not in out
+
+
+def test_substring_dup_alignment_independence(spark):
+    """Content-defined selection: a window is indexed iff its digest
+    selects it, independent of where it sits in the document — so the
+    same long span pairs up every offset with every other (a positional
+    stride would only match offsets equal mod stride, the misalignment
+    failure this design avoids)."""
+    from bqetl_spark.functions.dedup import substring_dup_pairs
+
+    window, stride = 32, 8
+    # 160-char span: miss probability (7/8)^(160-32+1) ~ 3e-8, and md5 is
+    # deterministic, so this test cannot flake
+    span = "".join(chr(97 + (i * 7) % 26) for i in range(160))
+    rows = [(100 + off, "p" * off + span + "q" * 30) for off in range(9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"])
+           for r in substring_dup_pairs(
+               docs, window=window, stride=stride,
+               max_window_freq=None).collect()}
+    # all 9 offsets must pair with each other: C(9,2) = 36 pairs
+    assert len(got) == 36
+
+
+def test_substring_dup_freq_guard(spark):
+    """A window present in > max_window_freq docs is boilerplate: it must
+    not generate pairs (and the guard counts DOCUMENTS, not repeats
+    within one document)."""
+    from bqetl_spark.functions.dedup import substring_dup_pairs
+
+    boiler = "LICENSE HEADER " * 8                # 120 chars, shared by all
+    docs = spark.createDataFrame(
+        [(i, boiler + f"unique body {i} " * 10) for i in range(5)],
+        "doc_id long, text string")
+    guarded = substring_dup_pairs(docs, window=64, stride=8,
+                                  max_window_freq=3).collect()
+    unguarded = substring_dup_pairs(docs, window=64, stride=8,
+                                    max_window_freq=None).collect()
+    assert len(unguarded) == 10                   # C(5,2) via the header
+    assert len(guarded) == 0                      # header freq 5 > 3

@@ -38,7 +38,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # queries() dict order to compute_order(..., **ROUND_HEAD), so a stale
 # constant fails the suite instead of silently drifting.
 ROUND_HEAD = {
-    "new_first": ["pyds_pushdown", "multimodal_jpeg", "hard_negatives_ann"],
+    "new_first": ["pyds_pushdown", "multimodal_jpeg", "hard_negatives_ann",
+                  "substring_dup"],
     "changed": ["increasing_runs", "pyds_ndjson", "pagerank",
                 "multimodal_decode", "multimodal_png", "multimodal_resize",
                 "multimodal_audio", "stream_kmv", "upsert_customers"],
