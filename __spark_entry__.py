@@ -1694,6 +1694,23 @@ def q_hard_negatives_ann(spark, sf_dir):
                                   score_decimals=6)
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE merge-table training (functions.bpe.bpe_train,
+    r7): 8 merges learned from the documents word-frequency table —
+    Sennrich's formulation, which collapses the corpus to (word, freq)
+    in one shuffle and runs every iteration on that compact table. The
+    double-space symbol encoding makes the merge a plain replace with
+    identical greedy-left semantics in Spark and DuckDB, pair counts are
+    integer sums with a total-order tie-break, so the oracle unrolls the
+    8 iterations as CTEs (_bpe_cte) and the driver hash-checks the full
+    learned merge table — an ITERATIVE algorithm under a value oracle,
+    like pagerank."""
+    from bqetl_spark.functions.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=8)
+
+
 def q_substring_dup(spark, sf_dir):
     """EXACT substring-duplication pairs (functions.dedup.
     substring_dup_pairs, r7): doc pairs sharing an identical 64-char
@@ -2527,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg": q_multimodal_jpeg,
         "hard_negatives_ann": q_hard_negatives_ann,
         "substring_dup": q_substring_dup,
+        "bpe_train": q_bpe_train,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -2703,6 +2721,50 @@ _NORM = ("sqrt(list_reduce(list_transform({a}, "
 def _cosine_sql(a: str, b: str) -> str:
     return (f"({_DOT.format(a=a, b=b)} / "
             f"({_NORM.format(a=a)} * {_NORM.format(a=b)}))")
+
+
+def _bpe_cte(n_merges: int) -> str:
+    """Unrolled BPE training as DuckDB CTEs (same treatment as the
+    pagerank / k-means oracle unrolls): v0 = the word-frequency table
+    with each word encoded ' c  h  a  r  s  </w> '; then per merge k:
+    p_k (integer pair counts), b_k (argmax with count DESC, l ASC, r ASC
+    tie-break), v_k (plain replace — identical left-to-right
+    non-overlapping scan in both engines). The final SELECT unions the
+    n_merges argmax rows into the merge table."""
+    parts = [r"""v0 AS (
+          SELECT word, freq,
+                 ' ' || array_to_string(list_append(list_transform(
+                     generate_series(1, length(word)), i -> word[i]),
+                     '</w>'), '  ') || ' ' AS s
+          FROM (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+              SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                     AS word
+              FROM documents)
+            WHERE word != '' GROUP BY word))"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""p{k} AS (
+          SELECT sym[i] AS l, sym[i+1] AS r,
+                 CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (SELECT string_split(trim(s), '  ') AS sym, freq
+                FROM v{k - 1}),
+               LATERAL (SELECT unnest(generate_series(1, len(sym) - 1))
+                        AS i) t
+          GROUP BY 1, 2)""")
+        parts.append(f"""b{k} AS (
+          SELECT l, r, cnt FROM p{k}
+          ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)""")
+        if k < n_merges:
+            parts.append(f"""v{k} AS (
+          SELECT word, freq,
+                 replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                         ' ' || b.l || b.r || ' ') AS s
+          FROM v{k - 1}, b{k} b)""")
+    union = "\n          UNION ALL ".join(
+        f"""SELECT CAST({k} AS BIGINT) AS "rank", l AS "left", """
+        f"""r AS "right", l || r AS merged, cnt AS pair_count FROM b{k}"""
+        for k in range(1, n_merges + 1))
+    return ",\n        ".join(parts) + f"\n        SELECT * FROM ({union})"
 
 
 def _kmeans_cte(n_lists: int, iters: int, dim: int = 64) -> str:
@@ -4254,6 +4316,11 @@ def oracle_sql() -> dict[str, str]:
         FROM wf a JOIN wf b USING (h)
         WHERE a.id < b.id
         GROUP BY a.id, b.id"""
+    # BPE training: 8 iterations unrolled (see _bpe_cte) — argmax pair
+    # per round is integer-exact with a total-order tie-break, the merge
+    # replace has identical greedy-left semantics in both engines
+    d["bpe_train"] = f"""
+        WITH {_bpe_cte(8)}"""
     d["contamination"] = f"""
         WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),
         g AS (
