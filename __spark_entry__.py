@@ -1711,6 +1711,22 @@ def q_bpe_train(spark, sf_dir):
     return bpe_train(docs, n_merges=8)
 
 
+def q_bpe_segments(spark, sf_dir):
+    """BPE segmentation of the corpus with the merges just learned
+    (functions.bpe.bpe_apply after bpe_train, r7): one row per subword
+    occurrence (doc_id, token, pos). The apply side is map-only chained
+    replaces; the oracle reuses the unrolled-training CTEs' final vocab
+    (v8) — per-word segmentation is a pure function of the word, so
+    joining tokens to v8 replays the apply exactly. Certifies the
+    LEARN→APPLY loop end to end, not just the merge table."""
+    from bqetl_spark.functions.bpe import bpe_apply, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r["left"], r["right"])
+              for r in bpe_train(docs, n_merges=8).orderBy("rank").collect()]
+    return bpe_apply(docs, merges)
+
+
 def q_substring_dup(spark, sf_dir):
     """EXACT substring-duplication pairs (functions.dedup.
     substring_dup_pairs, r7): doc pairs sharing an identical 64-char
@@ -2545,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_ann": q_hard_negatives_ann,
         "substring_dup": q_substring_dup,
         "bpe_train": q_bpe_train,
+        "bpe_segments": q_bpe_segments,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -2723,14 +2740,16 @@ def _cosine_sql(a: str, b: str) -> str:
             f"({_NORM.format(a=a)} * {_NORM.format(a=b)}))")
 
 
-def _bpe_cte(n_merges: int) -> str:
+def _bpe_cte(n_merges: int, emit: str = "merges") -> str:
     """Unrolled BPE training as DuckDB CTEs (same treatment as the
     pagerank / k-means oracle unrolls): v0 = the word-frequency table
     with each word encoded ' c  h  a  r  s  </w> '; then per merge k:
     p_k (integer pair counts), b_k (argmax with count DESC, l ASC, r ASC
     tie-break), v_k (plain replace — identical left-to-right
-    non-overlapping scan in both engines). The final SELECT unions the
-    n_merges argmax rows into the merge table."""
+    non-overlapping scan in both engines). emit='merges' appends the
+    final SELECT unioning the n_merges argmax rows; emit='vocab' instead
+    returns only the CTE chain INCLUDING v{n} (the fully-merged per-word
+    segmentation) for the bpe_segments apply oracle to join."""
     parts = [r"""v0 AS (
           SELECT word, freq,
                  ' ' || array_to_string(list_append(list_transform(
@@ -2754,12 +2773,15 @@ def _bpe_cte(n_merges: int) -> str:
         parts.append(f"""b{k} AS (
           SELECT l, r, cnt FROM p{k}
           ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)""")
-        if k < n_merges:
+        if k < n_merges or emit == "vocab":
             parts.append(f"""v{k} AS (
           SELECT word, freq,
                  replace(s, ' ' || b.l || '  ' || b.r || ' ',
                          ' ' || b.l || b.r || ' ') AS s
           FROM v{k - 1}, b{k} b)""")
+    if emit == "vocab":
+        # callers join the fully-merged per-word segmentation (v{n})
+        return ",\n        ".join(parts)
     union = "\n          UNION ALL ".join(
         f"""SELECT CAST({k} AS BIGINT) AS "rank", l AS "left", """
         f"""r AS "right", l || r AS merged, cnt AS pair_count FROM b{k}"""
@@ -4321,6 +4343,29 @@ def oracle_sql() -> dict[str, str]:
     # replace has identical greedy-left semantics in both engines
     d["bpe_train"] = f"""
         WITH {_bpe_cte(8)}"""
+    # BPE segmentation: the fully-merged per-word form (v8) IS what
+    # bpe_apply's chained replaces compute per occurrence, so the oracle
+    # joins doc tokens to v8 and explodes the double-space split;
+    # pos = word_pos*1000 + sym_pos, both 0-based on both sides
+    d["bpe_segments"] = f"""
+        WITH {_bpe_cte(8, emit="vocab")},
+        dw AS (
+          SELECT doc_id, ws[i] AS word,
+                 CAST(i - 1 AS BIGINT) AS word_pos
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents),
+               LATERAL (SELECT unnest(generate_series(1, len(ws)))
+                        AS i) t
+          WHERE ws[i] != ''
+        ), seg AS (
+          SELECT word, string_split(trim(s), '  ') AS sym FROM v8
+        )
+        SELECT dw.doc_id, sym[j] AS token,
+               CAST(dw.word_pos * 1000 + (j - 1) AS BIGINT) AS pos
+        FROM dw JOIN seg USING (word),
+             LATERAL (SELECT unnest(generate_series(1, len(sym)))
+                      AS j) u"""
     d["contamination"] = f"""
         WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),
         g AS (
