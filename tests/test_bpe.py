@@ -95,3 +95,20 @@ def test_bpe_train_no_python_row_path(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "PythonEval" not in plan and "ArrowEval" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_bpe_collected_matches_distributed(spark):
+    """The production-shape in-process trainer must produce the SAME
+    merge table as the distributed loop — algorithm, greedy semantics
+    and tie-breaks included."""
+    from bqetl_spark.functions.bpe import bpe_train_collected
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower newest newest newest widest aaaa aaaa"),
+         (2, "the quick brown fox the quick brown the quick the")],
+        "doc_id long, text string")
+    dist = [tuple(r) for r in bpe_train(docs, n_merges=10)
+            .orderBy("rank").collect()]
+    local = [tuple(r) for r in bpe_train_collected(docs, n_merges=10)
+             .orderBy("rank").collect()]
+    assert dist == local
