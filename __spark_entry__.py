@@ -1611,6 +1611,19 @@ def q_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
+def q_ngram_prefix_jaccard(spark, sf_dir):
+    """PPJoin-style prefix-filtered EXACT Jaccard (dedup.
+    ngram_jaccard_prefix_pairs, r7): rarest-first global gram order, only
+    the |S|-ceil(t|S|)+1 prefix indexed, candidates verified with true
+    array intersection. Output is identical to ngram_jaccard by the
+    prefix principle, so it shares that gate's oracle — the hash-match
+    certifies the prefix path loses NO pair. Regime note: wins on
+    small-set/huge-corpus record linkage; on this long-document corpus
+    the count-based exact op is faster (measured, PLANS.md r7)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_prefix_pairs(docs, n=3, threshold=0.5)
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup pairs verified by true Jaccard ≥ 0.9.
 
@@ -2562,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup": q_substring_dup,
         "bpe_train": q_bpe_train,
         "bpe_segments": q_bpe_segments,
+        "ngram_prefix_jaccard": q_ngram_prefix_jaccard,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -4366,6 +4380,9 @@ def oracle_sql() -> dict[str, str]:
         FROM dw JOIN seg USING (word),
              LATERAL (SELECT unnest(generate_series(1, len(sym)))
                       AS j) u"""
+    # prefix-filtered exact jaccard: same answer as ngram_jaccard by the
+    # prefix principle (no pair lost) -> same oracle
+    d["ngram_prefix_jaccard"] = d["ngram_jaccard"]
     d["contamination"] = f"""
         WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),
         g AS (

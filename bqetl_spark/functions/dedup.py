@@ -800,3 +800,70 @@ def substring_dup_pairs(df: DataFrame, window: int = 64, stride: int = 8,
             .agg(F.count("*").alias("n_shared"))
             .select("doc_a", "doc_b",
                     F.col("n_shared").cast("long").alias("n_shared")))
+
+
+def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", n: int = 3,
+                               threshold: float = 0.5) -> DataFrame:
+    """EXACT n-gram Jaccard pairs with PPJoin-style prefix filtering
+    (r7) — the candidate-reduction upgrade to
+    :func:`ngram_jaccard_pairs`: identical output (pinned by tests), far
+    fewer candidates at scale, with NO frequency-guard truncation
+    needed.
+
+    Prefix principle (public, Xiao et al. PPJoin): order every gram by a
+    global total order (ascending document frequency, ties by gram — the
+    rarest-first order that maximizes pruning); for Jaccard >= t two
+    gram sets MUST share an element within their first
+    |S| - ceil(t·|S|) + 1 grams, so only THAT prefix needs indexing. The
+    candidate join therefore touches ~(1-t) of the inverted index, and —
+    unlike ``max_gram_freq`` — drops nothing: a boilerplate gram shared
+    by every doc lands at the END of the frequency order, OUTSIDE most
+    prefixes, pruned by math instead of by a cap.
+
+    Verification is exact: candidates re-join the pinned gram arrays and
+    count |A∩B| with array_intersect (per-candidate O(|A|+|B|)).
+
+    MEASURED VERDICT (PLANS.md r7): on THIS corpus the inverted-index
+    count formulation wins — prefix 6.2 s vs 1.5 s at sf0.1, 244 s vs
+    14.6 s at sf1 — because documents carry hundreds of grams, so the
+    per-candidate array-verify and the full-index rank window dominate.
+    PPJoin's regime is SMALL sets (record linkage: titles, attribute
+    strings, tens of tokens) over huge corpora, where the prefix index
+    cuts candidates by ~(1-t) and arrays are cheap to intersect. The op
+    stays for that regime and as the no-truncation alternative where
+    ``max_gram_freq``'s capping is unacceptable; outputs are pinned
+    identical to ngram_jaccard_pairs (tests + the shared oracle).
+
+    Same output columns as ngram_jaccard_pairs: (id_a, id_b, jaccard)."""
+    n_part = compute_parallelism(df.sparkSession)
+    from pyspark.sql import Window
+
+    base = (df.repartition(n_part, id_col)
+            .select(F.col(id_col).alias("id"),
+                    tokens(F.col(text_col)).alias("__tk"))
+            .select("id", word_ngrams_of("__tk", n).alias("gr"))
+            .withColumn("n_gr", F.size("gr")))
+    base = pin(base)
+    inv = base.select("id", "n_gr", F.explode("gr").alias("g"))
+    df_g = inv.groupBy("g").agg(F.count("*").alias("df_g"))
+    ranked = inv.join(df_g, "g")
+    w = Window.partitionBy("id").orderBy(F.asc("df_g"), F.asc("g"))
+    prefix_len = (F.col("n_gr")
+                  - F.ceil(F.lit(float(threshold)) * F.col("n_gr")) + 1)
+    pref = (ranked.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= prefix_len)
+            .select("id", "g"))
+    cand = (pref.select(F.col("id").alias("id_a"), "g")
+            .join(pref.select(F.col("id").alias("id_b"), "g"), "g")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    av = base.select(F.col("id").alias("id_a"), F.col("gr").alias("gr_a"),
+                     F.col("n_gr").alias("na"))
+    bv = base.select(F.col("id").alias("id_b"), F.col("gr").alias("gr_b"),
+                     F.col("n_gr").alias("nb"))
+    verified = (cand.join(av, "id_a").join(bv, "id_b")
+                .withColumn("c", F.size(F.array_intersect("gr_a", "gr_b"))))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (verified.filter(jac >= threshold)
+            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard")))

@@ -295,3 +295,20 @@ def test_substring_dup_freq_guard(spark):
                                     max_window_freq=None).collect()
     assert len(unguarded) == 10                   # C(5,2) via the header
     assert len(guarded) == 0                      # header freq 5 > 3
+
+
+def test_ngram_prefix_equals_inverted_index(spark):
+    """r7 PPJoin-style prefix filter: the prefix principle loses no pair,
+    so the output must equal ngram_jaccard_pairs exactly."""
+    from bqetl_spark.functions.dedup import (ngram_jaccard_pairs,
+                                             ngram_jaccard_prefix_pairs)
+
+    rows = [(i, f"alpha beta gamma delta {i % 4} epsilon zeta eta theta")
+            for i in range(12)] + [(100, "totally different words here now")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    pref = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_prefix_pairs(
+                docs, threshold=0.5).collect()}
+    assert exact == pref and len(exact) > 0
