@@ -84,6 +84,13 @@ EXTRAS = [
     "incremental_agg",
     "pyds_ndjson",
     "percentile_band",
+    # round 7
+    "pyds_pushdown",
+    "multimodal_jpeg",
+    "hard_negatives_ann",
+    "substring_dup",
+    "bpe_train",
+    "ngram_prefix_jaccard",
 ]
 
 
