@@ -79,6 +79,22 @@ def main() -> None:
     measure("sq8", {"bits": 8},
             lambda: sim.sq_cosine_topk(emb, q, k=K))
 
+    # r7: hard-negative mining through the IVF path — recall measured
+    # against the EXACT different-label miner (its own ground truth, not
+    # the unconstrained top-k)
+    hn_truth = truth_set(sim.hard_negatives(emb, q, k=K).collect())
+    for n_probe in (4, 8, 12):
+        t0 = time.perf_counter()
+        rows = sim.hard_negatives_ann(emb, q, k=K, n_lists=16,
+                                      n_probe=n_probe).collect()
+        sec = round(time.perf_counter() - t0, 3)
+        got = truth_set(rows)
+        points.append({"algo": "hard_negatives_ann",
+                       "params": {"n_lists": 16, "n_probe": n_probe},
+                       "sec": sec,
+                       "recall": round(len(got & hn_truth) / len(hn_truth),
+                                       4)})
+
     print(json.dumps({"metric": "ann_curves", "sf": SF_DIR, "k": K,
                       "n_queries": N_QUERIES,
                       "exact_sec": exact_sec, "points": points}))

@@ -562,12 +562,24 @@ def _build_decoders():
         def extend(v, t):
             return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
-        cos_tab = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in
-                    range(8)] for x in range(8)]
-        c_of = [1 / math.sqrt(2)] + [1.0] * 7
+        import numpy as np
+
+        # IDCT as two 8x8 matmuls: out = M @ B @ M.T with
+        # M[x][u] = C(u)·cos((2x+1)uπ/16)/2 — numpy float64 keeps the
+        # same rounding guarantees the gate leans on (DC-only constant
+        # blocks reconstruct within ~1e-13 of the integer, so round()
+        # recovers it exactly; the Huffman layer stays bit-serial Python
+        # because entropy decode is inherently sequential)
+        M = np.array([[(1 / math.sqrt(2) if u == 0 else 1.0)
+                       * math.cos((2 * x + 1) * u * math.pi / 16) / 2
+                       for u in range(8)] for x in range(8)])
+        unzig = np.argsort(np.array(_ZIGZAG))  # zigzag index -> block pos
 
         bw, bh = (w + 7) // 8, (h + 7) // 8
-        planes = [bytearray(bw * 8 * bh * 8) for _ in comps]
+        planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+                  for _ in comps]
+        qvecs = {tq: np.array(qv, dtype=np.float64)
+                 for tq, qv in qt.items()}
         rdr = _Bits(data, spos)
         pred = {cid: 0 for cid, _ in comps}
         mcu = 0
@@ -579,12 +591,11 @@ def _build_decoders():
                 mcu += 1
                 for ci, (cid, tq) in enumerate(comps):
                     td, ta = sel[cid]
-                    q = qt[tq]
-                    zz = [0] * 64
+                    zz = np.zeros(64, dtype=np.float64)
                     t = huff_decode(rdr, dc_tabs[td])
                     diff = extend(rdr.read(t), t) if t else 0
                     pred[cid] += diff
-                    zz[0] = pred[cid] * q[0]
+                    zz[0] = pred[cid]
                     k = 1
                     while k < 64:
                         rs = huff_decode(rdr, ac_tabs[ta])
@@ -597,60 +608,25 @@ def _build_decoders():
                         k += r
                         if k > 63:
                             raise ValueError("AC index overrun")
-                        zz[k] = extend(rdr.read(ssss), ssss) * q[k]
+                        zz[k] = extend(rdr.read(ssss), ssss)
                         k += 1
-                    blk = [0.0] * 64
-                    for i, z in enumerate(_ZIGZAG):
-                        blk[z] = float(zz[i])
-                    # separable IDCT: rows then columns
-                    tmp = [0.0] * 64
-                    for y in range(8):
-                        for x in range(8):
-                            s = 0.0
-                            for u in range(8):
-                                s += c_of[u] * blk[y * 8 + u] \
-                                    * cos_tab[x][u]
-                            tmp[y * 8 + x] = s / 2
-                    plane = planes[ci]
-                    for x in range(8):
-                        for y in range(8):
-                            s = 0.0
-                            for v in range(8):
-                                s += c_of[v] * tmp[v * 8 + x] \
-                                    * cos_tab[y][v]
-                            val = int(round(s / 2 + 128))
-                            val = 0 if val < 0 else (255 if val > 255
-                                                     else val)
-                            px, py = bx * 8 + x, by * 8 + y
-                            plane[py * bw * 8 + px] = val
+                    B = (zz * qvecs[tq])[unzig].reshape(8, 8)
+                    out = M @ B @ M.T + 128.0
+                    blk = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+                    planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
 
-        stride = bw * 8
         if len(comps) == 1:
-            rgb = bytearray(3 * w * h)
-            p0 = planes[0]
-            for y in range(h):
-                for x in range(w):
-                    v = p0[y * stride + x]
-                    i = 3 * (y * w + x)
-                    rgb[i] = rgb[i + 1] = rgb[i + 2] = v
-            return w, h, bytes(rgb)
+            g = planes[0][:h, :w]
+            return w, h, np.repeat(g.reshape(-1), 3).tobytes()
         if len(comps) == 3:
-            rgb = bytearray(3 * w * h)
-            py_, pcb, pcr = planes
-            for y in range(h):
-                for x in range(w):
-                    yy = py_[y * stride + x]
-                    cb = pcb[y * stride + x] - 128
-                    cr = pcr[y * stride + x] - 128
-                    i = 3 * (y * w + x)
-                    for j, f in enumerate((yy + 1.402 * cr,
-                                           yy - 0.344136 * cb
-                                           - 0.714136 * cr,
-                                           yy + 1.772 * cb)):
-                        v = int(round(f))
-                        rgb[i + j] = 0 if v < 0 else (255 if v > 255
-                                                      else v)
-            return w, h, bytes(rgb)
+            yy = planes[0][:h, :w].astype(np.float64)
+            cb = planes[1][:h, :w].astype(np.float64) - 128.0
+            cr = planes[2][:h, :w].astype(np.float64) - 128.0
+            rgb = np.stack([yy + 1.402 * cr,
+                            yy - 0.344136 * cb - 0.714136 * cr,
+                            yy + 1.772 * cb], axis=-1)
+            return w, h, np.clip(np.rint(rgb), 0,
+                                 255).astype(np.uint8).tobytes()
         raise ValueError(f"unsupported component count {len(comps)}")
 
     def encode_jpeg_gray(w, h, gray, quant=None):
@@ -674,12 +650,20 @@ def _build_decoders():
             raise ValueError("encode_jpeg_gray needs block-aligned dims")
         if len(gray) != w * h:
             raise ValueError(f"gray length {len(gray)} != {w}*{h}")
+        import numpy as np
+
         q = list(quant) if quant is not None else [1] * 64
         dc_code = _huff_codes(_DC_BITS, _DC_VALS)
         ac_code = _huff_codes(_AC_BITS, _AC_VALS)
-        cos_tab = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in
-                    range(8)] for x in range(8)]
-        c_of = [1 / math.sqrt(2)] + [1.0] * 7
+        # FDCT as two 8x8 matmuls: F = M.T @ P @ M (same basis matrix as
+        # the decoder's IDCT — see decode_jpeg)
+        M = np.array([[(1 / math.sqrt(2) if u == 0 else 1.0)
+                       * math.cos((2 * x + 1) * u * math.pi / 16) / 2
+                       for u in range(8)] for x in range(8)])
+        gray_a = np.frombuffer(bytes(gray), dtype=np.uint8) \
+            .reshape(h, w).astype(np.float64) - 128.0
+        zig = np.array(_ZIGZAG)
+        qv = np.array(q, dtype=np.float64)
 
         out = bytearray()
         acc = [0, 0]                                # bit accumulator, count
@@ -705,20 +689,11 @@ def _build_decoders():
         pred = 0
         for by in range(h // 8):
             for bx in range(w // 8):
-                # FDCT (separable), level-shifted input
-                px = [[gray[(by * 8 + y) * w + bx * 8 + x] - 128
-                       for x in range(8)] for y in range(8)]
-                tmp = [[sum(px[y][x] * cos_tab[x][u] for x in range(8))
-                        * c_of[u] / 2 for u in range(8)] for y in range(8)]
-                coef = [0.0] * 64
-                for u in range(8):
-                    for v in range(8):
-                        coef[v * 8 + u] = sum(
-                            tmp[y][u] * cos_tab[y][v]
-                            for y in range(8)) * c_of[v] / 2
-                # quantize in zigzag order
-                zz = [int(round(coef[_ZIGZAG[i]] / q[i])) for i in
-                      range(64)]
+                P = gray_a[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                coef = (M.T @ P @ M).reshape(-1)
+                # quantize in zigzag order (np.rint = banker's rounding,
+                # same as the Python round() it replaces)
+                zz = [int(v) for v in np.rint(coef[zig] / qv)]
                 diff = zz[0] - pred
                 pred = zz[0]
                 t = category(diff)
