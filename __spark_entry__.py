@@ -2788,11 +2788,16 @@ def _bpe_cte(n_merges: int, emit: str = "merges") -> str:
           SELECT l, r, cnt FROM p{k}
           ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)""")
         if k < n_merges or emit == "vocab":
+            # LEFT JOIN ON TRUE + coalesce, NOT a cross join: when the
+            # corpus runs out of pairs before merge k (b{k} empty), the
+            # vocab must pass through unchanged — a cross join would
+            # empty it, which diverges from the trainer's early stop
+            # (found by the r7 fuzz tier on tiny random corpora)
             parts.append(f"""v{k} AS (
           SELECT word, freq,
-                 replace(s, ' ' || b.l || '  ' || b.r || ' ',
-                         ' ' || b.l || b.r || ' ') AS s
-          FROM v{k - 1}, b{k} b)""")
+                 coalesce(replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                                  ' ' || b.l || b.r || ' '), s) AS s
+          FROM v{k - 1} LEFT JOIN b{k} b ON TRUE)""")
     if emit == "vocab":
         # callers join the fully-merged per-word segmentation (v{n})
         return ",\n        ".join(parts)

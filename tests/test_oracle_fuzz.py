@@ -99,7 +99,25 @@ def _check(spark, sf_dir, name):
                                   # r6: verdict table — random corpora hit
                                   # the quality/duplicate branches the
                                   # clean sf tables never produce
-                                  "corpus_keep_reasons"])
+                                  "corpus_keep_reasons",
+                                  # r7: exact-substring windows (short-doc
+                                  # filtering, content-defined selection)
+                                  "substring_dup",
+                                  # r7: BPE — tiny corpora exhaust pairs
+                                  # before 8 merges (early-stop parity;
+                                  # the segments oracle's LEFT JOIN
+                                  # pass-through exists because THIS tier
+                                  # caught the cross-join emptying vocab)
+                                  "bpe_train", "bpe_segments",
+                                  # r7: lossy-codec gate on random bytes
+                                  "multimodal_jpeg",
+                                  # r7: prefix filter must lose no pair
+                                  # on ANY corpus
+                                  "ngram_prefix_jaccard",
+                                  # r7: pushed filters under random data
+                                  # (mostly-empty matches still certify
+                                  # three-valued drop semantics)
+                                  "pyds_pushdown"])
 def test_doc_gates_on_random_corpora(spark, tmp_path_factory, gate):
     @_SET
     @given(rows=_doc_strategy)

@@ -20,7 +20,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-    ROOT, "BENCH_EXTRAS_r06.json")
+    ROOT, "BENCH_EXTRAS_r07.json")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM_DIR = "/root/testdata/sf0.01"
 DUCK_CAP_S = 60
