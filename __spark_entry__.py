@@ -1707,6 +1707,32 @@ def q_hard_negatives_ann(spark, sf_dir):
                                   score_decimals=6)
 
 
+def q_cms_tokens(spark, sf_dir):
+    """Count-min sketch token-frequency estimates (functions.sketch.
+    cms_sketch/cms_estimate, r7): a 4×128 counter grid over document
+    tokens, point estimates for a fixed query list (incl. an absent
+    token, whose estimate is pure collision mass) joined with the exact
+    counts. md5-derived hash family → the grid AND the estimates replay
+    bit-identically in SQL (the KMV treatment); the grid is depth·width
+    rows of state regardless of corpus size, and counters ADD under
+    union (mergeability pinned in tests)."""
+    from bqetl_spark.functions.sketch import cms_estimate, cms_sketch
+    from bqetl_spark.functions.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    sk = cms_sketch(toks, "tok", width=128, depth=4)
+    queries_list = ["spark", "shuffle", "window", "data", "the",
+                    "zzz_absent_token"]
+    est = cms_estimate(sk, queries_list, width=128, depth=4)
+    exact = (toks.groupBy(F.col("tok").alias("value"))
+             .agg(F.count("*").cast("long").alias("exact_cnt")))
+    return (est.join(exact, "value", "left")
+            .select("value", "est",
+                    F.coalesce("exact_cnt", F.lit(0)).cast("long")
+                    .alias("exact_cnt")))
+
+
 def q_bpe_train(spark, sf_dir):
     """Distributed BPE merge-table training (functions.bpe.bpe_train,
     r7): 8 merges learned from the documents word-frequency table —
@@ -2576,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_segments": q_bpe_segments,
         "ngram_prefix_jaccard": q_ngram_prefix_jaccard,
+        "cms_tokens": q_cms_tokens,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -4357,6 +4384,40 @@ def oracle_sql() -> dict[str, str]:
         FROM wf a JOIN wf b USING (h)
         WHERE a.id < b.id
         GROUP BY a.id, b.id"""
+    # count-min sketch: the 4x128 grid and the min-over-rows estimates
+    # replay exactly (md5 hash family, integer counters); query values
+    # are the same fixed literal list
+    d["cms_tokens"] = r"""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS v
+          FROM documents
+        ), grid AS (
+          SELECT d, ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || v),
+                                    1, 15))::BIGINT % 128 AS idx,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM toks, (SELECT unnest(range(4)) AS d)
+          GROUP BY 1, 2
+        ), q AS (
+          SELECT unnest(['spark', 'shuffle', 'window', 'data', 'the',
+                         'zzz_absent_token']) AS value
+        ), cells AS (
+          SELECT q.value, d.d,
+                 ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' ||
+                                     q.value), 1, 15))::BIGINT % 128
+                   AS idx
+          FROM q, (SELECT unnest(range(4)) AS d) d
+        ), est AS (
+          SELECT c.value,
+                 CAST(min(coalesce(g.cnt, 0)) AS BIGINT) AS est
+          FROM cells c LEFT JOIN grid g ON c.d = g.d AND c.idx = g.idx
+          GROUP BY c.value
+        ), exact AS (
+          SELECT v AS value, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM toks GROUP BY v
+        )
+        SELECT e.value, e.est,
+               CAST(coalesce(x.exact_cnt, 0) AS BIGINT) AS exact_cnt
+        FROM est e LEFT JOIN exact x USING (value)"""
     # BPE training: 8 iterations unrolled (see _bpe_cte) — argmax pair
     # per round is integer-exact with a total-order tie-break, the merge
     # replace has identical greedy-left semantics in both engines

@@ -271,3 +271,70 @@ def kmv_estimate(merged: DataFrame, group_col: str, k: int) -> DataFrame:
          .alias("est_distinct"),
         F.when(F.size("mins") < k, F.lit(None).cast("long"))
          .otherwise(kth).alias("kth_hash"))
+
+
+def cms_sketch(df: DataFrame, value_col, width: int = 256,
+               depth: int = 4) -> DataFrame:
+    """Count-min sketch of ``value_col`` occurrences (r7): a
+    depth×width counter grid where row d counts values at column
+    h_d(v) = md5-derived-int('d:' || v) mod width. The classic
+    mergeable frequency summary — estimates are upper bounds with error
+    <= N·e/width at confidence 1-e^-depth, counters ADD under union
+    (sums commute), and the md5 hash family makes the grid — and thus
+    the ESTIMATES, not just their bounds — bit-replayable in a SQL
+    oracle (same treatment as the KMV sketch).
+
+    Scale shape: one explode (depth rows per value row, depth is 4) +
+    one map-side-combined sum aggregation on (d, idx); the sketch is
+    depth·width rows of state TOTAL, independent of data size. Returns
+    (d INT, idx INT, cnt BIGINT), only non-zero cells.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    rows = df.select(c.cast("string").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    hv = F.conv(F.substring(F.md5(F.concat_ws(":", F.col("d").cast("string"),
+                                              F.col("__v"))), 1, 15),
+                16, 10).cast("long")
+    return (rows.select("__v", d)
+            .select(F.col("d").cast("int").alias("d"),
+                    F.pmod(hv, F.lit(width)).cast("int").alias("idx"))
+            .groupBy("d", "idx")
+            .agg(F.count("*").cast("long").alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union count-min sketches built with the SAME (width, depth):
+    counters add cell-wise — the mergeability that lets per-shard /
+    per-day sketches roll up without rescanning anything."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return (u.groupBy("d", "idx")
+            .agg(F.sum("cnt").cast("long").alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, values, width: int = 256,
+                 depth: int = 4) -> DataFrame:
+    """Point-frequency estimates from a count-min sketch: for each query
+    value, min over rows d of counter[d][h_d(v)] (absent cell = 0).
+    ``values`` is a small literal list (the query side is metadata);
+    returns (value STRING, est BIGINT). est >= true count always;
+    over-estimation comes only from cell collisions."""
+    spark = sketch.sparkSession
+    q = spark.createDataFrame([(str(v),) for v in values], "value string")
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    hv = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col("d").cast("string"), F.col("value"))), 1, 15),
+        16, 10).cast("long")
+    cells = (q.select("value", d)
+             .select("value", F.col("d").cast("int").alias("d"),
+                     F.pmod(hv, F.lit(width)).cast("int").alias("idx")))
+    return (cells.join(sketch, ["d", "idx"], "left")
+            .groupBy("value")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .cast("long").alias("est")))

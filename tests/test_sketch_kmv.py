@@ -206,3 +206,46 @@ def test_quantile_window_input_is_bounded(spark):
     wpos = plan.find("Window")
     lpos = max(plan.find("TakeOrderedAndProject"), plan.find("GlobalLimit"))
     assert wpos != -1 and lpos != -1 and wpos < lpos, plan
+
+
+# --- count-min sketch (r7) ---------------------------------------------
+
+
+def test_cms_overestimates_never_under(spark):
+    """est >= true count for every present value (the CMS guarantee),
+    and with width >> distinct values the estimates are exact."""
+    from bqetl_spark.functions.sketch import cms_estimate, cms_sketch
+
+    rows = [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "v string")
+    sk = cms_sketch(df, "v", width=256, depth=4)
+    est = {r["value"]: r["est"]
+           for r in cms_estimate(sk, ["a", "b", "c", "missing"],
+                                 width=256, depth=4).collect()}
+    assert est["a"] >= 7 and est["b"] >= 3 and est["c"] >= 1
+    # 3 distinct values, 256 cells -> collisions essentially impossible
+    assert est == {"a": 7, "b": 3, "c": 1, "missing": 0}
+
+
+def test_cms_merge_equals_union(spark):
+    """Counters add: sketch(A) + sketch(B) must equal sketch(A u B)
+    cell for cell — the mergeability a rollup pipeline relies on."""
+    from bqetl_spark.functions.sketch import cms_merge, cms_sketch
+
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, "v string")
+    b = spark.createDataFrame([("x",)] * 1 + [("z",)] * 4, "v string")
+    merged = {(r["d"], r["idx"]): r["cnt"]
+              for r in cms_merge(cms_sketch(a, "v", 64, 3),
+                                 cms_sketch(b, "v", 64, 3)).collect()}
+    direct = {(r["d"], r["idx"]): r["cnt"]
+              for r in cms_sketch(a.unionByName(b), "v", 64, 3).collect()}
+    assert merged == direct
+
+
+def test_cms_state_is_bounded(spark):
+    """The sketch never exceeds depth*width rows no matter the input."""
+    from bqetl_spark.functions.sketch import cms_sketch
+
+    df = spark.range(5000).selectExpr("CAST(id AS STRING) AS v")
+    sk = cms_sketch(df, "v", width=32, depth=4)
+    assert sk.count() <= 32 * 4
