@@ -117,7 +117,10 @@ def _check(spark, sf_dir, name):
                                   # r7: pushed filters under random data
                                   # (mostly-empty matches still certify
                                   # three-valued drop semantics)
-                                  "pyds_pushdown"])
+                                  "pyds_pushdown",
+                                  # r7: CMS grid + estimates on random
+                                  # token distributions
+                                  "cms_tokens"])
 def test_doc_gates_on_random_corpora(spark, tmp_path_factory, gate):
     @_SET
     @given(rows=_doc_strategy)
