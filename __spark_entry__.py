@@ -2572,6 +2572,70 @@ def q_tfidf_topk(spark, sf_dir):
     return rt.tfidf_topk(docs, ["spark", "shuffle", "window"], k=20)
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Top-20 documents by BM25 (functions.retrieval.bm25_topk, r7) —
+    TF-IDF's production successor: tf saturation (k1=6/5) + doc-length
+    normalization (b=3/4). The rational k1/b make everything EXCEPT the
+    idf ln exact integer arithmetic: per-term contribution is
+    idf·22·tf·T div (10·tf·T + 3·T + 9·dl·N), DECIMAL(38,0) div on
+    Spark ≡ HUGEINT // on DuckDB (probed equal); idf is Lucene's
+    always-positive floor(1e6·ln((2N+2)/(2df+1))), margin-audited."""
+    docs = _t(spark, sf_dir, "documents")
+    return rt.bm25_topk(docs, ["spark", "shuffle", "window"], k=20)
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Per-returnflag distinct-orderkey estimate via HyperLogLog
+    (functions.sketch.hll_sketch/hll_estimate, r7) — the canonical
+    mergeable cardinality sketch (what warehouses expose as
+    approx_count_distinct), joined with the exact distinct counts. The
+    md5 hash family and bin()-length rho (minimal-binary parity probed
+    across engines) make the 256 registers AND the integerized harmonic-
+    mean estimate bit-replayable in SQL; registers MAX under union
+    (mergeability pinned in tests like kmv_incremental). State is 256
+    small ints per group regardless of corpus size."""
+    li = _t(spark, sf_dir, "lineitem")
+    regs = sk.hll_sketch(li, "l_orderkey", "l_returnflag")
+    est = sk.hll_estimate(regs, "l_returnflag")
+    exact = (li.groupBy("l_returnflag")
+             .agg(F.countDistinct("l_orderkey").cast("long")
+                  .alias("exact_cnt")))
+    return est.join(exact, "l_returnflag")
+
+
+def q_bloom_prune(spark, sf_dir):
+    """Bloom-filter fact-side pruning (functions.sketch.bloom_build/
+    bloom_might_contain, r7) — the explicit runtime-filter shape: build
+    a 32768-bit / 3-hash bitmap from the URGENT orders' keys (state is
+    m BITS, the collect is m-bounded metadata), then test every distinct
+    lineitem orderkey MAP-ONLY against the literal bitmap — no join, no
+    shuffle on the probe side; at 100 TB this prunes the fact table
+    before the join shuffle. Returns the one-row confusion summary; the
+    driver hash-checks it (false_neg pinned 0 by construction, the md5
+    position family replays exactly in SQL)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey"))
+    words = sk.bloom_build(urgent, "o_orderkey", m_bits=32768, k_hashes=3)
+    probe = (li.select("l_orderkey")
+             .filter(F.col("l_orderkey").isNotNull()).distinct())
+    flg = probe.withColumn(
+        "bp", sk.bloom_might_contain("l_orderkey", words,
+                                     m_bits=32768, k_hashes=3))
+    mem = urgent.distinct().withColumn("m", F.lit(1))
+    return (flg.join(mem, flg.l_orderkey == mem.o_orderkey, "left")
+            .agg(F.count("*").cast("long").alias("probed"),
+                 F.sum(F.when(F.col("bp"), 1).otherwise(0)).cast("long")
+                 .alias("bloom_pass"),
+                 F.sum(F.when(F.col("m").isNotNull(), 1).otherwise(0))
+                 .cast("long").alias("true_members"),
+                 F.sum(F.when(F.col("bp") & F.col("m").isNull(), 1)
+                       .otherwise(0)).cast("long").alias("false_pos"),
+                 F.sum(F.when(~F.col("bp") & F.col("m").isNotNull(), 1)
+                       .otherwise(0)).cast("long").alias("false_neg")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver evaluates exactly the FIRST 50 dict
     # entries each round (r1-r6 all confirm). Gates outside the window are
@@ -2583,7 +2647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # As of r7 this ordering is GENERATED, not hand-maintained (verdict r6
     # item 1): tools/window_order.py derives it from the CORRECTNESS_r*
     # history — (1) brand-new gates needing first-ever driver rows
-    # (pyds_pushdown, multimodal_jpeg, hard_negatives_ann), (2) gates whose
+    # (pyds_pushdown, multimodal_jpeg, hard_negatives_ann, ... and the
+    # late-r7 hll_distinct / bloom_prune / bm25_topk), (2) gates whose
     # code or oracle changed this round (increasing_runs Catalyst default;
     # pyds_ndjson pushFilters+coercion; pagerank node_label integer shift;
     # the four multimodal gates' explicit ASCII predicate; stream_kmv /
@@ -2603,6 +2668,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segments": q_bpe_segments,
         "ngram_prefix_jaccard": q_ngram_prefix_jaccard,
         "cms_tokens": q_cms_tokens,
+        "hll_distinct": q_hll_distinct,
+        "bloom_prune": q_bloom_prune,
+        "bm25_topk": q_bm25_topk,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -4418,6 +4486,118 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.value, e.est,
                CAST(coalesce(x.exact_cnt, 0) AS BIGINT) AS exact_cnt
         FROM est e LEFT JOIN exact x USING (value)"""
+    # HyperLogLog: registers (md5 60-bit hash, top-8-bit bucket,
+    # bin()-length rho — minimal-binary parity probed) and the
+    # integerized harmonic-mean estimate replay exactly; HUGEINT //
+    # ≡ Spark DECIMAL(38,0) div (probed). The linear-counting branch's
+    # ln has only 255 possible arguments, all margin-audited in pytest.
+    d["hll_distinct"] = f"""
+        WITH h AS (
+          SELECT l_returnflag AS g,
+                 ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+                   ::BIGINT AS hv
+          FROM lineitem WHERE l_orderkey IS NOT NULL),
+        rr AS (
+          SELECT g, (hv >> 52)::INT AS bucket,
+                 CAST(CASE WHEN (hv & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                      ELSE 53 - length(bin(hv & ((1::BIGINT << 52) - 1)))
+                      END AS INT) AS rho
+          FROM h),
+        reg AS (SELECT g, bucket, max(rho) AS max_rho
+                FROM rr GROUP BY g, bucket),
+        agg AS (
+          SELECT g, CAST(count(*) AS INT) AS n_buckets,
+                 sum((1::BIGINT << (53 - max_rho))) AS pow_sum
+          FROM reg GROUP BY g),
+        e AS (
+          SELECT g, n_buckets,
+                 CAST({sk.HLL_RAW_NUM} AS HUGEINT)
+                   // (CAST(1000000 AS HUGEINT) *
+                       ((256 - n_buckets)::HUGEINT * (1::BIGINT << 53)
+                        + pow_sum)) AS raw,
+                 (CAST(256 AS BIGINT) *
+                  CAST(floor(1000000 * ln(256.0 / (256 - n_buckets)))
+                       AS BIGINT)) // 1000000 AS lc
+          FROM agg),
+        exact AS (
+          SELECT l_returnflag AS g,
+                 CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_cnt
+          FROM lineitem GROUP BY 1)
+        SELECT e.g AS l_returnflag, e.n_buckets,
+               CAST(CASE WHEN e.n_buckets < 256 AND e.raw <= 640
+                    THEN e.lc ELSE e.raw END AS BIGINT) AS est,
+               exact.exact_cnt
+        FROM e JOIN exact USING (g)"""
+    # bloom filter: the bitmap-bit test is set-equivalent to "all k md5
+    # positions present among the build side's positions", which is what
+    # the join-count replay computes; false_neg is 0 by construction
+    d["bloom_prune"] = """
+        WITH urgent AS (
+          SELECT DISTINCT o_orderkey AS k FROM orders
+          WHERE o_orderpriority = '1-URGENT'),
+        pos AS (
+          SELECT DISTINCT ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                           CAST(k AS VARCHAR)), 1, 15))::BIGINT % 32768
+                   AS pos
+          FROM urgent, (SELECT unnest(range(3)) AS i)),
+        probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem
+                  WHERE l_orderkey IS NOT NULL),
+        ph AS (
+          SELECT k, ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                     CAST(k AS VARCHAR)), 1, 15))::BIGINT % 32768 AS pos
+          FROM probe, (SELECT unnest(range(3)) AS i)),
+        hits AS (SELECT ph.k, count(*) AS nhit
+                 FROM ph JOIN pos USING (pos) GROUP BY ph.k),
+        f AS (
+          SELECT probe.k, coalesce(h.nhit, 0) = 3 AS bp,
+                 u.k IS NOT NULL AS m
+          FROM probe LEFT JOIN hits h ON probe.k = h.k
+                     LEFT JOIN urgent u ON probe.k = u.k)
+        SELECT CAST(count(*) AS BIGINT) AS probed,
+               CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT)
+                 AS bloom_pass,
+               CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+                 AS true_members,
+               CAST(sum(CASE WHEN bp AND NOT m THEN 1 ELSE 0 END)
+                    AS BIGINT) AS false_pos,
+               CAST(sum(CASE WHEN NOT bp AND m THEN 1 ELSE 0 END)
+                    AS BIGINT) AS false_neg
+        FROM f"""
+    # BM25: only the idf ln is floated (margin-audited); contributions
+    # are HUGEINT // ≡ Spark DECIMAL(38,0) div, always-positive Lucene
+    # idf so truncation ≡ floor on both engines
+    d["bm25_topk"] = f"""
+        WITH live AS (
+          SELECT doc_id, text FROM documents WHERE trim(text) != ''),
+        meta AS (
+          SELECT count(*) AS n, sum(len({_TOK})) AS t FROM live),
+        tok AS (
+          SELECT doc_id, len({_TOK}) AS dl, unnest({_TOK}) AS tok
+          FROM live),
+        tf AS (
+          SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl FROM tok
+          WHERE tok IN ('spark', 'shuffle', 'window')
+          GROUP BY doc_id, tok),
+        dft AS (
+          SELECT tok,
+                 CAST(floor(1000000 * ln(
+                     (2.0 * (SELECT n FROM meta) + 2) / (2 * count(*) + 1)
+                 )) AS BIGINT) AS idf
+          FROM tf GROUP BY tok),
+        c AS (
+          SELECT q.doc_id,
+                 (CAST(d.idf AS HUGEINT) * 22 * q.tf * (SELECT t FROM meta))
+                 // (CAST(10 AS HUGEINT) * q.tf * (SELECT t FROM meta)
+                     + CAST(3 AS HUGEINT) * (SELECT t FROM meta)
+                     + CAST(9 AS HUGEINT) * q.dl * (SELECT n FROM meta))
+                   AS contrib
+          FROM tf q JOIN dft d USING (tok))
+        SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score,
+               CAST(row_number() OVER (
+                   ORDER BY sum(contrib) DESC, doc_id ASC) AS INT) AS rank
+        FROM c GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 20"""
     # BPE training: 8 iterations unrolled (see _bpe_cte) — argmax pair
     # per round is integer-exact with a total-order tie-break, the merge
     # replace has identical greedy-left semantics in both engines

@@ -91,6 +91,9 @@ EXTRAS = [
     "substring_dup",
     "bpe_train",
     "ngram_prefix_jaccard",
+    "hll_distinct",
+    "bloom_prune",
+    "bm25_topk",
 ]
 
 

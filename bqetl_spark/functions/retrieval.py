@@ -67,3 +67,74 @@ def tfidf_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return (scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
             .withColumn("rank", F.row_number().over(w).cast("int")))
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-k documents by BM25 (r7) — TF-IDF's production successor:
+    term-frequency saturation (k1) plus document-length normalization
+    (b), the default lexical ranker in every search stack.
+
+    With k1 = 6/5 and b = 3/4 the whole score is RATIONAL, so unlike
+    tfidf_topk only the idf ln needs integerizing — the rest is exact
+    integer arithmetic on both engines:
+
+        idf(t)     = floor(10^6 · ln((2N+2)/(2·df_t+1)))
+                     (Lucene's ln(1 + (N−df+0.5)/(df+0.5)) with the
+                      halves cleared; always > 0, so integer division
+                      truncation ≡ floor on both engines)
+        contrib    = (idf · 22 · tf · T) div (10·tf·T + 3·T + 9·dl·N)
+                     — tf·(k1+1)·idf / (tf + k1·(1−b+b·dl/avgdl)) with
+                     avgdl = T/N cleared of fractions; DECIMAL(38,0)
+                     div on Spark ≡ HUGEINT // on DuckDB (probed equal)
+        score(d)   = Σ_{t ∈ query} contrib(t, d)          (BIGINT)
+
+    N (corpus docs) and T (corpus tokens) are metadata scalars. The
+    idf floor boundaries are margin-audited on the real corpora by
+    tests/test_oracle_margins.py.
+
+    Scale shape mirrors tfidf_topk: the term filter lands before the tf
+    aggregation (the exploded relation is pruned to query terms at the
+    first shuffle's map side); dl rides along from the same row as the
+    explode, so no corpus-wide join; top-k is TakeOrdered, no full sort.
+
+    Returns (doc_id, score BIGINT, rank INT) — rank 1 = best; ties break
+    by ascending doc id.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    live = docs.filter(F.trim(F.col(text_col)) != "")
+    n_docs = live.count()                                 # metadata scalar
+    total_tokens = live.select(
+        F.sum(F.size(tokens(F.col(text_col)))).alias("t")
+    ).collect()[0]["t"] or 0                              # metadata scalar
+    tok = live.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("dl"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).filter(F.col("tok").isin(query_terms))
+    tf = (tok.groupBy(id_col, "tok")
+          .agg(F.count("*").alias("tf"), F.max("dl").alias("dl")))
+    df_t = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = df_t.select(
+        "tok",
+        F.floor(F.lit(IDF_SCALE)
+                * F.log(F.lit(float(2 * n_docs + 2))
+                        / (F.lit(2) * F.col("df") + 1))).alias("idf"))
+    dec = "DECIMAL(38,0)"
+    contrib = F.expr(
+        f"CAST(idf AS {dec}) * 22 * tf * CAST({total_tokens} AS {dec}) div "
+        f"(CAST(10 AS {dec}) * tf * CAST({total_tokens} AS {dec}) "
+        f" + CAST(3 AS {dec}) * CAST({total_tokens} AS {dec}) "
+        f" + CAST(9 AS {dec}) * dl * CAST({n_docs} AS {dec}))")
+    scored = (tf.join(F.broadcast(idf), "tok")
+              .withColumn("__c", contrib)
+              .groupBy(id_col)
+              .agg(F.sum("__c").cast("long").alias("score")))
+    # Unpartitioned Window AFTER .limit(k): k-bounded, same proof as
+    # tfidf_topk (tests/test_retrieval.py pins the topk bound pattern).
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("int")))

@@ -338,3 +338,191 @@ def cms_estimate(sketch: DataFrame, values, width: int = 256,
             .groupBy("value")
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .cast("long").alias("est")))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (r7): the canonical mergeable cardinality sketch.
+#
+# KMV (above) answers distinct-count with k 64-bit mins per group; HLL
+# answers it with m = 2^p SMALL integer registers (max leading-run
+# lengths), the state shape every warehouse exposes as approx_count_
+# distinct. We keep the hash family md5-derived so the registers — and
+# the ESTIMATE arithmetic — replay bit-identically in a SQL oracle:
+# one 60-bit hash per value, top HLL_P bits pick the register, the
+# leading-zero run of the remaining HLL_W bits (via length(bin(x)),
+# identical minimal-length semantics in Spark and DuckDB) sets rho.
+# Registers MAX under union, so per-shard / per-day sketches fold into
+# a stored 256-row table without rescanning history (same mergeability
+# contract as kmv_merge, pinned in tests).
+# ---------------------------------------------------------------------------
+
+HLL_P = 8                     # register-index bits
+HLL_M = 1 << HLL_P            # 256 registers
+HLL_W = 60 - HLL_P            # 52 rho bits (md5 prefix gives 60)
+HLL_RHO_MAX = HLL_W + 1       # rho when the 52 rho bits are all zero
+# floor(1e6 * 0.7213 / (1 + 1.079/m)) — the standard bias constant,
+# integerized once here and embedded verbatim in the oracle SQL.
+HLL_ALPHA_PPM = 718272
+# alpha_ppm * m^2 * 2^HLL_RHO_MAX: the raw-estimate numerator as one
+# exact integer constant (DECIMAL(38,0) / HUGEINT on the two engines).
+HLL_RAW_NUM = HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << HLL_RHO_MAX)
+
+
+def hll_sketch(df: DataFrame, value_col, group_col: str | None = None
+               ) -> DataFrame:
+    """Per-group HyperLogLog registers for ``value_col``.
+
+    Returns (grp?, bucket INT, max_rho INT) — only non-empty registers,
+    at most HLL_M rows per group regardless of data size. One shuffle:
+    the map-side-combined MAX aggregation on (grp, bucket).
+    """
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    keys = [group_col] if group_col else []
+    rows = (df.select(*keys, c.cast("string").alias("__v"))
+            .filter(F.col("__v").isNotNull()))
+    hv = F.conv(F.substring(F.md5(F.col("__v")), 1, 15), 16, 10).cast("long")
+    bucket = F.shiftright(hv, HLL_W).cast("int").alias("bucket")
+    rest = hv.bitwiseAND(F.lit((1 << HLL_W) - 1))
+    # leading-zero run length + 1 over the HLL_W-bit field: bin() prints
+    # the minimal binary form in BOTH engines, so bitlen = length(bin(x))
+    # and rho = W - bitlen + 1; the all-zero field gets rho = W + 1.
+    rho = (F.when(rest == 0, F.lit(HLL_RHO_MAX))
+           .otherwise(F.lit(HLL_W + 1) - F.length(F.bin(rest)))
+           .cast("int"))
+    return (rows.select(*keys, bucket, rho.alias("rho"))
+            .groupBy(*keys, "bucket")
+            .agg(F.max("rho").cast("int").alias("max_rho")))
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union HLL sketches built with the same p: registers MAX cell-wise
+    (max commutes), so merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B)
+    exactly — pinned against the plain full-corpus sketch in tests."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    keys = [c for c in u.columns if c not in ("bucket", "max_rho")]
+    return (u.groupBy(*keys, "bucket")
+            .agg(F.max("max_rho").cast("int").alias("max_rho")))
+
+
+def hll_estimate(registers: DataFrame, group_col: str | None = None
+                 ) -> DataFrame:
+    """Distinct-count estimates from HLL registers, integer-exact.
+
+    raw  = floor(alpha_ppm·m²·2^R / (10^6·S)) with
+           S = (m−V)·2^R + Σ_buckets 2^(R−max_rho), R = HLL_RHO_MAX —
+           the harmonic mean rewritten so every term is an integer
+           (DECIMAL(38,0) div on Spark ≡ HUGEINT // on DuckDB, probed
+           equal); V = non-empty register count.
+    When V < m and raw ≤ 5m/2, small-range linear counting applies over
+    the EMPTY-register count Z = m − V:
+           lc = (m · floor(10^6·ln(m/Z))) div 10^6
+    — ln is the single float op; only 255 possible arguments exist, and
+    tests/test_sketch_hll_bloom.py audits every one against its floor
+    boundary (the tfidf idf discipline; min observed distance over the
+    whole domain is 5.7e-4, ~6 orders above worst-case libm ulp noise).
+
+    Returns (grp?, n_buckets INT, est BIGINT).
+    """
+    keys = [group_col] if group_col else []
+    agg = (registers.groupBy(*keys)
+           .agg(F.count("*").cast("int").alias("n_buckets"),
+                F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_MAX} - max_rho)"))
+                .alias("pow_sum")))
+    s_full = (F.lit(HLL_M) - F.col("n_buckets")).cast("long") \
+        * F.lit(1 << HLL_RHO_MAX) + F.col("pow_sum")
+    raw = F.expr(
+        f"CAST({HLL_RAW_NUM} AS DECIMAL(38,0)) div "
+        f"(CAST(1000000 AS DECIMAL(38,0)) * CAST(__s AS DECIMAL(38,0)))"
+    ).cast("long")
+    ln_ppm = F.floor(F.lit(10**6)
+                     * F.log(F.lit(float(HLL_M))
+                             / (F.lit(HLL_M) - F.col("n_buckets"))))
+    lc = F.expr(f"CAST({HLL_M} AS BIGINT) * __ln_ppm div 1000000")
+    return (agg.withColumn("__s", s_full)
+            .withColumn("__raw", raw)
+            .withColumn("__ln_ppm", ln_ppm)
+            .select(*keys, "n_buckets",
+                    F.when((F.col("n_buckets") < HLL_M)
+                           & (F.col("__raw") <= 5 * HLL_M // 2), lc)
+                    .otherwise(F.col("__raw"))
+                    .cast("long").alias("est")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (r7): the explicit runtime-filter shape.
+#
+# Spark's optimizer injects bloom joins on its own
+# (spark.sql.optimizer.runtime.bloomFilter.enabled), but its hash is not
+# replayable in an oracle and the filter is planner-discretionary. This
+# is the deterministic, user-directed variant: build once from the small
+# side (state is m_bits BITS — a few KiB — regardless of build-side row
+# count), then prune the big side MAP-ONLY before it ever reaches the
+# shuffle of a join: each probe row tests k bits of a literal bitmap
+# embedded in the plan, no join, no shuffle, no Python. At 100 TB this
+# is the difference between shuffling every fact row and shuffling the
+# ~selectivity fraction that can possibly match. Zero false negatives by
+# construction; false-positive rate ≈ (1 − e^(−k·n/m))^k.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos(i: int, key) -> "F.Column":
+    """Bit position of hash i for a key: md5-derived 60-bit int mod m —
+    the same '<i>:<value>' keyed-md5 family as cms_sketch, so the oracle
+    replays positions exactly. Returned UNMODDED; callers mod by m."""
+    return F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(str(i)), key.cast("string"))),
+        1, 15), 16, 10).cast("long")
+
+
+def bloom_build(df: DataFrame, key_col: str, m_bits: int = 32768,
+                k_hashes: int = 3) -> list[int]:
+    """Build a bloom bitmap from the (small) build side's keys.
+
+    Distributed part: one distinct on positions — at most m_bits rows
+    survive, so the collect() is m_bits-bounded METADATA (same class as
+    the centroid collects, see SCALING.md), not data. Returns the bitmap
+    as m_bits/64 signed 64-bit words for literal embedding in the probe
+    plan."""
+    if m_bits % 64 != 0 or m_bits < 64:
+        raise ValueError(f"m_bits must be a positive multiple of 64, "
+                         f"got {m_bits}")
+    key = F.col(key_col)
+    pos_rows = (df.filter(key.isNotNull())
+                .select(F.explode(F.array(*[
+                    F.pmod(_bloom_pos(i, key), F.lit(m_bits)).cast("int")
+                    for i in range(k_hashes)])).alias("pos"))
+                .distinct().collect())
+    words = [0] * (m_bits // 64)
+    for row in pos_rows:
+        p = row["pos"]
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement fold so each word is a valid Spark LongType literal
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_might_contain(key, words: list[int], m_bits: int = 32768,
+                        k_hashes: int = 3) -> "F.Column":
+    """Map-only membership test against a bloom bitmap built by
+    bloom_build: AND over k of bit tests
+    (words[pos div 64] >> (pos mod 64)) & 1 — arithmetic shiftright
+    extracts any bit correctly under two's complement, including bit 63.
+    Pure Catalyst expressions over a literal array; O(1) per row.
+
+    NULL keys test FALSE explicitly: concat_ws SKIPS nulls (Spark would
+    otherwise hash the bare '<i>' salt and return a data-independent
+    coin flip), while SQL || propagates NULL — pinning false on both
+    engines keeps the oracle exact under NULL keys (fuzz-found class)."""
+    key = F.col(key) if isinstance(key, str) else key
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    cond = None
+    for i in range(k_hashes):
+        pos = F.pmod(_bloom_pos(i, key), F.lit(m_bits))
+        word = F.element_at(arr, (F.floor(pos / F.lit(64)) + 1).cast("int"))
+        bit = F.call_function("shiftright", word, F.pmod(pos, F.lit(64)))
+        c = bit.bitwiseAND(F.lit(1)) == 1
+        cond = c if cond is None else (cond & c)
+    return F.when(key.isNull(), F.lit(False)).otherwise(cond)

@@ -120,7 +120,11 @@ def _check(spark, sf_dir, name):
                                   "pyds_pushdown",
                                   # r7: CMS grid + estimates on random
                                   # token distributions
-                                  "cms_tokens"])
+                                  "cms_tokens",
+                                  # r7: BM25 — integer rational scoring
+                                  # under random tf/dl mixes (the idf ln
+                                  # margin is separately exhaustive)
+                                  "bm25_topk"])
 def test_doc_gates_on_random_corpora(spark, tmp_path_factory, gate):
     @_SET
     @given(rows=_doc_strategy)
@@ -368,3 +372,33 @@ def test_minhash_incremental_at_threshold_pairs(spark, tmp_path_factory):
     assert got[(7, 2)] == 0.9          # second odd copy pairs with seen
     assert (5, 6) not in got           # below threshold dropped
     assert all(a % 2 == 1 and b % 2 == 0 for a, b in got)
+
+
+@_SET
+@given(rows=st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(0, 400)),   # l_orderkey
+              st.sampled_from(["A", "N", "R"])),            # l_returnflag
+    min_size=1, max_size=120),
+    urgent_frac=st.integers(0, 3))
+def test_hll_bloom_on_random_keys(spark, tmp_path_factory, rows,
+                                  urgent_frac):
+    """r7 sketch gates on random key mixes: duplicate-heavy orderkeys,
+    NULL keys (the concat_ws-skips-nulls vs ||-propagates-nulls
+    divergence this tier pins), and bloom build sides from EMPTY (no
+    urgent orders → all-zero bitmap, nothing passes) to near-total."""
+    d = str(tmp_path_factory.mktemp("fuzz_keys"))
+    li = [(k, flag) for k, flag in rows]
+    spark.createDataFrame(li, "l_orderkey bigint, l_returnflag string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(d, "lineitem.parquet"))
+    # orders: every 4th key urgent when urgent_frac > 0; none when 0
+    okeys = sorted({k for k, _ in rows if k is not None})
+    orders = [(k, "1-URGENT" if urgent_frac and i % 4 < urgent_frac
+               else "3-MEDIUM") for i, k in enumerate(okeys)] or \
+        [(0, "3-MEDIUM")]
+    spark.createDataFrame(orders,
+                          "o_orderkey bigint, o_orderpriority string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(d, "orders.parquet"))
+    for gate in ("hll_distinct", "bloom_prune"):
+        _check(spark, d, gate)

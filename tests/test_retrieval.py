@@ -11,7 +11,7 @@ import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
 
-from bqetl_spark.functions.retrieval import IDF_SCALE, tfidf_topk
+from bqetl_spark.functions.retrieval import IDF_SCALE, bm25_topk, tfidf_topk
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
            "/root/testdata/sf0.1"]
@@ -97,6 +97,111 @@ def test_topk_window_input_is_bounded(spark):
         [(i, "spark etl data " * (i % 7 + 1)) for i in range(200)],
         "doc_id long, text string")
     out = tfidf_topk(docs, ["spark", "data"], k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    wpos = plan.find("Window")
+    lpos = max(plan.find("TakeOrderedAndProject"), plan.find("GlobalLimit"))
+    assert wpos != -1 and lpos != -1 and wpos < lpos, plan
+    assert out.count() <= 10
+
+
+# --------------------------------------------------------------- BM25 --
+
+def _bm25_py(corpus: dict[int, str], terms: list[str], k: int = 10):
+    """Integer-exact Python reference for bm25_topk's arithmetic."""
+    live = {d: t for d, t in corpus.items() if t.strip()}
+    n = len(live)
+    toks = {d: t.split() for d, t in live.items()}
+    big_t = sum(len(v) for v in toks.values())
+    df_t = {q: sum(1 for v in toks.values() if q in v) for q in terms}
+    scores = {}
+    for d, v in toks.items():
+        dl = len(v)
+        s = 0
+        for q in terms:
+            tf = v.count(q)
+            if tf == 0 or df_t[q] == 0:
+                continue
+            idf = math.floor(
+                IDF_SCALE * math.log((2 * n + 2) / (2 * df_t[q] + 1)))
+            s += (idf * 22 * tf * big_t) // (
+                10 * tf * big_t + 3 * big_t + 9 * dl * n)
+        if s:
+            scores[d] = s
+    top = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return [(d, s, i + 1) for i, (d, s) in enumerate(top)]
+
+
+def test_bm25_matches_python_reference(spark):
+    corpus = {
+        1: "apple banana apple apple",
+        2: "apple cherry date fig grape kiwi lemon mango",
+        3: "banana banana",
+        4: "cherry date elderberry apple banana apple",
+        5: "fig",
+        6: "   ",
+    }
+    df = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    got = [(r["doc_id"], r["score"], r["rank"])
+           for r in bm25_topk(df, ["apple", "banana"], k=10).collect()]
+    assert got == _bm25_py(corpus, ["apple", "banana"], k=10)
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf, shorter doc → higher BM25 (the thing tfidf can't do)."""
+    df = spark.createDataFrame(
+        [(1, "apple " + "pad " * 50), (2, "apple pad"),
+         (3, "other words here entirely")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r["score"]
+            for r in bm25_topk(df, ["apple"], k=5).collect()}
+    assert rows[2] > rows[1]
+
+
+def test_bm25_tf_saturation(spark):
+    """Doubling tf must NOT double the score (k1 saturation) — in tfidf
+    it exactly doubles."""
+    df = spark.createDataFrame(
+        [(1, "apple pad pad pad"), (2, "apple apple pad pad"),
+         (3, "zebra only")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r["score"]
+            for r in bm25_topk(df, ["apple"], k=5).collect()}
+    assert rows[2] > rows[1]
+    assert rows[2] < 2 * rows[1]
+
+
+def test_bm25_validation(docs):
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [])
+    with pytest.raises(ValueError):
+        bm25_topk(docs, ["a"], k=0)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_bm25_idf_margin_on_gate_corpora(sf_dir):
+    """Same floor-boundary audit as tfidf, for the Lucene-style
+    1e6·ln((2N+2)/(2df+1)) the bm25_topk gate uses."""
+    files = glob.glob(f"{sf_dir}/documents.parquet")
+    if not files:
+        pytest.skip("corpus missing")
+    texts = pq.read_table(files[0], columns=["text"]).to_pydict()["text"]
+    live = [x for x in texts if (x or "").strip()]
+    n = len(live)
+    for term in QUERY:
+        df_t = sum(1 for x in live if term in x.split())
+        if df_t == 0:
+            continue
+        v = IDF_SCALE * math.log((2 * n + 2) / (2 * df_t + 1))
+        frac = abs(v - round(v))
+        assert frac > 1e-3, (term, sf_dir, v)
+
+
+def test_bm25_topk_window_input_is_bounded(spark):
+    """Same k-bounded unpartitioned-Window proof as tfidf_topk."""
+    docs = spark.createDataFrame(
+        [(i, "spark etl data " * (i % 7 + 1)) for i in range(200)],
+        "doc_id long, text string")
+    out = bm25_topk(docs, ["spark", "data"], k=10)
     plan = out._jdf.queryExecution().executedPlan().toString()
     wpos = plan.find("Window")
     lpos = max(plan.find("TakeOrderedAndProject"), plan.find("GlobalLimit"))

@@ -40,7 +40,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ROUND_HEAD = {
     "new_first": ["pyds_pushdown", "multimodal_jpeg", "hard_negatives_ann",
                   "substring_dup", "bpe_train", "bpe_segments",
-                  "ngram_prefix_jaccard", "cms_tokens"],
+                  "ngram_prefix_jaccard", "cms_tokens", "hll_distinct",
+                  "bloom_prune", "bm25_topk"],
     "changed": ["increasing_runs", "pyds_ndjson", "pagerank",
                 "multimodal_decode", "multimodal_png", "multimodal_resize",
                 "multimodal_audio", "stream_kmv", "upsert_customers"],
