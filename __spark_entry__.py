@@ -2584,6 +2584,20 @@ def q_bm25_topk(spark, sf_dir):
     return rt.bm25_topk(docs, ["spark", "shuffle", "window"], k=20)
 
 
+def q_boilerplate_strip(spark, sf_dir):
+    """CCNet-style cross-corpus boilerplate removal (functions.dedup.
+    strip_boilerplate_segments, r7): non-overlapping 3-token windows
+    appearing verbatim in >= 5 distinct docs are dropped and each doc is
+    rebuilt from the survivors in order — the paragraph-dedup stage of
+    CCNet/RefinedWeb, with token windows standing in for newline
+    paragraphs on this corpus. Map-only segment construction, one
+    frequency shuffle on short segment strings, one rebuild agg; the
+    oracle replays windowing, the distinct-doc threshold, and the md5 of
+    the rebuilt text (ORDER BY seg_id string_agg)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.strip_boilerplate_segments(docs, seg_len=3, min_docs=5)
+
+
 def q_hll_distinct(spark, sf_dir):
     """Per-returnflag distinct-orderkey estimate via HyperLogLog
     (functions.sketch.hll_sketch/hll_estimate, r7) — the canonical
@@ -2671,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "bloom_prune": q_bloom_prune,
         "bm25_topk": q_bm25_topk,
+        "boilerplate_strip": q_boilerplate_strip,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -4486,6 +4501,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.value, e.est,
                CAST(coalesce(x.exact_cnt, 0) AS BIGINT) AS exact_cnt
         FROM est e LEFT JOIN exact x USING (value)"""
+    # boilerplate strip: fixed-width token windows, distinct-doc
+    # frequency threshold, md5 of the in-order rebuilt text; DuckDB's
+    # 1-based inclusive array slice clamps like Spark's slice(), and
+    # string_agg(... ORDER BY seg_id) FILTER replays the ordered rebuild
+    # (coalesce '' = Spark's empty array_join for fully-stripped docs)
+    d["boilerplate_strip"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOK} AS ws
+          FROM documents WHERE trim(text) != ''),
+        segs AS (
+          SELECT doc_id, CAST(i AS INT) AS seg_id,
+                 array_to_string(ws[(i*3+1):(i*3+3)], ' ') AS seg
+          FROM toks,
+               LATERAL (SELECT unnest(range((len(ws) + 2) // 3)) AS i) t),
+        freq AS (
+          SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg)
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_segs,
+               CAST(sum(CASE WHEN f.nd < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS kept_segs,
+               CAST(sum(CASE WHEN f.nd >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dropped_segs,
+               md5(coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_id)
+                            FILTER (WHERE f.nd < 5), '')) AS clean_hash
+        FROM segs s JOIN freq f USING (seg)
+        GROUP BY s.doc_id"""
     # HyperLogLog: registers (md5 60-bit hash, top-8-bit bucket,
     # bin()-length rho — minimal-binary parity probed) and the
     # integerized harmonic-mean estimate replay exactly; HUGEINT //

@@ -94,6 +94,7 @@ EXTRAS = [
     "hll_distinct",
     "bloom_prune",
     "bm25_topk",
+    "boilerplate_strip",
 ]
 
 

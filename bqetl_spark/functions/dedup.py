@@ -867,3 +867,66 @@ def ngram_jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return (verified.filter(jac >= threshold)
             .select("id_a", "id_b", F.round(jac, 6).alias("jaccard")))
+
+
+def strip_boilerplate_segments(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", seg_len: int = 3,
+                               min_docs: int = 5) -> DataFrame:
+    """CCNet-style cross-corpus boilerplate removal (r7): drop the text
+    units that recur VERBATIM across many documents (headers, footers,
+    nav chrome, license blurbs) and rebuild each document from what
+    remains — the paragraph-dedup stage every web-corpus pipeline runs
+    before model-level filtering (CCNet, RefinedWeb).
+
+    The unit here is a fixed-width token window (``seg_len`` tokens,
+    non-overlapping), the natural analogue of CCNet's newline-split
+    paragraphs for a corpus whose documents carry no newlines. A unit is
+    boilerplate when it appears in >= ``min_docs`` DISTINCT documents.
+    Positional windows mean an OFFSET copy of a repeated span can be
+    missed — that alignment-independent case is substring_dup_pairs'
+    job; boilerplate in real corpora is position-stable per document,
+    which is exactly what this catches.
+
+    Scale shape: segment construction is MAP-ONLY (a transform over the
+    token array — no explode until the segment relation, which is
+    ~|tokens|/seg_len rows); then one groupBy(seg) for document
+    frequency (shuffles seg_len-token strings, not documents), one join
+    back on seg, and one per-doc rebuild aggregation. No all-pairs
+    anything; memory per group is one document's segments.
+
+    Returns (id, n_segs, kept_segs, dropped_segs, clean_hash) where
+    clean_hash = md5 of the rebuilt (boilerplate-free) text — rebuilt in
+    original segment order; a fully-stripped document yields md5('').
+    """
+    if seg_len < 1:
+        raise ValueError(f"seg_len must be >= 1, got {seg_len}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = tokens(F.col(text_col))
+    n_segs = F.floor((F.size(toks) + seg_len - 1) / F.lit(seg_len)) \
+        .cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * seg_len + 1, seg_len), " "))
+    segs = (df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col), seg_arr.alias("__segs"))
+            .select(id_col, F.posexplode("__segs").alias("seg_id", "seg")))
+    freq = segs.groupBy("seg").agg(
+        F.countDistinct(id_col).alias("nd"))
+    keep = F.col("nd") < min_docs
+    rebuilt = F.md5(F.array_join(
+        F.transform(
+            F.filter(
+                F.sort_array(F.collect_list(F.struct("seg_id", "nd",
+                                                     "seg"))),
+                lambda x: x["nd"] < min_docs),
+            lambda x: x["seg"]),
+        " "))
+    return (segs.join(freq, "seg")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_segs"),
+                 F.sum(keep.cast("int")).cast("long").alias("kept_segs"),
+                 F.sum((~keep).cast("int")).cast("long")
+                 .alias("dropped_segs"),
+                 rebuilt.alias("clean_hash")))

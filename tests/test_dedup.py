@@ -312,3 +312,64 @@ def test_ngram_prefix_equals_inverted_index(spark):
             for r in ngram_jaccard_prefix_pairs(
                 docs, threshold=0.5).collect()}
     assert exact == pref and len(exact) > 0
+
+
+# -------------------------------------------- boilerplate strip (r7) --
+
+def test_boilerplate_segments_dropped_and_rebuilt(spark):
+    """A verbatim 3-token header shared by >= min_docs docs must be
+    stripped; rebuilt text (clean_hash) must equal the md5 of the
+    surviving segments joined in order."""
+    import hashlib
+
+    from bqetl_spark.functions.dedup import strip_boilerplate_segments
+
+    header = "subscribe to newsletter"
+    rows = [(i, f"{header} body{i} text{i} tail{i}") for i in range(5)]
+    rows.append((99, "totally unique document body here"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           strip_boilerplate_segments(df, seg_len=3, min_docs=5).collect()}
+    for i in range(5):
+        r = out[i]
+        assert (r["n_segs"], r["kept_segs"], r["dropped_segs"]) == (2, 1, 1)
+        clean = f"body{i} text{i} tail{i}"
+        assert r["clean_hash"] == hashlib.md5(clean.encode()).hexdigest()
+    r99 = out[99]
+    assert r99["dropped_segs"] == 0 and r99["kept_segs"] == r99["n_segs"]
+
+
+def test_boilerplate_full_strip_yields_empty_md5(spark):
+    import hashlib
+
+    from bqetl_spark.functions.dedup import strip_boilerplate_segments
+
+    df = spark.createDataFrame(
+        [(i, "the same exact text") for i in range(6)],
+        ["doc_id", "text"])
+    rows = strip_boilerplate_segments(df, seg_len=4, min_docs=5).collect()
+    empty = hashlib.md5(b"").hexdigest()
+    assert all(r["kept_segs"] == 0 and r["clean_hash"] == empty
+               for r in rows)
+
+
+def test_boilerplate_below_threshold_untouched(spark):
+    from bqetl_spark.functions.dedup import strip_boilerplate_segments
+
+    df = spark.createDataFrame(
+        [(1, "shared head one"), (2, "shared head two"),
+         (3, "another doc three")], ["doc_id", "text"])
+    rows = strip_boilerplate_segments(df, seg_len=3, min_docs=5).collect()
+    assert all(r["dropped_segs"] == 0 for r in rows)
+
+
+def test_boilerplate_validation(spark):
+    import pytest as _pt
+
+    from bqetl_spark.functions.dedup import strip_boilerplate_segments
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pt.raises(ValueError):
+        strip_boilerplate_segments(df, seg_len=0)
+    with _pt.raises(ValueError):
+        strip_boilerplate_segments(df, min_docs=1)

@@ -124,7 +124,12 @@ def _check(spark, sf_dir, name):
                                   # r7: BM25 — integer rational scoring
                                   # under random tf/dl mixes (the idf ln
                                   # margin is separately exhaustive)
-                                  "bm25_topk"])
+                                  "bm25_topk",
+                                  # r7: segment windowing + distinct-doc
+                                  # threshold + ordered rebuild under
+                                  # random short/empty docs (small word
+                                  # set guarantees heavy repeats)
+                                  "boilerplate_strip"])
 def test_doc_gates_on_random_corpora(spark, tmp_path_factory, gate):
     @_SET
     @given(rows=_doc_strategy)
