@@ -1010,6 +1010,26 @@ def q_stream_kmv(spark, sf_dir):
     return kmv_estimate(spark.read.parquet(target), "event_type", 64)
 
 
+def q_stream_hll(spark, sf_dir):
+    """Streaming HyperLogLog maintenance (streaming/events.py
+    stream_hll_user_distinct, r7): events chopped into 4 files replay as
+    4 REAL micro-batches, each folding its HLL registers of distinct
+    user_ids per event_type into the persisted sketch (register MAX —
+    idempotent, so even restart-replays are safe); the gate estimates
+    from the final stored table. Oracle = the plain batch HLL SQL: the
+    hash-match proves the streaming fold equals the full-corpus sketch
+    for any batch chop."""
+    from bqetl_spark.functions.sketch import hll_estimate
+    from bqetl_spark.streaming.events import stream_hll_user_distinct
+
+    base = _scratch("shll", sf_dir, wipe=True)
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    ev.repartition(4).write.parquet(base + "/events_split")
+    target = base + "/sketch"
+    stream_hll_user_distinct(spark, base + "/events_split", target)
+    return hll_estimate(spark.read.parquet(target), "event_type")
+
+
 def q_events_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (ev.select("event_id",
@@ -2686,6 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune": q_bloom_prune,
         "bm25_topk": q_bm25_topk,
         "boilerplate_strip": q_boilerplate_strip,
+        "stream_hll": q_stream_hll,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -4639,6 +4660,41 @@ def oracle_sql() -> dict[str, str]:
         FROM c GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC
         LIMIT 20"""
+    # streaming HLL: oracle is the PLAIN BATCH HLL over events — the
+    # hash-match proves the foreachBatch register-MAX fold is chop-
+    # invariant (same structure as stream_kmv's oracle)
+    d["stream_hll"] = f"""
+        WITH h AS (
+          SELECT event_type,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   ::BIGINT AS hv
+          FROM events WHERE user_id IS NOT NULL),
+        rr AS (
+          SELECT event_type, (hv >> 52)::INT AS bucket,
+                 CAST(CASE WHEN (hv & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                      ELSE 53 - length(bin(hv & ((1::BIGINT << 52) - 1)))
+                      END AS INT) AS rho
+          FROM h),
+        reg AS (SELECT event_type, bucket, max(rho) AS max_rho
+                FROM rr GROUP BY event_type, bucket),
+        agg AS (
+          SELECT event_type, CAST(count(*) AS INT) AS n_buckets,
+                 sum((1::BIGINT << (53 - max_rho))) AS pow_sum
+          FROM reg GROUP BY event_type),
+        e AS (
+          SELECT event_type, n_buckets,
+                 CAST({sk.HLL_RAW_NUM} AS HUGEINT)
+                   // (CAST(1000000 AS HUGEINT) *
+                       ((256 - n_buckets)::HUGEINT * (1::BIGINT << 53)
+                        + pow_sum)) AS raw,
+                 (CAST(256 AS BIGINT) *
+                  CAST(floor(1000000 * ln(256.0 / (256 - n_buckets)))
+                       AS BIGINT)) // 1000000 AS lc
+          FROM agg)
+        SELECT event_type, n_buckets,
+               CAST(CASE WHEN n_buckets < 256 AND raw <= 640
+                    THEN lc ELSE raw END AS BIGINT) AS est
+        FROM e"""
     # BPE training: 8 iterations unrolled (see _bpe_cte) — argmax pair
     # per round is integer-exact with a total-order tie-break, the merge
     # replace has identical greedy-left semantics in both engines

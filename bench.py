@@ -95,6 +95,7 @@ EXTRAS = [
     "bloom_prune",
     "bm25_topk",
     "boilerplate_strip",
+    "stream_hll",
 ]
 
 

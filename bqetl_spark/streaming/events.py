@@ -252,3 +252,51 @@ def stream_event_counts(spark: SparkSession, events_dir: str,
                   .cast("double").alias("sum_value"))
             .select(F.col("win.start").alias("window_start"),
                     "event_type", "n_events", "sum_value"))
+
+
+def stream_hll_user_distinct(spark: SparkSession, events_dir: str,
+                             target_path: str,
+                             max_files_per_trigger: int = 1) -> None:
+    """Streaming HyperLogLog maintenance (r7): fold each micro-batch's
+    HLL registers of distinct user_ids per event_type into a persisted
+    (event_type, bucket, max_rho) table — the same streaming-sketch
+    story as ``stream_kmv_user_distinct`` but with the register-MAX
+    merge: registers are idempotent under max, so the persisted sketch
+    equals the full-corpus sketch REGARDLESS of the batch chop, and the
+    gate's oracle is the plain batch HLL SQL. State per group is at most
+    256 small ints; the per-batch fold is one bounded merge, never a
+    history re-scan.
+
+    Runs to completion (availableNow) and returns None; callers read
+    ``target_path`` and apply ``hll_estimate``. Same foreachBatch
+    idempotency caveat as ``stream_upsert_user_totals`` — and note
+    max-merge is even restart-tolerant: re-merging a replayed batch is a
+    no-op, unlike additive sketches."""
+    from bqetl_spark.functions.sketch import hll_merge, hll_sketch
+
+    stream = (_read_events_stream(spark, events_dir, max_files_per_trigger)
+              .select("event_type", "user_id"))
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        sp = bdf.sparkSession
+        batch_sketch = hll_sketch(bdf, "user_id", "event_type")
+        # explicit existence check, NOT try/except — a corrupt sketch
+        # must fail the batch, not silently restart accumulation
+        # (same code-review r6 finding as the KMV sink)
+        base = (sp.read.parquet(target_path)
+                if os.path.isdir(target_path) else None)
+        out = (batch_sketch if base is None
+               else hll_merge(base, batch_sketch))
+        tmp = target_path + f".batch{batch_id}"
+        out.write.mode("overwrite").parquet(tmp)
+        sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        shutil.rmtree(tmp, ignore_errors=True)  # bound on-disk state
+
+    (stream.writeStream.outputMode("append")
+     .foreachBatch(sink)
+     .trigger(availableNow=True)
+     .option("checkpointLocation", target_path + ".ckpt")
+     .start().awaitTermination())

@@ -174,3 +174,30 @@ def test_stream_kmv_fold_is_chop_invariant(spark, tmp_path):
         "event_type", 32).collect()))
     assert run(2, "a") == batch
     assert run(4, "b") == batch
+
+
+def test_stream_hll_fold_is_chop_invariant(spark, tmp_path):
+    """r7 streaming HLL maintenance: the persisted register table after
+    an availableNow replay must be IDENTICAL whatever the micro-batch
+    chop (2-file vs 4-file vs plain batch sketch) — register MAX is
+    associative, commutative AND idempotent, so even a replayed batch
+    re-merge is a no-op."""
+    from bqetl_spark.functions.sketch import hll_estimate, hll_sketch
+    from bqetl_spark.streaming.events import stream_hll_user_distinct
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_type", "user_id")
+
+    def run(n_files, tag):
+        src = str(tmp_path / f"hsrc{tag}")
+        ev.repartition(n_files).write.parquet(src)
+        target = str(tmp_path / f"hsk{tag}")
+        stream_hll_user_distinct(spark, src, target)
+        return sorted(map(tuple, hll_estimate(
+            spark.read.parquet(target), "event_type").collect()))
+
+    batch = sorted(map(tuple, hll_estimate(
+        hll_sketch(ev, "user_id", "event_type"),
+        "event_type").collect()))
+    assert run(2, "a") == batch
+    assert run(4, "b") == batch

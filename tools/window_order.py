@@ -41,7 +41,8 @@ ROUND_HEAD = {
     "new_first": ["pyds_pushdown", "multimodal_jpeg", "hard_negatives_ann",
                   "substring_dup", "bpe_train", "bpe_segments",
                   "ngram_prefix_jaccard", "cms_tokens", "hll_distinct",
-                  "bloom_prune", "bm25_topk", "boilerplate_strip"],
+                  "bloom_prune", "bm25_topk", "boilerplate_strip",
+                  "stream_hll"],
     "changed": ["increasing_runs", "pyds_ndjson", "pagerank",
                 "multimodal_decode", "multimodal_png", "multimodal_resize",
                 "multimodal_audio", "stream_kmv", "upsert_customers"],
