@@ -2604,6 +2604,17 @@ def q_bm25_topk(spark, sf_dir):
     return rt.bm25_topk(docs, ["spark", "shuffle", "window"], k=20)
 
 
+def q_token_entropy(spark, sf_dir):
+    """Per-document unigram entropy + top-token share (functions.text.
+    token_entropy, r7) — the diversity/repetition quality pair: low
+    entropy or a dominant token flags degenerate text that adjacent
+    n-gram repetition misses. entropy_ppm = (Σ cnt·floor(1e6·ln(n/cnt)))
+    div n — the integerized-ln discipline with every observed (cnt, n)
+    pair margin-audited; top_share_ppm is exact integer arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.token_entropy(docs)
+
+
 def q_boilerplate_strip(spark, sf_dir):
     """CCNet-style cross-corpus boilerplate removal (functions.dedup.
     strip_boilerplate_segments, r7): non-overlapping 3-token windows
@@ -2707,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "boilerplate_strip": q_boilerplate_strip,
         "stream_hll": q_stream_hll,
+        "token_entropy": q_token_entropy,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -4522,6 +4534,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.value, e.est,
                CAST(coalesce(x.exact_cnt, 0) AS BIGINT) AS exact_cnt
         FROM est e LEFT JOIN exact x USING (value)"""
+    # token entropy: integerized-ln discipline (floor(1e6*ln(n/cnt)) with
+    # observed-pair margin audit); top share and the final div are exact
+    d["token_entropy"] = f"""
+        WITH tok AS (
+          SELECT doc_id, len({_TOK}) AS n, unnest({_TOK}) AS tok
+          FROM documents WHERE trim(text) != ''),
+        tf AS (
+          SELECT doc_id, max(n) AS n, count(*) AS c
+          FROM tok GROUP BY doc_id, tok)
+        SELECT doc_id,
+               CAST(max(n) AS BIGINT) AS n_tokens,
+               CAST(sum(c * CAST(floor(1000000 * ln(CAST(n AS DOUBLE) / c))
+                                 AS BIGINT)) // max(n) AS BIGINT)
+                 AS entropy_ppm,
+               CAST(max(c) * 1000000 // max(n) AS BIGINT) AS top_share_ppm
+        FROM tf GROUP BY doc_id"""
     # boilerplate strip: fixed-width token windows, distinct-doc
     # frequency threshold, md5 of the in-order rebuilt text; DuckDB's
     # 1-based inclusive array slice clamps like Spark's slice(), and

@@ -96,6 +96,7 @@ EXTRAS = [
     "bm25_topk",
     "boilerplate_strip",
     "stream_hll",
+    "token_entropy",
 ]
 
 

@@ -338,3 +338,46 @@ def key_skew_report(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
                     F.expr(f"n * 1000000 DIV {total}").alias("share_ppm"))
             .orderBy(F.desc("n"), F.asc_nulls_first("key"))
             .limit(k))
+
+
+def token_entropy(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document unigram (token) entropy + top-token share (r7) — the
+    diversity/repetition pair of quality signals: low entropy or a high
+    most-common-token share flags degenerate or template text that
+    n-gram repetition (gram_repetition) can miss when the repeats are
+    scattered rather than adjacent.
+
+    Integerized for cross-engine determinism (the source_divergence /
+    bigram_pmi discipline):
+
+        entropy_ppm   = (Σ_t cnt_t · floor(10^6·ln(n/cnt_t))) div n
+        top_share_ppm = max_t(cnt_t) · 10^6 div n          (exact)
+
+    where n is the document's token count. ln is the only float op; its
+    argument n/cnt is one of the corpus's observed (cnt, n) pairs, every
+    one audited against its floor boundary in
+    tests/test_text.py::test_entropy_ln_margin_on_gate_corpora.
+
+    Shape: n rides along from the same row as the explode (no
+    corpus-wide join — the bm25 dl trick); one groupBy (doc, token),
+    one per-doc agg, both map-side combined. Returns
+    (id, n_tokens BIGINT, entropy_ppm BIGINT, top_share_ppm BIGINT).
+    """
+    toks = tokens(F.col(text_col))
+    tf = (df.filter(F.trim(F.col(text_col)) != "")
+          .select(F.col(id_col), F.size(toks).alias("__n"),
+                  F.explode(toks).alias("tok"))
+          .groupBy(id_col, "tok")
+          .agg(F.count("*").alias("__c"), F.max("__n").alias("__n")))
+    term = F.col("__c") * F.floor(
+        F.lit(10**6) * F.log(F.col("__n").cast("double") / F.col("__c")))
+    return (tf.groupBy(id_col)
+            .agg(F.max("__n").alias("__n"),
+                 F.sum(term).alias("__h"),
+                 F.max("__c").alias("__mc"))
+            .select(F.col(id_col),
+                    F.col("__n").cast("long").alias("n_tokens"),
+                    F.expr("__h div __n").cast("long").alias("entropy_ppm"),
+                    F.expr("__mc * 1000000 div __n").cast("long")
+                    .alias("top_share_ppm")))

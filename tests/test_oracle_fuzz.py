@@ -129,7 +129,11 @@ def _check(spark, sf_dir, name):
                                   # threshold + ordered rebuild under
                                   # random short/empty docs (small word
                                   # set guarantees heavy repeats)
-                                  "boilerplate_strip"])
+                                  "boilerplate_strip",
+                                  # r7: integerized-ln entropy under
+                                  # random count/length mixes (same
+                                  # boundary class as bigram_pmi)
+                                  "token_entropy"])
 def test_doc_gates_on_random_corpora(spark, tmp_path_factory, gate):
     @_SET
     @given(rows=_doc_strategy)

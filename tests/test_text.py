@@ -1,3 +1,5 @@
+import pytest
+
 from pyspark.sql import functions as F
 
 from bqetl_spark.functions import text as tx
@@ -72,3 +74,78 @@ def test_gram_repetition_degenerate_doc(spark):
     assert got[1]["rep_ratio"] == 1.0 and got[1]["n_grams"] == 3
     assert got[2]["rep_ratio"] == 1.0 / 3
     assert 3 not in got
+
+
+# ------------------------------------------------ token entropy (r7) --
+
+def test_token_entropy_hand_computation(spark):
+    import math
+
+    from bqetl_spark.functions.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a b c"),          # n=4: a:2, b:1, c:1
+         (2, "x x x x"),          # n=4: single token -> entropy 0
+         (3, "   "),              # blank -> filtered
+         (4, "u v w")],           # uniform
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert set(got) == {1, 2, 4}
+
+    def h(counts, n):
+        return sum(c * math.floor(10**6 * math.log(n / c))
+                   for c in counts) // n
+
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["entropy_ppm"] == h([2, 1, 1], 4)
+    assert got[1]["top_share_ppm"] == 2 * 10**6 // 4
+    assert got[2]["entropy_ppm"] == 0
+    assert got[2]["top_share_ppm"] == 10**6
+    assert got[4]["entropy_ppm"] == h([1, 1, 1], 3)
+    assert got[4]["top_share_ppm"] == 10**6 // 3
+
+
+def test_token_entropy_ordering_signal(spark):
+    """Repetitive text must score lower entropy / higher share than
+    diverse text of the same length."""
+    from bqetl_spark.functions.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam ham"),
+         (2, "one two three four five six")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert got[1]["entropy_ppm"] < got[2]["entropy_ppm"]
+    assert got[1]["top_share_ppm"] > got[2]["top_share_ppm"]
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01",
+                                    "/root/testdata/sf0.1"])
+def test_entropy_ln_margin_on_gate_corpora(sf_dir):
+    """Every OBSERVED (count, n) pair's 1e6·ln(n/count) must sit >1e-5
+    from an integer so a 1-ulp libm divergence can't flip the floor
+    (the tfidf discipline; 1e-5 keeps ~4 orders of headroom over ulp
+    noise at this magnitude)."""
+    import glob
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(f"{sf_dir}/documents.parquet")
+    if not files:
+        pytest.skip("corpus missing")
+    texts = pq.read_table(files[0], columns=["text"]).to_pydict()["text"]
+    pairs = set()
+    for x in texts:
+        toks = (x or "").split()
+        if not toks:
+            continue
+        n = len(toks)
+        for c in Counter(toks).values():
+            pairs.add((c, n))
+    for c, n in pairs:
+        if c == n:
+            continue  # ln(1) = 0 exactly
+        v = 10**6 * math.log(n / c)
+        assert abs(v - round(v)) > 1e-5, (c, n, v)
