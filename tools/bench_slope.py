@@ -33,7 +33,10 @@ QUERIES = ["denorm_flat", "q3_top_revenue", "dedup_fingerprint",
            "embed_topk", "temperature_sample", "incremental_agg",
            # r7 (verdict item 6): slope evidence for the newer op families
            "percentile_band", "corpus_keep_reasons", "multimodal_png",
-           "multimodal_jpeg"]
+           "multimodal_jpeg",
+           # late-r7 additions
+           "hll_distinct", "bloom_prune", "bm25_topk",
+           "boilerplate_strip", "token_entropy"]
 
 
 def main() -> None:
