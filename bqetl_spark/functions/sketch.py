@@ -490,6 +490,8 @@ def bloom_build(df: DataFrame, key_col: str, m_bits: int = 32768,
     if m_bits % 64 != 0 or m_bits < 64:
         raise ValueError(f"m_bits must be a positive multiple of 64, "
                          f"got {m_bits}")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
     key = F.col(key_col)
     pos_rows = (df.filter(key.isNotNull())
                 .select(F.explode(F.array(*[
@@ -516,6 +518,14 @@ def bloom_might_contain(key, words: list[int], m_bits: int = 32768,
     otherwise hash the bare '<i>' salt and return a data-independent
     coin flip), while SQL || propagates NULL — pinning false on both
     engines keeps the oracle exact under NULL keys (fuzz-found class)."""
+    if len(words) * 64 != m_bits:
+        raise ValueError(
+            f"bitmap carries {len(words) * 64} bits but m_bits={m_bits} — "
+            f"probe must use the SAME m_bits the bitmap was built with "
+            f"(a mismatch silently breaks the zero-false-negative "
+            f"guarantee)")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
     key = F.col(key) if isinstance(key, str) else key
     arr = F.array(*[F.lit(w).cast("long") for w in words])
     cond = None

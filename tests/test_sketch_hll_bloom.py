@@ -187,3 +187,22 @@ def test_bloom_validation(spark):
     build = spark.createDataFrame([("a",)], ["k"])
     with pytest.raises(ValueError):
         bloom_build(build, "k", m_bits=100)  # not a multiple of 64
+    with pytest.raises(ValueError):
+        bloom_build(build, "k", m_bits=64, k_hashes=0)
+    words = bloom_build(build, "k", m_bits=128, k_hashes=2)
+    with pytest.raises(ValueError):  # m_bits mismatch breaks no-FN
+        bloom_might_contain("k", words, m_bits=256, k_hashes=2)
+
+
+def test_bloom_null_keys_test_false(spark):
+    """NULL keys must probe FALSE (concat_ws would otherwise hash the
+    bare salt on Spark while SQL || propagates NULL — the cross-engine
+    divergence the gate's oracle relies on being closed)."""
+    build = spark.createDataFrame([("a",), ("b",)], ["k"])
+    words = bloom_build(build, "k", m_bits=4096, k_hashes=3)
+    probe = spark.createDataFrame([("a",), (None,)], ["k"])
+    got = {r["k"]: r["bp"] for r in probe.withColumn(
+        "bp", bloom_might_contain("k", words, m_bits=4096,
+                                  k_hashes=3)).collect()}
+    assert got["a"] is True
+    assert got[None] is False
