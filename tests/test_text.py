@@ -149,3 +149,19 @@ def test_entropy_ln_margin_on_gate_corpora(sf_dir):
             continue  # ln(1) = 0 exactly
         v = 10**6 * math.log(n / c)
         assert abs(v - round(v)) > 1e-5, (c, n, v)
+
+
+def test_entropy_ln_margin_exhaustive_small_domain():
+    """Beyond the observed corpus pairs: audit EVERY rational n/c with
+    n <= 800 (superset of anything the fuzz tier's <=12-token docs or
+    the shipped corpora's <=~120-token docs can produce). Worst case in
+    this domain is 3.65e-6 at (c=359, n=473) — ulp noise of a double ln
+    at magnitude ~3e5 is ~6e-11, so even the worst pair keeps >4 orders
+    of headroom; assert the 1e-6 floor holds so a regression in the
+    formula (e.g. a changed scale) trips loudly."""
+    import math
+
+    for n in range(2, 801):
+        for c in range(1, n):
+            v = 10**6 * math.log(n / c)
+            assert abs(v - round(v)) > 1e-6, (c, n, v)
