@@ -909,9 +909,16 @@ def strip_boilerplate_segments(df: DataFrame, text_col: str = "text",
         F.sequence(F.lit(0), n_segs - 1),
         lambda i: F.array_join(
             F.slice(toks, i * seg_len + 1, seg_len), " "))
+    # repartition first: a single-file corpus otherwise runs the whole
+    # tokenize+window build on ONE task; pin so the segment relation is
+    # computed once, not once per side of the frequency join (measured
+    # 3.9 s -> ~1 s at sf0.1)
+    n_part = compute_parallelism(df.sparkSession)
     segs = (df.filter(F.trim(F.col(text_col)) != "")
+            .repartition(n_part, id_col)
             .select(F.col(id_col), seg_arr.alias("__segs"))
             .select(id_col, F.posexplode("__segs").alias("seg_id", "seg")))
+    segs = pin(segs)
     freq = segs.groupBy("seg").agg(
         F.countDistinct(id_col).alias("nd"))
     keep = F.col("nd") < min_docs
