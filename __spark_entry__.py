@@ -2604,6 +2604,21 @@ def q_bm25_topk(spark, sf_dir):
     return rt.bm25_topk(docs, ["spark", "shuffle", "window"], k=20)
 
 
+def q_embed_pq_topk(spark, sf_dir):
+    """Product-quantization ANN with exact re-rank (similarity.pq_topk,
+    r7): dim-64 vectors become 4 sub-codes from stride-seeded 16-entry
+    codebooks (one integer-Lloyd step on the positive-shifted 2^-24
+    grid, sum div count = exact floor on both engines), the ADC
+    shortlist scans CODES not vectors, and the top-100 shortlist is
+    exactly re-ranked in integer L2 — FAISS's IndexPQ+refine shape.
+    Every stage is integer arithmetic, so codebooks, codes, ADC and the
+    final distances replay bit-identically in SQL; recall vs exact is
+    floored in tests/test_ann_recall.py (0.78 measured at sf0.01)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.pq_topk(emb, emb.filter(F.col("vec_id") < 10),
+                       k=5, m=4, ks=16, refine=100)
+
+
 def q_token_entropy(spark, sf_dir):
     """Per-document unigram entropy + top-token share (functions.text.
     token_entropy, r7) — the diversity/repetition quality pair: low
@@ -2719,6 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,
         "stream_hll": q_stream_hll,
         "token_entropy": q_token_entropy,
+        "embed_pq_topk": q_embed_pq_topk,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -4534,6 +4550,80 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.value, e.est,
                CAST(coalesce(x.exact_cnt, 0) AS BIGINT) AS exact_cnt
         FROM est e LEFT JOIN exact x USING (value)"""
+    # product quantization: codebook (stride seeds -> integer-Lloyd step,
+    # sum // count == Spark's div on the POSITIVE-shifted grid), codes,
+    # ADC shortlist and exact re-rank all replay in integer arithmetic;
+    # argmins carry the (dist, id) total order
+    d["embed_pq_topk"] = """
+        WITH params AS (
+          SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
+        comp AS (
+          SELECT vec_id AS cid,
+                 CAST((pos - 1) // 16 AS INT) AS sub,
+                 CAST((pos - 1) % 16 AS INT) AS i,
+                 CAST(floor(CAST(e[pos] AS DOUBLE) * 16777216.0) AS BIGINT)
+                   + 16777216 AS val
+          FROM (SELECT vec_id, embedding AS e FROM embeddings),
+               LATERAL (SELECT unnest(generate_series(1, len(e))) AS pos) t),
+        seed_ids AS (
+          SELECT vec_id AS sid FROM embeddings, params
+          WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 16),
+        seedc AS (
+          SELECT s.sid, c.sub, c.i, c.val AS sval
+          FROM comp c JOIN seed_ids s ON c.cid = s.sid),
+        a0 AS (
+          SELECT cid, sub, sid FROM (
+            SELECT d.cid, d.sub, d.sid,
+                   row_number() OVER (PARTITION BY d.cid, d.sub
+                                      ORDER BY d.d, d.sid) AS rn
+            FROM (SELECT c.cid, c.sub, s.sid,
+                         sum((c.val - s.sval) * (c.val - s.sval)) AS d
+                  FROM comp c JOIN seedc s
+                    ON c.sub = s.sub AND c.i = s.i
+                  GROUP BY c.cid, c.sub, s.sid) d) WHERE rn = 1),
+        cent AS (
+          SELECT c.sub, a.sid, c.i, sum(c.val) // count(*) AS cval
+          FROM comp c JOIN a0 a ON c.cid = a.cid AND c.sub = a.sub
+          GROUP BY c.sub, a.sid, c.i),
+        codes AS (
+          SELECT cid, sub, sid FROM (
+            SELECT d.cid, d.sub, d.sid,
+                   row_number() OVER (PARTITION BY d.cid, d.sub
+                                      ORDER BY d.d, d.sid) AS rn
+            FROM (SELECT c.cid, c.sub, k.sid,
+                         sum((c.val - k.cval) * (c.val - k.cval)) AS d
+                  FROM comp c JOIN cent k
+                    ON c.sub = k.sub AND c.i = k.i
+                  GROUP BY c.cid, c.sub, k.sid) d) WHERE rn = 1),
+        qd AS (
+          SELECT c.cid AS qid, k.sub, k.sid,
+                 sum((c.val - k.cval) * (c.val - k.cval)) AS qdist
+          FROM comp c JOIN cent k ON c.sub = k.sub AND c.i = k.i
+          WHERE c.cid < 10
+          GROUP BY c.cid, k.sub, k.sid),
+        adc AS (
+          SELECT q.qid, x.cid, CAST(sum(q.qdist) AS BIGINT) AS adc
+          FROM codes x JOIN qd q ON x.sub = q.sub AND x.sid = q.sid
+          GROUP BY q.qid, x.cid
+          HAVING count(*) = 4),
+        short AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid, row_number() OVER (
+                PARTITION BY qid ORDER BY adc ASC, cid ASC) AS arn
+            FROM adc WHERE qid != cid) WHERE arn <= 100),
+        ex AS (
+          SELECT s.qid, s.cid,
+                 CAST(sum((qc.val - cc.val) * (qc.val - cc.val)) AS BIGINT)
+                   AS dist
+          FROM short s
+          JOIN comp cc ON cc.cid = s.cid
+          JOIN comp qc ON qc.cid = s.qid AND qc.sub = cc.sub
+                       AND qc.i = cc.i
+          GROUP BY s.qid, s.cid)
+        SELECT qid AS query_id, cid AS neighbor_id,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY dist ASC, cid ASC) AS INT) AS rank, dist
+        FROM ex QUALIFY rank <= 5"""
     # token entropy: integerized-ln discipline (floor(1e6*ln(n/cnt)) with
     # observed-pair margin audit); top share and the final div are exact
     d["token_entropy"] = f"""

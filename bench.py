@@ -97,6 +97,7 @@ EXTRAS = [
     "boilerplate_strip",
     "stream_hll",
     "token_entropy",
+    "embed_pq_topk",
 ]
 
 

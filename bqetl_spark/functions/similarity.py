@@ -667,3 +667,144 @@ def embed_centroids(df: DataFrame, label_col: str = "label",
     centroid = F.array(*[
         F.col(f"__s{i}") / (F.col("n_vecs") * F.lit(q)) for i in range(dim)])
     return g.select(label_col, "n_vecs", centroid.alias("centroid"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (r7): the memory-bound ANN compression step between
+# SQ8 (scalar, 4x) and IVF (routing). A dim-D vector becomes m sub-codes of
+# log2(ks) bits (here 4 x 4 bits = 2 BYTES per vector at D=64): the corpus
+# scan that dominates large-scale retrieval reads ~100x less data, scored
+# against a query via an additive lookup (ADC). Everything is INTEGER
+# arithmetic on a fixed-point grid, so codebooks, codes, and ADC distances
+# — not just their ranks — replay bit-identically in the SQL oracle.
+# ---------------------------------------------------------------------------
+
+PQ_SCALE = 16777216          # 2^24 fixed-point grid (the centroid grid)
+PQ_OFFSET = PQ_SCALE         # +1.0 shift: components assumed in (-1, 1), so
+#                              every fixed-point value is POSITIVE and the
+#                              codebook's integer mean (sum div count) is
+#                              floor on both engines (Spark div truncates
+#                              toward zero, DuckDB // floors — they agree
+#                              only on non-negative operands; audited by
+#                              tests on the corpus range)
+
+
+def _pq_components(df: DataFrame, id_col: str, vec_col: str, dsub: int,
+                   out_id: str) -> DataFrame:
+    """(id, sub, i, val): positive fixed-point components per subspace."""
+    iv = F.transform(
+        F.col(vec_col),
+        lambda x: (F.floor(x.cast("double") * F.lit(float(PQ_SCALE)))
+                   + F.lit(PQ_OFFSET)).cast("long"))
+    return (df.select(F.col(id_col).alias(out_id),
+                      F.posexplode(iv).alias("pos", "val"))
+            .select(out_id,
+                    F.floor(F.col("pos") / F.lit(dsub)).cast("int")
+                    .alias("sub"),
+                    F.pmod(F.col("pos"), F.lit(dsub)).cast("int").alias("i"),
+                    "val"))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, m: int = 4,
+            ks: int = 16, refine: int | None = None, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Top-k nearest neighbors by PQ asymmetric-distance shortlist +
+    exact re-rank — the production retrieval shape (FAISS's
+    IndexPQ + refine), fully integer and oracle-replayable.
+
+    Pipeline (one pass each, no Python in the row path):
+      1. codebook: stride-seeded ks centroids per subspace, one Lloyd
+         step — integer L2 assignment (argmin with a (dist, seed_id)
+         total order), then the component-wise INTEGER mean
+         (sum div count, exact floor on the positive-shifted grid).
+      2. encode: each corpus sub-vector -> id of its nearest centroid.
+      3. ADC shortlist: the query's integer L2 to EVERY centroid (m·ks
+         rows of metadata per query), summed over the corpus CODES —
+         the corpus vectors are never rescanned — keeping the best
+         ``refine`` (default 10·k) candidates per query.
+      4. exact re-rank: integer fixed-point L2 on the shortlist only.
+
+    Scale shape: training/encode cost is corpus x ks per subspace (the
+    standard PQ bill); the scan that dominates at 100 TB reads 2-byte
+    codes (m·log2(ks) bits), not float rows; exact distances touch
+    refine vectors per query. On isotropic corpora (like the synthetic
+    embeddings) ADC alone ranks poorly — distances concentrate and
+    quantization noise swamps them — which is WHY the re-rank stage is
+    part of the operator, not an afterthought; recall floors live in
+    tests/test_ann_recall.py.
+    Returns (query_id, neighbor_id, rank, dist BIGINT) — dist is the
+    exact scaled squared-L2 (2^-24 grid); smaller = closer; ties break
+    by ascending neighbor id. Self-matches excluded.
+    """
+    if k < 1 or m < 1 or ks < 2:
+        raise ValueError(f"bad params k={k} m={m} ks={ks}")
+    refine = 10 * k if refine is None else refine
+    if refine < k:
+        raise ValueError(f"refine {refine} < k {k}")
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    n_part = compute_parallelism(corpus.sparkSession)
+
+    comp = pin(_pq_components(corpus.repartition(n_part, id_col),
+                              id_col, vec_col, dsub, "cid"))
+    # stride-seeded initial centroids: corpus vectors at every Nth id
+    stride = _count_stride(corpus, ks)
+    seed_ids = (corpus.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
+                .limit(ks).select(F.col(id_col).alias("sid")))
+    seedc = (comp.join(F.broadcast(seed_ids),
+                       comp["cid"] == seed_ids["sid"])
+             .select("sid", "sub", "i", F.col("val").alias("sval")))
+
+    def nearest(components: DataFrame, idc: str, cells: DataFrame,
+                cell_id: str, cell_val: str) -> DataFrame:
+        """argmin_{cell} sum_i (val - cell_val)^2 per (id, sub)."""
+        d = (components.join(F.broadcast(cells), ["sub", "i"])
+             .groupBy(idc, "sub", cell_id)
+             .agg(F.sum((F.col("val") - F.col(cell_val))
+                        * (F.col("val") - F.col(cell_val))).alias("d")))
+        w = Window.partitionBy(idc, "sub").orderBy("d", cell_id)
+        return (d.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).drop("rn", "d"))
+
+    assign0 = nearest(comp, "cid", seedc, "sid", "sval")
+    # one Lloyd step: integer centroid = floor mean on the positive grid
+    cent = (comp.join(assign0, ["cid", "sub"])
+            .groupBy("sub", "sid", "i")
+            .agg(F.expr("sum(val) div count(*)").alias("cval")))
+    cent = pin(cent)
+    codes = nearest(comp, "cid", cent, "sid", "cval")
+
+    qcomp = _pq_components(queries, id_col, vec_col, dsub, "qid")
+    qd = (qcomp.join(F.broadcast(cent), ["sub", "i"])
+          .groupBy("qid", "sub", "sid")
+          .agg(F.sum((F.col("val") - F.col("cval"))
+                     * (F.col("val") - F.col("cval"))).alias("qdist")))
+    adc = (codes.join(F.broadcast(qd), ["sub", "sid"])
+           .groupBy("qid", "cid")
+           .agg(F.sum("qdist").cast("long").alias("adc"),
+                F.count("*").alias("__m"))
+           # a query missing a (sub, sid) cell cannot happen (qd covers
+           # every cell), but guard the sum against partial joins anyway
+           .filter(F.col("__m") == m)
+           .filter(F.col("qid") != F.col("cid")))
+    wa = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("cid"))
+    shortlist = (adc.withColumn("arn", F.row_number().over(wa))
+                 .filter(F.col("arn") <= refine).select("qid", "cid"))
+    # exact re-rank on the shortlist only: integer fixed-point L2 over
+    # the original components (refine · dim rows per query)
+    exact = (shortlist
+             .join(comp, "cid")
+             .join(qcomp.select(F.col("qid"), "sub", "i",
+                                F.col("val").alias("qval")),
+                   ["qid", "sub", "i"])
+             .groupBy("qid", "cid")
+             .agg(F.sum((F.col("val") - F.col("qval"))
+                        * (F.col("val") - F.col("qval")))
+                  .cast("long").alias("dist")))
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("cid"))
+    return (exact.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select(F.col("qid").alias("query_id"),
+                    F.col("cid").alias("neighbor_id"), "rank", "dist"))

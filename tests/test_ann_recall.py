@@ -88,3 +88,72 @@ def test_hard_negatives_ann_plan_is_equi_join(spark, emb):
         .executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------- PQ (r7) --
+
+@pytest.fixture(scope="module")
+def emb01(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet") \
+        .cache()
+
+
+def _exact_l2_topk(emb, q, k):
+    """Exact integer fixed-point L2 top-k (the metric pq_topk targets)."""
+    from pyspark.sql import Window
+
+    def iv(c):
+        return F.transform(c, lambda x: F.floor(
+            x.cast("double") * F.lit(16777216.0)).cast("long"))
+
+    c = emb.select(F.col("vec_id").alias("cid"),
+                   iv(F.col("embedding")).alias("cv"))
+    qq = q.select(F.col("vec_id").alias("qid"),
+                  iv(F.col("embedding")).alias("qv"))
+    d = (c.join(F.broadcast(qq), F.col("cid") != F.col("qid"))
+         .withColumn("dist", F.aggregate(
+             F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+             F.lit(0).cast("long"), lambda acc, v: acc + v)))
+    w = Window.partitionBy("qid").orderBy("dist", "cid")
+    return (d.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("qid").alias("query_id"),
+                    F.col("cid").alias("neighbor_id"), "rank",
+                    F.col("dist")))
+
+
+def test_pq_recall_floor_and_monotone(spark, emb01):
+    """PQ+refine recall vs exact L2 at sf0.01: floors under the measured
+    0.60 (refine=50) / 0.78 (refine=100), and a bigger shortlist may not
+    hurt. Isotropic embeddings are PQ's hard case (distances
+    concentrate) — the re-rank stage carries the recall."""
+    q = emb01.filter(F.col("vec_id") < 10)
+    exact = _exact_l2_topk(emb01, q, 5).collect()
+    r50 = sim.pq_topk(emb01, q, k=5, m=4, ks=16, refine=50).collect()
+    r100 = sim.pq_topk(emb01, q, k=5, m=4, ks=16, refine=100).collect()
+    rec50, rec100 = _recall(r50, exact), _recall(r100, exact)
+    assert rec50 >= 0.5, rec50
+    assert rec100 >= 0.7, rec100
+    assert rec100 >= rec50 - 1e-9
+
+
+def test_pq_full_refine_equals_exact(spark):
+    """Degenerate-case pin: shortlist >= corpus means the exact re-rank
+    sees everything, so pq_topk must return EXACTLY the integer-L2
+    brute-force answer (ids, ranks AND distances)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    got = sorted(map(tuple, sim.pq_topk(
+        emb, q, k=5, m=4, ks=8, refine=10**6).collect()))
+    want = sorted(map(tuple, _exact_l2_topk(emb, q, 5).collect()))
+    assert got == want
+
+
+def test_pq_validation(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError):
+        sim.pq_topk(emb, emb, k=0)
+    with pytest.raises(ValueError):
+        sim.pq_topk(emb, emb, k=5, m=5)          # 64 % 5 != 0
+    with pytest.raises(ValueError):
+        sim.pq_topk(emb, emb, k=5, refine=2)     # refine < k
