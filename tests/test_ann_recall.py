@@ -157,3 +157,18 @@ def test_pq_validation(spark):
         sim.pq_topk(emb, emb, k=5, m=5)          # 64 % 5 != 0
     with pytest.raises(ValueError):
         sim.pq_topk(emb, emb, k=5, refine=2)     # refine < k
+
+
+@pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
+def test_pq_component_range_contract(sf):
+    """pq_topk's positive-shift trick (Spark div == DuckDB // only on
+    non-negative operands) requires |component| < 1; pin that the gate
+    corpora actually satisfy it at every SF."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"/root/testdata/sf{sf}/embeddings.parquet",
+                      columns=["embedding"])
+    import numpy as np
+    flat = np.concatenate([np.asarray(x) for x in
+                           t.column("embedding").to_pylist()])
+    assert float(flat.min()) > -1.0 and float(flat.max()) < 1.0

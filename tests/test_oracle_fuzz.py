@@ -411,3 +411,24 @@ def test_hll_bloom_on_random_keys(spark, tmp_path_factory, rows,
         .parquet(os.path.join(d, "orders.parquet"))
     for gate in ("hll_distinct", "bloom_prune"):
         _check(spark, d, gate)
+
+
+@_SET
+@given(vecs=st.lists(
+    st.lists(st.floats(-0.9375, 0.9375, allow_nan=False, width=32),
+             min_size=64, max_size=64),
+    min_size=1, max_size=30))
+def test_pq_on_random_vectors(spark, tmp_path_factory, vecs):
+    """r7: embed_pq_topk is margin-FREE like embed_centroids (every
+    stage integer with (dist, id) total-order ties), so it fuzzes
+    without float-tie flake risk — duplicate vectors (distance ties),
+    tiny corpora (shortlist > corpus), and near-boundary components all
+    must replay exactly. Components stay within the operator's
+    documented (-1, 1) contract (the positive-shift precondition)."""
+    d = str(tmp_path_factory.mktemp("fuzz_pq"))
+    data = [(i, v, 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        data, "vec_id bigint, embedding array<float>, label int") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(d, "embeddings.parquet"))
+    _check(spark, d, "embed_pq_topk")
