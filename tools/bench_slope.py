@@ -36,7 +36,7 @@ QUERIES = ["denorm_flat", "q3_top_revenue", "dedup_fingerprint",
            "multimodal_jpeg",
            # late-r7 additions
            "hll_distinct", "bloom_prune", "bm25_topk",
-           "boilerplate_strip", "token_entropy"]
+           "boilerplate_strip", "token_entropy", "embed_pq_topk"]
 
 
 def main() -> None:
