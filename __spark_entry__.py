@@ -2619,6 +2619,22 @@ def q_embed_pq_topk(spark, sf_dir):
                        k=5, m=4, ks=16, refine=100)
 
 
+def q_embed_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composition with exact re-rank (similarity.ivfpq_topk,
+    r7 future-work item): a stride-seeded 8-list coarse quantizer
+    (one integer-Lloyd step) routes vectors; PQ encodes the residual to
+    the list centroid — positive-shifted by 2^25 so the residual Lloyd
+    mean stays on the grid where Spark's `div` and DuckDB's `//` agree;
+    queries probe their 4 nearest lists and ADC-score CODES only; the
+    top-100 shortlist is exactly re-ranked in integer L2 — FAISS's
+    IndexIVFPQ+refine shape, bit-replayable end to end. Recall vs exact
+    (0.76 measured at sf0.01 — isotropic embeddings are the hard case)
+    is floored in tests/test_ann_recall.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivfpq_topk(emb, emb.filter(F.col("vec_id") < 10),
+                          k=5, n_lists=8, n_probe=4, m=4, ks=16, refine=100)
+
+
 def q_token_entropy(spark, sf_dir):
     """Per-document unigram entropy + top-token share (functions.text.
     token_entropy, r7) — the diversity/repetition quality pair: low
@@ -2735,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll": q_stream_hll,
         "token_entropy": q_token_entropy,
         "embed_pq_topk": q_embed_pq_topk,
+        "embed_ivfpq_topk": q_embed_ivfpq_topk,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -4619,6 +4636,122 @@ def oracle_sql() -> dict[str, str]:
           JOIN comp cc ON cc.cid = s.cid
           JOIN comp qc ON qc.cid = s.qid AND qc.sub = cc.sub
                        AND qc.i = cc.i
+          GROUP BY s.qid, s.cid)
+        SELECT qid AS query_id, cid AS neighbor_id,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY dist ASC, cid ASC) AS INT) AS rank, dist
+        FROM ex QUALIFY rank <= 5"""
+    # IVF-PQ: the full coarse-quantize -> residual-PQ -> ADC -> re-rank
+    # replay. Residuals are positive-shifted by 2^25 (IVFPQ_RSHIFT) so
+    # every Lloyd mean is sum // count on non-negative values — the grid
+    # where DuckDB's floor `//` equals Spark's truncating `div`; the
+    # shift cancels in every squared difference.
+    d["embed_ivfpq_topk"] = """
+        WITH params AS (
+          SELECT greatest(count(*) // 8, 1) AS stride_c,
+                 greatest(count(*) // 16, 1) AS stride_r FROM embeddings),
+        comp AS (
+          SELECT vec_id AS cid, CAST(pos - 1 AS INT) AS i,
+                 CAST(floor(CAST(e[pos] AS DOUBLE) * 16777216.0) AS BIGINT)
+                   + 16777216 AS val
+          FROM (SELECT vec_id, embedding AS e FROM embeddings),
+               LATERAL (SELECT unnest(generate_series(1, len(e))) AS pos) t),
+        cseed_ids AS (
+          SELECT vec_id AS list_id FROM embeddings, params
+          WHERE vec_id % stride_c = 0 ORDER BY vec_id LIMIT 8),
+        cseedc AS (
+          SELECT s.list_id, c.i, c.val AS sval
+          FROM comp c JOIN cseed_ids s ON c.cid = s.list_id),
+        ca0 AS (
+          SELECT cid, list_id FROM (
+            SELECT d.cid, d.list_id, row_number() OVER (
+                PARTITION BY d.cid ORDER BY d.d, d.list_id) AS rn
+            FROM (SELECT c.cid, s.list_id,
+                         sum((c.val - s.sval) * (c.val - s.sval)) AS d
+                  FROM comp c JOIN cseedc s ON c.i = s.i
+                  GROUP BY c.cid, s.list_id) d) WHERE rn = 1),
+        ccent AS (
+          SELECT a.list_id, c.i, sum(c.val) // count(*) AS cval
+          FROM comp c JOIN ca0 a ON c.cid = a.cid GROUP BY a.list_id, c.i),
+        cassign AS (
+          SELECT cid, list_id FROM (
+            SELECT d.cid, d.list_id, row_number() OVER (
+                PARTITION BY d.cid ORDER BY d.d, d.list_id) AS rn
+            FROM (SELECT c.cid, k.list_id,
+                         sum((c.val - k.cval) * (c.val - k.cval)) AS d
+                  FROM comp c JOIN ccent k ON c.i = k.i
+                  GROUP BY c.cid, k.list_id) d) WHERE rn = 1),
+        rcomp AS (
+          SELECT c.cid, a.list_id, CAST(c.i // 16 AS INT) AS sub,
+                 CAST(c.i % 16 AS INT) AS ri,
+                 c.val - k.cval + 33554432 AS val
+          FROM comp c JOIN cassign a ON c.cid = a.cid
+          JOIN ccent k ON k.list_id = a.list_id AND k.i = c.i),
+        rseed_ids AS (
+          SELECT vec_id AS sid FROM embeddings, params
+          WHERE vec_id % stride_r = 0 ORDER BY vec_id LIMIT 16),
+        rseedc AS (
+          SELECT s.sid, r.sub, r.ri, r.val AS sval
+          FROM rcomp r JOIN rseed_ids s ON r.cid = s.sid),
+        ra0 AS (
+          SELECT cid, sub, sid FROM (
+            SELECT d.cid, d.sub, d.sid, row_number() OVER (
+                PARTITION BY d.cid, d.sub ORDER BY d.d, d.sid) AS rn
+            FROM (SELECT r.cid, r.sub, s.sid,
+                         sum((r.val - s.sval) * (r.val - s.sval)) AS d
+                  FROM rcomp r JOIN rseedc s
+                    ON r.sub = s.sub AND r.ri = s.ri
+                  GROUP BY r.cid, r.sub, s.sid) d) WHERE rn = 1),
+        rcent AS (
+          SELECT r.sub, a.sid, r.ri, sum(r.val) // count(*) AS rcval
+          FROM rcomp r JOIN ra0 a ON r.cid = a.cid AND r.sub = a.sub
+          GROUP BY r.sub, a.sid, r.ri),
+        rcodes AS (
+          SELECT cid, sub, sid FROM (
+            SELECT d.cid, d.sub, d.sid, row_number() OVER (
+                PARTITION BY d.cid, d.sub ORDER BY d.d, d.sid) AS rn
+            FROM (SELECT r.cid, r.sub, k.sid,
+                         sum((r.val - k.rcval) * (r.val - k.rcval)) AS d
+                  FROM rcomp r JOIN rcent k
+                    ON r.sub = k.sub AND r.ri = k.ri
+                  GROUP BY r.cid, r.sub, k.sid) d) WHERE rn = 1),
+        qcomp AS (SELECT cid AS qid, i, val FROM comp WHERE cid < 10),
+        qlists AS (
+          SELECT qid, list_id FROM (
+            SELECT d.qid, d.list_id, row_number() OVER (
+                PARTITION BY d.qid ORDER BY d.d, d.list_id) AS rn
+            FROM (SELECT q.qid, k.list_id,
+                         sum((q.val - k.cval) * (q.val - k.cval)) AS d
+                  FROM qcomp q JOIN ccent k ON q.i = k.i
+                  GROUP BY q.qid, k.list_id) d) WHERE rn <= 4),
+        qrcomp AS (
+          SELECT q.qid, l.list_id, CAST(q.i // 16 AS INT) AS sub,
+                 CAST(q.i % 16 AS INT) AS ri,
+                 q.val - k.cval + 33554432 AS qrval
+          FROM qcomp q JOIN qlists l ON q.qid = l.qid
+          JOIN ccent k ON k.list_id = l.list_id AND k.i = q.i),
+        qd AS (
+          SELECT q.qid, q.list_id, k.sub, k.sid,
+                 sum((q.qrval - k.rcval) * (q.qrval - k.rcval)) AS qdist
+          FROM qrcomp q JOIN rcent k ON q.sub = k.sub AND q.ri = k.ri
+          GROUP BY q.qid, q.list_id, k.sub, k.sid),
+        adc AS (
+          SELECT q.qid, x.cid, CAST(sum(q.qdist) AS BIGINT) AS adc
+          FROM rcodes x JOIN cassign a ON x.cid = a.cid
+          JOIN qd q ON q.list_id = a.list_id AND q.sub = x.sub
+                   AND q.sid = x.sid
+          GROUP BY q.qid, x.cid HAVING count(*) = 4),
+        short AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid, row_number() OVER (
+                PARTITION BY qid ORDER BY adc ASC, cid ASC) AS arn
+            FROM adc WHERE qid != cid) WHERE arn <= 100),
+        ex AS (
+          SELECT s.qid, s.cid,
+                 CAST(sum((qc.val - cc.val) * (qc.val - cc.val)) AS BIGINT)
+                   AS dist
+          FROM short s JOIN comp cc ON cc.cid = s.cid
+          JOIN qcomp qc ON qc.qid = s.qid AND qc.i = cc.i
           GROUP BY s.qid, s.cid)
         SELECT qid AS query_id, cid AS neighbor_id,
                CAST(row_number() OVER (PARTITION BY qid

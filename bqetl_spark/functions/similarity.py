@@ -808,3 +808,190 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, m: int = 4,
             .filter(F.col("rank") <= k)
             .select(F.col("qid").alias("query_id"),
                     F.col("cid").alias("neighbor_id"), "rank", "dist"))
+
+
+# residual positive shift for IVF-PQ: component values live on [0, 2^25)
+# (floor(x*2^24)+2^24 with x in (-1,1)), so val - cval is in (-2^25, 2^25)
+# and adding 2^25 keeps every residual non-negative. The shift cancels in
+# every DIFFERENCE (distances are shift-invariant) but keeps the Lloyd
+# mean on the positive grid, where Spark's `div` (truncate) and DuckDB's
+# `//` (floor) agree — the same trick PQ_OFFSET plays for raw components.
+IVFPQ_RSHIFT = 2 * PQ_SCALE
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               n_lists: int = 8, n_probe: int = 2, m: int = 4,
+               ks: int = 16, refine: int | None = None,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ composition (FAISS ``IndexIVFPQ`` + refine, r7 future-work
+    item): a coarse inverted-file quantizer routes vectors into lists,
+    product quantization encodes the RESIDUAL to the list centroid, the
+    query scans only its ``n_probe`` nearest lists via the ADC table on
+    residual codes, and the shortlist is exactly re-ranked — the
+    standard billion-scale retrieval shape, here fully integer and
+    oracle-replayable.
+
+    Pipeline:
+      1. coarse codebook: stride-seeded ``n_lists`` centroids over the
+         FULL fixed-point vector, one integer-Lloyd step (sum div count
+         on the positive grid = exact floor on both engines), argmin
+         assignment with a (dist, list_id) total order.
+      2. residual components: val - cval + 2^25 per assigned list —
+         non-negative by construction (see ``IVFPQ_RSHIFT``).
+      3. residual PQ codebook: ONE codebook shared across lists (the
+         FAISS default), stride-seeded ks centroids per subspace, one
+         integer-Lloyd step, corpus residuals -> m sub-codes.
+      4. query: probe the ``n_probe`` nearest coarse lists; per probed
+         list, form the query residual and the (list, sub, sid) ADC
+         table (m·ks·n_probe integer cells per query — metadata);
+         candidates are corpus codes in probed lists only, summed over
+         codes, never rescanning vectors.
+      5. exact integer-L2 re-rank of the best ``refine`` (default 10·k)
+         candidates per query on the ORIGINAL components.
+
+    Scale shape: the coarse+PQ training is the standard IVF-PQ bill
+    (corpus × n_lists + corpus × ks per subspace, all equi-joins against
+    broadcast centroid relations); the query-time scan touches
+    n_probe/n_lists of the CODES (2 bytes/vector at m=4, ks=16) and the
+    exact stage touches ``refine`` vectors per query. Every join is an
+    equi-join; the only ``collect()`` is none — centroids stay
+    DataFrames joined by broadcast. Approximate by design, but the
+    deterministic seeding + integer arithmetic make the whole run replay
+    bit-identically in SQL; recall floors live in
+    tests/test_ann_recall.py.
+
+    Returns (query_id, neighbor_id, rank, dist BIGINT): dist is the
+    exact scaled squared-L2 on the 2^-24 grid; ties break by ascending
+    neighbor id; self-matches excluded.
+    """
+    if k < 1 or m < 1 or ks < 2 or n_lists < 2 or n_probe < 1:
+        raise ValueError(
+            f"bad params k={k} m={m} ks={ks} n_lists={n_lists} "
+            f"n_probe={n_probe}")
+    if n_probe > n_lists:
+        raise ValueError(f"n_probe {n_probe} > n_lists {n_lists}")
+    refine = 10 * k if refine is None else refine
+    if refine < k:
+        raise ValueError(f"refine {refine} < k {k}")
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    n_part = compute_parallelism(corpus.sparkSession)
+
+    # full-dim integer components, one shared scan (coarse stage treats
+    # the whole vector as a single subspace: sub=0, i=position)
+    comp0 = pin(_pq_components(corpus.repartition(n_part, id_col),
+                               id_col, vec_col, dim, "cid"))
+
+    def argmin(components: DataFrame, idc: str, cells: DataFrame,
+               cell_id: str, cell_val: str) -> DataFrame:
+        """argmin_{cell} sum_i (val - cell_val)^2 per (id, sub) with the
+        (dist, cell_id) total order — deterministic on ties."""
+        d = (components.join(F.broadcast(cells), ["sub", "i"])
+             .groupBy(idc, "sub", cell_id)
+             .agg(F.sum((F.col("val") - F.col(cell_val))
+                        * (F.col("val") - F.col(cell_val))).alias("d")))
+        w = Window.partitionBy(idc, "sub").orderBy("d", cell_id)
+        return (d.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).drop("rn", "d"))
+
+    # ---- stage 1: coarse codebook + corpus list assignment ----------
+    stride_c = _count_stride(corpus, n_lists)
+    cseed_ids = (corpus
+                 .filter(F.pmod(F.col(id_col), F.lit(stride_c)) == 0)
+                 .limit(n_lists).select(F.col(id_col).alias("list_id")))
+    cseedc = (comp0.join(F.broadcast(cseed_ids),
+                         comp0["cid"] == cseed_ids["list_id"])
+              .select("list_id", "sub", "i", F.col("val").alias("sval")))
+    ca0 = argmin(comp0, "cid", cseedc, "list_id", "sval")
+    ccent = pin(comp0.join(ca0.select("cid", "list_id"), "cid")
+                .groupBy("list_id", "sub", "i")
+                .agg(F.expr("sum(val) div count(*)").alias("cval")))
+    cassign = pin(argmin(comp0, "cid", ccent, "list_id", "cval")
+                  .select("cid", "list_id"))
+
+    # ---- stage 2: positive-shifted residuals, split into subspaces --
+    rcomp = pin(
+        comp0.join(cassign, "cid")
+        .join(F.broadcast(ccent.select("list_id", "i", "cval")),
+              ["list_id", "i"])
+        .select("cid", "list_id",
+                F.floor(F.col("i") / F.lit(dsub)).cast("int").alias("rsub"),
+                F.pmod(F.col("i"), F.lit(dsub)).cast("int").alias("ri"),
+                (F.col("val") - F.col("cval")
+                 + F.lit(IVFPQ_RSHIFT)).alias("rval"))
+        .select("cid", "list_id", F.col("rsub").alias("sub"),
+                F.col("ri").alias("i"), F.col("rval").alias("val")))
+
+    # ---- stage 3: shared residual PQ codebook + corpus codes --------
+    stride_r = _count_stride(corpus, ks)
+    rseed_ids = (corpus
+                 .filter(F.pmod(F.col(id_col), F.lit(stride_r)) == 0)
+                 .limit(ks).select(F.col(id_col).alias("sid")))
+    rseedc = (rcomp.join(F.broadcast(rseed_ids),
+                         rcomp["cid"] == rseed_ids["sid"])
+              .select("sid", "sub", "i", F.col("val").alias("sval")))
+    ra0 = argmin(rcomp, "cid", rseedc, "sid", "sval")
+    rcent = pin(rcomp.join(ra0, ["cid", "sub"])
+                .groupBy("sub", "sid", "i")
+                .agg(F.expr("sum(val) div count(*)").alias("rcval")))
+    rcodes = argmin(rcomp, "cid",
+                    rcent.select("sub", "sid", "i",
+                                 F.col("rcval").alias("cval")),
+                    "sid", "cval")
+
+    # ---- stage 4: query probes + ADC over codes ---------------------
+    qcomp = _pq_components(queries, id_col, vec_col, dim, "qid")
+    qcd = (qcomp.join(F.broadcast(ccent), ["sub", "i"])
+           .groupBy("qid", "list_id")
+           .agg(F.sum((F.col("val") - F.col("cval"))
+                      * (F.col("val") - F.col("cval"))).alias("d")))
+    wq = Window.partitionBy("qid").orderBy("d", "list_id")
+    qlists = (qcd.withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= n_probe).select("qid", "list_id"))
+    # query residual per probed list, then the ADC table: the integer L2
+    # from the query residual to EVERY residual centroid, per list —
+    # n_probe·m·ks cells per query, metadata-sized, broadcast below
+    qrcomp = (qcomp.join(F.broadcast(qlists), "qid")
+              .join(F.broadcast(ccent.select("list_id", "i", "cval")),
+                    ["list_id", "i"])
+              .select("qid", "list_id",
+                      F.floor(F.col("i") / F.lit(dsub)).cast("int")
+                      .alias("rsub"),
+                      F.pmod(F.col("i"), F.lit(dsub)).cast("int")
+                      .alias("ri"),
+                      (F.col("val") - F.col("cval")
+                       + F.lit(IVFPQ_RSHIFT)).alias("qrval")))
+    qd = (qrcomp.join(F.broadcast(rcent),
+                      (F.col("rsub") == rcent["sub"])
+                      & (F.col("ri") == rcent["i"]))
+          .groupBy("qid", "list_id", "sub", "sid")
+          .agg(F.sum((F.col("qrval") - F.col("rcval"))
+                     * (F.col("qrval") - F.col("rcval"))).alias("qdist")))
+    adc = (rcodes.join(cassign, "cid")
+           .join(F.broadcast(qd), ["list_id", "sub", "sid"])
+           .groupBy("qid", "cid")
+           .agg(F.sum("qdist").cast("long").alias("adc"),
+                F.count("*").alias("__m"))
+           .filter(F.col("__m") == m)
+           .filter(F.col("qid") != F.col("cid")))
+    wa = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("cid"))
+    shortlist = (adc.withColumn("arn", F.row_number().over(wa))
+                 .filter(F.col("arn") <= refine).select("qid", "cid"))
+
+    # ---- stage 5: exact integer re-rank on the shortlist ------------
+    exact = (shortlist
+             .join(comp0, "cid")
+             .join(qcomp.select("qid", "sub", "i",
+                                F.col("val").alias("qval")),
+                   ["qid", "sub", "i"])
+             .groupBy("qid", "cid")
+             .agg(F.sum((F.col("val") - F.col("qval"))
+                        * (F.col("val") - F.col("qval")))
+                  .cast("long").alias("dist")))
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("cid"))
+    return (exact.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select(F.col("qid").alias("query_id"),
+                    F.col("cid").alias("neighbor_id"), "rank", "dist"))

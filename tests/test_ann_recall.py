@@ -159,6 +159,55 @@ def test_pq_validation(spark):
         sim.pq_topk(emb, emb, k=5, refine=2)     # refine < k
 
 
+# --------------------------------------------------------- IVF-PQ (r7) --
+
+def test_ivfpq_recall_floor_and_refine_monotone(spark, emb01):
+    """IVF-PQ+refine recall vs exact L2 at sf0.01: the gate config
+    (n_probe=4, refine=100) measured 0.76. Refine-monotonicity is the
+    invariant that holds BY CONSTRUCTION: a larger shortlist is a
+    superset (ADC order is deterministic), and the exact re-rank of a
+    superset cannot lose a true neighbor. Probe-monotonicity does NOT
+    hold at fixed refine — widening the probe adds ADC-noisy candidates
+    that can crowd true neighbors out of the fixed-size shortlist
+    (measured 0.76 @ n_probe=4 vs 0.74 @ n_probe=8, refine=100) — which
+    is exactly why FAISS scales the shortlist with nprobe."""
+    q = emb01.filter(F.col("vec_id") < 10)
+    exact = _exact_l2_topk(emb01, q, 5).collect()
+    r100 = sim.ivfpq_topk(emb01, q, k=5, n_lists=8, n_probe=4,
+                          m=4, ks=16, refine=100).collect()
+    r200 = sim.ivfpq_topk(emb01, q, k=5, n_lists=8, n_probe=4,
+                          m=4, ks=16, refine=200).collect()
+    rec100, rec200 = _recall(r100, exact), _recall(r200, exact)
+    assert rec100 >= 0.6, rec100
+    assert rec200 >= rec100 - 1e-9
+
+
+def test_ivfpq_full_probe_full_refine_equals_exact(spark):
+    """Degenerate-case pin: probing EVERY list with an unbounded
+    shortlist means no candidate is ever lost to the coarse stage or the
+    ADC ranking, so ivfpq_topk must return EXACTLY the integer-L2
+    brute-force answer (ids, ranks AND distances)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    got = sorted(map(tuple, sim.ivfpq_topk(
+        emb, q, k=5, n_lists=4, n_probe=4, m=4, ks=8,
+        refine=10**6).collect()))
+    want = sorted(map(tuple, _exact_l2_topk(emb, q, 5).collect()))
+    assert got == want
+
+
+def test_ivfpq_validation(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError):
+        sim.ivfpq_topk(emb, emb, k=0)
+    with pytest.raises(ValueError):
+        sim.ivfpq_topk(emb, emb, n_probe=9, n_lists=8)
+    with pytest.raises(ValueError):
+        sim.ivfpq_topk(emb, emb, k=5, m=5)       # 64 % 5 != 0
+    with pytest.raises(ValueError):
+        sim.ivfpq_topk(emb, emb, k=5, refine=2)  # refine < k
+
+
 @pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
 def test_pq_component_range_contract(sf):
     """pq_topk's positive-shift trick (Spark div == DuckDB // only on

@@ -42,7 +42,8 @@ ROUND_HEAD = {
                   "substring_dup", "bpe_train", "bpe_segments",
                   "ngram_prefix_jaccard", "cms_tokens", "hll_distinct",
                   "bloom_prune", "bm25_topk", "boilerplate_strip",
-                  "stream_hll", "token_entropy", "embed_pq_topk"],
+                  "stream_hll", "token_entropy", "embed_pq_topk",
+                  "embed_ivfpq_topk"],
     "changed": ["increasing_runs", "pyds_ndjson", "pagerank",
                 "multimodal_decode", "multimodal_png", "multimodal_resize",
                 "multimodal_audio", "stream_kmv", "upsert_customers"],
