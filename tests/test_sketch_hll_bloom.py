@@ -16,12 +16,19 @@ from bqetl_spark.functions.sketch import (
     HLL_M,
     HLL_RAW_NUM,
     HLL_RHO_MAX,
+    HLL_SHIFT,
+    HLL_SM,
+    HLL_SRHO_MAX,
+    HLL_SW,
     HLL_W,
     bloom_build,
     bloom_might_contain,
     hll_estimate,
     hll_merge,
     hll_sketch,
+    hll_sparse_estimate,
+    hll_sparse_sketch,
+    hll_sparse_to_dense,
 )
 
 
@@ -121,6 +128,123 @@ def test_null_values_ignored(spark):
     regs = hll_sketch(df, "v").collect()
     assert {r["bucket"]: r["max_rho"] for r in regs} == \
         _py_registers(["a", "b"])
+
+
+# ------------------------------------------------- HLL++ sparse (r7) --
+
+def _py_sparse_pairs(values):
+    """Reference sparse pairs at p'=14 from the same md5 hash."""
+    pairs: dict[int, int] = {}
+    for v in values:
+        hv = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        idx = hv >> HLL_SW
+        rest = hv & ((1 << HLL_SW) - 1)
+        rho = HLL_SRHO_MAX if rest == 0 else HLL_SW - rest.bit_length() + 1
+        pairs[idx] = max(pairs.get(idx, 0), rho)
+    return pairs
+
+
+def test_sparse_pairs_match_python_reference(spark):
+    vals = [f"item-{i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {r["idx"]: r["max_rho"]
+           for r in hll_sparse_sketch(df, "v").collect()}
+    assert got == _py_sparse_pairs(vals)
+
+
+def test_sparse_to_dense_equals_direct_dense(spark):
+    """The HLL++ mode-switch invariant: downconverting the sparse p'=14
+    sketch must reproduce the dense p=8 sketch ROW FOR ROW — both per
+    group on real data and for the engineered edge cases (low6 == 0
+    forces the rho' + 6 branch; all-zero rho fields hit both RHO_MAX
+    constants)."""
+    cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    direct = sorted(map(tuple, hll_sketch(
+        cust, "c_custkey", "c_nationkey").collect()))
+    conv = sorted(map(tuple, hll_sparse_to_dense(hll_sparse_sketch(
+        cust, "c_custkey", "c_nationkey")).collect()))
+    assert direct == conv
+
+
+def test_sparse_to_dense_branch_coverage():
+    """Pure-arithmetic pin of the conversion on every (low6, rho') class:
+    dense rho from a sparse pair must equal the rho computed straight
+    from a 52-bit field with the same top-6/low-46 split."""
+    for low6 in range(64):
+        for rho_s in (1, 7, HLL_SRHO_MAX):
+            rest46 = 0 if rho_s == HLL_SRHO_MAX else \
+                1 << (HLL_SW - rho_s)  # a field with exactly that rho'
+            rest52 = (low6 << HLL_SW) | rest46
+            want = 53 if rest52 == 0 else HLL_W - rest52.bit_length() + 1
+            got = (HLL_SHIFT + rho_s if low6 == 0
+                   else HLL_SHIFT + 1 - low6.bit_length())
+            assert got == want, (low6, rho_s)
+
+
+def test_sparse_merge_equals_union(spark):
+    """Sparse sketches MAX-merge exactly like dense ones (hll_merge
+    dispatches on the idx column)."""
+    rows = [("g%d" % (i % 3), f"v{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    a = hll_sparse_sketch(df.filter(F.crc32(F.col("v")) % 2 == 0),
+                          "v", "grp")
+    b = hll_sparse_sketch(df.filter(F.crc32(F.col("v")) % 2 == 1),
+                          "v", "grp")
+    merged = {(r["grp"], r["idx"]): r["max_rho"]
+              for r in hll_merge(a, b).collect()}
+    full = {(r["grp"], r["idx"]): r["max_rho"]
+            for r in hll_sparse_sketch(df, "v", "grp").collect()}
+    assert merged == full
+
+
+def test_sparse_estimate_beats_dense_in_sparse_regime(spark):
+    """The POINT of HLL++ sparse mode: linear counting at p'=14 on small
+    cardinalities is far tighter than the dense p=8 estimator (measured
+    0.13% vs 3.5% mean relative error on customer/nation at sf0.01).
+    Assert the aggregate ordering, not the exact figures."""
+    cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    sp = hll_sparse_sketch(cust, "c_custkey", "c_nationkey")
+    est_sp = {r["c_nationkey"]: r["est"]
+              for r in hll_sparse_estimate(sp, "c_nationkey").collect()}
+    est_de = {r["c_nationkey"]: r["est"] for r in hll_estimate(
+        hll_sketch(cust, "c_custkey", "c_nationkey"),
+        "c_nationkey").collect()}
+    exact = {r["c_nationkey"]: r["x"] for r in
+             cust.groupBy("c_nationkey")
+             .agg(F.countDistinct("c_custkey").alias("x")).collect()}
+    err_sp = sum(abs(est_sp[g] - exact[g]) / exact[g] for g in exact)
+    err_de = sum(abs(est_de[g] - exact[g]) / exact[g] for g in exact)
+    assert err_sp <= err_de, (err_sp, err_de)
+    # and sparse is individually tight: lc at p'=14 with V <= ~70 per
+    # group is near-exact
+    assert all(abs(est_sp[g] - exact[g]) <= 2 for g in exact), est_sp
+
+
+def test_sparse_estimate_saturated_falls_back_to_dense(spark):
+    """A synthetic FULL slot table (V = m') takes the dense-path branch:
+    the estimate must equal hll_estimate over the downconverted
+    registers, and must not evaluate ln(m'/0)."""
+    full = spark.range(HLL_SM).select(
+        F.col("id").cast("int").alias("idx"),
+        F.lit(1).cast("int").alias("max_rho"))
+    got = hll_sparse_estimate(full).collect()[0]
+    want = hll_estimate(hll_sparse_to_dense(full)).collect()[0]["est"]
+    assert got["n_pairs"] == HLL_SM and got["est"] == want
+
+
+def test_sparse_lc_ln_margin_all_arguments():
+    """floor(1e6·ln(16384/Z)) over the ENTIRE sparse linear-counting
+    domain (Z in 1..16383): every value must sit >5e-6 from an integer.
+    Measured minimum is 7.55e-6 at Z=11642; a 1-ulp libm divergence on
+    x <= 1e6·ln(16384) ≈ 9.7e6 is ~2e-9, so the floor keeps >3 orders
+    of headroom — the dense audit's discipline, closed over the larger
+    domain."""
+    import numpy as np
+
+    z = np.arange(1, HLL_SM, dtype=np.float64)
+    x = 10**6 * np.log(HLL_SM / z)
+    margin = np.abs(x - np.round(x))
+    assert float(margin.min()) > 5e-6, int(z[margin.argmin()])
 
 
 # -------------------------------------------------------------- Bloom --
