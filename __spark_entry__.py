@@ -2635,6 +2635,22 @@ def q_embed_ivfpq_topk(spark, sf_dir):
                           k=5, n_lists=8, n_probe=4, m=4, ks=16, refine=100)
 
 
+def q_embed_pq_hadamard(spark, sf_dir):
+    """PQ under the deterministic Walsh-Hadamard rotation
+    (similarity.pq_topk(rotate='hadamard'), r7) — OPQ's energy-
+    spreading preprocessing with a FIXED orthogonal transform:
+    H[j][i] = (-1)^popcount(i & j) has ±1 entries, so the rotation is
+    exact integer arithmetic (rot + 2^30 keeps the div-8 orthonormal
+    rescale on the non-negative grid where the engines' integer
+    divisions agree) and the whole codebook/ADC/re-rank pipeline
+    replays in SQL via bit_count. Full-refine ranking is pinned equal
+    to the UNROTATED exact top-k in tests (the rotation is an isometry
+    up to ~1e-6 floor distortion)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.pq_topk(emb, emb.filter(F.col("vec_id") < 10),
+                       k=5, m=4, ks=16, refine=100, rotate="hadamard")
+
+
 def q_hll_sparse(spark, sf_dir):
     """HLL++ sparse representation (functions.sketch.hll_sparse_*, r7,
     Heule et al. §5.3): per-nation distinct-customer estimates from
@@ -2777,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pq_topk": q_embed_pq_topk,
         "embed_ivfpq_topk": q_embed_ivfpq_topk,
         "hll_sparse": q_hll_sparse,
+        "embed_pq_hadamard": q_embed_pq_hadamard,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -4777,6 +4794,85 @@ def oracle_sql() -> dict[str, str]:
                    AS dist
           FROM short s JOIN comp cc ON cc.cid = s.cid
           JOIN qcomp qc ON qc.qid = s.qid AND qc.i = cc.i
+          GROUP BY s.qid, s.cid)
+        SELECT qid AS query_id, cid AS neighbor_id,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY dist ASC, cid ASC) AS INT) AS rank, dist
+        FROM ex QUALIFY rank <= 5"""
+    # Hadamard-rotated PQ: identical pipeline to embed_pq_topk, but the
+    # components are Walsh-Hadamard-rotated first — H's ±1 entries come
+    # from bit_count(pos & j) parity, the +2^30 shift precedes the div-8
+    # orthonormal rescale so `//` (floor) here equals Spark's `div`
+    # (truncate) on the non-negative operand.
+    d["embed_pq_hadamard"] = """
+        WITH params AS (
+          SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
+        rawc AS (
+          SELECT vec_id AS cid, CAST(pos - 1 AS INT) AS pos0,
+                 CAST(floor(CAST(e[pos] AS DOUBLE) * 16777216.0) AS BIGINT)
+                   AS rawval
+          FROM (SELECT vec_id, embedding AS e FROM embeddings),
+               LATERAL (SELECT unnest(generate_series(1, len(e))) AS pos) t),
+        comp AS (
+          SELECT cid, CAST(j // 16 AS INT) AS sub, CAST(j % 16 AS INT) AS i,
+                 (sum(CASE WHEN bit_count(pos0 & j) % 2 = 1
+                      THEN -rawval ELSE rawval END) + 1073741824) // 8 AS val
+          FROM rawc, LATERAL (SELECT unnest(range(64)) AS j) tj
+          GROUP BY cid, j),
+        seed_ids AS (
+          SELECT vec_id AS sid FROM embeddings, params
+          WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 16),
+        seedc AS (
+          SELECT s.sid, c.sub, c.i, c.val AS sval
+          FROM comp c JOIN seed_ids s ON c.cid = s.sid),
+        a0 AS (
+          SELECT cid, sub, sid FROM (
+            SELECT d.cid, d.sub, d.sid,
+                   row_number() OVER (PARTITION BY d.cid, d.sub
+                                      ORDER BY d.d, d.sid) AS rn
+            FROM (SELECT c.cid, c.sub, s.sid,
+                         sum((c.val - s.sval) * (c.val - s.sval)) AS d
+                  FROM comp c JOIN seedc s
+                    ON c.sub = s.sub AND c.i = s.i
+                  GROUP BY c.cid, c.sub, s.sid) d) WHERE rn = 1),
+        cent AS (
+          SELECT c.sub, a.sid, c.i, sum(c.val) // count(*) AS cval
+          FROM comp c JOIN a0 a ON c.cid = a.cid AND c.sub = a.sub
+          GROUP BY c.sub, a.sid, c.i),
+        codes AS (
+          SELECT cid, sub, sid FROM (
+            SELECT d.cid, d.sub, d.sid,
+                   row_number() OVER (PARTITION BY d.cid, d.sub
+                                      ORDER BY d.d, d.sid) AS rn
+            FROM (SELECT c.cid, c.sub, k.sid,
+                         sum((c.val - k.cval) * (c.val - k.cval)) AS d
+                  FROM comp c JOIN cent k
+                    ON c.sub = k.sub AND c.i = k.i
+                  GROUP BY c.cid, c.sub, k.sid) d) WHERE rn = 1),
+        qd AS (
+          SELECT c.cid AS qid, k.sub, k.sid,
+                 sum((c.val - k.cval) * (c.val - k.cval)) AS qdist
+          FROM comp c JOIN cent k ON c.sub = k.sub AND c.i = k.i
+          WHERE c.cid < 10
+          GROUP BY c.cid, k.sub, k.sid),
+        adc AS (
+          SELECT q.qid, x.cid, CAST(sum(q.qdist) AS BIGINT) AS adc
+          FROM codes x JOIN qd q ON x.sub = q.sub AND x.sid = q.sid
+          GROUP BY q.qid, x.cid
+          HAVING count(*) = 4),
+        short AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid, row_number() OVER (
+                PARTITION BY qid ORDER BY adc ASC, cid ASC) AS arn
+            FROM adc WHERE qid != cid) WHERE arn <= 100),
+        ex AS (
+          SELECT s.qid, s.cid,
+                 CAST(sum((qc.val - cc.val) * (qc.val - cc.val)) AS BIGINT)
+                   AS dist
+          FROM short s
+          JOIN comp cc ON cc.cid = s.cid
+          JOIN comp qc ON qc.cid = s.qid AND qc.sub = cc.sub
+                       AND qc.i = cc.i
           GROUP BY s.qid, s.cid)
         SELECT qid AS query_id, cid AS neighbor_id,
                CAST(row_number() OVER (PARTITION BY qid

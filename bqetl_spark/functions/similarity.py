@@ -705,9 +705,50 @@ def _pq_components(df: DataFrame, id_col: str, vec_col: str, dsub: int,
                     "val"))
 
 
+def _hadamard_components(df: DataFrame, id_col: str, vec_col: str,
+                         dsub: int, out_id: str, dim: int) -> DataFrame:
+    """(id, sub, i, val): Walsh-Hadamard-ROTATED positive fixed-point
+    components — the OPQ-style structured rotation (H_dim has ±1
+    entries, H[j][i] = (-1)^popcount(i & j)), kept fully integer:
+
+      rot_j = Σ_i sign(i,j) · floor(x_i · 2^24)      (exact, |rot| ≤ 2^30)
+      val_j = (rot_j + 2^30) div 8                   (≥ 0, < 2^28)
+
+    The +2^30 shift makes the operand non-negative BEFORE the div-8
+    normalization (1/8 = 1/sqrt(64) keeps the rotation orthonormal at
+    the original scale), so truncating and flooring division agree —
+    the PQ_OFFSET discipline. The div floor costs ≤ 1 unit on a 2^21-
+    per-unit-x grid: ~1e-6 relative distance distortion, invisible to
+    ranking (pinned vs the unrotated exact top-k in tests).
+
+    Relational shape: explode-literal j (no join, no BNLJ) then one
+    map-side-combined SUM on (id, j) — the O(d²) matmul bill, chosen
+    because it replays verbatim in SQL. The O(d log d) butterfly FWHT
+    is the production fast path at large d; at d = 64 the dense form
+    is 4096 multiplies per row and the simpler plan wins.
+    """
+    raw = (df.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(PQ_SCALE)))
+            .cast("long"))).alias("pos", "rawval")))
+    sign = F.when(F.expr("pmod(bit_count(pos & j), 2)") == 1,
+                  -F.col("rawval")).otherwise(F.col("rawval"))
+    rot = (raw.select(out_id, "pos", "rawval",
+                      F.explode(F.lit(list(range(dim)))).alias("j"))
+           .groupBy(out_id, "j").agg(F.sum(sign).alias("rot")))
+    return (rot.select(out_id,
+                       F.floor(F.col("j") / F.lit(dsub)).cast("int")
+                       .alias("sub"),
+                       F.pmod(F.col("j"), F.lit(dsub)).cast("int")
+                       .alias("i"),
+                       F.expr(f"(rot + {1 << 30}) div 8").alias("val")))
+
+
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, m: int = 4,
             ks: int = 16, refine: int | None = None, id_col: str = "vec_id",
-            vec_col: str = "embedding") -> DataFrame:
+            vec_col: str = "embedding", rotate: str | None = None) -> DataFrame:
     """Top-k nearest neighbors by PQ asymmetric-distance shortlist +
     exact re-rank — the production retrieval shape (FAISS's
     IndexPQ + refine), fully integer and oracle-replayable.
@@ -735,20 +776,38 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, m: int = 4,
     Returns (query_id, neighbor_id, rank, dist BIGINT) — dist is the
     exact scaled squared-L2 (2^-24 grid); smaller = closer; ties break
     by ascending neighbor id. Self-matches excluded.
+
+    ``rotate='hadamard'`` applies the deterministic Walsh-Hadamard
+    rotation (see :func:`_hadamard_components`) to every vector before
+    quantization — OPQ's energy-spreading idea with a FIXED orthogonal
+    transform, so the whole pipeline (and its oracle) stays integer.
+    Distances are then in the rotated space: same metric up to the
+    orthonormal rescale + ~1e-6 floor distortion, pinned against the
+    unrotated exact ranking in tests. Requires power-of-two dim.
     """
     if k < 1 or m < 1 or ks < 2:
         raise ValueError(f"bad params k={k} m={m} ks={ks}")
     refine = 10 * k if refine is None else refine
     if refine < k:
         raise ValueError(f"refine {refine} < k {k}")
+    if rotate not in (None, "hadamard"):
+        raise ValueError(f"unknown rotate={rotate!r}")
     dim = len(corpus.select(vec_col).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if rotate == "hadamard" and dim & (dim - 1):
+        raise ValueError(f"hadamard needs power-of-two dim, got {dim}")
     dsub = dim // m
     n_part = compute_parallelism(corpus.sparkSession)
 
-    comp = pin(_pq_components(corpus.repartition(n_part, id_col),
-                              id_col, vec_col, dsub, "cid"))
+    if rotate == "hadamard":
+        def components(df, idc):
+            return _hadamard_components(df, id_col, vec_col, dsub, idc, dim)
+    else:
+        def components(df, idc):
+            return _pq_components(df, id_col, vec_col, dsub, idc)
+
+    comp = pin(components(corpus.repartition(n_part, id_col), "cid"))
     # stride-seeded initial centroids: corpus vectors at every Nth id
     stride = _count_stride(corpus, ks)
     seed_ids = (corpus.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
@@ -776,7 +835,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, m: int = 4,
     cent = pin(cent)
     codes = nearest(comp, "cid", cent, "sid", "cval")
 
-    qcomp = _pq_components(queries, id_col, vec_col, dsub, "qid")
+    qcomp = components(queries, "qid")
     qd = (qcomp.join(F.broadcast(cent), ["sub", "i"])
           .groupBy("qid", "sub", "sid")
           .agg(F.sum((F.col("val") - F.col("cval"))

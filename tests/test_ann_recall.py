@@ -159,6 +159,69 @@ def test_pq_validation(spark):
         sim.pq_topk(emb, emb, k=5, refine=2)     # refine < k
 
 
+# --------------------------------------------- Hadamard-rotated PQ (r7) --
+
+def test_pq_hadamard_components_match_numpy_reference(spark):
+    """The relational Walsh-Hadamard matmul must equal the numpy H @ v
+    (H[j][i] = (-1)^popcount(i&j)) followed by the +2^30-shift floor-
+    div-8 — on a real vector, exactly."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    row = emb.filter(F.col("vec_id") == 3).collect()[0]
+    v = np.floor(np.asarray(row["embedding"], dtype=np.float64)
+                 * 16777216.0).astype(np.int64)
+    dim = len(v)
+    H = np.array([[(-1) ** bin(i & j).count("1") for i in range(dim)]
+                  for j in range(dim)], dtype=np.int64)
+    want = (H @ v + (1 << 30)) // 8
+    got_rows = sim._hadamard_components(
+        emb.filter(F.col("vec_id") == 3), "vec_id", "embedding",
+        dim // 4, "cid", dim).collect()
+    got = np.zeros(dim, dtype=np.int64)
+    for r in got_rows:
+        got[r["sub"] * (dim // 4) + r["i"]] = r["val"]
+    assert (got == want).all()
+
+
+def test_pq_hadamard_full_refine_matches_unrotated_exact_ids(spark):
+    """The rotation is an isometry up to the div-8 floor (~1e-6 relative
+    distortion), so with an unbounded shortlist the ROTATED-space exact
+    re-rank must pick the same neighbor IDs as the unrotated exact
+    top-k (distances differ — they live in the rotated space)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    got = sorted((r["query_id"], r["neighbor_id"]) for r in sim.pq_topk(
+        emb, q, k=5, m=4, ks=8, refine=10**6, rotate="hadamard").collect())
+    want = sorted((r["query_id"], r["neighbor_id"])
+                  for r in _exact_l2_topk(emb, q, 5).collect())
+    assert got == want
+
+
+def test_pq_hadamard_recall_floor(spark, emb01):
+    """Gate config (m=4, ks=16, refine=100) measured 0.74 at sf0.01 —
+    on ISOTROPIC embeddings the rotation has no correlated energy to
+    spread, so parity-with-plain-PQ (0.78) is the expected outcome; the
+    operator exists for the correlated-dimension corpora where plain
+    PQ's per-subspace variance is unbalanced."""
+    q = emb01.filter(F.col("vec_id") < 10)
+    exact = _exact_l2_topk(emb01, q, 5).collect()
+    r = sim.pq_topk(emb01, q, k=5, m=4, ks=16, refine=100,
+                    rotate="hadamard").collect()
+    assert _recall(r, exact) >= 0.6
+
+
+def test_pq_rotate_validation(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError):
+        sim.pq_topk(emb, emb, k=5, rotate="opq")
+    with pytest.raises(ValueError):
+        # 48 dims: divisible by m=4 but not a power of two
+        trimmed = emb.select("vec_id",
+                             F.slice("embedding", 1, 48).alias("embedding"))
+        sim.pq_topk(trimmed, trimmed, k=5, m=4, ks=8, rotate="hadamard")
+
+
 # --------------------------------------------------------- IVF-PQ (r7) --
 
 def test_ivfpq_recall_floor_and_refine_monotone(spark, emb01):
