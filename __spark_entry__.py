@@ -2635,6 +2635,38 @@ def q_embed_ivfpq_topk(spark, sf_dir):
                           k=5, n_lists=8, n_probe=4, m=4, ks=16, refine=100)
 
 
+def q_hll_intersect(spark, sf_dir):
+    """Distinct-set OVERLAP from sketches (functions.sketch.
+    hll_intersect_estimate, r7): per order-year, how many customers
+    placed both an URGENT and a HIGH order — est(A) + est(B) −
+    est(A ∪ B), where the union estimate reads hll_merge(a, b). The
+    oracle computes the union registers from the ROW-level union
+    directly, so the hash-match certifies merge ≡ union-sketch on real
+    data (the property that makes cross-corpus overlap a 256-row
+    problem at 100 TB). Joined with the exact intersection counts."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        "o_custkey", "o_orderpriority")
+    a = sk.hll_sketch(base.filter(F.col("o_orderpriority") == "1-URGENT"),
+                      "o_custkey", "yr")
+    b = sk.hll_sketch(base.filter(F.col("o_orderpriority") == "2-HIGH"),
+                      "o_custkey", "yr")
+    est = sk.hll_intersect_estimate(a, b, "yr")
+    exact = (base.filter(F.col("o_orderpriority")
+                         .isin("1-URGENT", "2-HIGH"))
+             .groupBy("yr", "o_custkey")
+             .agg(F.max((F.col("o_orderpriority") == "1-URGENT")
+                        .cast("int")).alias("ua"),
+                  F.max((F.col("o_orderpriority") == "2-HIGH")
+                        .cast("int")).alias("ub"))
+             .filter((F.col("ua") == 1) & (F.col("ub") == 1))
+             .groupBy("yr")
+             .agg(F.count("*").cast("long").alias("exact_cnt")))
+    return (est.join(exact, "yr", "left")
+            .na.fill(0, ["exact_cnt"]))
+
+
 def q_embed_pq_hadamard(spark, sf_dir):
     """PQ under the deterministic Walsh-Hadamard rotation
     (similarity.pq_topk(rotate='hadamard'), r7) — OPQ's energy-
@@ -2794,6 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivfpq_topk": q_embed_ivfpq_topk,
         "hll_sparse": q_hll_sparse,
         "embed_pq_hadamard": q_embed_pq_hadamard,
+        "hll_intersect": q_hll_intersect,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -4799,6 +4832,75 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (PARTITION BY qid
                     ORDER BY dist ASC, cid ASC) AS INT) AS rank, dist
         FROM ex QUALIFY rank <= 5"""
+    # HLL intersection: three estimator replays tagged a/b/u — the 'u'
+    # registers come from the ROW union while Spark merges the two
+    # sketches, so the hash-match proves merge ≡ union-sketch; the
+    # estimate CASE is the hll_distinct formula verbatim.
+    d["hll_intersect"] = f"""
+        WITH rows_ AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS yr, o_custkey,
+                 o_orderpriority AS pr
+          FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        tagged AS (
+          SELECT 'a' AS s, yr, o_custkey FROM rows_ WHERE pr = '1-URGENT'
+          UNION ALL
+          SELECT 'b' AS s, yr, o_custkey FROM rows_ WHERE pr = '2-HIGH'
+          UNION ALL
+          SELECT 'u' AS s, yr, o_custkey FROM rows_),
+        h AS (
+          SELECT s, yr,
+                 ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                   ::BIGINT AS hv
+          FROM tagged WHERE o_custkey IS NOT NULL),
+        rr AS (
+          SELECT s, yr, (hv >> 52)::INT AS bucket,
+                 CAST(CASE WHEN (hv & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                      ELSE 53 - length(bin(hv & ((1::BIGINT << 52) - 1)))
+                      END AS INT) AS rho
+          FROM h),
+        reg AS (SELECT s, yr, bucket, max(rho) AS max_rho
+                FROM rr GROUP BY s, yr, bucket),
+        agg AS (
+          SELECT s, yr, CAST(count(*) AS INT) AS n_buckets,
+                 sum((1::BIGINT << (53 - max_rho))) AS pow_sum
+          FROM reg GROUP BY s, yr),
+        e AS (
+          SELECT s, yr,
+                 CAST(CASE WHEN n_buckets < 256 AND raw <= 640
+                      THEN lc ELSE raw END AS BIGINT) AS est
+          FROM (SELECT s, yr, n_buckets,
+                       CAST({sk.HLL_RAW_NUM} AS HUGEINT)
+                         // (CAST(1000000 AS HUGEINT) *
+                             ((256 - n_buckets)::HUGEINT
+                              * (1::BIGINT << 53) + pow_sum)) AS raw,
+                       (CAST(256 AS BIGINT) *
+                        CAST(floor(1000000 * ln(256.0 / (256 - n_buckets)))
+                             AS BIGINT)) // 1000000 AS lc
+                FROM agg) t),
+        p AS (
+          SELECT yr,
+                 max(CASE WHEN s = 'a' THEN est END) AS est_a0,
+                 max(CASE WHEN s = 'b' THEN est END) AS est_b0,
+                 max(CASE WHEN s = 'u' THEN est END) AS est_union
+          FROM e GROUP BY yr),
+        est AS (
+          SELECT yr, CAST(coalesce(est_a0, 0) AS BIGINT) AS est_a,
+                 CAST(coalesce(est_b0, 0) AS BIGINT) AS est_b,
+                 CAST(est_union AS BIGINT) AS est_union,
+                 CAST(greatest(0, coalesce(est_a0, 0) + coalesce(est_b0, 0)
+                               - est_union) AS BIGINT) AS est_intersect
+          FROM p),
+        exact AS (
+          SELECT yr, CAST(count(*) AS BIGINT) AS exact_cnt FROM (
+            SELECT yr, o_custkey FROM rows_ GROUP BY yr, o_custkey
+            HAVING max(CASE WHEN pr = '1-URGENT' THEN 1 ELSE 0 END) = 1
+               AND max(CASE WHEN pr = '2-HIGH' THEN 1 ELSE 0 END) = 1) t
+          GROUP BY yr)
+        SELECT est.yr, est.est_a, est.est_b, est.est_union,
+               est.est_intersect,
+               CAST(coalesce(exact.exact_cnt, 0) AS BIGINT) AS exact_cnt
+        FROM est LEFT JOIN exact ON est.yr = exact.yr"""
     # Hadamard-rotated PQ: identical pipeline to embed_pq_topk, but the
     # components are Walsh-Hadamard-rotated first — H's ±1 entries come
     # from bit_count(pos & j) parity, the +2^30 shift precedes the div-8

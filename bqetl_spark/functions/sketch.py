@@ -456,6 +456,43 @@ def hll_estimate(registers: DataFrame, group_col: str | None = None
                     .cast("long").alias("est")))
 
 
+def hll_intersect_estimate(a: DataFrame, b: DataFrame,
+                           group_col: str | None = None) -> DataFrame:
+    """Distinct-intersection estimate from two HLL sketches via
+    inclusion-exclusion: |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), with
+    the union estimate read off ``hll_merge(a, b)`` — the union costs
+    NOTHING beyond a register MAX because HLL is mergeable, which is the
+    whole point: overlap between two 100 TB corpora from two 256-row
+    tables. Clamped at 0 (inclusion-exclusion noise can go negative when
+    the true overlap is small relative to the sketch error).
+
+    Returns (grp?, est_a, est_b, est_union, est_intersect — all BIGINT).
+    Every term is the deterministic integer estimator, so the result
+    replays in SQL; the gate oracle computes est_union from the row-
+    level union directly, making the hash-match a mergeability proof on
+    real data.
+    """
+    keys = [group_col] if group_col else []
+
+    def est_as(sk_df, name):
+        e = hll_estimate(sk_df, group_col).drop("n_buckets")
+        return e.withColumnRenamed("est", name)
+
+    ea, eb = est_as(a, "est_a"), est_as(b, "est_b")
+    eu = est_as(hll_merge(a, b), "est_union")
+    if keys:
+        j = ea.join(eb, keys, "outer").join(eu, keys, "outer")
+    else:
+        j = ea.crossJoin(eb).crossJoin(eu)
+    # a group absent from one side has est 0 (empty sketch)
+    j = j.na.fill(0, ["est_a", "est_b"])
+    return j.select(
+        *keys, "est_a", "est_b", "est_union",
+        F.greatest(F.lit(0).cast("long"),
+                   F.col("est_a") + F.col("est_b") - F.col("est_union"))
+        .alias("est_intersect"))
+
+
 # ---------------------------------------------------------------------------
 # HLL++ sparse representation (r7, Heule et al. 2013 §5.3).
 #

@@ -130,6 +130,40 @@ def test_null_values_ignored(spark):
         _py_registers(["a", "b"])
 
 
+# -------------------------------------------- HLL intersection (r7) --
+
+def test_intersect_estimate_accuracy(spark):
+    """Inclusion-exclusion over two overlapping 4000-element sets with
+    2000 in common: each term has ~6.5% stddev, so allow a generous
+    3-sigma band around the true overlap."""
+    a_vals = [f"x{i}" for i in range(4000)]          # 0..3999
+    b_vals = [f"x{i}" for i in range(2000, 6000)]    # 2000..5999
+    from bqetl_spark.functions.sketch import hll_intersect_estimate
+    a = hll_sketch(spark.createDataFrame([(v,) for v in a_vals], ["v"]), "v")
+    b = hll_sketch(spark.createDataFrame([(v,) for v in b_vals], ["v"]), "v")
+    row = hll_intersect_estimate(a, b).collect()[0]
+    assert abs(row["est_intersect"] - 2000) / 2000 < 0.5, row
+    # union term must itself be sane
+    assert abs(row["est_union"] - 6000) / 6000 < 0.2, row
+
+
+def test_intersect_clamps_at_zero_and_empty_side(spark):
+    """Disjoint sets can push inclusion-exclusion negative -> clamp; a
+    group present on one side only yields exactly 0 (merge of A with
+    nothing IS A, so a + 0 - a = 0 deterministically)."""
+    from bqetl_spark.functions.sketch import hll_intersect_estimate
+    df = spark.createDataFrame(
+        [("g1", f"a{i}") for i in range(300)]
+        + [("g2", f"b{i}") for i in range(300)], ["grp", "v"])
+    a = hll_sketch(df.filter(F.col("grp") == "g1"), "v", "grp")
+    b = hll_sketch(df.filter(F.col("grp") == "g2"), "v", "grp")
+    rows = {r["grp"]: r for r in
+            hll_intersect_estimate(a, b, "grp").collect()}
+    assert rows["g1"]["est_b"] == 0 and rows["g1"]["est_intersect"] == 0
+    assert rows["g2"]["est_a"] == 0 and rows["g2"]["est_intersect"] == 0
+    assert all(r["est_intersect"] >= 0 for r in rows.values())
+
+
 # ------------------------------------------------- HLL++ sparse (r7) --
 
 def _py_sparse_pairs(values):
