@@ -2635,6 +2635,20 @@ def q_embed_ivfpq_topk(spark, sf_dir):
                           k=5, n_lists=8, n_probe=4, m=4, ks=16, refine=100)
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity scoring (functions.text.lm_score, r7) —
+    the CCNet/RefinedWeb quality filter: an add-one-smoothed bigram
+    model trained on the doc_id%10<3 reference slice scores every
+    document's mean NLL per adjacent pair. nll = floor(1e6·ln((ctx+V)/
+    (cb+1))) is the integerized-ln discipline — the quotient of two
+    identical integers is IEEE-exact on both engines, every observed
+    operand pair is floor-margin-audited — and the per-doc mean is an
+    exact integer div. Model = two hash aggs over reference pairs;
+    scoring = two LEFT equi-joins + one per-doc agg."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.lm_score(docs)
+
+
 def q_hll_intersect(spark, sf_dir):
     """Distinct-set OVERLAP from sketches (functions.sketch.
     hll_intersect_estimate, r7): per order-year, how many customers
@@ -2827,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sparse": q_hll_sparse,
         "embed_pq_hadamard": q_embed_pq_hadamard,
         "hll_intersect": q_hll_intersect,
+        "lm_perplexity": q_lm_perplexity,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -4832,6 +4847,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (PARTITION BY qid
                     ORDER BY dist ASC, cid ASC) AS INT) AS rank, dist
         FROM ex QUALIFY rank <= 5"""
+    # bigram-LM perplexity: add-one-smoothed model from the doc_id%10<3
+    # slice, replayed with the same FIXED integer operands (ctx+V, cb+1)
+    # so only the margin-audited ln can wobble; the per-doc mean is //
+    # on non-negative integers = Spark's div.
+    d["lm_perplexity"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_TOK} AS w FROM documents
+          WHERE trim(text) != ''),
+        ref AS (SELECT w FROM base WHERE doc_id % 10 < 3),
+        rpr AS (
+          SELECT s.a AS a, s.b AS b FROM (
+            SELECT unnest(list_transform(range(1, len(w)),
+                          i -> {{'a': w[i], 'b': w[i+1]}})) AS s
+            FROM ref WHERE len(w) >= 2)),
+        bg AS (SELECT a, b, count(*) AS cb FROM rpr GROUP BY a, b),
+        ctx AS (SELECT a, count(*) AS cx FROM rpr GROUP BY a),
+        v AS (SELECT count(DISTINCT t) AS v FROM (
+                SELECT unnest(w) AS t FROM ref)),
+        dpr AS (
+          SELECT doc_id, s.a AS a, s.b AS b FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                          i -> {{'a': w[i], 'b': w[i+1]}})) AS s
+            FROM base WHERE len(w) >= 2)),
+        sc AS (
+          SELECT d.doc_id,
+                 CAST(floor(1000000.0 * ln(
+                      CAST(coalesce(ctx.cx, 0) + v.v AS DOUBLE)
+                      / CAST(coalesce(bg.cb, 0) + 1 AS DOUBLE)))
+                   AS BIGINT) AS nll
+          FROM dpr d CROSS JOIN v
+          LEFT JOIN bg ON d.a = bg.a AND d.b = bg.b
+          LEFT JOIN ctx ON d.a = ctx.a)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(nll) // count(*) AS BIGINT) AS nll_ppm
+        FROM sc GROUP BY doc_id"""
     # HLL intersection: three estimator replays tagged a/b/u — the 'u'
     # registers come from the ROW union while Spark merges the two
     # sketches, so the hash-match proves merge ≡ union-sketch; the

@@ -381,3 +381,77 @@ def token_entropy(df: DataFrame, text_col: str = "text",
                     F.expr("__h div __n").cast("long").alias("entropy_ppm"),
                     F.expr("__mc * 1000000 div __n").cast("long")
                     .alias("top_share_ppm")))
+
+
+def _adjacent_pairs(toks):
+    """(a, b) structs for each adjacent token pair of an array column."""
+    return F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+
+
+def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             ref_mod: int = 10, ref_keep: int = 3) -> DataFrame:
+    """Bigram-LM perplexity scoring — the CCNet/RefinedWeb quality
+    filter: train an add-one-smoothed bigram model on a deterministic
+    reference slice of the corpus (``id % ref_mod < ref_keep``), then
+    score EVERY document by its mean negative log-likelihood per
+    adjacent token pair. Low nll ≈ reference-like text; high nll flags
+    boilerplate, gibberish, and wrong-language docs.
+
+        P(w2 | w1) = (c(w1,w2) + 1) / (ctx(w1) + V)
+        nll_pair   = floor(10^6 · ln((ctx + V) / (cb + 1)))   ≥ 0
+        nll_ppm    = Σ nll_pair div n_pairs                  (exact)
+
+    with V = reference vocabulary size, cb/ctx coalesced to 0 for
+    unseen bigrams/contexts (an unseen context scores exactly ln(V) per
+    pair). ln's argument is the IEEE-exact quotient of two identical
+    integers on both engines, so only the ≤1-ulp libm wobble remains —
+    every observed (ctx+V, cb+1) pair is floor-margin-audited in
+    tests/test_text.py.
+
+    Shape: the model is two hash aggregations over the reference pairs
+    (bigram + context counts); scoring is two LEFT equi-joins of the
+    per-doc pair stream against those tables (AQE broadcasts them when
+    the vocabulary is small; at web scale they shuffle-join on token
+    keys, the standard LM-training shape) and one per-doc aggregation.
+    V is a metadata scalar. Docs with < 2 tokens have no pairs and are
+    excluded (perplexity undefined).
+
+    Returns (id, n_pairs BIGINT, nll_ppm BIGINT).
+    """
+    if ref_mod < 1 or not (0 < ref_keep <= ref_mod):
+        raise ValueError(f"bad reference slice {ref_keep}/{ref_mod}")
+    base = (df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col), tokens(F.col(text_col)).alias("__tk")))
+    ref = base.filter(F.pmod(F.col(id_col), F.lit(ref_mod)) < ref_keep)
+    v_total = (ref.select(F.explode("__tk").alias("t"))
+               .agg(F.countDistinct("t")).first()[0]) or 0
+    if v_total == 0:
+        return (base.select(F.col(id_col),
+                            F.lit(0).cast("long").alias("n_pairs"),
+                            F.lit(0).cast("long").alias("nll_ppm"))
+                .limit(0))
+    rpairs = (ref.filter(F.size("__tk") >= 2)
+              .select(F.explode(_adjacent_pairs(F.col("__tk"))).alias("p"))
+              .select("p.a", "p.b"))
+    bg = rpairs.groupBy("a", "b").agg(F.count("*").alias("__cb"))
+    ctx = rpairs.groupBy("a").agg(F.count("*").alias("__cx"))
+    dpairs = (base.filter(F.size("__tk") >= 2)
+              .select(F.col(id_col),
+                      F.explode(_adjacent_pairs(F.col("__tk"))).alias("p"))
+              .select(id_col, "p.a", "p.b"))
+    num = (F.coalesce(F.col("__cx"), F.lit(0)) + F.lit(v_total))
+    den = (F.coalesce(F.col("__cb"), F.lit(0)) + F.lit(1))
+    nll = F.floor(F.lit(10**6) * F.log(num.cast("double")
+                                       / den.cast("double")))
+    return (dpairs.join(bg, ["a", "b"], "left")
+            .join(ctx, ["a"], "left")
+            .select(F.col(id_col), nll.alias("__nll"))
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.sum("__nll").alias("__s"))
+            .select(F.col(id_col), "n_pairs",
+                    F.expr("__s div n_pairs").cast("long")
+                    .alias("nll_ppm")))

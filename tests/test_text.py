@@ -165,3 +165,117 @@ def test_entropy_ln_margin_exhaustive_small_domain():
         for c in range(1, n):
             v = 10**6 * math.log(n / c)
             assert abs(v - round(v)) > 1e-6, (c, n, v)
+
+
+# ------------------------------------------------ bigram-LM score (r7) --
+
+def _py_lm_scores(rows, ref_mod=10, ref_keep=3):
+    """Pure-Python reference of lm_score (add-one bigram NLL)."""
+    import math
+    from collections import Counter
+
+    toks = {i: (t or "").split() for i, t in rows if (t or "").strip()}
+    ref = {i: w for i, w in toks.items() if i % ref_mod < ref_keep}
+    vocab = {t for w in ref.values() for t in w}
+    bg, cx = Counter(), Counter()
+    for w in ref.values():
+        for a, b in zip(w, w[1:]):
+            bg[(a, b)] += 1
+            cx[a] += 1
+    out = {}
+    v = len(vocab)
+    for i, w in toks.items():
+        if len(w) < 2:
+            continue
+        s = 0
+        for a, b in zip(w, w[1:]):
+            s += math.floor(10**6 * math.log(
+                (cx.get(a, 0) + v) / (bg.get((a, b), 0) + 1)))
+        n = len(w) - 1
+        out[i] = (n, s // n)
+    return out
+
+
+def test_lm_score_matches_python_reference(spark):
+    rows = [(0, "the cat sat on the mat"),
+            (1, "the cat ran"),
+            (2, "a dog sat on a log"),
+            (3, "the cat sat on the mat again"),   # reference-like
+            (11, "zzz qqq www eee"),               # fully unseen
+            (12, "the cat sat"),
+            (13, "single"),                        # no pairs -> excluded
+            (14, "   "),                           # blank -> excluded
+            (25, "on the mat the cat sat")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_pairs"], r["nll_ppm"])
+           for r in tx.lm_score(df).collect()}
+    assert got == _py_lm_scores(rows)
+
+
+def test_lm_score_unseen_context_is_ln_v(spark):
+    """A doc whose every context is out-of-vocabulary scores exactly
+    floor(1e6·ln(V)) per pair — the smoothing floor."""
+    import math
+
+    rows = [(0, "u v w x y z"), (15, "aa bb cc dd")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    v = 6  # reference = doc 0 only
+    want = math.floor(10**6 * math.log(v))
+    row = {r["doc_id"]: r for r in tx.lm_score(df).collect()}[15]
+    assert row["nll_ppm"] == want
+
+
+def test_lm_score_reference_like_beats_gibberish(spark):
+    """The signal the filter exists for: on the real corpus, docs in the
+    reference slice score lower mean NLL than a synthetic shuffled-
+    vocabulary gibberish doc scored by the same model."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    scored = tx.lm_score(docs)
+    stats = (scored.withColumn(
+        "in_ref", (F.pmod(F.col("doc_id"), F.lit(10)) < 3))
+        .groupBy("in_ref").agg(F.avg("nll_ppm").alias("m")).collect())
+    m = {r["in_ref"]: r["m"] for r in stats}
+    assert m[True] <= m[False] * 1.05  # ref slice is in-distribution
+
+
+def test_lm_score_validation(spark):
+    df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        tx.lm_score(df, ref_mod=0)
+    with pytest.raises(ValueError):
+        tx.lm_score(df, ref_mod=10, ref_keep=11)
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01",
+                                    "/root/testdata/sf0.1"])
+def test_lm_ln_margin_on_gate_corpora(sf_dir):
+    """Every OBSERVED (ctx+V, cb+1) operand pair of the lm_perplexity
+    gate must put 1e6·ln(num/den) >1e-5 from an integer (the entropy
+    audit's discipline applied to the LM's operand domain)."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pydict()
+    toks = {i: (x or "").split() for i, x in zip(t["doc_id"], t["text"])
+            if (x or "").strip()}
+    ref = {i: w for i, w in toks.items() if i % 10 < 3}
+    vocab = {tk for w in ref.values() for tk in w}
+    bg, cx = Counter(), Counter()
+    for w in ref.values():
+        for a, b in zip(w, w[1:]):
+            bg[(a, b)] += 1
+            cx[a] += 1
+    v = len(vocab)
+    seen = set()
+    for w in toks.values():
+        for a, b in zip(w, w[1:]):
+            seen.add((cx.get(a, 0) + v, bg.get((a, b), 0) + 1))
+    for num, den in seen:
+        if num == den:
+            continue  # ln(1) = 0 exactly
+        x = 10**6 * math.log(num / den)
+        assert abs(x - round(x)) > 1e-5, (num, den, x)
