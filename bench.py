@@ -98,6 +98,11 @@ EXTRAS = [
     "stream_hll",
     "token_entropy",
     "embed_pq_topk",
+    "embed_ivfpq_topk",
+    "embed_pq_hadamard",
+    "hll_sparse",
+    "hll_intersect",
+    "lm_perplexity",
 ]
 
 

@@ -36,7 +36,9 @@ QUERIES = ["denorm_flat", "q3_top_revenue", "dedup_fingerprint",
            "multimodal_jpeg",
            # late-r7 additions
            "hll_distinct", "bloom_prune", "bm25_topk",
-           "boilerplate_strip", "token_entropy", "embed_pq_topk"]
+           "boilerplate_strip", "token_entropy", "embed_pq_topk",
+           "embed_ivfpq_topk", "embed_pq_hadamard", "hll_sparse",
+           "hll_intersect", "lm_perplexity"]
 
 
 def main() -> None:
