@@ -2649,6 +2649,16 @@ def q_lm_perplexity(spark, sf_dir):
     return tx.lm_score(docs)
 
 
+def q_lm_tail_split(spark, sf_dir):
+    """CCNet head/middle/tail split (functions.text.lm_tail_split, r7):
+    per-source perplexity terciles over the lm_score NLL — 'head' is
+    the most reference-like third CCNet keeps for LM training. ntile(3)
+    over the deterministic (nll_ppm, doc_id) order replays exactly;
+    one window shuffle on the source key on top of lm_score's joins."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.lm_tail_split(docs)
+
+
 def q_hll_intersect(spark, sf_dir):
     """Distinct-set OVERLAP from sketches (functions.sketch.
     hll_intersect_estimate, r7): per order-year, how many customers
@@ -2842,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pq_hadamard": q_embed_pq_hadamard,
         "hll_intersect": q_hll_intersect,
         "lm_perplexity": q_lm_perplexity,
+        "lm_tail_split": q_lm_tail_split,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -4882,6 +4893,50 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(sum(nll) // count(*) AS BIGINT) AS nll_ppm
         FROM sc GROUP BY doc_id"""
+    # CCNet tail split: lm_perplexity's CTEs + ntile(3) over the
+    # deterministic (nll_ppm, doc_id) total order (both engines assign
+    # the extra rows to the leading tiles — standard ntile).
+    d["lm_tail_split"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_TOK} AS w FROM documents
+          WHERE trim(text) != ''),
+        ref AS (SELECT w FROM base WHERE doc_id % 10 < 3),
+        rpr AS (
+          SELECT s.a AS a, s.b AS b FROM (
+            SELECT unnest(list_transform(range(1, len(w)),
+                          i -> {{'a': w[i], 'b': w[i+1]}})) AS s
+            FROM ref WHERE len(w) >= 2)),
+        bg AS (SELECT a, b, count(*) AS cb FROM rpr GROUP BY a, b),
+        ctx AS (SELECT a, count(*) AS cx FROM rpr GROUP BY a),
+        v AS (SELECT count(DISTINCT t) AS v FROM (
+                SELECT unnest(w) AS t FROM ref)),
+        dpr AS (
+          SELECT doc_id, s.a AS a, s.b AS b FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                          i -> {{'a': w[i], 'b': w[i+1]}})) AS s
+            FROM base WHERE len(w) >= 2)),
+        sc AS (
+          SELECT d.doc_id,
+                 CAST(floor(1000000.0 * ln(
+                      CAST(coalesce(ctx.cx, 0) + v.v AS DOUBLE)
+                      / CAST(coalesce(bg.cb, 0) + 1 AS DOUBLE)))
+                   AS BIGINT) AS nll
+          FROM dpr d CROSS JOIN v
+          LEFT JOIN bg ON d.a = bg.a AND d.b = bg.b
+          LEFT JOIN ctx ON d.a = ctx.a),
+        per AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(nll) // count(*) AS BIGINT) AS nll_ppm
+          FROM sc GROUP BY doc_id),
+        j AS (
+          SELECT p.doc_id, d.source, p.n_pairs, p.nll_ppm,
+                 ntile(3) OVER (PARTITION BY d.source
+                                ORDER BY p.nll_ppm ASC, p.doc_id ASC) AS t
+          FROM per p JOIN documents d ON p.doc_id = d.doc_id)
+        SELECT doc_id, source, n_pairs, nll_ppm,
+               CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM j"""
     # HLL intersection: three estimator replays tagged a/b/u — the 'u'
     # registers come from the ROW union while Spark merges the two
     # sketches, so the hash-match proves merge ≡ union-sketch; the

@@ -8,7 +8,7 @@ columns/DataFrames; thresholds are args, not constants.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -455,3 +455,35 @@ def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .select(F.col(id_col), "n_pairs",
                     F.expr("__s div n_pairs").cast("long")
                     .alias("nll_ppm")))
+
+
+def lm_tail_split(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", source_col: str = "source",
+                  ref_mod: int = 10, ref_keep: int = 3) -> DataFrame:
+    """CCNet's head/middle/tail split: per source, rank documents by
+    their :func:`lm_score` NLL and cut into perplexity terciles —
+    'head' (most reference-like third, what CCNet keeps for LM
+    training), 'middle', 'tail'. The cut is ntile(3) over the
+    deterministic (nll_ppm, id) order, so bucket membership replays
+    exactly in SQL.
+
+    Shape: lm_score's joins, plus ONE window shuffle on the source key
+    for the tercile rank. A single source's scored docs must sort
+    within one partition — fine for per-language/per-domain splits; for
+    a pathological mega-source, cut on [p33, p66] thresholds from the
+    deterministic quantile sketch instead (sampled_quantiles) and trade
+    exact terciles for bounded state.
+
+    Returns (id, source, n_pairs, nll_ppm, bucket STRING).
+    """
+    scored = lm_score(df, text_col, id_col, ref_mod, ref_keep)
+    src = df.select(F.col(id_col), F.col(source_col))
+    w = Window.partitionBy(source_col).orderBy(
+        F.asc("nll_ppm"), F.asc(id_col))
+    t = (scored.join(src, id_col)
+         .withColumn("__t", F.ntile(3).over(w)))
+    bucket = (F.when(F.col("__t") == 1, F.lit("head"))
+              .when(F.col("__t") == 2, F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return t.select(F.col(id_col), source_col, "n_pairs", "nll_ppm",
+                    bucket.alias("bucket"))

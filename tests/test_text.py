@@ -279,3 +279,25 @@ def test_lm_ln_margin_on_gate_corpora(sf_dir):
             continue  # ln(1) = 0 exactly
         x = 10**6 * math.log(num / den)
         assert abs(x - round(x)) > 1e-5, (num, den, x)
+
+
+def test_lm_tail_split_terciles_balanced_and_ordered(spark):
+    """Per source: tercile sizes differ by <= 1 (ntile contract), and
+    mean NLL is monotone head <= middle <= tail (the split orders by
+    NLL, so this holds by construction — it pins the bucket labeling
+    didn't get inverted)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = tx.lm_tail_split(docs).collect()
+    from collections import defaultdict
+    sizes = defaultdict(lambda: defaultdict(int))
+    nlls = defaultdict(lambda: defaultdict(list))
+    for r in out:
+        sizes[r["source"]][r["bucket"]] += 1
+        nlls[r["source"]][r["bucket"]].append(r["nll_ppm"])
+    for src, b in sizes.items():
+        assert set(b) == {"head", "middle", "tail"}, src
+        assert max(b.values()) - min(b.values()) <= 1, (src, dict(b))
+        mh = sum(nlls[src]["head"]) / b["head"]
+        mm = sum(nlls[src]["middle"]) / b["middle"]
+        mt = sum(nlls[src]["tail"]) / b["tail"]
+        assert mh <= mm <= mt, (src, mh, mm, mt)
