@@ -2649,6 +2649,37 @@ def q_lm_perplexity(spark, sf_dir):
     return tx.lm_score(docs)
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join (sources.bucketed.write_bucketed, r7
+    gate for the r5 writer): both fact tables written
+    bucketBy(8, key).sortBy(key) into a catalog database at a
+    deterministic scratch location, then joined and aggregated off the
+    bucketed layout — the amortize-one-shuffle-forever trade that wins
+    the 100 TB denormalization (Exchange-free plan pinned in
+    tests/test_bucketed.py; the driver gate certifies the write →
+    catalog → read → join path end-to-end under a vanilla session).
+    Result hash-matches the plain parquet join."""
+    from bqetl_spark.sources.bucketed import write_bucketed
+
+    # wipe: a FRESH session's in-memory catalog doesn't know these
+    # tables, so stale table dirs from a previous session would trip
+    # saveAsTable's LOCATION_ALREADY_EXISTS; start clean every run
+    loc = _scratch("bktwh", sf_dir, wipe=True)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bqetl_bkt LOCATION '{loc}'")
+    write_bucketed(_t(spark, sf_dir, "orders"),
+                   "bqetl_bkt.orders_b", "o_orderkey", 8)
+    write_bucketed(_t(spark, sf_dir, "lineitem"),
+                   "bqetl_bkt.lineitem_b", "l_orderkey", 8)
+    ob = spark.table("bqetl_bkt.orders_b")
+    lb = spark.table("bqetl_bkt.lineitem_b")
+    rev = _money("l_extendedprice") * (F.lit(1).cast(DEC)
+                                       - _money("l_discount"))
+    return (ob.join(lb, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderkey", "o_orderpriority")
+            .agg(F.count("*").cast("long").alias("n_items"),
+                 F.sum(rev).cast("double").alias("revenue")))
+
+
 def q_lm_tail_split(spark, sf_dir):
     """CCNet head/middle/tail split (functions.text.lm_tail_split, r7):
     per-source perplexity terciles over the lm_score NLL — 'head' is
@@ -2853,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_intersect": q_hll_intersect,
         "lm_perplexity": q_lm_perplexity,
         "lm_tail_split": q_lm_tail_split,
+        "bucketed_join": q_bucketed_join,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -4893,6 +4925,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(sum(nll) // count(*) AS BIGINT) AS nll_ppm
         FROM sc GROUP BY doc_id"""
+    # bucketed join: the oracle joins the plain parquet — the gate's
+    # value is that Spark's side went through write-bucketed tables
+    d["bucketed_join"] = f"""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(SUM({disc}) AS DOUBLE) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_orderpriority"""
     # CCNet tail split: lm_perplexity's CTEs + ntile(3) over the
     # deterministic (nll_ppm, doc_id) total order (both engines assign
     # the extra rows to the leading tiles — standard ntile).

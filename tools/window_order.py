@@ -44,7 +44,8 @@ ROUND_HEAD = {
                   "bloom_prune", "bm25_topk", "boilerplate_strip",
                   "stream_hll", "token_entropy", "embed_pq_topk",
                   "embed_ivfpq_topk", "hll_sparse", "embed_pq_hadamard",
-                  "hll_intersect", "lm_perplexity", "lm_tail_split"],
+                  "hll_intersect", "lm_perplexity", "lm_tail_split",
+                  "bucketed_join"],
     "changed": ["increasing_runs", "pyds_ndjson", "pagerank",
                 "multimodal_decode", "multimodal_png", "multimodal_resize",
                 "multimodal_audio", "stream_kmv", "upsert_customers"],
