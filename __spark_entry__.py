@@ -2649,6 +2649,23 @@ def q_lm_perplexity(spark, sf_dir):
     return tx.lm_score(docs)
 
 
+def q_event_pattern(spark, sf_dir):
+    """CEP sequence-pattern counting (operators.timeseries.
+    event_pattern_match, r7) — the MATCH_RECOGNIZE shape Spark SQL
+    lacks: each user's time-ordered stream becomes a single-char-coded
+    string (deterministic (ts, event_id) order via array_sort) and the
+    regex 'vc*p' (a view, any clicks, then a purchase) is counted per
+    user with non-overlapping leftmost semantics — identical in Java
+    regex and RE2 for literal/quantifier patterns. One shuffle; per-key
+    state bounded by the key's event count."""
+    from bqetl_spark.operators.timeseries import event_pattern_match
+
+    ev = _t(spark, sf_dir, "events")
+    alpha = {"view": "v", "click": "c", "purchase": "p",
+             "signup": "s", "error": "e"}
+    return event_pattern_match(ev, "vc*p", alpha)
+
+
 def q_bucketed_join(spark, sf_dir):
     """Bucketed co-located join (sources.bucketed.write_bucketed, r7
     gate for the r5 writer): both fact tables written
@@ -2885,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "lm_tail_split": q_lm_tail_split,
         "bucketed_join": q_bucketed_join,
+        "event_pattern": q_event_pattern,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -4925,6 +4943,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(sum(nll) // count(*) AS BIGINT) AS nll_ppm
         FROM sc GROUP BY doc_id"""
+    # CEP pattern count: string_agg over the same (ts, event_id) total
+    # order, regex count via regexp_extract_all length (RE2 leftmost
+    # non-overlapping == Java regex for literal/quantifier patterns)
+    d["event_pattern"] = """
+        WITH coded AS (
+          SELECT user_id, ts, event_id,
+                 CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                      WHEN 'error' THEN 'e' ELSE 'x' END AS cd
+          FROM events),
+        s AS (SELECT user_id, count(*) AS n_events,
+                     string_agg(cd, '' ORDER BY ts, event_id) AS seq
+              FROM coded GROUP BY user_id)
+        SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+               CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT)
+                 AS n_matches
+        FROM s"""
     # bucketed join: the oracle joins the plain parquet — the gate's
     # value is that Spark's side went through write-bucketed tables
     d["bucketed_join"] = f"""

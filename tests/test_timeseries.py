@@ -181,3 +181,67 @@ def test_increasing_run_grouped_map_matches_default(spark):
     got = {r["user_id"]: (r["longest_run"], r["n_events"])
            for r in longest_increasing_run_grouped_map(ev).collect()}
     assert want == got == {1: (3, 4), 2: (2, 4)}
+
+
+# --------------------------------------------- event_pattern_match (r7) --
+
+def _pev(spark, rows):
+    """rows: (user, minute, type) -> events DF with deterministic ids."""
+    return spark.createDataFrame(
+        [(i, u, dt.datetime(2024, 1, 1, 0, m), t)
+         for i, (u, m, t) in enumerate(rows)],
+        ["event_id", "user_id", "ts", "event_type"])
+
+
+def _epm(ev, pattern):
+    from bqetl_spark.operators.timeseries import event_pattern_match
+    alpha = {"view": "v", "click": "c", "purchase": "p"}
+    return {r["user_id"]: (r["n_events"], r["n_matches"])
+            for r in event_pattern_match(ev, pattern, alpha).collect()}
+
+
+def test_pattern_counts_and_order(spark):
+    ev = _pev(spark, [
+        (1, 0, "view"), (1, 1, "click"), (1, 2, "click"), (1, 3, "purchase"),
+        (1, 4, "view"), (1, 5, "purchase"),            # vccp + vp = 2
+        (2, 0, "purchase"), (2, 1, "view"),            # pv: no match
+        (3, 0, "view"),                                # v alone: no match
+    ])
+    got = _epm(ev, "vc*p")
+    assert got == {1: (6, 2), 2: (2, 0), 3: (1, 0)}
+
+
+def test_pattern_non_overlapping_semantics(spark):
+    """'pp' over 'ppp' counts ONE non-overlapping match — the leftmost
+    scan consumes matched chars (same in Java regex and RE2)."""
+    ev = _pev(spark, [(1, m, "purchase") for m in range(3)])
+    assert _epm(ev, "pp")[1] == (3, 1)
+
+
+def test_pattern_tiebreak_on_equal_ts(spark):
+    """Two events at the SAME timestamp order by event_id — the
+    deterministic total order the oracle's string_agg uses."""
+    rows = [(0, 1, dt.datetime(2024, 1, 1), "view"),
+            (1, 1, dt.datetime(2024, 1, 1), "purchase")]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts",
+                                      "event_type"])
+    assert _epm(ev, "vp")[1] == (2, 1)
+
+
+def test_pattern_unknown_type_gets_other_code(spark):
+    ev = _pev(spark, [(1, 0, "view"), (1, 1, "weird"), (1, 2, "purchase")])
+    # unknown type breaks the direct vp adjacency ('vxp')
+    assert _epm(ev, "vp")[1] == (3, 0)
+    assert _epm(ev, "vxp")[1] == (3, 1)
+
+
+def test_pattern_validation(spark):
+    import pytest
+    from bqetl_spark.operators.timeseries import event_pattern_match
+    ev = _pev(spark, [(1, 0, "view")])
+    with pytest.raises(ValueError):
+        event_pattern_match(ev, "", {"view": "v"})
+    with pytest.raises(ValueError):
+        event_pattern_match(ev, "v", {"view": "vv"})
+    with pytest.raises(ValueError):
+        event_pattern_match(ev, "v", {"view": "v", "click": "v"})
