@@ -2649,6 +2649,30 @@ def q_lm_perplexity(spark, sf_dir):
     return tx.lm_score(docs)
 
 
+def q_hll_sliding(spark, sf_dir):
+    """Sliding-window distinct users from hourly HLL sketches
+    (functions.sketch.hll_sliding_estimate, r7): per hour, the
+    estimated distinct user_id over the trailing 3 hours — each hourly
+    sketch built once and re-MAXed into its 3 target windows via an
+    offset explode (map-only; no range join), the frame-reuse trick
+    mergeability buys. Joined with the exact trailing distinct counts
+    (computed by the same offset-explode on distinct (hour, user)
+    pairs — affordable at sf0.01, the thing the sketch REPLACES at
+    100 TB)."""
+    ev = _t(spark, sf_dir, "events")
+    est = sk.hll_sliding_estimate(ev, "user_id", "ts", trailing=3)
+    hr = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hr")
+    pairs = ev.select(hr, F.col("user_id").alias("v")).distinct()
+    offs = F.explode(F.lit([3600 * i for i in range(3)])).alias("off")
+    contrib = (pairs.select("hr", "v", offs)
+               .select((F.col("hr") + F.col("off")).alias("win_end"), "v"))
+    present = pairs.select(F.col("hr").alias("win_end")).distinct()
+    exact = (contrib.join(F.broadcast(present), "win_end")
+             .groupBy("win_end")
+             .agg(F.countDistinct("v").cast("long").alias("exact_cnt")))
+    return est.join(exact, "win_end")
+
+
 def q_event_pattern(spark, sf_dir):
     """CEP sequence-pattern counting (operators.timeseries.
     event_pattern_match, r7) — the MATCH_RECOGNIZE shape Spark SQL
@@ -2903,6 +2927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_tail_split": q_lm_tail_split,
         "bucketed_join": q_bucketed_join,
         "event_pattern": q_event_pattern,
+        "hll_sliding": q_hll_sliding,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -4943,6 +4968,63 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(sum(nll) // count(*) AS BIGINT) AS nll_ppm
         FROM sc GROUP BY doc_id"""
+    # sliding HLL: hourly registers exploded to their trailing windows
+    # and re-MAXed — merge ≡ union-sketch makes the frame reuse exact;
+    # estimate CASE is the hll_distinct formula verbatim
+    d["hll_sliding"] = f"""
+        WITH h AS (
+          SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                      AS BIGINT) AS hr,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   ::BIGINT AS hv
+          FROM events WHERE user_id IS NOT NULL),
+        rr AS (
+          SELECT hr, (hv >> 52)::INT AS bucket,
+                 CAST(CASE WHEN (hv & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                      ELSE 53 - length(bin(hv & ((1::BIGINT << 52) - 1)))
+                      END AS INT) AS rho
+          FROM h),
+        hourly AS (SELECT hr, bucket, max(rho) AS max_rho
+                   FROM rr GROUP BY hr, bucket),
+        present AS (SELECT DISTINCT hr AS win_end FROM hourly),
+        contrib AS (
+          SELECT hourly.hr + 3600 * o.off AS win_end, bucket, max_rho
+          FROM hourly, (SELECT unnest(range(3)) AS off) o),
+        reg AS (
+          SELECT c.win_end, c.bucket, max(c.max_rho) AS max_rho
+          FROM contrib c JOIN present p ON c.win_end = p.win_end
+          GROUP BY c.win_end, c.bucket),
+        agg AS (
+          SELECT win_end, CAST(count(*) AS INT) AS n_buckets,
+                 sum((1::BIGINT << (53 - max_rho))) AS pow_sum
+          FROM reg GROUP BY win_end),
+        e AS (
+          SELECT win_end, n_buckets,
+                 CAST(CASE WHEN n_buckets < 256 AND raw <= 640
+                      THEN lc ELSE raw END AS BIGINT) AS est
+          FROM (SELECT win_end, n_buckets,
+                       CAST({sk.HLL_RAW_NUM} AS HUGEINT)
+                         // (CAST(1000000 AS HUGEINT) *
+                             ((256 - n_buckets)::HUGEINT
+                              * (1::BIGINT << 53) + pow_sum)) AS raw,
+                       (CAST(256 AS BIGINT) *
+                        CAST(floor(1000000 * ln(256.0 / (256 - n_buckets)))
+                             AS BIGINT)) // 1000000 AS lc
+                FROM agg) t),
+        pairs AS (
+          SELECT DISTINCT
+                 CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                      AS BIGINT) AS hr, user_id AS v
+          FROM events),
+        exact AS (
+          SELECT c.win_end, CAST(count(DISTINCT c.v) AS BIGINT) AS exact_cnt
+          FROM (SELECT pairs.hr + 3600 * o.off AS win_end, v
+                FROM pairs, (SELECT unnest(range(3)) AS off) o) c
+          JOIN (SELECT DISTINCT hr AS win_end FROM pairs) p
+            ON c.win_end = p.win_end
+          GROUP BY c.win_end)
+        SELECT e.win_end, e.n_buckets, e.est, exact.exact_cnt
+        FROM e JOIN exact ON e.win_end = exact.win_end"""
     # CEP pattern count: string_agg over the same (ts, event_id) total
     # order, regex count via regexp_extract_all length (RE2 leftmost
     # non-overlapping == Java regex for literal/quantifier patterns)

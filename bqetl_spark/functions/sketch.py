@@ -493,6 +493,42 @@ def hll_intersect_estimate(a: DataFrame, b: DataFrame,
         .alias("est_intersect"))
 
 
+def hll_sliding_estimate(df: DataFrame, value_col: str,
+                         ts_col: str = "ts", trailing: int = 3
+                         ) -> DataFrame:
+    """Trailing-window distinct estimates from hourly HLL sketches: for
+    every hour h present in the data, the estimated distinct count over
+    hours (h−trailing+1 .. h) — the sliding-window cardinality dashboard
+    query, answered WITHOUT rescanning any hour twice. Each hourly
+    sketch is built once, then contributes to its ``trailing`` target
+    windows via an explode of literal second-offsets (map-only — no
+    range join, no BNLJ) and a re-MAX per (window, register): HLL
+    mergeability is what makes the frame reuse free.
+
+    Scale shape: state is ≤ 256 registers per hour; the explode
+    multiplies SKETCH rows (hours × 256 × trailing), never data rows.
+    Windows are anchored to hours present in the data (broadcast
+    semi-join of the distinct hour set).
+
+    Returns (win_end BIGINT hour-epoch, n_buckets INT, est BIGINT).
+    """
+    if trailing < 1:
+        raise ValueError(f"trailing must be >= 1, got {trailing}")
+    hours = df.select(
+        F.unix_timestamp(F.date_trunc("hour", F.col(ts_col))).alias("hr"),
+        F.col(value_col).alias("v"))
+    hourly = hll_sketch(hours, "v", "hr")
+    offs = F.explode(F.lit([3600 * i for i in range(trailing)])).alias("off")
+    contrib = (hourly.select("hr", "bucket", "max_rho", offs)
+               .select((F.col("hr") + F.col("off")).alias("win_end"),
+                       "bucket", "max_rho"))
+    present = hourly.select(F.col("hr").alias("win_end")).distinct()
+    regs = (contrib.join(F.broadcast(present), "win_end")
+            .groupBy("win_end", "bucket")
+            .agg(F.max("max_rho").cast("int").alias("max_rho")))
+    return hll_estimate(regs, "win_end")
+
+
 # ---------------------------------------------------------------------------
 # HLL++ sparse representation (r7, Heule et al. 2013 §5.3).
 #

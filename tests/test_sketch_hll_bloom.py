@@ -391,3 +391,39 @@ def test_bloom_filtered_join_validation(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         bloom_filtered_join(fact, dim, "fk", "dk", how="left")
+
+
+# --------------------------------------------- sliding-window HLL (r7) --
+
+def test_sliding_equals_direct_window_sketch(spark):
+    """Frame-reuse correctness: the re-MAXed trailing-window estimate
+    must EQUAL estimating a sketch built directly over each window's
+    raw rows (merge ≡ union-sketch, applied per frame)."""
+    import datetime as dt
+
+    from bqetl_spark.functions.sketch import hll_sliding_estimate
+
+    rows = [(dt.datetime(2024, 1, 1, h), f"u{h}_{i % (10 * (h + 1))}")
+            for h in range(5) for i in range(40)]
+    df = spark.createDataFrame(rows, ["ts", "v"])
+    got = {r["win_end"]: r["est"]
+           for r in hll_sliding_estimate(df, "v", "ts", 3).collect()}
+    # direct: for each present hour h, sketch rows with hour in (h-2..h)
+    base = dt.datetime(2024, 1, 1)
+    for h in range(5):
+        lo, hi = base + dt.timedelta(hours=h - 2), base + dt.timedelta(hours=h)
+        sub = df.filter((F.col("ts") >= lo) & (F.col("ts") <= hi))
+        want = hll_estimate(hll_sketch(sub, "v")).collect()[0]["est"]
+        win_end = int((base + dt.timedelta(hours=h)).timestamp())
+        assert got[win_end] == want, (h, got[win_end], want)
+
+
+def test_sliding_validation(spark):
+    import datetime as dt
+
+    from bqetl_spark.functions.sketch import hll_sliding_estimate
+
+    df = spark.createDataFrame([(dt.datetime(2024, 1, 1), "a")],
+                               ["ts", "v"])
+    with pytest.raises(ValueError):
+        hll_sliding_estimate(df, "v", "ts", 0)
