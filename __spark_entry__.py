@@ -2649,6 +2649,21 @@ def q_lm_perplexity(spark, sf_dir):
     return tx.lm_score(docs)
 
 
+def q_attribution(spark, sf_dir):
+    """U-shaped multi-touch attribution (operators.timeseries.
+    attribution_multitouch, r7) — the position-based generalization of
+    the last-touch as-of join (asof_purchase): each purchase splits
+    integer-ppm credit over the user's clicks in the trailing hour
+    (1 -> 100%; 2 -> 50/50; n>=3 -> 40/40 endpoints + 20 div (n-2) per
+    middle, floor dust documented). One equi-join on the user key with
+    the range predicate as a filter — not a BNLJ — plus two windows
+    per conversion over the deterministic (ts, event_id) order."""
+    from bqetl_spark.operators.timeseries import attribution_multitouch
+
+    ev = _t(spark, sf_dir, "events")
+    return attribution_multitouch(ev, window_sec=3600)
+
+
 def q_hll_sliding(spark, sf_dir):
     """Sliding-window distinct users from hourly HLL sketches
     (functions.sketch.hll_sliding_estimate, r7): per hour, the
@@ -2928,6 +2943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         "event_pattern": q_event_pattern,
         "hll_sliding": q_hll_sliding,
+        "attribution": q_attribution,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -4968,6 +4984,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(sum(nll) // count(*) AS BIGINT) AS nll_ppm
         FROM sc GROUP BY doc_id"""
+    # multi-touch attribution: user equi-join + micro-epoch range
+    # filter, count/rank windows, integer-ppm credit CASE (div on
+    # positive operands = // on DuckDB)
+    d["attribution"] = """
+        WITH conv AS (
+          SELECT user_id AS k, event_id AS conv_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ct
+          FROM events WHERE event_type = 'purchase'),
+        touch AS (
+          SELECT user_id AS k, event_id AS touch_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS tt
+          FROM events WHERE event_type = 'click'),
+        pairs AS (
+          SELECT c.conv_id, t.touch_id, t.tt
+          FROM conv c JOIN touch t ON c.k = t.k
+          WHERE t.tt < c.ct AND t.tt >= c.ct - 3600000000),
+        ranked AS (
+          SELECT conv_id, touch_id,
+                 count(*) OVER (PARTITION BY conv_id) AS n,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY tt, touch_id) AS r
+          FROM pairs)
+        SELECT conv_id, touch_id, CAST(n AS BIGINT) AS n_touches,
+               CAST(CASE WHEN n = 1 THEN 1000000
+                         WHEN n = 2 THEN 500000
+                         WHEN r = 1 THEN 400000
+                         WHEN r = n THEN 400000
+                         ELSE 200000 // (n - 2) END AS BIGINT)
+                 AS credit_ppm
+        FROM ranked"""
     # sliding HLL: hourly registers exploded to their trailing windows
     # and re-MAXed — merge ≡ union-sketch makes the frame reuse exact;
     # estimate CASE is the hll_distinct formula verbatim

@@ -245,3 +245,53 @@ def test_pattern_validation(spark):
         event_pattern_match(ev, "v", {"view": "vv"})
     with pytest.raises(ValueError):
         event_pattern_match(ev, "v", {"view": "v", "click": "v"})
+
+
+# ----------------------------------------- attribution_multitouch (r7) --
+
+def _att(spark, rows, window_sec=3600):
+    from bqetl_spark.operators.timeseries import attribution_multitouch
+    df = spark.createDataFrame(
+        [(i, u, dt.datetime(2024, 1, 1, 0, 0, s), t)
+         for i, (u, s, t) in enumerate(rows)],
+        ["event_id", "user_id", "ts", "event_type"])
+    return {(r["conv_id"], r["touch_id"]): (r["n_touches"], r["credit_ppm"])
+            for r in attribution_multitouch(df, window_sec).collect()}
+
+
+def test_attribution_u_shape_credits(spark):
+    # user 1: clicks at 1,2,3,4s then purchase at 10s -> 40/ 6.6/ 6.6/ 40
+    rows = [(1, 1, "click"), (1, 2, "click"), (1, 3, "click"),
+            (1, 4, "click"), (1, 10, "purchase")]
+    got = _att(spark, rows)
+    # event ids are positional: clicks 0..3, purchase 4
+    assert got == {(4, 0): (4, 400000), (4, 1): (4, 100000),
+                   (4, 2): (4, 100000), (4, 3): (4, 400000)}
+
+
+def test_attribution_small_n_rules(spark):
+    one = _att(spark, [(1, 1, "click"), (1, 5, "purchase")])
+    assert one == {(1, 0): (1, 1000000)}
+    two = _att(spark, [(1, 1, "click"), (1, 2, "click"),
+                       (1, 5, "purchase")])
+    assert two == {(2, 0): (2, 500000), (2, 1): (2, 500000)}
+
+
+def test_attribution_window_and_order_boundaries(spark):
+    """A click AT the conversion instant is excluded (strictly before);
+    a click exactly window_sec earlier is included (>= lower bound)."""
+    rows = [(1, 0, "click"), (1, 10, "click"), (1, 10, "purchase")]
+    got = _att(spark, rows, window_sec=10)
+    # click id 1 at t=10 == purchase time -> excluded; click id 0 at
+    # t=0 == ct - window -> included
+    assert got == {(2, 0): (1, 1000000)}
+
+
+def test_attribution_validation(spark):
+    import pytest
+    from bqetl_spark.operators.timeseries import attribution_multitouch
+    df = spark.createDataFrame(
+        [(0, 1, dt.datetime(2024, 1, 1), "click")],
+        ["event_id", "user_id", "ts", "event_type"])
+    with pytest.raises(ValueError):
+        attribution_multitouch(df, 0)
