@@ -2649,6 +2649,25 @@ def q_lm_perplexity(spark, sf_dir):
     return tx.lm_score(docs)
 
 
+def q_embed_matryoshka(spark, sf_dir):
+    """Matryoshka truncation evaluation (similarity.matryoshka_overlap,
+    r7): per query, |top-5(full 64-dim) ∩ top-5(prefix)| for 16- and
+    32-dim prefixes — the measurement you run before shipping truncated
+    MRL embeddings. On THESE isotropic synthetic embeddings the prefix
+    retrieves almost nothing (mean overlap ~0.3/5 at 16 dims) — the
+    honest result: random embeddings have no matryoshka structure, and
+    the op exists to MEASURE that before cutting storage 4x. Scoring
+    goes through the exploded-components equi-join (PQ re-rank shape,
+    no BNLJ); prefix_dim == dim returns exactly k (pinned)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    o16 = (sim.matryoshka_overlap(emb, q, k=5, prefix_dim=16)
+           .withColumnRenamed("n_overlap", "overlap16"))
+    o32 = (sim.matryoshka_overlap(emb, q, k=5, prefix_dim=32)
+           .withColumnRenamed("n_overlap", "overlap32"))
+    return o16.join(o32, "query_id")
+
+
 def q_attribution(spark, sf_dir):
     """U-shaped multi-touch attribution (operators.timeseries.
     attribution_multitouch, r7) — the position-based generalization of
@@ -2944,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pattern": q_event_pattern,
         "hll_sliding": q_hll_sliding,
         "attribution": q_attribution,
+        "embed_matryoshka": q_embed_matryoshka,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -4984,6 +5004,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(sum(nll) // count(*) AS BIGINT) AS nll_ppm
         FROM sc GROUP BY doc_id"""
+    # matryoshka eval: three exact integer-L2 top-5 rankings (full,
+    # 16-prefix, 32-prefix — truncation is a component filter, the
+    # positive shift cancels in differences), overlap by left-join count
+    d["embed_matryoshka"] = """
+        WITH comp AS (
+          SELECT vec_id AS cid, CAST(pos - 1 AS INT) AS i,
+                 CAST(floor(CAST(e[pos] AS DOUBLE) * 16777216.0) AS BIGINT)
+                   + 16777216 AS val
+          FROM (SELECT vec_id, embedding AS e FROM embeddings),
+               LATERAL (SELECT unnest(generate_series(1, len(e))) AS pos) t),
+        qc AS (SELECT cid AS qid, i, val FROM comp WHERE cid < 10),
+        ftk AS (
+          SELECT qid, cid FROM (
+            SELECT d.qid, d.cid, row_number() OVER (
+                PARTITION BY d.qid ORDER BY d.dist, d.cid) AS rn
+            FROM (SELECT q.qid, c.cid,
+                         sum((c.val - q.val) * (c.val - q.val)) AS dist
+                  FROM comp c JOIN qc q ON c.i = q.i AND c.cid != q.qid
+                  GROUP BY q.qid, c.cid) d) WHERE rn <= 5),
+        p16 AS (
+          SELECT qid, cid FROM (
+            SELECT d.qid, d.cid, row_number() OVER (
+                PARTITION BY d.qid ORDER BY d.dist, d.cid) AS rn
+            FROM (SELECT q.qid, c.cid,
+                         sum((c.val - q.val) * (c.val - q.val)) AS dist
+                  FROM comp c JOIN qc q ON c.i = q.i AND c.cid != q.qid
+                  WHERE c.i < 16 AND q.i < 16
+                  GROUP BY q.qid, c.cid) d) WHERE rn <= 5),
+        p32 AS (
+          SELECT qid, cid FROM (
+            SELECT d.qid, d.cid, row_number() OVER (
+                PARTITION BY d.qid ORDER BY d.dist, d.cid) AS rn
+            FROM (SELECT q.qid, c.cid,
+                         sum((c.val - q.val) * (c.val - q.val)) AS dist
+                  FROM comp c JOIN qc q ON c.i = q.i AND c.cid != q.qid
+                  WHERE c.i < 32 AND q.i < 32
+                  GROUP BY q.qid, c.cid) d) WHERE rn <= 5),
+        o16 AS (SELECT f.qid, count(p.cid) AS overlap16
+                FROM ftk f LEFT JOIN p16 p
+                  ON f.qid = p.qid AND f.cid = p.cid GROUP BY f.qid),
+        o32 AS (SELECT f.qid, count(p.cid) AS overlap32
+                FROM ftk f LEFT JOIN p32 p
+                  ON f.qid = p.qid AND f.cid = p.cid GROUP BY f.qid)
+        SELECT o16.qid AS query_id,
+               CAST(o16.overlap16 AS BIGINT) AS overlap16,
+               CAST(o32.overlap32 AS BIGINT) AS overlap32
+        FROM o16 JOIN o32 ON o16.qid = o32.qid"""
     # multi-touch attribution: user equi-join + micro-epoch range
     # filter, count/rank windows, integer-ppm credit CASE (div on
     # positive operands = // on DuckDB)

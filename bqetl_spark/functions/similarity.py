@@ -1054,3 +1054,54 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rank") <= k)
             .select(F.col("qid").alias("query_id"),
                     F.col("cid").alias("neighbor_id"), "rank", "dist"))
+
+
+def matryoshka_overlap(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                       prefix_dim: int = 16, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Matryoshka (MRL) truncation evaluation: how much of the FULL-
+    vector exact top-k does the ``prefix_dim``-truncated embedding
+    retrieve? The operational question behind shipping truncated MRL
+    embeddings — answer it on YOUR corpus before cutting storage 4×.
+
+    Both rankings are exact integer fixed-point L2 with the (dist, id)
+    total order; the truncated ranking simply drops components at
+    index >= prefix_dim (the positive shift cancels in differences, so
+    truncation is a filter, not a re-encode). Scoring goes through the
+    exploded-components equi-join on the position index (the PQ
+    re-rank shape — no BNLJ, no cartesian): corpus × dim rows join the
+    broadcast query components, one hash agg per (query, candidate).
+
+    Returns (query_id, n_overlap BIGINT) with n_overlap in [0, k]:
+    |top-k(full) ∩ top-k(prefix)| per query.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    dim = len(corpus.select(vec_col).first()[0])
+    if not (0 < prefix_dim <= dim):
+        raise ValueError(f"prefix_dim {prefix_dim} not in 1..{dim}")
+    comp = pin(_pq_components(corpus, id_col, vec_col, dim, "cid"))
+    qcomp = pin(_pq_components(queries, id_col, vec_col, dim, "qid"))
+
+    def topk(limit_dim: int) -> DataFrame:
+        c = comp.filter(F.col("i") < limit_dim) if limit_dim < dim else comp
+        q = qcomp.filter(F.col("i") < limit_dim) if limit_dim < dim \
+            else qcomp
+        d = (c.join(F.broadcast(q.select("qid", "i",
+                                         F.col("val").alias("qval"))), "i")
+             .filter(F.col("cid") != F.col("qid"))
+             .groupBy("qid", "cid")
+             .agg(F.sum((F.col("val") - F.col("qval"))
+                        * (F.col("val") - F.col("qval")))
+                  .cast("long").alias("dist")))
+        w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("cid"))
+        return (d.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k).select("qid", "cid"))
+
+    full, pref = topk(dim), topk(prefix_dim)
+    return (full.join(pref, ["qid", "cid"], "left_semi")
+            .groupBy("qid").agg(F.count("*").alias("__o"))
+            .join(full.select("qid").distinct(), "qid", "right")
+            .select(F.col("qid").alias("query_id"),
+                    F.coalesce(F.col("__o"), F.lit(0)).cast("long")
+                    .alias("n_overlap")))

@@ -284,3 +284,28 @@ def test_pq_component_range_contract(sf):
     flat = np.concatenate([np.asarray(x) for x in
                            t.column("embedding").to_pylist()])
     assert float(flat.min()) > -1.0 and float(flat.max()) < 1.0
+
+
+# ------------------------------------------------- matryoshka eval (r7) --
+
+def test_matryoshka_full_prefix_is_identity(spark):
+    """prefix_dim == dim means both rankings are THE SAME exact top-k,
+    so every query's overlap must be exactly k."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    rows = sim.matryoshka_overlap(emb, q, k=5, prefix_dim=64).collect()
+    assert len(rows) == 5 and all(r["n_overlap"] == 5 for r in rows)
+
+
+def test_matryoshka_overlap_bounds_and_validation(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    rows = sim.matryoshka_overlap(emb, q, k=5, prefix_dim=16).collect()
+    assert len(rows) == 5
+    assert all(0 <= r["n_overlap"] <= 5 for r in rows)
+    with pytest.raises(ValueError):
+        sim.matryoshka_overlap(emb, q, k=0)
+    with pytest.raises(ValueError):
+        sim.matryoshka_overlap(emb, q, prefix_dim=65)
+    with pytest.raises(ValueError):
+        sim.matryoshka_overlap(emb, q, prefix_dim=0)
