@@ -5000,7 +5000,8 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS nll
           FROM dpr d CROSS JOIN v
           LEFT JOIN bg ON d.a = bg.a AND d.b = bg.b
-          LEFT JOIN ctx ON d.a = ctx.a)
+          LEFT JOIN ctx ON d.a = ctx.a
+          WHERE v.v > 0)
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(sum(nll) // count(*) AS BIGINT) AS nll_ppm
         FROM sc GROUP BY doc_id"""
@@ -5193,7 +5194,8 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS nll
           FROM dpr d CROSS JOIN v
           LEFT JOIN bg ON d.a = bg.a AND d.b = bg.b
-          LEFT JOIN ctx ON d.a = ctx.a),
+          LEFT JOIN ctx ON d.a = ctx.a
+          WHERE v.v > 0),
         per AS (
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
                  CAST(sum(nll) // count(*) AS BIGINT) AS nll_ppm

@@ -133,7 +133,16 @@ def _check(spark, sf_dir, name):
                                   # r7: integerized-ln entropy under
                                   # random count/length mixes (same
                                   # boundary class as bigram_pmi)
-                                  "token_entropy"])
+                                  "token_entropy",
+                                  # r7 late: bigram-LM scoring — tiny
+                                  # corpora exercise empty/blank
+                                  # reference slices (the V=0 oracle
+                                  # guard exists because of this tier),
+                                  # all-unseen docs, single-token docs
+                                  "lm_perplexity",
+                                  # r7 late: tercile split under skewed
+                                  # tiny sources + nll ties
+                                  "lm_tail_split"])
 def test_doc_gates_on_random_corpora(spark, tmp_path_factory, gate):
     @_SET
     @given(rows=_doc_strategy)
@@ -172,7 +181,10 @@ def test_event_gates_on_random_streams(spark, tmp_path_factory, evs):
                  "funnel_stages", "retention_cohorts",
                  "event_transitions",
                  "increasing_runs",   # r6: duplicate values + ts ties
-                 "incremental_agg"):  # r6: random insert/delete mixes
+                 "incremental_agg",   # r6: random insert/delete mixes
+                 "event_pattern",     # r7: ts ties + single-event users
+                 "attribution",       # r7: exact window-edge touches
+                 "hll_sliding"):      # r7: sparse/adjacent hour mixes
         _check(spark, d, gate)
 
 
@@ -431,4 +443,10 @@ def test_pq_on_random_vectors(spark, tmp_path_factory, vecs):
         data, "vec_id bigint, embedding array<float>, label int") \
         .coalesce(1).write.mode("overwrite") \
         .parquet(os.path.join(d, "embeddings.parquet"))
-    _check(spark, d, "embed_pq_topk")
+    # r7 late additions share the margin-free property: Hadamard
+    # rotation (integer matmul), IVF-PQ (coarse lists degenerate
+    # gracefully when corpus < n_lists), matryoshka overlap (empty
+    # candidate sets when the corpus IS the query set)
+    for gate in ("embed_pq_topk", "embed_pq_hadamard",
+                 "embed_ivfpq_topk", "embed_matryoshka"):
+        _check(spark, d, gate)
