@@ -2649,6 +2649,23 @@ def q_lm_perplexity(spark, sf_dir):
     return tx.lm_score(docs)
 
 
+def q_entity_resolution(spark, sf_dir):
+    """Entity resolution / catalog dedup (functions.entity.
+    resolve_entities, r7): parts sharing their full distinct-token name
+    set within a brand block collapse to one canonical record —
+    blocking equi-self-join (hash join, no BNLJ) -> token-overlap match
+    -> connected components (min-label + pointer jumping) -> min-id
+    canonicalization, the Fellegi-Sunter-shaped pipeline composed from
+    the engine's own primitives. Oracle replays the closure with a
+    WITH RECURSIVE reachability (exact CC at any diameter), so the
+    hash-match also certifies the propagation CONVERGED."""
+    from bqetl_spark.functions.entity import resolve_entities
+
+    part = _t(spark, sf_dir, "part")
+    return resolve_entities(part, "p_partkey", "p_name",
+                            ("p_brand",), min_common=2)
+
+
 def q_embed_matryoshka(spark, sf_dir):
     """Matryoshka truncation evaluation (similarity.matryoshka_overlap,
     r7): per query, |top-5(full 64-dim) ∩ top-5(prefix)| for 16- and
@@ -2964,6 +2981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sliding": q_hll_sliding,
         "attribution": q_attribution,
         "embed_matryoshka": q_embed_matryoshka,
+        "entity_resolution": q_entity_resolution,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -5005,6 +5023,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(sum(nll) // count(*) AS BIGINT) AS nll_ppm
         FROM sc GROUP BY doc_id"""
+    # entity resolution: block self-join + distinct-token overlap,
+    # WITH RECURSIVE reachability closure (exact CC — certifying the
+    # Spark side's propagation converged), min-id canon + sizes
+    d["entity_resolution"] = """
+        WITH RECURSIVE t AS MATERIALIZED (
+          SELECT p_partkey AS id,
+                 list_distinct(regexp_split_to_array(trim(p_name),
+                                                     '\\s+')) AS tk,
+                 p_brand
+          FROM part),
+        pairs AS MATERIALIZED (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM t a JOIN t b ON a.id < b.id AND a.p_brand = b.p_brand
+          WHERE len(list_intersect(a.tk, b.tk)) >= 2),
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT DISTINCT s AS n, s AS m FROM edges
+          UNION
+          SELECT reach.n, e.d FROM reach JOIN edges e ON reach.m = e.s),
+        comp AS (SELECT n AS id, MIN(m) AS canon_id FROM reach GROUP BY 1),
+        lab AS (
+          SELECT part.p_partkey AS id,
+                 coalesce(comp.canon_id, part.p_partkey) AS canon_id
+          FROM part LEFT JOIN comp ON part.p_partkey = comp.id),
+        sizes AS (
+          SELECT canon_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM lab GROUP BY canon_id)
+        SELECT lab.id, lab.canon_id, sizes.cluster_size,
+               lab.id = lab.canon_id AS is_canonical
+        FROM lab JOIN sizes USING (canon_id)"""
     # matryoshka eval: three exact integer-L2 top-5 rankings (full,
     # 16-prefix, 32-prefix — truncation is a component filter, the
     # positive shift cancels in differences), overlap by left-join count

@@ -1,0 +1,69 @@
+"""Entity resolution: blocking, overlap threshold, transitive merge,
+singleton handling, canonical selection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from bqetl_spark.functions.entity import resolve_entities
+
+
+def _res(spark, rows, **kw):
+    df = spark.createDataFrame(rows, ["p_partkey", "p_name", "p_brand"])
+    return {r["id"]: (r["canon_id"], r["cluster_size"], r["is_canonical"])
+            for r in resolve_entities(df, **kw).collect()}
+
+
+def test_same_name_same_block_merges(spark):
+    got = _res(spark, [
+        (1, "red widget", "B1"), (2, "red widget", "B1"),
+        (3, "red widget", "B2"),                  # other block: no merge
+        (4, "blue bolt", "B1"),                   # singleton
+    ])
+    assert got == {1: (1, 2, True), 2: (1, 2, False),
+                   3: (3, 1, True), 4: (4, 1, True)}
+
+
+def test_transitive_merge_through_shared_tokens(spark):
+    """1~2 share 'red widget' tokens? No — chain via min_common=1:
+    1('red widget') ~ 2('red bolt') ~ 3('steel bolt') merges all three
+    transitively even though 1 and 3 share nothing."""
+    got = _res(spark, [
+        (1, "red widget", "B"), (2, "red bolt", "B"),
+        (3, "steel bolt", "B"),
+    ], min_common=1)
+    assert got == {1: (1, 3, True), 2: (1, 3, False), 3: (1, 3, False)}
+
+
+def test_token_order_and_duplicates_ignored(spark):
+    """'widget red' == 'red widget' as a distinct-token SET; repeated
+    tokens don't inflate the overlap count."""
+    got = _res(spark, [(1, "red widget", "B"), (2, "widget red", "B"),
+                       (3, "red red", "B")])
+    assert got[1] == (1, 2, True) and got[2] == (1, 2, False)
+    assert got[3] == (3, 1, True)  # {'red'} ∩ {'red','widget'} = 1 < 2
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, "a", "B")],
+                               ["p_partkey", "p_name", "p_brand"])
+    with pytest.raises(ValueError):
+        resolve_entities(df, min_common=0)
+    with pytest.raises(ValueError):
+        resolve_entities(df, block_cols=())
+
+
+def test_gate_corpus_invariants(spark):
+    """On the real part table: every record appears exactly once, every
+    canon is the min id of its cluster, sizes are consistent."""
+    part = spark.read.parquet("/root/testdata/sf0.01/part.parquet")
+    rows = resolve_entities(part).collect()
+    assert len(rows) == part.count()
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r["canon_id"], []).append(r)
+    for canon, members in by_canon.items():
+        assert canon == min(m["id"] for m in members)
+        assert all(m["cluster_size"] == len(members) for m in members)
+        assert sum(m["is_canonical"] for m in members) == 1
