@@ -2649,6 +2649,35 @@ def q_lm_perplexity(spark, sf_dir):
     return tx.lm_score(docs)
 
 
+def q_stream_cms(spark, sf_dir):
+    """Streaming count-min maintenance (streaming/events.py
+    stream_cms_user_counts, r7): events chopped into 4 files replay as
+    4 real micro-batches, each ADDING its CMS grid of per-user event
+    counts into the persisted sketch (additive merge — exactly-once
+    rests on foreachBatch's checkpointed batch ids, documented); the
+    gate estimates a fixed user list from the final stored grid joined
+    with the exact counts. Oracle = the plain batch CMS SQL: the
+    hash-match proves the streaming fold equals the full-corpus grid
+    for any batch chop."""
+    from bqetl_spark.functions.sketch import cms_estimate
+    from bqetl_spark.streaming.events import stream_cms_user_counts
+
+    base = _scratch("scms", sf_dir, wipe=True)
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    ev.repartition(4).write.parquet(base + "/events_split")
+    target = base + "/sketch"
+    stream_cms_user_counts(spark, base + "/events_split", target,
+                           width=128, depth=4)
+    grid = spark.read.parquet(target)
+    users = ["0", "1", "5", "42", "999999"]
+    est = cms_estimate(grid, users, width=128, depth=4)
+    ev2 = _t(spark, sf_dir, "events")
+    exact = (ev2.groupBy(F.col("user_id").cast("string").alias("value"))
+             .agg(F.count("*").cast("long").alias("exact_cnt")))
+    return (est.join(exact, "value", "left")
+            .na.fill(0, ["exact_cnt"]))
+
+
 def q_entity_resolution(spark, sf_dir):
     """Entity resolution / catalog dedup (functions.entity.
     resolve_entities, r7): parts sharing their full distinct-token name
@@ -2982,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "embed_matryoshka": q_embed_matryoshka,
         "entity_resolution": q_entity_resolution,
+        "stream_cms": q_stream_cms,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -5023,6 +5053,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(sum(nll) // count(*) AS BIGINT) AS nll_ppm
         FROM sc GROUP BY doc_id"""
+    # streaming CMS: oracle = plain batch grid over the same events
+    # (counters add, so the chopped fold must equal it exactly)
+    d["stream_cms"] = """
+        WITH grid AS (
+          SELECT d, ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' ||
+                                        CAST(user_id AS VARCHAR)),
+                                    1, 15))::BIGINT % 128 AS idx,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events, (SELECT unnest(range(4)) AS d)
+          WHERE user_id IS NOT NULL
+          GROUP BY 1, 2),
+        q AS (SELECT unnest(['0', '1', '5', '42', '999999']) AS value),
+        cells AS (
+          SELECT q.value, d.d,
+                 ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' ||
+                                     q.value), 1, 15))::BIGINT % 128
+                   AS idx
+          FROM q, (SELECT unnest(range(4)) AS d) d),
+        est AS (
+          SELECT c.value, CAST(min(coalesce(g.cnt, 0)) AS BIGINT) AS est
+          FROM cells c LEFT JOIN grid g ON c.d = g.d AND c.idx = g.idx
+          GROUP BY c.value),
+        exact AS (
+          SELECT CAST(user_id AS VARCHAR) AS value,
+                 CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM events GROUP BY user_id)
+        SELECT e.value, e.est,
+               CAST(coalesce(x.exact_cnt, 0) AS BIGINT) AS exact_cnt
+        FROM est e LEFT JOIN exact x USING (value)"""
     # entity resolution: block self-join + distinct-token overlap,
     # WITH RECURSIVE reachability closure (exact CC — certifying the
     # Spark side's propagation converged), min-id canon + sizes

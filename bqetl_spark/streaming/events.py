@@ -300,3 +300,47 @@ def stream_hll_user_distinct(spark: SparkSession, events_dir: str,
      .trigger(availableNow=True)
      .option("checkpointLocation", target_path + ".ckpt")
      .start().awaitTermination())
+
+
+def stream_cms_user_counts(spark: SparkSession, events_dir: str,
+                           target_path: str, width: int = 128,
+                           depth: int = 4,
+                           max_files_per_trigger: int = 1) -> None:
+    """Streaming count-min maintenance (r7): fold each micro-batch's
+    CMS grid of per-user event counts into a persisted (d, idx, cnt)
+    table — the frequency sibling of ``stream_hll_user_distinct``.
+    Counters ADD under union, so the persisted grid equals the
+    full-corpus sketch for any batch chop; the fold is one bounded
+    merge of depth·width-row tables, never a history re-scan.
+
+    Additive merge is NOT restart-idempotent (re-merging a replayed
+    batch double-counts, unlike HLL's max) — exactly-once here rests on
+    foreachBatch's checkpointed batch ids, the same contract
+    ``stream_upsert_user_totals`` documents. Runs to completion
+    (availableNow); callers read ``target_path`` and apply
+    ``cms_estimate``."""
+    from bqetl_spark.functions.sketch import cms_merge, cms_sketch
+
+    stream = (_read_events_stream(spark, events_dir, max_files_per_trigger)
+              .select("user_id"))
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        sp = bdf.sparkSession
+        batch_sketch = cms_sketch(bdf, "user_id", width, depth)
+        base = (sp.read.parquet(target_path)
+                if os.path.isdir(target_path) else None)
+        out = (batch_sketch if base is None
+               else cms_merge(base, batch_sketch))
+        tmp = target_path + f".batch{batch_id}"
+        out.write.mode("overwrite").parquet(tmp)
+        sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    (stream.writeStream.outputMode("append")
+     .foreachBatch(sink)
+     .trigger(availableNow=True)
+     .option("checkpointLocation", target_path + ".ckpt")
+     .start().awaitTermination())

@@ -201,3 +201,28 @@ def test_stream_hll_fold_is_chop_invariant(spark, tmp_path):
         "event_type").collect()))
     assert run(2, "a") == batch
     assert run(4, "b") == batch
+
+
+def test_stream_cms_fold_is_chop_invariant(spark, tmp_path):
+    """r7 streaming CMS maintenance: the persisted counter grid after an
+    availableNow replay must be IDENTICAL whatever the micro-batch chop
+    (2-file vs 4-file vs plain batch sketch) — counter ADD is
+    associative and commutative (NOT idempotent: restart tolerance is
+    foreachBatch's checkpoint contract, documented on the sink)."""
+    from bqetl_spark.functions.sketch import cms_sketch
+    from bqetl_spark.streaming.events import stream_cms_user_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("user_id")
+
+    def run(n_files, tag):
+        src = str(tmp_path / f"csrc{tag}")
+        ev.repartition(n_files).write.parquet(src)
+        target = str(tmp_path / f"csk{tag}")
+        stream_cms_user_counts(spark, src, target, width=64, depth=3)
+        return sorted(map(tuple,
+                          spark.read.parquet(target).collect()))
+
+    batch = sorted(map(tuple, cms_sketch(ev, "user_id", 64, 3).collect()))
+    assert run(2, "a") == batch
+    assert run(4, "b") == batch

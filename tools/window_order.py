@@ -46,7 +46,8 @@ ROUND_HEAD = {
                   "embed_ivfpq_topk", "hll_sparse", "embed_pq_hadamard",
                   "hll_intersect", "lm_perplexity", "lm_tail_split",
                   "bucketed_join", "event_pattern", "hll_sliding",
-                  "attribution", "embed_matryoshka", "entity_resolution"],
+                  "attribution", "embed_matryoshka", "entity_resolution",
+                  "stream_cms"],
     "changed": ["increasing_runs", "pyds_ndjson", "pagerank",
                 "multimodal_decode", "multimodal_png", "multimodal_resize",
                 "multimodal_audio", "stream_kmv", "upsert_customers"],
