@@ -2649,6 +2649,21 @@ def q_lm_perplexity(spark, sf_dir):
     return tx.lm_score(docs)
 
 
+def q_robust_outliers(spark, sf_dir):
+    """Robust per-user outlier screen (functions.stats.robust_outliers,
+    r7): |x − median| > 3·MAD with median and MAD as LOWER medians
+    (position-selected order statistics — deterministic for any tie
+    order because selection depends only on the multiset). EXACT
+    DECIMAL(18,2) arithmetic end to end: no float means, no
+    transcendentals, no margins — the robust pair that survives the
+    outliers a stddev threshold is inflated by. Two window passes +
+    two per-group median joins."""
+    from bqetl_spark.functions.stats import robust_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return robust_outliers(ev, "value", "user_id", "event_id", k=3)
+
+
 def q_stream_cms(spark, sf_dir):
     """Streaming count-min maintenance (streaming/events.py
     stream_cms_user_counts, r7): events chopped into 4 files replay as
@@ -3012,6 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_matryoshka": q_embed_matryoshka,
         "entity_resolution": q_entity_resolution,
         "stream_cms": q_stream_cms,
+        "robust_outliers": q_robust_outliers,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -5053,6 +5069,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(sum(nll) // count(*) AS BIGINT) AS nll_ppm
         FROM sc GROUP BY doc_id"""
+    # robust outliers: lower-median selections + exact decimal
+    # arithmetic — (n+1)//2 equals Spark's div on positive counts
+    d["robust_outliers"] = """
+        WITH base AS (
+          SELECT user_id AS k, CAST(value AS DECIMAL(18,2)) AS v,
+                 event_id AS t
+          FROM events WHERE value IS NOT NULL),
+        med AS (
+          SELECT k, v AS med FROM (
+            SELECT k, v, count(*) OVER (PARTITION BY k) AS n,
+                   row_number() OVER (PARTITION BY k ORDER BY v, t) AS r
+            FROM base) WHERE r = (n + 1) // 2),
+        dev AS (
+          SELECT b.k, b.v, b.t, abs(b.v - m.med) AS d, m.med
+          FROM base b JOIN med m ON b.k = m.k),
+        mad AS (
+          SELECT k, d AS mad FROM (
+            SELECT k, d, count(*) OVER (PARTITION BY k) AS n,
+                   row_number() OVER (PARTITION BY k
+                                      ORDER BY d, v, t) AS r
+            FROM dev) WHERE r = (n + 1) // 2),
+        fl AS (
+          SELECT dev.k, dev.med, mad.mad,
+                 CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END AS o
+          FROM dev JOIN mad ON dev.k = mad.k)
+        SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_events,
+               max(med) AS median, max(mad) AS mad,
+               CAST(sum(o) AS BIGINT) AS n_outliers
+        FROM fl GROUP BY k"""
     # streaming CMS: oracle = plain batch grid over the same events
     # (counters add, so the chopped fold must equal it exactly)
     d["stream_cms"] = """
