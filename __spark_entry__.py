@@ -2649,6 +2649,18 @@ def q_lm_perplexity(spark, sf_dir):
     return tx.lm_score(docs)
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """N-gram novelty vs the reference slice (functions.text.
+    ngram_novelty, r7): the ppm share of each doc's distinct word
+    3-grams ABSENT from the doc_id%10<3 slice — contamination's inverse
+    signal ("is this doc just recombining reference text?"). One
+    explode + one DISTINCT projection + one LEFT equi-join + one agg,
+    all exact integer arithmetic; reference docs score exactly 0 by
+    construction (pinned)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.ngram_novelty(docs, n=3)
+
+
 def q_robust_outliers(spark, sf_dir):
     """Robust per-user outlier screen (functions.stats.robust_outliers,
     r7): |x − median| > 3·MAD with median and MAD as LOWER medians
@@ -3028,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution": q_entity_resolution,
         "stream_cms": q_stream_cms,
         "robust_outliers": q_robust_outliers,
+        "ngram_novelty": q_ngram_novelty,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -5069,6 +5082,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(sum(nll) // count(*) AS BIGINT) AS nll_ppm
         FROM sc GROUP BY doc_id"""
+    # n-gram novelty: same clamped 3-gram construction as _GRAMS,
+    # reference = distinct grams of the id%10<3 slice, exact ppm
+    d["ngram_novelty"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_TOK} AS w FROM documents
+          WHERE trim(text) != ''),
+        g AS (SELECT doc_id, unnest({_GRAMS}) AS gr FROM base),
+        ref AS (SELECT DISTINCT gr FROM g WHERE doc_id % 10 < 3),
+        st AS (
+          SELECT g.doc_id, count(*) AS n_grams,
+                 sum(CASE WHEN r.gr IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_seen
+          FROM g LEFT JOIN ref r ON g.gr = r.gr
+          GROUP BY g.doc_id)
+        SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(n_seen AS BIGINT) AS n_seen,
+               CAST((n_grams - n_seen) * 1000000 // n_grams AS BIGINT)
+                 AS novelty_ppm
+        FROM st"""
     # robust outliers: lower-median selections + exact decimal
     # arithmetic — (n+1)//2 equals Spark's div on positive counts
     d["robust_outliers"] = """

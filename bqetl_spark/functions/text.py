@@ -487,3 +487,46 @@ def lm_tail_split(df: DataFrame, text_col: str = "text",
               .otherwise(F.lit("tail")))
     return t.select(F.col(id_col), source_col, "n_pairs", "nll_ppm",
                     bucket.alias("bucket"))
+
+
+def ngram_novelty(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3,
+                  ref_mod: int = 10, ref_keep: int = 3) -> DataFrame:
+    """N-gram novelty vs a reference slice: the fraction (ppm) of a
+    document's DISTINCT word n-grams absent from the deterministic
+    reference slice (``id % ref_mod < ref_keep``) — the inverse of
+    contamination's containment signal, and the cheap dedup-adjacent
+    screen for "is this doc just recombining reference text?".
+    Reference-slice docs score exactly 0 by construction (their grams
+    are in the reference) — pinned in tests.
+
+        novelty_ppm = (n_grams − n_seen) · 10^6 div n_grams   (exact)
+
+    Shape: one explode to distinct per-doc grams, the reference gram
+    set as a DISTINCT projection of the same relation, one LEFT
+    equi-join on the gram string, one per-doc agg — all integer, no
+    margins. Short docs (< n tokens) contribute their single clamped
+    gram, same as gram_repetition's semantics.
+
+    Returns (id, n_grams BIGINT, n_seen BIGINT, novelty_ppm BIGINT).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if ref_mod < 1 or not (0 < ref_keep <= ref_mod):
+        raise ValueError(f"bad reference slice {ref_keep}/{ref_mod}")
+    base = (df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
+            .select(F.col(id_col),
+                    F.array_distinct(
+                        word_ngrams_all_of(F.col("__tk"), n)).alias("__g")))
+    dg = base.select(F.col(id_col), F.explode("__g").alias("__gr"))
+    ref = (dg.filter(F.pmod(F.col(id_col), F.lit(ref_mod)) < ref_keep)
+           .select("__gr").distinct().withColumn("__hit", F.lit(1)))
+    return (dg.join(ref, "__gr", "left")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_grams"),
+                 F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                 .cast("long").alias("n_seen"))
+            .select(F.col(id_col), "n_grams", "n_seen",
+                    F.expr("(n_grams - n_seen) * 1000000 div n_grams")
+                    .cast("long").alias("novelty_ppm")))

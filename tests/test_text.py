@@ -301,3 +301,34 @@ def test_lm_tail_split_terciles_balanced_and_ordered(spark):
         mm = sum(nlls[src]["middle"]) / b["middle"]
         mt = sum(nlls[src]["tail"]) / b["tail"]
         assert mh <= mm <= mt, (src, mh, mm, mt)
+
+
+def test_ngram_novelty_reference_docs_score_zero(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = tx.ngram_novelty(docs, n=3)
+    ref = out.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 3)
+    bad = ref.filter(F.col("novelty_ppm") != 0).count()
+    assert bad == 0
+    # non-reference docs: novelty in [0, 1e6] and someone is novel
+    rest = out.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= 3)
+    rows = rest.collect()
+    assert all(0 <= r["novelty_ppm"] <= 1_000_000 for r in rows)
+    assert all(r["n_seen"] <= r["n_grams"] for r in rows)
+
+
+def test_ngram_novelty_fully_novel_and_fully_seen(spark):
+    rows = [(0, "a b c d"),            # reference
+            (15, "a b c d"),           # identical -> novelty 0
+            (16, "x y z w")]           # disjoint -> novelty 1e6
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["novelty_ppm"]
+           for r in tx.ngram_novelty(df, n=3).collect()}
+    assert got[15] == 0 and got[16] == 1_000_000
+
+
+def test_ngram_novelty_validation(spark):
+    df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        tx.ngram_novelty(df, n=0)
+    with pytest.raises(ValueError):
+        tx.ngram_novelty(df, ref_mod=0)
