@@ -103,6 +103,16 @@ EXTRAS = [
     "hll_sparse",
     "hll_intersect",
     "lm_perplexity",
+    "lm_tail_split",
+    "bucketed_join",
+    "event_pattern",
+    "hll_sliding",
+    "attribution",
+    "embed_matryoshka",
+    "entity_resolution",
+    "stream_cms",
+    "robust_outliers",
+    "ngram_novelty",
 ]
 
 

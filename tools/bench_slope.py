@@ -38,7 +38,9 @@ QUERIES = ["denorm_flat", "q3_top_revenue", "dedup_fingerprint",
            "hll_distinct", "bloom_prune", "bm25_topk",
            "boilerplate_strip", "token_entropy", "embed_pq_topk",
            "embed_ivfpq_topk", "embed_pq_hadamard", "hll_sparse",
-           "hll_intersect", "lm_perplexity"]
+           "hll_intersect", "lm_perplexity", "lm_tail_split",
+           "event_pattern", "hll_sliding", "attribution",
+           "entity_resolution", "robust_outliers", "ngram_novelty"]
 
 
 def main() -> None:
