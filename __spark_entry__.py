@@ -5054,7 +5054,7 @@ def oracle_sql() -> dict[str, str]:
         WITH base AS (
           SELECT doc_id, {_TOK} AS w FROM documents
           WHERE trim(text) != ''),
-        ref AS (SELECT w FROM base WHERE doc_id % 10 < 3),
+        ref AS (SELECT w FROM base WHERE ((doc_id % 10) + 10) % 10 < 3),
         rpr AS (
           SELECT s.a AS a, s.b AS b FROM (
             SELECT unnest(list_transform(range(1, len(w)),
@@ -5089,7 +5089,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, {_TOK} AS w FROM documents
           WHERE trim(text) != ''),
         g AS (SELECT doc_id, unnest({_GRAMS}) AS gr FROM base),
-        ref AS (SELECT DISTINCT gr FROM g WHERE doc_id % 10 < 3),
+        ref AS (SELECT DISTINCT gr FROM g WHERE ((doc_id % 10) + 10) % 10 < 3),
         st AS (
           SELECT g.doc_id, count(*) AS n_grams,
                  sum(CASE WHEN r.gr IS NOT NULL THEN 1 ELSE 0 END)
@@ -5357,7 +5357,7 @@ def oracle_sql() -> dict[str, str]:
         WITH base AS (
           SELECT doc_id, {_TOK} AS w FROM documents
           WHERE trim(text) != ''),
-        ref AS (SELECT w FROM base WHERE doc_id % 10 < 3),
+        ref AS (SELECT w FROM base WHERE ((doc_id % 10) + 10) % 10 < 3),
         rpr AS (
           SELECT s.a AS a, s.b AS b FROM (
             SELECT unnest(list_transform(range(1, len(w)),
