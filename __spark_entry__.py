@@ -2649,6 +2649,21 @@ def q_lm_perplexity(spark, sf_dir):
     return tx.lm_score(docs)
 
 
+def q_winsorize(spark, sf_dir):
+    """Winsorization (functions.sketch.winsorize, r7): event values
+    capped at the [p05, p95] thresholds from the deterministic quantile
+    sketch — the keep-the-row tail treatment completing the outlier
+    family (detect = robust_outliers, drop = percentile_band, cap =
+    winsorize). Thresholds are a 2-value metadata collect off the
+    TakeOrdered(k) sample; the capping is a row-local projection."""
+    from bqetl_spark.functions.sketch import winsorize
+
+    ev = _t(spark, sf_dir, "events")
+    return (winsorize(ev, "value", F.col("event_id"),
+                      lo=0.05, hi=0.95, k=1024)
+            .select("event_id", "value", "value_w"))
+
+
 def q_ngram_novelty(spark, sf_dir):
     """N-gram novelty vs the reference slice (functions.text.
     ngram_novelty, r7): the ppm share of each doc's distinct word
@@ -3041,6 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms": q_stream_cms,
         "robust_outliers": q_robust_outliers,
         "ngram_novelty": q_ngram_novelty,
+        "winsorize": q_winsorize,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -5082,6 +5098,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(sum(nll) // count(*) AS BIGINT) AS nll_ppm
         FROM sc GROUP BY doc_id"""
+    # winsorize: percentile_band's threshold CTE over events.value,
+    # CASE-capped projection (raw doubles pass through bit-identical)
+    d["winsorize"] = """
+        WITH s0 AS (
+            SELECT value AS v,
+                   ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                     ::BIGINT AS hv
+            FROM events),
+        s AS (SELECT v, hv FROM s0 ORDER BY hv LIMIT 1024),
+        ranked AS (
+            SELECT v, hv, row_number() OVER (ORDER BY v, hv) AS rv,
+                   count(*) OVER () AS n
+            FROM s),
+        thr AS (
+            SELECT max(CASE WHEN t.q = 0.05 THEN r.v END) AS lo,
+                   max(CASE WHEN t.q = 0.95 THEN r.v END) AS hi
+            FROM ranked r
+            JOIN (VALUES (0.05::DOUBLE), (0.95::DOUBLE)) AS t(q)
+              ON r.rv = CAST(floor(t.q * (r.n - 1)) AS BIGINT) + 1)
+        SELECT e.event_id, e.value,
+               CASE WHEN e.value < thr.lo THEN thr.lo
+                    WHEN e.value > thr.hi THEN thr.hi
+                    ELSE e.value END AS value_w
+        FROM events e, thr"""
     # n-gram novelty: same clamped 3-gram construction as _GRAMS,
     # reference = distinct grams of the id%10<3 slice, exact ppm
     d["ngram_novelty"] = f"""

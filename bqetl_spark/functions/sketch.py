@@ -233,6 +233,38 @@ def percentile_band_filter(df: DataFrame, value_col: str, id_expr,
                      & (F.col(value_col) <= F.lit(thresholds[hi])))
 
 
+def winsorize(df: DataFrame, value_col: str, id_expr,
+              lo: float = 0.05, hi: float = 0.95, k: int = 1024,
+              out_col: str | None = None) -> DataFrame:
+    """Cap instead of drop: values below the lo-percentile threshold are
+    raised to it and values above the hi-threshold lowered to it —
+    winsorization, the tail treatment for score/reward columns where
+    dropping rows (:func:`percentile_band_filter`) would bias the mix.
+    Row count is preserved; NULLs pass through as NULL.
+
+    Same scale-correct composition as the band filter: thresholds come
+    from the deterministic quantile sketch (never a global sort), the
+    two threshold values are a metadata-sized collect, and the capping
+    itself is a row-local projection — one map stage at 100 TB.
+    Appends ``out_col`` (default ``<value_col>_w``); empty input yields
+    the input unchanged with a NULL capped column.
+    """
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError(f"need 0 <= lo <= hi <= 1, got {lo}, {hi}")
+    out_col = out_col or f"{value_col}_w"
+    thresholds = {float(r["q"]): r["value"] for r in
+                  sampled_quantiles(df, value_col, id_expr,
+                                    qs=(lo, hi), k=k).collect()}
+    if not thresholds:
+        return df.withColumn(out_col, F.lit(None).cast(
+            df.schema[value_col].dataType))
+    v = F.col(value_col)
+    capped = (F.when(v < F.lit(thresholds[lo]), F.lit(thresholds[lo]))
+              .when(v > F.lit(thresholds[hi]), F.lit(thresholds[hi]))
+              .otherwise(v))
+    return df.withColumn(out_col, capped)
+
+
 def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
     """Merge KMV candidate tables — the property that makes the sketch
     production-useful: yesterday's corpus sketch + today's batch sketch

@@ -427,3 +427,36 @@ def test_sliding_validation(spark):
                                ["ts", "v"])
     with pytest.raises(ValueError):
         hll_sliding_estimate(df, "v", "ts", 0)
+
+
+# -------------------------------------------------- winsorize (r7) --
+
+def test_winsorize_caps_and_preserves_rows(spark):
+    from bqetl_spark.functions.sketch import winsorize
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               ["id", "v"])
+    out = winsorize(df, "v", F.col("id"), lo=0.1, hi=0.9, k=1024)
+    rows = out.collect()
+    assert len(rows) == 100                     # no rows dropped
+    # k >= n: the sample is the whole set, thresholds are exact lower
+    # quantiles: rank floor(q*99)+1 -> values 9.0 and 89.0
+    assert min(r["v_w"] for r in rows) == 9.0
+    assert max(r["v_w"] for r in rows) == 89.0
+    # interior values unchanged
+    assert all(r["v_w"] == r["v"] for r in rows if 9.0 <= r["v"] <= 89.0)
+
+
+def test_winsorize_nulls_and_empty(spark):
+    from bqetl_spark.functions.sketch import winsorize
+
+    df = spark.createDataFrame([(1, None), (2, 5.0), (3, 5.0)],
+                               "id long, v double")
+    rows = {r["id"]: r["v_w"] for r in
+            winsorize(df, "v", F.col("id")).collect()}
+    assert rows[1] is None and rows[2] == 5.0
+    empty = winsorize(df.filter("id < 0"), "v", F.col("id"))
+    assert empty.count() == 0 and "v_w" in empty.columns
+    import pytest
+    with pytest.raises(ValueError):
+        winsorize(df, "v", F.col("id"), lo=0.9, hi=0.1)

@@ -47,7 +47,8 @@ ROUND_HEAD = {
                   "hll_intersect", "lm_perplexity", "lm_tail_split",
                   "bucketed_join", "event_pattern", "hll_sliding",
                   "attribution", "embed_matryoshka", "entity_resolution",
-                  "stream_cms", "robust_outliers", "ngram_novelty"],
+                  "stream_cms", "robust_outliers", "ngram_novelty",
+                  "winsorize"],
     "changed": ["increasing_runs", "pyds_ndjson", "pagerank",
                 "multimodal_decode", "multimodal_png", "multimodal_resize",
                 "multimodal_audio", "stream_kmv", "upsert_customers"],
