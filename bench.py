@@ -113,6 +113,7 @@ EXTRAS = [
     "stream_cms",
     "robust_outliers",
     "ngram_novelty",
+    "winsorize",
 ]
 
 
