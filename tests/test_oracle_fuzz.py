@@ -184,7 +184,9 @@ def test_event_gates_on_random_streams(spark, tmp_path_factory, evs):
                  "incremental_agg",   # r6: random insert/delete mixes
                  "event_pattern",     # r7: ts ties + single-event users
                  "attribution",       # r7: exact window-edge touches
-                 "hll_sliding"):      # r7: sparse/adjacent hour mixes
+                 "hll_sliding",       # r7: sparse/adjacent hour mixes
+                 "robust_outliers",   # r7: MAD=0 groups, tie-heavy values
+                 "winsorize"):        # r7: k >= n exact-threshold regime
         _check(spark, d, gate)
 
 
