@@ -2664,6 +2664,21 @@ def q_winsorize(spark, sf_dir):
             .select("event_id", "value", "value_w"))
 
 
+def q_edit_dist_pairs(spark, sf_dir):
+    """Bounded-Levenshtein fuzzy pairs (functions.dedup.
+    edit_distance_pairs, r7): the record-linkage tier of the dedup
+    family — shared-12-char-prefix blocking (blocks capped at 64, the
+    deterministic boilerplate guard), then JVM built-in
+    levenshtein(p, p, threshold) over 48-char ASCII prefixes. One
+    shuffle on the block key; quadratic work bounded per block; bodies
+    never move."""
+    from bqetl_spark.functions.dedup import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return edit_distance_pairs(docs, prefix_len=48, block_chars=12,
+                               max_dist=24, max_block_size=64)
+
+
 def q_ngram_novelty(spark, sf_dir):
     """N-gram novelty vs the reference slice (functions.text.
     ngram_novelty, r7): the ppm share of each doc's distinct word
@@ -3057,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": q_robust_outliers,
         "ngram_novelty": q_ngram_novelty,
         "winsorize": q_winsorize,
+        "edit_dist_pairs": q_edit_dist_pairs,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -5122,6 +5138,23 @@ def oracle_sql() -> dict[str, str]:
                     WHEN e.value > thr.hi THEN thr.hi
                     ELSE e.value END AS value_w
         FROM events e, thr"""
+    # edit_dist_pairs: same blocking guard replay (blocks of 2..64 on the
+    # 12-char prefix), full levenshtein on the 48-char ASCII prefix —
+    # DuckDB's levenshtein counts characters like Spark's; the explicit
+    # ASCII predicate keeps the comparison data-independent
+    d["edit_dist_pairs"] = r"""
+        WITH d AS (
+            SELECT doc_id AS id, substr(text, 1, 48) AS p
+            FROM documents
+            WHERE text IS NOT NULL
+              AND regexp_matches(substr(text, 1, 48), '^[\x20-\x7e]*$')),
+        d2 AS (SELECT id, p, substr(p, 1, 12) AS blk FROM d),
+        g AS (SELECT blk FROM d2 GROUP BY blk
+              HAVING count(*) BETWEEN 2 AND 64)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(levenshtein(a.p, b.p) AS INTEGER) AS dist
+        FROM d2 a JOIN g USING (blk) JOIN d2 b USING (blk)
+        WHERE a.id < b.id AND levenshtein(a.p, b.p) <= 24"""
     # n-gram novelty: same clamped 3-gram construction as _GRAMS,
     # reference = distinct grams of the id%10<3 slice, exact ppm
     d["ngram_novelty"] = f"""

@@ -114,6 +114,7 @@ EXTRAS = [
     "robust_outliers",
     "ngram_novelty",
     "winsorize",
+    "edit_dist_pairs",
 ]
 
 

@@ -937,3 +937,52 @@ def strip_boilerplate_segments(df: DataFrame, text_col: str = "text",
                  F.sum((~keep).cast("int")).cast("long")
                  .alias("dropped_segs"),
                  rebuilt.alias("clean_hash")))
+
+
+def edit_distance_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", prefix_len: int = 48,
+                        block_chars: int = 12, max_dist: int = 24,
+                        max_block_size: int = 64) -> DataFrame:
+    """Fuzzy near-dup pairs by bounded Levenshtein distance over a
+    shared-prefix blocking scheme (r7) — the record-linkage tier of the
+    dedup family: where MinHash/SimHash measure set overlap, edit
+    distance catches single-character drift (OCR noise, typo'd titles,
+    near-identical headers).
+
+    Blocking: candidate pairs must share their first ``block_chars``
+    characters (near-identical strings almost always do); blocks larger
+    than ``max_block_size`` are dropped entirely — the boilerplate guard
+    shared with the gram ops, deterministic and replayed by the oracle.
+    Comparison: Spark's built-in ``levenshtein(l, r, threshold)`` on the
+    first ``prefix_len`` characters — JVM-side, whole-stage codegen, and
+    the threshold arg caps the DP band at O(max_dist · prefix_len)
+    instead of O(prefix_len²).
+
+    ASCII boundary (documented, advisor r6 class): Levenshtein counts
+    CHARACTERS in both engines, but to keep the gate data-independent
+    the op only compares prefixes that are entirely printable ASCII —
+    non-ASCII rows pass to the MinHash tier instead.
+
+    At 100 TB: one shuffle on the ``block_chars``-byte block key; the
+    quadratic work is bounded per-block by ``max_block_size``; document
+    bodies never move — only the ``prefix_len``-char slice.
+
+    Returns (id_a, id_b, dist), dist <= max_dist."""
+    ascii_ok = "^[\\x20-\\x7e]*$"
+    base = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.substring(F.col(text_col), 1, prefix_len).alias("p"))
+            .filter(F.col("p").rlike(ascii_ok))
+            .withColumn("blk", F.substring("p", 1, block_chars)))
+    ok_blocks = (base.groupBy("blk").agg(F.count("*").alias("__n"))
+                 .filter((F.col("__n") >= 2) &
+                         (F.col("__n") <= max_block_size))
+                 .select("blk"))
+    base = pin(base.join(F.broadcast(ok_blocks), "blk"))
+    a, b = base.alias("a"), base.alias("b")
+    dist = F.expr(f"levenshtein(a.p, b.p, {int(max_dist)})")
+    return (a.join(b, (F.col("a.blk") == F.col("b.blk")) &
+                      (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    dist.alias("dist"))
+            .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist)))

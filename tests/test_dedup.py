@@ -373,3 +373,68 @@ def test_boilerplate_validation(spark):
         strip_boilerplate_segments(df, seg_len=0)
     with _pt.raises(ValueError):
         strip_boilerplate_segments(df, min_docs=1)
+
+
+# --------------------------------------- edit-distance pairs (r7) --
+
+def test_edit_distance_pairs_exact_distances(spark):
+    """Docs sharing the block prefix pair up with the true Levenshtein
+    distance; pairs beyond max_dist are excluded; ids are canonical
+    (id_a < id_b, no self-pairs)."""
+    from bqetl_spark.functions.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "common head alpha one"),
+         (2, "common head alpha two"),     # dist 3 vs doc 1 (one->two)
+         (3, "common head alpha onX"),     # dist 1 vs doc 1
+         (4, "totally different prefix")],  # own block, never paired
+        ["doc_id", "text"])
+    out = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in edit_distance_pairs(
+               df, prefix_len=48, block_chars=12, max_dist=4).collect()}
+    assert out[(1, 3)] == 1
+    assert out[(1, 2)] == 3
+    assert out[(2, 3)] == 3
+    assert all(a < b for a, b in out)
+    assert not any(a == 4 or b == 4 for a, b in out)
+
+
+def test_edit_distance_pairs_max_dist_cutoff(spark):
+    from bqetl_spark.functions.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "same twelve c AAAAAAAAAA"),
+         (2, "same twelve c ZZZZZZZZZZ")],  # 10 substitutions
+        ["doc_id", "text"])
+    near = edit_distance_pairs(df, block_chars=12, max_dist=10).collect()
+    assert len(near) == 1 and near[0]["dist"] == 10
+    far = edit_distance_pairs(df, block_chars=12, max_dist=9).collect()
+    assert far == []
+
+
+def test_edit_distance_pairs_block_guard_drops_megablock(spark):
+    """A block larger than max_block_size is dropped entirely — the
+    deterministic boilerplate guard; smaller blocks still pair."""
+    from bqetl_spark.functions.dedup import edit_distance_pairs
+
+    rows = [(i, f"megablock hdr variant {i}") for i in range(10)]
+    rows += [(100, "small block A x"), (101, "small block A y")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = edit_distance_pairs(df, block_chars=12, max_dist=24,
+                              max_block_size=5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(100, 101)}
+
+
+def test_edit_distance_pairs_non_ascii_excluded(spark):
+    """Rows whose prefix contains non-printable-ASCII go to the MinHash
+    tier instead — they must not appear in any pair."""
+    from bqetl_spark.functions.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "ascii prefix block one"),
+         (2, "ascii prefix block two"),
+         (3, "ascii prefix blöck close")],  # ö breaks the ASCII gate
+        ["doc_id", "text"])
+    out = edit_distance_pairs(df, block_chars=12, max_dist=24).collect()
+    ids = {r["id_a"] for r in out} | {r["id_b"] for r in out}
+    assert 3 not in ids and (1, 2) in {(r["id_a"], r["id_b"]) for r in out}
