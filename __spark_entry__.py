@@ -2679,6 +2679,26 @@ def q_edit_dist_pairs(spark, sf_dir):
                                max_dist=24, max_block_size=64)
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-part triangle counts over the co-purchase graph
+    (functions.graph.triangle_counts, r7) — the Suri-Vassilvitskii /
+    Cohen degree-ordered MapReduce formulation: edges are distinct
+    same-order partkey pairs (map-only higher-order-function expansion
+    of one sorted array per order, mega-basket guard at 20), super-nodes
+    above degree 4096 dropped deterministically, every edge oriented
+    from its (degree, id)-smaller endpoint, wedges = equi-self-join on
+    the source, closed by an equi-probe on the (v, w) pair. O(m^{3/2})
+    worst case via the orientation bound; each triangle counted once
+    then credited to all three corners. No pins, no hints — AQE
+    deduplicates the repeated subplans (measured 4x faster, PLANS.md)."""
+    from bqetl_spark.functions.graph import copurchase_edges, triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    return triangle_counts(copurchase_edges(li, min_parts=2,
+                                            max_parts_per_order=20),
+                           max_degree=4096)
+
+
 def q_ngram_novelty(spark, sf_dir):
     """N-gram novelty vs the reference slice (functions.text.
     ngram_novelty, r7): the ppm share of each doc's distinct word
@@ -3073,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "winsorize": q_winsorize,
         "edit_dist_pairs": q_edit_dist_pairs,
+        "triangle_count": q_triangle_count,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -5155,6 +5176,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(levenshtein(a.p, b.p) AS INTEGER) AS dist
         FROM d2 a JOIN g USING (blk) JOIN d2 b USING (blk)
         WHERE a.id < b.id AND levenshtein(a.p, b.p) <= 24"""
+    # triangle_count: DuckDB enumerates triangles directly with the
+    # canonical 3-way self-join on a<b edges (a<b<c orders each triangle
+    # once, matching the Spark side's degree-orientation count exactly);
+    # same mega-basket guard [2, 20] and same degree-4096 super-node drop
+    d["triangle_count"] = """
+        WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+                           CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
+        oks AS (SELECT ok FROM li GROUP BY ok
+                HAVING count(*) BETWEEN 2 AND 20),
+        e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+               FROM li x JOIN oks USING (ok) JOIN li y USING (ok)
+               WHERE x.pk < y.pk),
+        deg AS (SELECT node FROM (
+                  SELECT a AS node FROM e0
+                  UNION ALL SELECT b FROM e0)
+                GROUP BY node HAVING count(*) <= 4096),
+        e AS (SELECT a, b FROM e0
+              JOIN deg d1 ON e0.a = d1.node
+              JOIN deg d2 ON e0.b = d2.node),
+        t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1
+              JOIN e e2 ON e1.b = e2.a
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        n AS (SELECT x AS part FROM t
+              UNION ALL SELECT y FROM t
+              UNION ALL SELECT z FROM t)
+        SELECT part, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM n GROUP BY part"""
     # n-gram novelty: same clamped 3-gram construction as _GRAMS,
     # reference = distinct grams of the id%10<3 slice, exact ppm
     d["ngram_novelty"] = f"""

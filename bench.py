@@ -115,6 +115,7 @@ EXTRAS = [
     "ngram_novelty",
     "winsorize",
     "edit_dist_pairs",
+    "triangle_count",
 ]
 
 

@@ -135,3 +135,110 @@ def node_label(node) -> "F.Column":
     half = F.shiftright(c, 1).cast("long")
     return (F.when(c % 2 == 0, F.concat(F.lit("c:"), half))
             .otherwise(F.concat(F.lit("s:"), half)))
+
+
+def copurchase_edges(lineitem: DataFrame, min_parts: int = 2,
+                     max_parts_per_order: int = 20,
+                     prefilter_counts: bool = False) -> DataFrame:
+    """Undirected part co-purchase edges: one edge per DISTINCT unordered
+    partkey pair appearing on the same order, canonicalized a < b.
+
+    Shape (measured, see PLANS.md triangle entry): ONE shuffle on the
+    order key builds a sorted distinct-part array per order, then pair
+    expansion is MAP-ONLY via nested ``transform``/``slice`` higher-order
+    functions over the sorted array — already canonical a < b, no
+    self-join, no second pass over lineitem. The join formulation this
+    replaced cost 3x-10x more wall time from pure stage count.
+
+    Guard (deterministic, oracle-replayable): pair expansion is quadratic
+    in the per-order distinct-part count, so orders outside
+    [min_parts, max_parts_per_order] are dropped ENTIRELY — the same
+    drop-don't-truncate posture as ``max_gram_freq`` / ``max_block_size``.
+    TPC-H orders carry <= 7 lineitems so the guard never fires on the
+    test corpus. Boundary: the guard bounds EXPANSION; the collect_list
+    buffer itself is linear in the raw order size, like any groupBy
+    aggregation state. For adversarial inputs (a basket with millions of
+    rows) pass ``prefilter_counts=True`` to cut mega-orders with a cheap
+    count aggregation BEFORE any list is collected (+1 shuffle)."""
+    if not 2 <= min_parts <= max_parts_per_order:
+        raise ValueError("need 2 <= min_parts <= max_parts_per_order")
+    li = (lineitem.select(F.col("l_orderkey").alias("ok"),
+                          F.col("l_partkey").cast("long").alias("pk"))
+          .distinct())
+    if prefilter_counts:
+        cnt = (li.groupBy("ok").agg(F.count("*").alias("__n"))
+               .filter((F.col("__n") >= min_parts) &
+                       (F.col("__n") <= max_parts_per_order))
+               .select("ok"))
+        arrs = (li.join(cnt, "ok").groupBy("ok")
+                .agg(F.sort_array(F.collect_list("pk")).alias("ps")))
+    else:
+        arrs = (li.groupBy("ok")
+                .agg(F.sort_array(F.collect_list("pk")).alias("ps"))
+                .filter((F.size("ps") >= min_parts) &
+                        (F.size("ps") <= max_parts_per_order)))
+    pair = F.explode(F.expr(
+        """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)),
+                         y -> struct(x AS a, y AS b))))"""))
+    return arrs.select(pair.alias("p")).select("p.a", "p.b").distinct()
+
+
+def triangle_counts(edges: DataFrame, max_degree: int = 4096) -> DataFrame:
+    """Per-node triangle participation counts via DEGREE-ORDERED edge
+    orientation — the Suri-Vassilvitskii / Cohen MapReduce formulation,
+    the standard way to make triangle enumeration scale.
+
+    Input: undirected edges as (a, b) with a < b, one row per edge.
+    Nodes whose degree exceeds ``max_degree`` are removed with ALL their
+    edges first (deterministic super-node guard, replayed by the
+    oracle). Each surviving edge is oriented from its (degree, id)-
+    smaller endpoint to its larger one; wedges are pairs of out-edges of
+    one node, and a wedge (v, w) closes iff the oriented edge v->w
+    exists. Orienting by degree bounds every out-neighborhood by
+    O(sqrt(m)) regardless of how skewed the raw degrees are, so the
+    quadratic wedge step is O(m^{3/2}) worst case and far less on real
+    graphs — that is the entire 100 TB story. Each triangle is
+    enumerated exactly once (its corners appear in (degree, id) order),
+    then credited to all three corners via a map-only explode.
+
+    Plan shape: the wedge join and the closing probe are both EQUI
+    joins (on the shared source node, then on the (v, w) pair) with the
+    lexicographic wedge ordering as a post-join filter — no BNLJ, no
+    cartesian. Deliberately NO persist/pin and NO broadcast hints:
+    the duplicated subplans (degree legs, wedge self-join, closing edge
+    set) are identical exchanges that AQE deduplicates via
+    ReusedExchange, and AQE picks broadcast at runtime when the degree
+    table is small — measured 4x faster than the pinned variant and
+    40x faster than pinning only the edge list (PLANS.md).
+
+    Returns (part, n_triangles) — nodes in >= 1 triangle only."""
+    if max_degree < 2:
+        raise ValueError(f"max_degree must be >= 2, got {max_degree}")
+    e0 = edges.select(F.col("a").cast("long").alias("a"),
+                      F.col("b").cast("long").alias("b"))
+    deg = (e0.select(F.explode(F.array("a", "b")).alias("node"))
+           .groupBy("node").agg(F.count("*").alias("deg"))
+           .filter(F.col("deg") <= max_degree))
+    # attach surviving degrees to both endpoints; a dropped super-node
+    # removes every edge it touches (inner joins)
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    e = e0.join(da, "a").join(db, "b")
+    fwd = F.struct("da", "a") < F.struct("db", "b")
+    oriented = e.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("ddeg"))
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = (w1.join(w2, (F.col("w1.src") == F.col("w2.src")) &
+                      (F.struct(F.col("w1.ddeg"), F.col("w1.dst")) <
+                       F.struct(F.col("w2.ddeg"), F.col("w2.dst"))))
+              .select(F.col("w1.src").alias("u"),
+                      F.col("w1.dst").alias("v"),
+                      F.col("w2.dst").alias("w")))
+    close = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(close, ["v", "w"])
+    corners = tri.select(F.explode(F.array("u", "v", "w")).alias("part"))
+    return (corners.groupBy("part")
+            .agg(F.count("*").cast("long").alias("n_triangles")))

@@ -126,3 +126,76 @@ def test_node_label_exact_above_2_53(spark):
     got = sorted(r["l"] for r in
                  df.select(node_label("node").alias("l")).collect())
     assert got == sorted([f"c:{big}", f"s:{big}", "c:0", "s:0"])
+
+
+# ------------------------------------------- triangle counting (r7) --
+
+def _tri_counts(spark, edges, **kw):
+    from bqetl_spark.functions.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, ["a", "b"])
+    return {r["part"]: r["n_triangles"]
+            for r in triangle_counts(df, **kw).collect()}
+
+
+def test_triangles_k4_and_square(spark):
+    """K4: 4 triangles, every node in exactly 3. A 4-cycle: none."""
+    k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    got = _tri_counts(spark, k4)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    square = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    assert _tri_counts(spark, square) == {}
+
+
+def test_triangles_match_bruteforce(spark):
+    """Degree-ordered enumeration must agree with the itertools brute
+    force on a deterministic pseudo-random graph (incl. skewed hub)."""
+    from itertools import combinations
+
+    nodes = list(range(30))
+    edges = sorted({(a, b) for a in nodes for b in nodes
+                    if a < b and (a * 7 + b * 13) % 5 < 2})
+    eset = set(edges)
+    want = {}
+    for x, y, z in combinations(nodes, 3):
+        if {(x, y), (y, z), (x, z)} <= eset:
+            for v in (x, y, z):
+                want[v] = want.get(v, 0) + 1
+    assert _tri_counts(spark, edges) == want
+
+
+def test_triangles_supernode_guard(spark):
+    """A node above max_degree disappears WITH its edges: triangles
+    through it vanish; triangles avoiding it survive."""
+    hub = 100
+    edges = [(1, 2), (2, 3), (1, 3)]           # clean triangle
+    edges += [(4, 5), (4, hub), (5, hub)]      # triangle through hub
+    edges += [(i, hub) for i in range(6, 12)]  # pump hub degree to 8
+    got = _tri_counts(spark, edges, max_degree=4)
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_copurchase_edges_guard_and_prefilter_equivalence(spark):
+    """Pairs are canonical a<b and distinct; an order above the guard
+    contributes nothing; prefilter_counts=True is plan-only (same rows)."""
+    from bqetl_spark.functions.graph import copurchase_edges
+
+    rows = [(1, 10), (1, 20), (1, 20), (2, 30)]          # dup pk, single
+    rows += [(3, i) for i in range(40, 46)]              # 6 parts > max 5
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    e = copurchase_edges(li, max_parts_per_order=5)
+    got = {(r["a"], r["b"]) for r in e.collect()}
+    assert got == {(10, 20)}
+    pre = copurchase_edges(li, max_parts_per_order=5, prefilter_counts=True)
+    assert {(r["a"], r["b"]) for r in pre.collect()} == got
+
+
+def test_triangle_validation(spark):
+    from bqetl_spark.functions.graph import copurchase_edges, triangle_counts
+
+    df = spark.createDataFrame([(1, 2)], ["a", "b"])
+    with pytest.raises(ValueError):
+        triangle_counts(df, max_degree=1)
+    li = spark.createDataFrame([(1, 2)], ["l_orderkey", "l_partkey"])
+    with pytest.raises(ValueError):
+        copurchase_edges(li, min_parts=1)
