@@ -2699,6 +2699,19 @@ def q_triangle_count(spark, sf_dir):
                            max_degree=4096)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (functions.text.dsir_weights, r7 — Xie
+    et al. 2023): log-ratio of target vs raw bag-of-hashed-ngrams
+    models, features = word uni+bigrams md5-hashed into 8192 buckets,
+    target = the doc_id%10<3 reference slice. Per-bucket score is
+    floor(1e6·ln) of a quotient of exact integer products (operand
+    pairs margin-audited); model state is O(buckets) — broadcastable at
+    any corpus size, which is DSIR's entire scaling point. Map-only
+    feature stream + two B-row aggs + one equi-join + per-doc sum."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.dsir_weights(docs, buckets=8192)
+
+
 def q_ngram_novelty(spark, sf_dir):
     """N-gram novelty vs the reference slice (functions.text.
     ngram_novelty, r7): the ppm share of each doc's distinct word
@@ -3094,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "edit_dist_pairs": q_edit_dist_pairs,
         "triangle_count": q_triangle_count,
+        "dsir_weights": q_dsir_weights,
         "increasing_runs": q_increasing_runs,
         "pyds_ndjson": q_pyds_ndjson,
         "pagerank": q_pagerank,
@@ -5204,6 +5218,37 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT z FROM t)
         SELECT part, CAST(count(*) AS BIGINT) AS n_triangles
         FROM n GROUP BY part"""
+    # dsir_weights: same md5-bucketed uni+bigram feature stream, same
+    # add-one-smoothed integer-product quotient inside ln (operand pairs
+    # margin-audited in tests/test_text.py)
+    d["dsir_weights"] = r"""
+        WITH base AS (SELECT doc_id, {tok} AS w FROM documents
+                      WHERE trim(text) != ''),
+        f0 AS (
+          SELECT doc_id, '1:' || t AS f
+          FROM (SELECT doc_id, unnest(w) AS t FROM base)
+          UNION ALL
+          SELECT doc_id, '2:' || s.a || ' ' || s.b AS f FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                           i -> {{'a': w[i], 'b': w[i+1]}})) AS s
+            FROM base WHERE len(w) >= 2)),
+        feats AS (SELECT doc_id,
+                         ('0x' || substr(md5(f), 1, 15))::BIGINT % 8192 AS b,
+                         ((doc_id % 10) + 10) % 10 < 3 AS is_ref FROM f0),
+        n AS (SELECT count(*) AS nr, count(*) FILTER (is_ref) AS nt
+              FROM feats),
+        raw AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+        tgt AS (SELECT b, count(*) AS ct FROM feats WHERE is_ref
+                GROUP BY b),
+        score AS (SELECT raw.b,
+            CAST(floor(1000000.0 * ln(
+              CAST((coalesce(tgt.ct, 0) + 1) * (n.nr + 8192) AS DOUBLE) /
+              CAST((raw.cr + 1) * (n.nt + 8192) AS DOUBLE))) AS BIGINT) AS s
+          FROM raw CROSS JOIN n LEFT JOIN tgt ON raw.b = tgt.b)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               CAST(sum(s.s) AS BIGINT) AS logw_micro
+        FROM feats JOIN score s USING (b) GROUP BY doc_id""".format(
+        tok=_TOK)
     # n-gram novelty: same clamped 3-gram construction as _GRAMS,
     # reference = distinct grams of the id%10<3 slice, exact ppm
     d["ngram_novelty"] = f"""

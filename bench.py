@@ -116,6 +116,7 @@ EXTRAS = [
     "winsorize",
     "edit_dist_pairs",
     "triangle_count",
+    "dsir_weights",
 ]
 
 

@@ -530,3 +530,88 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
             .select(F.col(id_col), "n_grams", "n_seen",
                     F.expr("(n_grams - n_seen) * 1000000 div n_grams")
                     .cast("long").alias("novelty_ppm")))
+
+
+def dsir_weights(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", buckets: int = 8192,
+                 ref_mod: int = 10, ref_keep: int = 3) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the log-ratio of two bag-of-hashed-ngrams unigram models — a TARGET
+    model fit on the deterministic reference slice (``id % ref_mod <
+    ref_keep``, the stand-in for a quality corpus) and a RAW model fit
+    on the whole corpus. High weight ≈ target-like; DSIR then resamples
+    by these weights, which here composes with the existing selection
+    ops (``temperature_sample`` / ``quota_sample`` downstream).
+
+    Features are word unigrams AND bigrams hashed into ``buckets``
+    cells by the repo-standard md5-60-bit hash (available bit-identically
+    in both engines). With add-one smoothing per bucket,
+
+        s[b]        = floor(10^6 · ln( ((c_t[b]+1)·(N_r+B))
+                                     / ((c_r[b]+1)·(N_t+B)) ))
+        logw_micro  = Σ_{feature occurrences f of doc} s[bucket(f)]
+
+    — the per-bucket score is ln of a quotient of two exact integer
+    products, so only the ≤1-ulp libm wobble remains and every observed
+    operand pair is floor-margin-audited in tests (the lm_score
+    discipline). Exactness boundary: the products must stay below 2^53
+    (N ≈ total feature occurrences; fine to ~10^26 of product mass —
+    at larger corpora split the constant ln((N_r+B)/(N_t+B)) out).
+
+    Shape: the feature stream is MAP-ONLY (tokenize + hash, no joins);
+    the two count tables are hash aggregations on the bucket key
+    (≤ ``buckets`` rows each — broadcastable by AQE at any corpus
+    size, the whole point of hashing into a fixed grid); scoring is one
+    equi-join of the stream against the B-row score table plus one
+    per-doc aggregation. N_r/N_t are metadata scalars (one count
+    aggregation). This is exactly why DSIR scales where KenLM-style
+    scoring doesn't: model state is O(buckets), never O(vocabulary).
+
+    Returns (id, n_feats BIGINT, logw_micro BIGINT); docs with no
+    tokens are excluded (no features to score).
+    """
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    if ref_mod < 1 or not (0 < ref_keep <= ref_mod):
+        raise ValueError(f"bad reference slice {ref_keep}/{ref_mod}")
+    base = (df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col), tokens(F.col(text_col)).alias("__tk")))
+    uni = (base.select(F.col(id_col), F.explode("__tk").alias("__t"))
+           .select(F.col(id_col),
+                   F.concat(F.lit("1:"), F.col("__t")).alias("__f")))
+    bi = (base.filter(F.size("__tk") >= 2)
+          .select(F.col(id_col),
+                  F.explode(_adjacent_pairs(F.col("__tk"))).alias("p"))
+          .select(F.col(id_col),
+                  F.concat(F.lit("2:"), F.col("p.a"), F.lit(" "),
+                           F.col("p.b")).alias("__f")))
+    bucket = (F.conv(F.substring(F.md5(F.col("__f")), 1, 15), 16, 10)
+              .cast("long") % buckets)
+    feats = (uni.unionAll(bi)
+             .select(F.col(id_col), bucket.alias("__b"),
+                     (F.pmod(F.col(id_col), F.lit(ref_mod)) < ref_keep)
+                     .alias("__ref")))
+    totals = feats.agg(
+        F.count("*").alias("nr"),
+        F.sum(F.col("__ref").cast("long")).alias("nt")).first()
+    n_r, n_t = totals["nr"] or 0, totals["nt"] or 0
+    if n_t == 0:
+        return (base.select(F.col(id_col),
+                            F.lit(0).cast("long").alias("n_feats"),
+                            F.lit(0).cast("long").alias("logw_micro"))
+                .limit(0))
+    raw = feats.groupBy("__b").agg(F.count("*").alias("__cr"))
+    tgt = (feats.filter("__ref").groupBy("__b")
+           .agg(F.count("*").alias("__ct")))
+    num = (F.coalesce(F.col("__ct"), F.lit(0)) + 1) * F.lit(n_r + buckets)
+    den = (F.col("__cr") + 1) * F.lit(n_t + buckets)
+    score = (raw.join(tgt, "__b", "left")
+             .select("__b", F.floor(F.lit(10**6)
+                                    * F.log(num.cast("double")
+                                            / den.cast("double")))
+                     .cast("long").alias("__s")))
+    return (feats.join(score, "__b")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_feats"),
+                 F.sum("__s").cast("long").alias("logw_micro")))

@@ -332,3 +332,114 @@ def test_ngram_novelty_validation(spark):
         tx.ngram_novelty(df, n=0)
     with pytest.raises(ValueError):
         tx.ngram_novelty(df, ref_mod=0)
+
+
+# ------------------------------------------------ DSIR weights (r7) --
+
+def _dsir_py(docs, buckets=8192, ref_mod=10, ref_keep=3):
+    """Reference implementation of dsir_weights on plain Python dicts."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % buckets
+
+    feats = []  # (doc_id, bucket, is_ref)
+    for i, text in docs:
+        if not text.strip():
+            continue
+        w = text.strip().split()
+        fs = [f"1:{t}" for t in w]
+        fs += [f"2:{a} {b}" for a, b in zip(w, w[1:])]
+        for f in fs:
+            feats.append((i, bucket(f), i % ref_mod < ref_keep))
+    n_r = len(feats)
+    n_t = sum(1 for _, _, r in feats if r)
+    cr, ct = Counter(b for _, b, _ in feats), Counter(
+        b for _, b, r in feats if r)
+    out = {}
+    for i, b, _ in feats:
+        s = math.floor(10**6 * math.log(
+            ((ct[b] + 1) * (n_r + buckets))
+            / ((cr[b] + 1) * (n_t + buckets))))
+        nf, lw = out.get(i, (0, 0))
+        out[i] = (nf + 1, lw + s)
+    return out
+
+
+def test_dsir_weights_matches_reference_impl(spark):
+    docs = [(0, "alpha beta gamma"), (1, "alpha beta"), (2, "delta"),
+            (3, "zz yy xx ww"), (7, "alpha beta gamma delta"),
+            (13, "qq rr"), (14, "  "), (25, "alpha")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_feats"], r["logw_micro"])
+           for r in tx.dsir_weights(df, buckets=64).collect()}
+    assert got == _dsir_py(docs, buckets=64)
+
+
+def test_dsir_target_slice_scores_higher_on_gate_corpus(spark):
+    """The reference slice IS the target model's training data, so its
+    mean importance weight must exceed the non-reference mean — the
+    direction DSIR selects by."""
+    import statistics
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rows = tx.dsir_weights(docs).collect()
+    ref = [r["logw_micro"] for r in rows if r["doc_id"] % 10 < 3]
+    non = [r["logw_micro"] for r in rows if r["doc_id"] % 10 >= 3]
+    assert statistics.mean(ref) > statistics.mean(non)
+
+
+def test_dsir_empty_reference_slice_yields_empty(spark):
+    df = spark.createDataFrame([(5, "a b"), (9, "c d")],
+                               ["doc_id", "text"])
+    assert tx.dsir_weights(df, ref_mod=10, ref_keep=3).collect() == []
+
+
+def test_dsir_validation(spark):
+    df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        tx.dsir_weights(df, buckets=1)
+    with pytest.raises(ValueError):
+        tx.dsir_weights(df, ref_mod=10, ref_keep=0)
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01",
+                                    "/root/testdata/sf0.1"])
+def test_dsir_ln_margin_on_gate_corpora(sf_dir):
+    """Every OBSERVED ((ct+1)(nr+B), (cr+1)(nt+B)) operand pair of the
+    dsir_weights gate must put 1e6·ln(num/den) > 1e-5 from an integer,
+    and both products must stay IEEE-exact (< 2^53)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    B = 8192
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pydict()
+    feats = []
+    for i, x in zip(t["doc_id"], t["text"]):
+        w = (x or "").strip().split()
+        if not w:
+            continue
+        fs = [f"1:{tk}" for tk in w] + [f"2:{a} {b}"
+                                        for a, b in zip(w, w[1:])]
+        for f in fs:
+            feats.append(
+                (int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % B,
+                 i % 10 < 3))
+    n_r, n_t = len(feats), sum(1 for _, r in feats if r)
+    cr = Counter(b for b, _ in feats)
+    ct = Counter(b for b, r in feats if r)
+    for b in cr:
+        num = (ct[b] + 1) * (n_r + B)
+        den = (cr[b] + 1) * (n_t + B)
+        assert num < 2**53 and den < 2**53
+        if num == den:
+            continue  # ln(1) = 0 exactly
+        x = 10**6 * math.log(num / den)
+        assert abs(x - round(x)) > 1e-5, (b, num, den, x)

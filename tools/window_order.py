@@ -48,7 +48,8 @@ ROUND_HEAD = {
                   "bucketed_join", "event_pattern", "hll_sliding",
                   "attribution", "embed_matryoshka", "entity_resolution",
                   "stream_cms", "robust_outliers", "ngram_novelty",
-                  "winsorize", "edit_dist_pairs", "triangle_count"],
+                  "winsorize", "edit_dist_pairs", "triangle_count",
+                  "dsir_weights"],
     "changed": ["increasing_runs", "pyds_ndjson", "pagerank",
                 "multimodal_decode", "multimodal_png", "multimodal_resize",
                 "multimodal_audio", "stream_kmv", "upsert_customers"],
