@@ -142,7 +142,17 @@ def _check(spark, sf_dir, name):
                                   "lm_perplexity",
                                   # r7 late: tercile split under skewed
                                   # tiny sources + nll ties
-                                  "lm_tail_split"])
+                                  "lm_tail_split",
+                                  # r7 late: novelty vs tiny/empty
+                                  # reference slices
+                                  "ngram_novelty",
+                                  # r7 late: word-soup corpora share
+                                  # 12-char prefixes heavily — mega-block
+                                  # drop + identical-prefix dist-0 pairs
+                                  "edit_dist_pairs",
+                                  # r7 late: hashed-ngram models under
+                                  # tiny/blank/ref-only corpora
+                                  "dsir_weights"])
 def test_doc_gates_on_random_corpora(spark, tmp_path_factory, gate):
     @_SET
     @given(rows=_doc_strategy)
@@ -452,3 +462,20 @@ def test_pq_on_random_vectors(spark, tmp_path_factory, vecs):
     for gate in ("embed_pq_topk", "embed_pq_hadamard",
                  "embed_ivfpq_topk", "embed_matryoshka"):
         _check(spark, d, gate)
+
+
+@_SET
+@given(baskets=st.lists(
+    st.lists(st.integers(1, 12), min_size=1, max_size=25),  # partkeys
+    min_size=1, max_size=30))
+def test_triangle_count_on_random_baskets(spark, tmp_path_factory, baskets):
+    """Random co-purchase baskets: duplicate partkeys inside one order
+    (the DISTINCT), basket sizes crossing the [2, 20] guard on both
+    sides, and a 12-part pool dense enough that triangles actually
+    form — gate and oracle must agree on every draw."""
+    d = str(tmp_path_factory.mktemp("tri_fuzz"))
+    rows = [(ok, pk) for ok, parts in enumerate(baskets) for pk in parts]
+    spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(d, "lineitem.parquet"))
+    _check(spark, d, "triangle_count")
