@@ -31,7 +31,8 @@ from bqetl_spark.functions.dedup import connected_components
 def resolve_entities(df: DataFrame, id_col: str = "p_partkey",
                      name_col: str = "p_name",
                      block_cols: tuple[str, ...] = ("p_brand",),
-                     min_common: int = 2) -> DataFrame:
+                     min_common: int = 2,
+                     max_block_size: int | None = None) -> DataFrame:
     """Resolve duplicate records: pairs within a block whose name fields
     share >= ``min_common`` distinct tokens are declared matches, and
     match-connected records collapse to one canonical id.
@@ -46,14 +47,32 @@ def resolve_entities(df: DataFrame, id_col: str = "p_partkey",
     label propagation. Nothing is ever compared across blocks — recall
     beyond the blocking key is the standard ER trade, bought back in
     practice by running several blocking passes and unioning edges.
+
+    ``max_block_size`` (r7, found by the sf1 slope run: a hot block is
+    quadratic with no bound — the one candidate generator that lacked
+    the guard the gram/edit/triangle ops all carry): blocks larger than
+    the cap contribute NO pairs (deterministic drop-don't-truncate;
+    their records stay in the output as singletons unless matched
+    through another blocking pass). The production answer to a swollen
+    block is a FINER blocking key, not a bigger cap — key_skew_report
+    is the diagnostic. None (default) keeps the unguarded behavior the
+    gate oracles replay.
     """
     if min_common < 1:
         raise ValueError(f"min_common must be >= 1, got {min_common}")
     if not block_cols:
         raise ValueError("need at least one blocking column")
+    if max_block_size is not None and max_block_size < 2:
+        raise ValueError(f"max_block_size must be >= 2, got {max_block_size}")
     toks = F.array_distinct(F.split(F.trim(F.col(name_col)), r"\s+"))
     base = df.select(F.col(id_col).alias("__id"), toks.alias("__tk"),
                      *[F.col(c) for c in block_cols])
+    if max_block_size is not None:
+        ok = (base.groupBy(*block_cols)
+              .agg(F.count("*").alias("__bn"))
+              .filter(F.col("__bn") <= max_block_size)
+              .drop("__bn"))
+        base = base.join(ok, list(block_cols))
     a = base.select(F.col("__id").alias("id_a"),
                     F.col("__tk").alias("tk_a"),
                     *[F.col(c).alias(f"__ba_{c}") for c in block_cols])

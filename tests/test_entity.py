@@ -67,3 +67,24 @@ def test_gate_corpus_invariants(spark):
         assert canon == min(m["id"] for m in members)
         assert all(m["cluster_size"] == len(members) for m in members)
         assert sum(m["is_canonical"] for m in members) == 1
+
+
+def test_max_block_size_guard_drops_hot_block_to_singletons(spark):
+    """A block above the cap contributes NO pairs — its records stay in
+    the output as singletons; other blocks still merge (r7 guard, found
+    by the sf1 slope run)."""
+    rows = [(i, "red widget", "HOT") for i in range(1, 6)]   # block of 5
+    rows += [(10, "blue bolt", "COLD"), (11, "blue bolt", "COLD")]
+    got = _res(spark, rows, max_block_size=4)
+    for i in range(1, 6):
+        assert got[i] == (i, 1, True)
+    assert got[10] == (10, 2, True) and got[11] == (10, 2, False)
+    # cap >= block size: behavior identical to unguarded
+    assert _res(spark, rows, max_block_size=5) == _res(spark, rows)
+
+
+def test_max_block_size_validation(spark):
+    df = spark.createDataFrame([(1, "a b", "B")],
+                               ["p_partkey", "p_name", "p_brand"])
+    with pytest.raises(ValueError):
+        resolve_entities(df, max_block_size=1)

@@ -40,7 +40,15 @@ QUERIES = ["denorm_flat", "q3_top_revenue", "dedup_fingerprint",
            "embed_ivfpq_topk", "embed_pq_hadamard", "hll_sparse",
            "hll_intersect", "lm_perplexity", "lm_tail_split",
            "event_pattern", "hll_sliding", "attribution",
-           "entity_resolution", "robust_outliers", "ngram_novelty"]
+           "entity_resolution", "robust_outliers", "ngram_novelty",
+           # final-r7 additions: winsorize (sketch-threshold cap),
+           # edit_dist_pairs (blocks swell K x under replication - the
+           # 64-block cap drops them, same boilerplate rationale as the
+           # gram guards), triangle_count (replicated orders re-derive
+           # the same part pairs; measures scan+dedup linearity),
+           # dsir_weights (bucket grid is fixed; stream is map-only)
+           "winsorize", "edit_dist_pairs", "triangle_count",
+           "dsir_weights"]
 
 
 def main() -> None:
@@ -64,6 +72,16 @@ def main() -> None:
     qs["winnow_neardup"] = lambda s, d: dd.winnow_overlap_pairs(
         load_parquet_table(s, d, "documents"), k=8, w=4, threshold=0.5,
         max_hash_freq=GUARD)
+    # entity_resolution: replication multiplies every (p_brand) block K x,
+    # so pairs grow K^2 (first caught live by this tool's sf1 leg — the
+    # run sat in a ~1.6B-pair block join). The production answer is a
+    # FINER blocking key at bigger corpora plus the r7 max_block_size
+    # guard; measure that shape, not the blown-up coarse one.
+    from bqetl_spark.functions.entity import resolve_entities
+    qs["entity_resolution"] = lambda s, d: resolve_entities(
+        load_parquet_table(s, d, "part"), "p_partkey", "p_name",
+        block_cols=("p_brand", "p_type"), min_common=2,
+        max_block_size=4096)
 
     for name in QUERIES:  # shape warm-up
         qs[name](spark, "/root/testdata/sf0.01").count()
