@@ -76,6 +76,18 @@ def main(src: str, out: str, k: int) -> None:
                     "LENGTH(CASE WHEN cp.i = 0 THEN text ELSE "
                     r"regexp_replace(text, '((\S+\s+){5})', "
                     r"'\1zqcp' || cp.i || ' ', 'g') END) AS n_chars")
+            elif t == "part" and c == "p_name":
+                # same anti-fabrication rule as documents.text, applied to
+                # the catalog: suffix every name token with the copy id so
+                # cross-copy names share NO tokens (entity-resolution match
+                # edges scale linearly with K instead of K² — the sf3 slope
+                # leg sat in the fabricated 30x-denser dup catalog before
+                # this), while within-copy duplicate structure is identical
+                # and substring predicates (LIKE '%green%') still match
+                sel.append(
+                    "CASE WHEN cp.i = 0 THEN p_name ELSE "
+                    r"regexp_replace(p_name, '(\S+)', "
+                    r"'\1zq' || cp.i, 'g') END AS p_name")
             elif t == "embeddings" and c == "embedding":
                 sel.append(
                     "CAST(list_transform(embedding, x -> CASE WHEN cp.i = 0 "
