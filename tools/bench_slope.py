@@ -111,7 +111,17 @@ def main() -> None:
                     "t(sf3)/t(sf1) for 3x data (linear ~<=3). Small-SF "
                     "times carry the constant per-job floor, so factors "
                     "UNDERSTATE how linear the big-data slope is. Gram "
-                    f"ops guarded at freq<={GUARD} (see module doc)."),
+                    f"ops guarded at freq<={GUARD} (see module doc). "
+                    "CAVEAT for fixed-vocabulary candidate keys "
+                    "(entity_resolution blocks on (brand,type); "
+                    "edit_dist_pairs blocks on 12-char prefixes): "
+                    "replication grows every block K x, so within-block "
+                    "quadratic work grows K^2 — a replication artifact, "
+                    "not an operator slope (real 10x corpora add VALUES, "
+                    "not copies of each value). The caps bound it in "
+                    "production; triangle_count shows the contrast — its "
+                    "keys (new partkeys per copy) scale in cardinality "
+                    "and its factors are sub-linear."),
            "times_sec": times, "slopes": slopes}
     with open(f"{ROOT}/BENCH_SLOPE.json", "w") as fh:
         json.dump(out, fh, indent=1)
