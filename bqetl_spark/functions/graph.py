@@ -184,7 +184,8 @@ def copurchase_edges(lineitem: DataFrame, min_parts: int = 2,
     return arrs.select(pair.alias("p")).select("p.a", "p.b").distinct()
 
 
-def triangle_counts(edges: DataFrame, max_degree: int = 4096) -> DataFrame:
+def triangle_counts(edges: DataFrame, max_degree: int = 4096,
+                    broadcast_edges_max: int = 10_000_000) -> DataFrame:
     """Per-node triangle participation counts via DEGREE-ORDERED edge
     orientation — the Suri-Vassilvitskii / Cohen MapReduce formulation,
     the standard way to make triangle enumeration scale.
@@ -205,18 +206,31 @@ def triangle_counts(edges: DataFrame, max_degree: int = 4096) -> DataFrame:
     Plan shape: the wedge join and the closing probe are both EQUI
     joins (on the shared source node, then on the (v, w) pair) with the
     lexicographic wedge ordering as a post-join filter — no BNLJ, no
-    cartesian. Deliberately NO persist/pin and NO broadcast hints:
-    the duplicated subplans (degree legs, wedge self-join, closing edge
-    set) are identical exchanges that AQE deduplicates via
-    ReusedExchange, and AQE picks broadcast at runtime when the degree
-    table is small — measured 4x faster than the pinned variant and
-    40x faster than pinning only the edge list (PLANS.md).
+    cartesian. Deliberately NO persist/pin: the duplicated subplans
+    (degree legs, wedge self-join, closing edge set) are identical
+    exchanges that AQE deduplicates via ReusedExchange — a pinned edge
+    list was measured 2-40x SLOWER (200-partition InMemoryRelation that
+    AQE cannot coalesce through; PLANS.md).
+
+    Join strategy by graph size (the pagerank pattern): one metadata
+    count of the edge list decides; at or under
+    ``broadcast_edges_max`` edges (~24 B/row -> ~240 MB at the 10M
+    default) the degree legs AND the closing-edge set broadcast, so the
+    only shuffles left are the degree groupBy and the wedge self-join's
+    source exchange — measured 2x faster than leaving it to AQE's 10 MB
+    threshold at sf0.1 (PLANS.md). Beyond the bound everything falls
+    back to shuffle equi-joins, the shape that scales to billions of
+    edges.
 
     Returns (part, n_triangles) — nodes in >= 1 triangle only."""
     if max_degree < 2:
         raise ValueError(f"max_degree must be >= 2, got {max_degree}")
     e0 = edges.select(F.col("a").cast("long").alias("a"),
                       F.col("b").cast("long").alias("b"))
+    # metadata scalar, same audit class as pagerank's n; deliberately
+    # counted WITHOUT persisting — AQE re-plans the (cheap) edge build
+    # faster than a 200-partition cache reads back (PLANS.md A/B)
+    small = e0.count() <= broadcast_edges_max
     deg = (e0.select(F.explode(F.array("a", "b")).alias("node"))
            .groupBy("node").agg(F.count("*").alias("deg"))
            .filter(F.col("deg") <= max_degree))
@@ -224,6 +238,8 @@ def triangle_counts(edges: DataFrame, max_degree: int = 4096) -> DataFrame:
     # removes every edge it touches (inner joins)
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    if small:
+        da, db = F.broadcast(da), F.broadcast(db)
     e = e0.join(da, "a").join(db, "b")
     fwd = F.struct("da", "a") < F.struct("db", "b")
     oriented = e.select(
@@ -238,6 +254,8 @@ def triangle_counts(edges: DataFrame, max_degree: int = 4096) -> DataFrame:
                       F.col("w1.dst").alias("v"),
                       F.col("w2.dst").alias("w")))
     close = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    if small:
+        close = F.broadcast(close)
     tri = wedges.join(close, ["v", "w"])
     corners = tri.select(F.explode(F.array("u", "v", "w")).alias("part"))
     return (corners.groupBy("part")
