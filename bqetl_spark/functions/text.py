@@ -592,25 +592,29 @@ def dsir_weights(df: DataFrame, text_col: str = "text",
              .select(F.col(id_col), bucket.alias("__b"),
                      (F.pmod(F.col(id_col), F.lit(ref_mod)) < ref_keep)
                      .alias("__ref")))
-    totals = feats.agg(
-        F.count("*").alias("nr"),
-        F.sum(F.col("__ref").cast("long")).alias("nt")).first()
+    # ONE aggregation yields both models (raw count + target count per
+    # bucket), and the totals fold from the <=B-row bucket table instead
+    # of a second full pass over the stream — the feature stream is
+    # computed exactly twice (totals action + scoring query), not 4x
+    from bqetl_spark.caching import pin
+
+    counts = pin(feats.groupBy("__b")
+                 .agg(F.count("*").alias("__cr"),
+                      F.sum(F.col("__ref").cast("long")).alias("__ct")))
+    totals = counts.agg(F.sum("__cr").alias("nr"),
+                        F.sum("__ct").alias("nt")).first()
     n_r, n_t = totals["nr"] or 0, totals["nt"] or 0
     if n_t == 0:
         return (base.select(F.col(id_col),
                             F.lit(0).cast("long").alias("n_feats"),
                             F.lit(0).cast("long").alias("logw_micro"))
                 .limit(0))
-    raw = feats.groupBy("__b").agg(F.count("*").alias("__cr"))
-    tgt = (feats.filter("__ref").groupBy("__b")
-           .agg(F.count("*").alias("__ct")))
-    num = (F.coalesce(F.col("__ct"), F.lit(0)) + 1) * F.lit(n_r + buckets)
-    den = (F.col("__cr") + 1) * F.lit(n_t + buckets)
-    score = (raw.join(tgt, "__b", "left")
-             .select("__b", F.floor(F.lit(10**6)
-                                    * F.log(num.cast("double")
-                                            / den.cast("double")))
-                     .cast("long").alias("__s")))
+    num = (F.col("__ct") + 1) * F.lit(int(n_r) + buckets)
+    den = (F.col("__cr") + 1) * F.lit(int(n_t) + buckets)
+    score = counts.select("__b", F.floor(F.lit(10**6)
+                                         * F.log(num.cast("double")
+                                                 / den.cast("double")))
+                          .cast("long").alias("__s"))
     return (feats.join(score, "__b")
             .groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_feats"),
