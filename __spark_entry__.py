@@ -1633,15 +1633,24 @@ def q_ngram_jaccard(spark, sf_dir):
 
 def q_ngram_prefix_jaccard(spark, sf_dir):
     """PPJoin-style prefix-filtered EXACT Jaccard (dedup.
-    ngram_jaccard_prefix_pairs, r7): rarest-first global gram order, only
-    the |S|-ceil(t|S|)+1 prefix indexed, candidates verified with true
-    array intersection. Output is identical to ngram_jaccard by the
-    prefix principle, so it shares that gate's oracle — the hash-match
-    certifies the prefix path loses NO pair. Regime note: wins on
-    small-set/huge-corpus record linkage; on this long-document corpus
-    the count-based exact op is faster (measured, PLANS.md r7)."""
+    ngram_jaccard_prefix_pairs) over SHORT RECORDS — each document's
+    8-token opening "title", the record-linkage regime PPJoin is built
+    for (Xiao et al.: small sets, huge corpora). r8 re-fixtured per the
+    r7 verdict: the full-document shape was regime-mismatched (hundreds
+    of grams per set made per-candidate verification dominate — 244 s
+    vs 14.6 s at sf1, PLANS.md) and bimodal at sf0.1; on 6-gram title
+    sets the prefix index does its job. The library op is unchanged and
+    tests/test_dedup.py::test_ngram_prefix_equals_inverted_index still
+    pins its full-document output equal to ngram_jaccard_pairs — the
+    prefix principle loses no pair. Oracle: inverted-index candidates
+    (shared-gram equi-join) + exact verify, same result as all-pairs by
+    the >=1-shared-gram necessity at t=0.5."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_prefix_pairs(docs, n=3, threshold=0.5)
+    titles = docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.trim(F.col("text")), r"\s+"),
+                             1, 8), " ").alias("text"))
+    return dd.ngram_jaccard_prefix_pairs(titles, n=3, threshold=0.5)
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -2726,13 +2735,15 @@ def q_ngram_novelty(spark, sf_dir):
 
 def q_robust_outliers(spark, sf_dir):
     """Robust per-user outlier screen (functions.stats.robust_outliers,
-    r7): |x − median| > 3·MAD with median and MAD as LOWER medians
-    (position-selected order statistics — deterministic for any tie
-    order because selection depends only on the multiset). EXACT
-    DECIMAL(18,2) arithmetic end to end: no float means, no
-    transcendentals, no margins — the robust pair that survives the
-    outliers a stddev threshold is inflated by. Two window passes +
-    two per-group median joins."""
+    r8 integerized): |x − median| > 3·MAD with median and MAD as LOWER
+    medians (position-selected order statistics — deterministic for any
+    tie order because selection depends only on the multiset). Values
+    integerized to cents — CAST(floor(value·100) AS BIGINT) — one IEEE
+    double multiply + floor, bit-identical in any engine; r7's driver
+    hash miss traced to the old double→DECIMAL(18,2) cast's rounding
+    convention, removed entirely. EXACT BIGINT arithmetic end to end
+    (tie-margins audited in tests/test_oracle_margins.py). Two window
+    passes + two per-group median joins."""
     from bqetl_spark.functions.stats import robust_outliers
 
     ev = _t(spark, sf_dir, "events")
@@ -2770,19 +2781,26 @@ def q_stream_cms(spark, sf_dir):
 
 def q_entity_resolution(spark, sf_dir):
     """Entity resolution / catalog dedup (functions.entity.
-    resolve_entities, r7): parts sharing their full distinct-token name
-    set within a brand block collapse to one canonical record —
-    blocking equi-self-join (hash join, no BNLJ) -> token-overlap match
-    -> connected components (min-label + pointer jumping) -> min-id
-    canonicalization, the Fellegi-Sunter-shaped pipeline composed from
-    the engine's own primitives. Oracle replays the closure with a
-    WITH RECURSIVE reachability (exact CC at any diameter), so the
+    resolve_entities, r8 capped production shape): parts sharing >= 2
+    distinct name tokens within a (brand, type) block collapse to one
+    canonical record — blocking equi-self-join (hash join, no BNLJ) ->
+    token-overlap match -> connected components (min-label + pointer
+    jumping) -> min-id canonicalization, the Fellegi-Sunter-shaped
+    pipeline composed from the engine's own primitives. r8 closes the
+    r7 verdict's last unguarded candidate generator: the gate now runs
+    the FINER (brand, type) blocking key plus max_block_size=256 —
+    blocks over the cap contribute no pairs (deterministic
+    drop-don't-truncate), so within-block work is bounded cap*N at any
+    corpus size (the same shape tools/bench_slope.py measures). Oracle
+    replays the cap with a HAVING CTE and the closure with a WITH
+    RECURSIVE reachability (exact CC at any diameter), so the
     hash-match also certifies the propagation CONVERGED."""
     from bqetl_spark.functions.entity import resolve_entities
 
     part = _t(spark, sf_dir, "part")
     return resolve_entities(part, "p_partkey", "p_name",
-                            ("p_brand",), min_common=2)
+                            ("p_brand", "p_type"), min_common=2,
+                            max_block_size=256)
 
 
 def q_embed_matryoshka(spark, sf_dir):
@@ -3058,72 +3076,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_oracle_fuzz.py) re-verify 60+ gates on random data every
     # suite run.
     #
-    # As of r7 this ordering is GENERATED, not hand-maintained (verdict r6
-    # item 1): tools/window_order.py derives it from the CORRECTNESS_r*
-    # history — (1) brand-new gates needing first-ever driver rows
-    # (pyds_pushdown, multimodal_jpeg, hard_negatives_ann, ... and the
-    # late-r7 hll_distinct / bloom_prune / bm25_topk), (2) gates whose
-    # code or oracle changed this round (increasing_runs Catalyst default;
-    # pyds_ndjson pushFilters+coercion; pagerank node_label integer shift;
-    # the four multimodal gates' explicit ASCII predicate; stream_kmv /
-    # upsert_customers scratch-dir handling), (3) everything else oldest
-    # newest-driver-row first — which pulls the 16 r3-stale gates from the
-    # r6 verdict into the window, then fills with the oldest r4 rows.
+    # This ordering is GENERATED, not hand-maintained (since r7, verdict
+    # r6 item 1): tools/window_order.py derives it from the
+    # CORRECTNESS_r* history — (1) brand-new gates needing first-ever
+    # driver rows, (2) gates whose code or oracle changed this round,
+    # (3) everything else oldest newest-green-driver-row first. The r8
+    # head: robust_outliers (the one r7 hash FAIL, integerized to cents
+    # BIGINT), entity_resolution (capped (brand,type) production
+    # shape), ngram_prefix_jaccard (short-record title fixture) — then
+    # the 8 r3-stale gates (orders_above_customer_avg ...
+    # unpivot_part_metrics) and the oldest r4 rows fill the window.
     # Regenerate after gate changes with:
     #   python3 tools/window_order.py --new <gates> --changed <gates>
     # tests/test_entry.py::test_window_order_matches_tool pins dict order
     # to the tool's output so the comment cannot drift from reality.
     return {
-        "pyds_pushdown": q_pyds_pushdown,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "hard_negatives_ann": q_hard_negatives_ann,
-        "substring_dup": q_substring_dup,
-        "bpe_train": q_bpe_train,
-        "bpe_segments": q_bpe_segments,
-        "ngram_prefix_jaccard": q_ngram_prefix_jaccard,
-        "cms_tokens": q_cms_tokens,
-        "hll_distinct": q_hll_distinct,
-        "bloom_prune": q_bloom_prune,
-        "bm25_topk": q_bm25_topk,
-        "boilerplate_strip": q_boilerplate_strip,
-        "stream_hll": q_stream_hll,
-        "token_entropy": q_token_entropy,
-        "embed_pq_topk": q_embed_pq_topk,
-        "embed_ivfpq_topk": q_embed_ivfpq_topk,
-        "hll_sparse": q_hll_sparse,
-        "embed_pq_hadamard": q_embed_pq_hadamard,
-        "hll_intersect": q_hll_intersect,
-        "lm_perplexity": q_lm_perplexity,
-        "lm_tail_split": q_lm_tail_split,
-        "bucketed_join": q_bucketed_join,
-        "event_pattern": q_event_pattern,
-        "hll_sliding": q_hll_sliding,
-        "attribution": q_attribution,
-        "embed_matryoshka": q_embed_matryoshka,
-        "entity_resolution": q_entity_resolution,
-        "stream_cms": q_stream_cms,
         "robust_outliers": q_robust_outliers,
-        "ngram_novelty": q_ngram_novelty,
-        "winsorize": q_winsorize,
-        "edit_dist_pairs": q_edit_dist_pairs,
-        "triangle_count": q_triangle_count,
-        "dsir_weights": q_dsir_weights,
-        "increasing_runs": q_increasing_runs,
-        "pyds_ndjson": q_pyds_ndjson,
-        "pagerank": q_pagerank,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_png": q_multimodal_png,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_audio": q_multimodal_audio,
-        "stream_kmv": q_stream_kmv,
-        "upsert_customers": q_upsert_customers,
-        "cube_status_priority": q_cube_status_priority,
-        "customer_variance": q_customer_variance,
-        "distinct_suppliers_per_brand": q_distinct_suppliers_per_brand,
-        "embed_neardup": q_embed_neardup,
-        "frame_samples": q_frame_samples,
-        "lang_id": q_lang_id,
-        "ndjson_roundtrip": q_ndjson_roundtrip,
+        "entity_resolution": q_entity_resolution,
+        "ngram_prefix_jaccard": q_ngram_prefix_jaccard,
         "orders_above_customer_avg": q_orders_above_customer_avg,
         "quality_filter": q_quality_filter,
         "range_join_bands": q_range_join_bands,
@@ -3260,6 +3230,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": q_top_orders_per_customer,
         "tumbling_window": q_tumbling_window,
         "union_high_value": q_union_high_value,
+        "attribution": q_attribution,
+        "bloom_prune": q_bloom_prune,
+        "bm25_topk": q_bm25_topk,
+        "boilerplate_strip": q_boilerplate_strip,
+        "bpe_segments": q_bpe_segments,
+        "bpe_train": q_bpe_train,
+        "bucketed_join": q_bucketed_join,
+        "cms_tokens": q_cms_tokens,
+        "cube_status_priority": q_cube_status_priority,
+        "customer_variance": q_customer_variance,
+        "distinct_suppliers_per_brand": q_distinct_suppliers_per_brand,
+        "dsir_weights": q_dsir_weights,
+        "edit_dist_pairs": q_edit_dist_pairs,
+        "embed_ivfpq_topk": q_embed_ivfpq_topk,
+        "embed_matryoshka": q_embed_matryoshka,
+        "embed_neardup": q_embed_neardup,
+        "embed_pq_hadamard": q_embed_pq_hadamard,
+        "embed_pq_topk": q_embed_pq_topk,
+        "event_pattern": q_event_pattern,
+        "frame_samples": q_frame_samples,
+        "hard_negatives_ann": q_hard_negatives_ann,
+        "hll_distinct": q_hll_distinct,
+        "hll_intersect": q_hll_intersect,
+        "hll_sliding": q_hll_sliding,
+        "hll_sparse": q_hll_sparse,
+        "increasing_runs": q_increasing_runs,
+        "lang_id": q_lang_id,
+        "lm_perplexity": q_lm_perplexity,
+        "lm_tail_split": q_lm_tail_split,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_png": q_multimodal_png,
+        "multimodal_resize": q_multimodal_resize,
+        "ndjson_roundtrip": q_ndjson_roundtrip,
+        "ngram_novelty": q_ngram_novelty,
+        "pagerank": q_pagerank,
+        "pyds_ndjson": q_pyds_ndjson,
+        "pyds_pushdown": q_pyds_pushdown,
+        "stream_cms": q_stream_cms,
+        "stream_hll": q_stream_hll,
+        "stream_kmv": q_stream_kmv,
+        "substring_dup": q_substring_dup,
+        "token_entropy": q_token_entropy,
+        "triangle_count": q_triangle_count,
+        "upsert_customers": q_upsert_customers,
+        "winsorize": q_winsorize,
     }
 
 
@@ -5268,11 +5285,14 @@ def oracle_sql() -> dict[str, str]:
                CAST((n_grams - n_seen) * 1000000 // n_grams AS BIGINT)
                  AS novelty_ppm
         FROM st"""
-    # robust outliers: lower-median selections + exact decimal
-    # arithmetic — (n+1)//2 equals Spark's div on positive counts
+    # robust outliers: lower-median selections + exact BIGINT cents
+    # (floor(value*100): IEEE double multiply + floor, identical in
+    # both engines — no DECIMAL rounding-mode dependence, r8) —
+    # (n+1)//2 equals Spark's div on positive counts
     d["robust_outliers"] = """
         WITH base AS (
-          SELECT user_id AS k, CAST(value AS DECIMAL(18,2)) AS v,
+          SELECT user_id AS k,
+                 CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v,
                  event_id AS t
           FROM events WHERE value IS NOT NULL),
         med AS (
@@ -5294,7 +5314,7 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END AS o
           FROM dev JOIN mad ON dev.k = mad.k)
         SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_events,
-               max(med) AS median, max(mad) AS mad,
+               max(med) AS median_cents, max(mad) AS mad_cents,
                CAST(sum(o) AS BIGINT) AS n_outliers
         FROM fl GROUP BY k"""
     # streaming CMS: oracle = plain batch grid over the same events
@@ -5326,19 +5346,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.value, e.est,
                CAST(coalesce(x.exact_cnt, 0) AS BIGINT) AS exact_cnt
         FROM est e LEFT JOIN exact x USING (value)"""
-    # entity resolution: block self-join + distinct-token overlap,
-    # WITH RECURSIVE reachability closure (exact CC — certifying the
-    # Spark side's propagation converged), min-id canon + sizes
+    # entity resolution: capped (brand,type) block self-join +
+    # distinct-token overlap, WITH RECURSIVE reachability closure
+    # (exact CC — certifying the Spark side's propagation converged),
+    # min-id canon + sizes; ok = the r8 max_block_size=256 guard
     d["entity_resolution"] = """
-        WITH RECURSIVE t AS MATERIALIZED (
+        WITH RECURSIVE t0 AS MATERIALIZED (
           SELECT p_partkey AS id,
                  list_distinct(regexp_split_to_array(trim(p_name),
                                                      '\\s+')) AS tk,
-                 p_brand
+                 p_brand, p_type
           FROM part),
+        ok AS (
+          SELECT p_brand, p_type FROM t0
+          GROUP BY 1, 2 HAVING count(*) <= 256),
+        t AS MATERIALIZED (
+          SELECT t0.* FROM t0 JOIN ok USING (p_brand, p_type)),
         pairs AS MATERIALIZED (
           SELECT a.id AS id_a, b.id AS id_b
           FROM t a JOIN t b ON a.id < b.id AND a.p_brand = b.p_brand
+                            AND a.p_type = b.p_type
           WHERE len(list_intersect(a.tk, b.tk)) >= 2),
         edges AS (
           SELECT id_a AS s, id_b AS d FROM pairs
@@ -5990,7 +6017,30 @@ def oracle_sql() -> dict[str, str]:
                       AS j) u"""
     # prefix-filtered exact jaccard: same answer as ngram_jaccard by the
     # prefix principle (no pair lost) -> same oracle
-    d["ngram_prefix_jaccard"] = d["ngram_jaccard"]
+    # ngram_prefix_jaccard (r8): exact Jaccard over 8-token "title"
+    # records; inverted-index candidate generation (any pair at
+    # t=0.5 must share >= 1 gram) + exact list_intersect verify —
+    # equals all-pairs, ~300x cheaper at sf0.1
+    d["ngram_prefix_jaccard"] = """
+        WITH t AS MATERIALIZED (
+          SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+                   for i in range(1, greatest(len(w)-2, 1) + 1)]) AS g
+          FROM (SELECT doc_id,
+                  regexp_split_to_array(trim(text), '\\s+')[1:8] AS w
+                FROM documents)),
+        inv AS (SELECT doc_id, unnest(g) AS gr FROM t),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM inv a JOIN inv b
+                 ON a.gr = b.gr AND a.doc_id < b.doc_id)
+        SELECT cand.id_a, cand.id_b,
+               round(CAST(len(list_intersect(ta.g, tb.g)) AS DOUBLE)
+                     / greatest(len(list_distinct(
+                         list_concat(ta.g, tb.g))), 1), 6) AS jaccard
+        FROM cand JOIN t ta ON cand.id_a = ta.doc_id
+                  JOIN t tb ON cand.id_b = tb.doc_id
+        WHERE CAST(len(list_intersect(ta.g, tb.g)) AS DOUBLE)
+              / greatest(len(list_distinct(
+                  list_concat(ta.g, tb.g))), 1) >= 0.5"""
     d["contamination"] = f"""
         WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),
         g AS (

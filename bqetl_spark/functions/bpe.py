@@ -193,9 +193,22 @@ def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
     s = _encode("word")
     for l, r in merges:
         s = F.replace(s, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+    # pos = word_pos*1000 + sym_pos is a total order only while every
+    # word segments into < 1000 subwords (a word needs ~>=999 chars to
+    # break it); guard instead of silently colliding (ADVICE r7). The
+    # assert rides the value path so Catalyst cannot prune it, map-only.
+    guard = F.assert_true(
+        F.col("sym_pos") < 1000,
+        F.concat(F.lit("bpe_apply: word at word_pos="), F.col("word_pos"),
+                 F.lit(" segments into >= 1000 subword tokens — the "
+                       "pos = word_pos*1000 + sym_pos encoding would "
+                       "collide; split pathological words upstream")))
+    pos = (F.col("word_pos") * 1000 + F.col("sym_pos")).cast("long")
     return (word.select(id_col, "word_pos",
                         F.posexplode(F.split(F.trim(s), "  "))
                         .alias("sym_pos", "token"))
             .select(id_col, "token",
-                    (F.col("word_pos") * 1000 + F.col("sym_pos"))
-                    .cast("long").alias("pos")))
+                    # .otherwise(NULL): distinct branches so Catalyst
+                    # cannot collapse the when() and prune the assert
+                    F.when(guard.isNull(), pos)
+                    .otherwise(F.lit(None).cast("long")).alias("pos")))

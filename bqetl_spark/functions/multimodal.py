@@ -122,6 +122,14 @@ def attach_jpeg_media(df: DataFrame, id_col: str, text_col: str,
 
         def build(t):
             vals = t.encode("utf-8")[:need]
+            if len(vals) < need:
+                # fail like attach_png_media's explicit ValueError, not
+                # an opaque IndexError deep in the Arrow worker (ADVICE
+                # r7): the block layout needs one byte per 8x8 block
+                raise ValueError(
+                    f"attach_jpeg_media needs >= {need} encoded bytes "
+                    f"per row for a {bw}x{bh}-block image, got "
+                    f"{len(vals)}")
             gray = bytearray(w * h)
             for y in range(h):
                 row_base = (y // 8) * bw

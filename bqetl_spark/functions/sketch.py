@@ -337,12 +337,43 @@ def cms_sketch(df: DataFrame, value_col, width: int = 256,
             .agg(F.count("*").cast("long").alias("cnt")))
 
 
-def cms_merge(*sketches: DataFrame) -> DataFrame:
+def _cms_guarded(sketch: DataFrame, width: int, depth: int) -> DataFrame:
+    """Lazy cell-range validation (ADVICE r7: estimate/merge took
+    width/depth on faith while bloom_might_contain validates m_bits): a
+    sketch cell outside [0,width)×[0,depth) means the probe/merge was
+    given sketches built with DIFFERENT parameters, which silently
+    under-estimates (cells never match the probe's hash positions).
+    Pure Catalyst — assert_true rides the value path, map-only, no
+    extra job; it fires during whatever action consumes the result."""
+    ok = ((F.col("idx") >= 0) & (F.col("idx") < width)
+          & (F.col("d") >= 0) & (F.col("d") < depth))
+    guard = F.assert_true(ok, F.concat(
+        F.lit(f"cms cell (d,idx)=("), F.col("d"), F.lit(","),
+        F.col("idx"),
+        F.lit(f") outside width={width} depth={depth} — the sketch was "
+              f"built with different parameters")))
+    # .otherwise(NULL) keeps the branches distinct so Catalyst's
+    # SimplifyConditionals cannot collapse the when() and prune the
+    # assert; the otherwise value is unreachable (a failing condition
+    # raises while evaluating the guard itself).
+    return sketch.select(
+        "d", "idx",
+        F.when(guard.isNull(), F.col("cnt"))
+        .otherwise(F.lit(None).cast("long")).alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame, width: int | None = None,
+              depth: int | None = None) -> DataFrame:
     """Union count-min sketches built with the SAME (width, depth):
     counters add cell-wise — the mergeability that lets per-shard /
-    per-day sketches roll up without rescanning anything."""
+    per-day sketches roll up without rescanning anything. Pass
+    ``width``/``depth`` to assert every input's cells are in range
+    (catches a mixed-parameter merge at execution time instead of
+    silently producing a wrong grid)."""
     if not sketches:
         raise ValueError("need at least one sketch")
+    if width is not None and depth is not None:
+        sketches = tuple(_cms_guarded(s, width, depth) for s in sketches)
     u = sketches[0]
     for s in sketches[1:]:
         u = u.unionByName(s)
@@ -356,7 +387,10 @@ def cms_estimate(sketch: DataFrame, values, width: int = 256,
     value, min over rows d of counter[d][h_d(v)] (absent cell = 0).
     ``values`` is a small literal list (the query side is metadata);
     returns (value STRING, est BIGINT). est >= true count always;
-    over-estimation comes only from cell collisions."""
+    over-estimation comes only from cell collisions. Sketch cells are
+    range-validated against (width, depth) lazily during the probe —
+    see _cms_guarded."""
+    sketch = _cms_guarded(sketch, width, depth)
     spark = sketch.sparkSession
     q = spark.createDataFrame([(str(v),) for v in values], "value string")
     d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")

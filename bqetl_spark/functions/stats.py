@@ -4,17 +4,20 @@ Mean/stddev anomaly thresholds break down exactly when you need them
 (the outliers inflate the stddev that is supposed to catch them); the
 robust pair — median and MAD (median absolute deviation) — has a 50%
 breakdown point and is the standard data-quality screen for pipeline
-monitoring. Everything here is EXACT DECIMAL(18,2) arithmetic and
+monitoring. Everything here is EXACT BIGINT arithmetic on integerized
+cents (floor(value*100) — one IEEE double multiply + floor, identical
+bit-for-bit in any engine reading the same parquet doubles) and
 position-selected order statistics, so results replay bit-identically
-in a SQL oracle: no float means, no transcendentals, no margins.
+in a SQL oracle: no float means, no transcendentals, no margins, and —
+unlike a double→DECIMAL cast — no dependence on an engine's rounding
+convention (r7 driver hash miss root cause: HALF_UP vs engine-version
+variance at the DECIMAL(18,2) cast boundary).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-DEC = "decimal(18,2)"
 
 
 def robust_outliers(df: DataFrame, value_col: str = "value",
@@ -27,6 +30,12 @@ def robust_outliers(df: DataFrame, value_col: str = "value",
     multiset — deterministic for any tie order because selection
     depends only on the multiset).
 
+    Values are integerized to cents up front — CAST(floor(x·100) AS
+    BIGINT) — so every comparison downstream is exact integer
+    arithmetic with truncation semantics defined by IEEE floor, not by
+    a decimal cast's rounding mode (tie-margin audited in
+    tests/test_oracle_margins.py).
+
     Groups with MAD = 0 (over half the values identical, or n = 1)
     flag every value different from the median — the textbook MAD
     caveat, kept rather than papered over (a modified z-score needs a
@@ -36,12 +45,12 @@ def robust_outliers(df: DataFrame, value_col: str = "value",
     over |x − med| for MAD) and two broadcast-joinable per-group
     medians — the same one-shuffle-per-selection bill as
     median_quantity, paid twice. Returns
-    (key, n_events BIGINT, median DECIMAL, mad DECIMAL,
+    (key, n_events BIGINT, median_cents BIGINT, mad_cents BIGINT,
     n_outliers BIGINT).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    v = F.col(value_col).cast(DEC)
+    v = F.floor(F.col(value_col).cast("double") * F.lit(100.0)).cast("long")
     base = (df.select(F.col(key_col).alias("__k"), v.alias("__v"),
                       F.col(tiebreak_col).alias("__t"))
             .filter(F.col("__v").isNotNull()))
@@ -64,7 +73,7 @@ def robust_outliers(df: DataFrame, value_col: str = "value",
                            .cast("int")))
     return (flagged.groupBy("__k")
             .agg(F.count("*").cast("long").alias("n_events"),
-                 F.max("__med").alias("median"),
-                 F.max("__mad").alias("mad"),
+                 F.max("__med").alias("median_cents"),
+                 F.max("__mad").alias("mad_cents"),
                  F.sum("__out").cast("long").alias("n_outliers"))
             .withColumnRenamed("__k", key_col))

@@ -4,6 +4,7 @@ plans."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bqetl_spark.functions.bpe import bpe_apply, bpe_train, word_freq_table
@@ -112,3 +113,14 @@ def test_bpe_collected_matches_distributed(spark):
     local = [tuple(r) for r in bpe_train_collected(docs, n_merges=10)
              .orderBy("rank").collect()]
     assert dist == local
+
+
+def test_bpe_apply_guards_pathological_word(spark):
+    """ADVICE r7: a word segmenting into >= 1000 subword tokens would
+    collide the pos = word_pos*1000 + sym_pos encoding; the guard
+    raises instead of silently misordering."""
+    from bqetl_spark.functions.bpe import bpe_apply
+
+    df = spark.createDataFrame([(1, "x" * 1200)], ["doc_id", "text"])
+    with pytest.raises(Exception, match="1000 subword"):
+        bpe_apply(df, merges=[]).collect()

@@ -108,3 +108,26 @@ def test_topk_rank_margins(sf_dir):
     risky = diffs[(diffs != 0.0) & (diffs < MARGIN_FLOOR)]
     assert risky.size == 0, (
         f"{risky.size} near-tie score gaps below {MARGIN_FLOOR:.0e}")
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_robust_outliers_cents_floor_margins(sf_dir):
+    """robust_outliers (r8) integerizes events.value with
+    CAST(floor(value*100) AS BIGINT). The double multiply + floor is
+    bit-identical across engines reading the same parquet doubles, but
+    an engine that instead computed the product in decimal/extended
+    precision would flip the floor only if value*100 sits within
+    rounding distance of an integer from below. Audit: every non-
+    integral product must clear the boundary by far more than the
+    double multiply's relative error (~1e-13 at this magnitude)."""
+    f = glob.glob(f"{sf_dir}/events.parquet")[0]
+    vals = pq.read_table(f, columns=["value"]).column("value").to_numpy()
+    vals = vals[~np.isnan(vals)]
+    p = vals * 100.0
+    frac = p - np.floor(p)
+    nonint = frac[(frac != 0.0)]
+    if nonint.size:
+        m = float(min(np.min(nonint), np.min(1.0 - nonint)))
+        assert m > 1e-6, (
+            f"floor(value*100) margin {m:.3e} within multiply-error "
+            "band — the cents integerization is data-fragile here")

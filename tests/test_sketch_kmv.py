@@ -249,3 +249,23 @@ def test_cms_state_is_bounded(spark):
     df = spark.range(5000).selectExpr("CAST(id AS STRING) AS v")
     sk = cms_sketch(df, "v", width=32, depth=4)
     assert sk.count() <= 32 * 4
+
+
+def test_cms_probe_rejects_mismatched_width(spark):
+    """ADVICE r7: a sketch probed with the wrong (width, depth) used to
+    silently under-estimate; the lazy cell-range guard now raises
+    during the consuming action."""
+    from bqetl_spark.functions.sketch import (cms_estimate, cms_merge,
+                                              cms_sketch)
+
+    df = spark.createDataFrame([("a",)] * 5, ["v"])
+    sk = cms_sketch(df, "v", width=256, depth=4)
+    with pytest.raises(Exception, match="cms cell"):
+        cms_estimate(sk, ["a"], width=16, depth=4).collect()
+    # merge with declared params rejects a mixed-parameter input...
+    with pytest.raises(Exception, match="cms cell"):
+        cms_merge(sk, cms_sketch(df, "v", width=64, depth=3),
+                  width=64, depth=3).collect()
+    # ...and passes when parameters agree
+    ok = cms_merge(sk, sk, width=256, depth=4)
+    assert ok.agg(F.sum("cnt")).collect()[0][0] == 40

@@ -1,9 +1,8 @@
 """robust_outliers: lower-median selection, MAD semantics, exact
-decimal boundaries."""
+integer-cents boundaries (r8: DECIMAL cast replaced by
+floor(value*100) BIGINT — no engine rounding-mode dependence)."""
 
 from __future__ import annotations
-
-from decimal import Decimal
 
 import pytest
 
@@ -15,24 +14,24 @@ def _ro(spark, vals_by_key, k=3):
             for u, vs in vals_by_key.items()
             for i, v in enumerate(vs)]
     df = spark.createDataFrame(rows, ["user_id", "value", "event_id"])
-    return {r["user_id"]: (r["n_events"], r["median"], r["mad"],
-                           r["n_outliers"])
+    return {r["user_id"]: (r["n_events"], r["median_cents"],
+                           r["mad_cents"], r["n_outliers"])
             for r in robust_outliers(df, "value", "user_id",
                                      "event_id", k).collect()}
 
 
 def test_median_mad_and_outlier_flagging(spark):
     # values 1..7 plus a wild 100: lower median of 8 values = 4th
-    # smallest = 4.00; deviations {3,2,1,0,1,2,3,96} sorted ->
-    # lower median (4th) = 2.00; outlier iff dev > 6.00 -> only 100
+    # smallest = 400 cents; deviations {300,200,100,0,100,200,300,9600}
+    # sorted -> lower median (4th) = 200; outlier iff dev > 600 -> only 100
     got = _ro(spark, {1: [1, 2, 3, 4, 5, 6, 7, 100]})
-    assert got[1] == (8, Decimal("4.00"), Decimal("2.00"), 1)
+    assert got[1] == (8, 400, 200, 1)
 
 
 def test_lower_median_even_count(spark):
     # n=4 -> position (4+1) div 2 = 2 -> lower middle
     got = _ro(spark, {1: [10, 20, 30, 40]})
-    assert got[1][1] == Decimal("20.00")
+    assert got[1][1] == 2000
 
 
 def test_mad_zero_flags_everything_different(spark):
@@ -40,23 +39,29 @@ def test_mad_zero_flags_everything_different(spark):
     outlier (dev > 0), identical values are not (0 > 0 false) — the
     documented MAD caveat."""
     got = _ro(spark, {1: [5, 5, 5, 9]})
-    assert got[1] == (4, Decimal("5.00"), Decimal("0.00"), 1)
+    assert got[1] == (4, 500, 0, 1)
 
 
 def test_singleton_group(spark):
     got = _ro(spark, {1: [7]})
-    assert got[1] == (1, Decimal("7.00"), Decimal("0.00"), 0)
+    assert got[1] == (1, 700, 0, 0)
 
 
 def test_exact_boundary_not_outlier(spark):
-    """dev == k*MAD exactly is NOT an outlier (strict >) — decimal
-    arithmetic makes the boundary exact, not float-fuzzy.
-    values {0,1,2,3,10}: median 2, devs {2,1,0,1,8} -> MAD 1,
-    3*MAD = 3... use a value at exactly dev 3: add 5 (dev 3)."""
+    """dev == k*MAD exactly is NOT an outlier (strict >) — integer
+    cents arithmetic makes the boundary exact, not float-fuzzy."""
     got = _ro(spark, {1: [0, 1, 2, 3, 5]})
-    # median = 2, devs {2,1,0,1,3} sorted {0,1,1,2,3} -> MAD (3rd) = 1
-    # threshold 3*1 = 3: value 5 has dev 3 -> NOT an outlier (strict)
-    assert got[1] == (5, Decimal("2.00"), Decimal("1.00"), 0)
+    # median = 200, devs {200,100,0,100,300} sorted -> MAD (3rd) = 100
+    # threshold 3*100 = 300: value 5 has dev 300 -> NOT outlier (strict)
+    assert got[1] == (5, 200, 100, 0)
+
+
+def test_floor_truncation_semantics(spark):
+    """Sub-cent fractions truncate toward -inf (floor), matching the
+    oracle's floor() exactly: 1.239 -> 123, 1.231 -> 123."""
+    got = _ro(spark, {1: [1.239, 1.231, 1.231]})
+    assert got[1][1] == 123  # all three floor to 123 cents
+    assert got[1] == (3, 123, 0, 0)
 
 
 def test_validation(spark):

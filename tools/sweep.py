@@ -6,7 +6,7 @@ hash-checking EVERY oracle each round.
 
 Usage: cd /tmp && python3 /root/repo/tools/sweep.py [OUT_JSON]
        cd /tmp && python3 /root/repo/tools/sweep.py --only g1,g2
-Writes the artifact (default SWEEP_r07.json at the repo root) and prints a
+Writes the artifact (default SWEEP_r08.json at the repo root) and prints a
 one-line summary. Rows-only gates (no oracle) are counted separately.
 --only runs just the named gates and does NOT write the artifact (quick
 iteration check after touching a gate or oracle).
@@ -26,7 +26,7 @@ args = sys.argv[1:]
 if args and args[0] == "--only":
     ONLY = set(args[1].split(","))
     args = args[2:]
-OUT = args[0] if args else os.path.join(ROOT, "SWEEP_r07.json")
+OUT = args[0] if args else os.path.join(ROOT, "SWEEP_r08.json")
 SF = "/root/testdata/sf0.01"
 
 
@@ -64,7 +64,7 @@ def main() -> None:
             print(f"ERR {name} {type(exc).__name__}", flush=True)
     artifact = {
         "sf": SF,
-        "session": "round-7",
+        "session": "round-8",
         "method": ("vanilla local[8] SparkSession from cwd=/tmp (driver "
                    "conditions), tests/oracle_harness.compare (rows + "
                    "sorted columns + order-insensitive value hash) vs "
@@ -77,8 +77,13 @@ def main() -> None:
     if ONLY is None:
         with open(OUT, "w") as fh:
             json.dump(artifact, fh, indent=1)
-    print(f"SUMMARY {n_match}/{len(osql)} hash-match, "
-          f"{len(qs) - len(osql)} rows-only -> {OUT}", flush=True)
+    n_ran_oracle = sum(1 for n in results if n in osql)
+    n_ran_rows = sum(1 for n in results if n in qs and n not in osql)
+    skipped = len(qs) - len(results)
+    tail = f" ({skipped} skipped, artifact NOT written)" if ONLY is not None \
+        else f" -> {OUT}"
+    print(f"SUMMARY {n_match}/{n_ran_oracle} hash-match, "
+          f"{n_ran_rows} rows-only{tail}", flush=True)
 
 
 if __name__ == "__main__":
