@@ -1646,10 +1646,15 @@ def q_ngram_prefix_jaccard(spark, sf_dir):
     (shared-gram equi-join) + exact verify, same result as all-pairs by
     the >=1-shared-gram necessity at t=0.5."""
     docs = _t(spark, sf_dir, "documents")
+    # anchored regexp_extract reads O(title), not O(document) — the
+    # split/slice build materialized the FULL token array per doc
+    # (~25% of gate time at sf0.1, A/B in PLANS r8); token-equivalent
+    # to the oracle's regexp_split(...)[1:8] since downstream only
+    # ever re-tokenizes on \s+
     titles = docs.select(
         "doc_id",
-        F.array_join(F.slice(F.split(F.trim(F.col("text")), r"\s+"),
-                             1, 8), " ").alias("text"))
+        F.regexp_extract(F.trim(F.col("text")),
+                         r"^(\S+(?:\s+\S+){0,7})", 1).alias("text"))
     return dd.ngram_jaccard_prefix_pairs(titles, n=3, threshold=0.5)
 
 
