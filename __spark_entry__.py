@@ -1286,6 +1286,22 @@ def q_embed_ivf_kmeans_topk(spark, sf_dir):
                         n_lists=16, n_probe=4, refine_iters=2)
 
 
+def q_embed_ivf_learned(spark, sf_dir):
+    """IVF ANN with LEARNED list/probe counts (similarity.
+    ivf_topk_learned, r8 — closes the README roadmap item): n_lists =
+    largest power of two <= floor(sqrt(N)) (the standard IVF sizing
+    balance between list length and centroid comparisons), n_probe =
+    n_lists/4 (the probed FRACTION governs recall per the recorded
+    ANN_CURVES sweep). The rule is integer arithmetic (isqrt + a
+    power-of-two ladder) so the oracle replays it as a CASE ladder
+    over floor(sqrt(count(*))) — no float log2 at a boundary; the
+    plan downstream is the audited ivf_topk shape (bucketed
+    equi-joins, n_lists-bounded seed collect, no BNLJ)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk_learned(emb, emb.filter(F.col("vec_id") < 10),
+                                k=5)
+
+
 def q_unpivot_part_metrics(spark, sf_dir):
     """Unpivot (wide→long): part's numeric attributes as (metric, value)
     rows."""
@@ -2883,6 +2899,28 @@ def q_event_pattern(spark, sf_dir):
     return event_pattern_match(ev, "vc*p", alpha)
 
 
+def q_event_multi_pattern(spark, sf_dir):
+    """MATCH_RECOGNIZE one-row-per-match over multiple named patterns
+    (operators.timeseries.event_pattern_extract, r8): each user's
+    time-ordered coded stream is matched against three patterns
+    (browse 'v{3,}', conversion 'vc*p', error_burst 'ee+'), emitting
+    (user, pattern, MATCH_NUMBER, start_pos, match_len) per
+    non-overlapping leftmost match — positions derived from the
+    regexp_extract_all / regex-split pair with pure array arithmetic,
+    bit-identical across Java regex and RE2 for these
+    literal/class/quantifier patterns. ONE shuffle builds each key's
+    string once, shared by all patterns; the pattern relation is a
+    plan literal."""
+    from bqetl_spark.operators.timeseries import event_pattern_extract
+
+    ev = _t(spark, sf_dir, "events")
+    alpha = {"view": "v", "click": "c", "purchase": "p",
+             "signup": "s", "error": "e"}
+    pats = {"browse": "v{3,}", "conversion": "vc*p",
+            "error_burst": "ee+"}
+    return event_pattern_extract(ev, pats, alpha)
+
+
 def q_bucketed_join(spark, sf_dir):
     """Bucketed co-located join (sources.bucketed.write_bucketed, r7
     gate for the r5 writer): both fact tables written
@@ -3096,6 +3134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_entry.py::test_window_order_matches_tool pins dict order
     # to the tool's output so the comment cannot drift from reality.
     return {
+        "event_multi_pattern": q_event_multi_pattern,
+        "embed_ivf_learned": q_embed_ivf_learned,
         "robust_outliers": q_robust_outliers,
         "entity_resolution": q_entity_resolution,
         "ngram_prefix_jaccard": q_ngram_prefix_jaccard,
@@ -4649,6 +4689,59 @@ def oracle_sql() -> dict[str, str]:
           FROM cand)
         SELECT query_id, neighbor_id, rank, round(s, 4) AS score
         FROM ranked WHERE rank <= 5"""
+    # learned IVF (r8): identical replay with (n_lists, n_probe, stride)
+    # DERIVED from count(*) — power-of-two CASE ladder over
+    # floor(sqrt(N)), probe = lists/4 — certifying the sizing rule, not
+    # just the fixed-parameter plan
+    d["embed_ivf_learned"] = f"""
+        WITH counts AS (
+          SELECT count(*) AS n,
+                 CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS s
+          FROM embeddings),
+        params AS (
+          SELECT n, nl, greatest(nl // 4, 1) AS np,
+                 greatest(n // nl, 1) AS stride
+          FROM (SELECT n,
+                  CASE WHEN s >= 1024 THEN 1024 WHEN s >= 512 THEN 512
+                       WHEN s >= 256 THEN 256 WHEN s >= 128 THEN 128
+                       WHEN s >= 64 THEN 64 WHEN s >= 32 THEN 32
+                       WHEN s >= 16 THEN 16 WHEN s >= 8 THEN 8
+                       WHEN s >= 4 THEN 4 WHEN s >= 2 THEN 2
+                       ELSE 1 END AS nl
+                FROM counts)),
+        seeds AS (
+          SELECT list_id, centroid FROM (
+            SELECT e.vec_id AS list_id, e.embedding AS centroid,
+                   row_number() OVER (ORDER BY e.vec_id) AS rn, p.nl
+            FROM embeddings e, params p WHERE e.vec_id % p.stride = 0)
+          WHERE rn <= nl
+        ), c_assign AS (
+          SELECT vec_id AS c_id, embedding AS cv, list_id FROM (
+            SELECT e.vec_id, e.embedding, s.list_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_cosine_sql('e.embedding', 's.centroid')} DESC, s.list_id ASC) AS rn
+            FROM embeddings e, seeds s) WHERE rn = 1
+        ), q_assign AS (
+          SELECT vec_id AS q_id, embedding AS qv, list_id FROM (
+            SELECT e.vec_id, e.embedding, s.list_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_cosine_sql('e.embedding', 's.centroid')} DESC, s.list_id ASC) AS rn
+            FROM embeddings e, seeds s WHERE e.vec_id < 10)
+          WHERE rn <= (SELECT np FROM params)
+        ), cand AS (
+          SELECT DISTINCT q.q_id AS query_id, c.c_id AS neighbor_id,
+                 q.qv, c.cv
+          FROM q_assign q JOIN c_assign c USING (list_id)
+          WHERE c.c_id != q.q_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY {_cosine_sql('qv', 'cv')} DESC,
+                                             neighbor_id ASC) AS rank,
+                 {_cosine_sql('qv', 'cv')} AS s
+          FROM cand)
+        SELECT query_id, neighbor_id, rank, round(s, 4) AS score
+        FROM ranked WHERE rank <= 5"""
     # hard-negatives through IVF: same deterministic seed/assignment
     # replay as embed_ivf_topk, with the null-safe label inequality
     # (IS DISTINCT FROM) applied at the candidate stage — ann variant of
@@ -5541,6 +5634,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT)
                  AS n_matches
         FROM s"""
+    # event_multi_pattern (r8): same coded stream, one row per
+    # leftmost non-overlapping match per named pattern; start_pos =
+    # 1 + len(segments[1..i]) + len(matches[1..i-1]) over the
+    # extract_all/split pair (identical Java/RE2 semantics for these
+    # patterns; empty-matching and capturing-group patterns rejected
+    # by the operator)
+    d["event_multi_pattern"] = """
+        WITH coded AS (
+          SELECT user_id, ts, event_id,
+                 CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                      WHEN 'error' THEN 'e' ELSE 'x' END AS cd
+          FROM events),
+        s AS (SELECT user_id, string_agg(cd, '' ORDER BY ts, event_id) AS seq
+              FROM coded GROUP BY user_id),
+        pats AS (SELECT * FROM (VALUES ('browse', 'v{3,}'),
+                                       ('conversion', 'vc*p'),
+                                       ('error_burst', 'ee+'))
+                 p(pattern, pat)),
+        m AS (SELECT user_id, pattern,
+                     regexp_extract_all(seq, pat) AS ms,
+                     str_split_regex(seq, pat) AS segs
+              FROM s, pats),
+        e AS (SELECT user_id, pattern, ms, segs, i
+              FROM m, LATERAL (SELECT unnest(generate_series(1, len(ms)))
+                               AS i) g)
+        SELECT user_id, pattern, CAST(i AS BIGINT) AS match_no,
+               CAST(1
+                 + coalesce(list_sum(list_transform(segs[1:i],
+                                                    x -> length(x))), 0)
+                 + coalesce(list_sum(list_transform(ms[1:i-1],
+                                                    x -> length(x))), 0)
+                 AS INT) AS start_pos,
+               CAST(length(ms[i]) AS INT) AS match_len
+        FROM e"""
     # bucketed join: the oracle joins the plain parquet — the gate's
     # value is that Spark's side went through write-bucketed tables
     d["bucketed_join"] = f"""

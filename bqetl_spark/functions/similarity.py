@@ -146,7 +146,7 @@ def hard_negatives_ann(corpus: DataFrame, queries: DataFrame, k: int = 10,
     score)."""
     stride = _count_stride(corpus, n_lists)
     seeds = (corpus.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
-             .limit(n_lists)
+             .orderBy(id_col).limit(n_lists)
              .select(F.col(id_col).alias("list_id"),
                      F.col(vec_col).alias("centroid")))
     seed_rows = sorted(seeds.collect(), key=lambda r: r["list_id"])
@@ -228,7 +228,7 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     # deterministic stride-seeded centroids (metadata-sized: n_lists rows)
     stride = _count_stride(df, n_lists)
     cents = (df.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
-             .limit(n_lists)
+             .orderBy(id_col).limit(n_lists)
              .select(F.col(id_col).alias("list_id"),
                      F.transform(F.col(vec_col),
                                  lambda x: x.cast("double")).alias("cv"))
@@ -302,7 +302,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     else:
         stride = _count_stride(corpus, n_lists)
         seeds = (corpus.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
-                 .limit(n_lists)
+                 .orderBy(id_col).limit(n_lists)
                  .select(F.col(id_col).alias("list_id"),
                          F.col(vec_col).alias("centroid")))
 
@@ -391,7 +391,7 @@ def kmeans_refine(corpus: DataFrame, n_lists: int = 16, iters: int = 2,
     """
     stride = _count_stride(corpus, n_lists)
     centroids = (corpus.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
-                 .limit(n_lists)
+                 .orderBy(id_col).limit(n_lists)
                  .select(F.col(id_col).alias("list_id"),
                          F.transform(F.col(vec_col),
                                      lambda x: x.cast("double")).alias("centroid")))
@@ -811,7 +811,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, m: int = 4,
     # stride-seeded initial centroids: corpus vectors at every Nth id
     stride = _count_stride(corpus, ks)
     seed_ids = (corpus.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
-                .limit(ks).select(F.col(id_col).alias("sid")))
+                .orderBy(id_col).limit(ks).select(F.col(id_col).alias("sid")))
     seedc = (comp.join(F.broadcast(seed_ids),
                        comp["cid"] == seed_ids["sid"])
              .select("sid", "sub", "i", F.col("val").alias("sval")))
@@ -1105,3 +1105,51 @@ def matryoshka_overlap(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select(F.col("qid").alias("query_id"),
                     F.coalesce(F.col("__o"), F.lit(0)).cast("long")
                     .alias("n_overlap")))
+
+
+def learned_ivf_params(n: int, max_lists: int = 1024) -> tuple[int, int]:
+    """Choose (n_lists, n_probe) from the corpus size — the "learned"
+    IVF configuration rule (r8, from the recorded ANN_CURVES.json
+    sweep): n_lists = the largest power of two <= floor(sqrt(n))
+    (capped), n_probe = n_lists/4.
+
+    Why sqrt: expected list length n/n_lists and the number of
+    centroid comparisons n_lists are balanced at sqrt(n) — the
+    standard IVF sizing rule (FAISS docs use 4*sqrt(n)..16*sqrt(n) for
+    trained indexes; the untrained stride seeds here sit at the
+    conservative end). Why probe/lists = 1/4: the recorded curves show
+    recall is governed by the probed FRACTION (16/4 lists -> 0.48,
+    16/8 -> 0.744 at sf0.1), so the ratio — not an absolute probe
+    count — is what transfers across corpus sizes.
+
+    Powers of two + integer isqrt keep the rule bit-replayable in SQL
+    (a CASE ladder over floor(sqrt(count))) — no float log2 at a
+    boundary. ``max_lists`` bounds the seed collect (metadata scale);
+    corpora past max_lists^2 want trained k-means centroids instead.
+    """
+    import math
+
+    if n < 1:
+        raise ValueError(f"corpus must be non-empty, got {n}")
+    s = math.isqrt(n)
+    nl = 1
+    while nl * 2 <= s and nl * 2 <= max_lists:
+        nl *= 2
+    return nl, max(1, nl // 4)
+
+
+def ivf_topk_learned(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     max_lists: int = 1024,
+                     score_decimals: int = 4) -> DataFrame:
+    """:func:`ivf_topk` with (n_lists, n_probe) derived from the corpus
+    count by :func:`learned_ivf_params` instead of hand-tuned — the
+    closed README roadmap item "learned IVF list counts from corpus
+    stats". The count is one metadata-scale job (same class as
+    _count_stride's); everything downstream is the audited ivf_topk
+    plan (bucketed equi-joins, n_lists-bounded collects, no BNLJ)."""
+    n = corpus.count()
+    n_lists, n_probe = learned_ivf_params(n, max_lists)
+    return ivf_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+                    n_lists=n_lists, n_probe=n_probe,
+                    score_decimals=score_decimals)

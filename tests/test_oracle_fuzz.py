@@ -193,6 +193,7 @@ def test_event_gates_on_random_streams(spark, tmp_path_factory, evs):
                  "increasing_runs",   # r6: duplicate values + ts ties
                  "incremental_agg",   # r6: random insert/delete mixes
                  "event_pattern",     # r7: ts ties + single-event users
+                 "event_multi_pattern",  # r8: per-match rows, position math
                  "attribution",       # r7: exact window-edge touches
                  "hll_sliding",       # r7: sparse/adjacent hour mixes
                  "robust_outliers",   # r7: MAD=0 groups, tie-heavy values

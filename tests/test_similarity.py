@@ -145,3 +145,35 @@ def test_hard_negatives_label_filter_and_null_safety(spark):
     # schema carries both labels for downstream batch construction
     cols = {f.name for f in hard_negatives(df, df, k=1).schema.fields}
     assert {"query_label", "neighbor_label"} <= cols
+
+
+def test_learned_ivf_params_rule():
+    """r8: n_lists = largest power of two <= isqrt(n), capped;
+    n_probe = n_lists/4 (>=1)."""
+    import pytest
+
+    from bqetl_spark.functions.similarity import learned_ivf_params
+
+    assert learned_ivf_params(1) == (1, 1)
+    assert learned_ivf_params(3) == (1, 1)
+    assert learned_ivf_params(4) == (2, 1)
+    assert learned_ivf_params(1000) == (16, 4)      # isqrt 31
+    assert learned_ivf_params(10_000) == (64, 16)   # isqrt 100
+    assert learned_ivf_params(10_000_000) == (1024, 256)  # capped
+    assert learned_ivf_params(10_000_000, max_lists=4096) == (2048, 512)
+    with pytest.raises(ValueError):
+        learned_ivf_params(0)
+
+
+def test_ivf_learned_matches_fixed_at_sf0001(spark):
+    """At sf0.001 (500 vectors, isqrt 22 -> 16 lists / 4 probes) the
+    learned variant must equal ivf_topk called with those params."""
+    from bqetl_spark.functions.similarity import ivf_topk, ivf_topk_learned
+    from bqetl_spark.sources.parquet_source import load_parquet_table
+
+    emb = load_parquet_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter("vec_id < 5")
+    got = sorted(map(tuple, ivf_topk_learned(emb, q, k=3).collect()))
+    want = sorted(map(tuple, ivf_topk(emb, q, k=3, n_lists=16,
+                                      n_probe=4).collect()))
+    assert got == want and len(got) > 0

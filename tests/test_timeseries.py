@@ -295,3 +295,57 @@ def test_attribution_validation(spark):
         ["event_id", "user_id", "ts", "event_type"])
     with pytest.raises(ValueError):
         attribution_multitouch(df, 0)
+
+
+def test_event_pattern_extract_positions(spark):
+    """r8 MATCH_RECOGNIZE one-row-per-match: positions and lengths from
+    the extract/split pair — 'evccpvpxx' -> conv matches at (2,4) and
+    (6,2); err at (1,1)."""
+    import datetime
+
+    from bqetl_spark.operators.timeseries import event_pattern_extract
+
+    types = ["error", "view", "click", "click", "purchase", "view",
+             "purchase", "other", "other"]
+    rows = [(1, datetime.datetime(2024, 1, 1, 0, 0, i), i, t)
+            for i, t in enumerate(types)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id",
+                                      "event_type"])
+    alpha = {"view": "v", "click": "c", "purchase": "p",
+             "signup": "s", "error": "e"}
+    got = sorted((r["pattern"], r["match_no"], r["start_pos"],
+                  r["match_len"])
+                 for r in event_pattern_extract(
+                     df, {"conv": "vc*p", "err": "e+"}, alpha).collect())
+    assert got == [("conv", 1, 2, 4), ("conv", 2, 6, 2),
+                   ("err", 1, 1, 1)]
+
+
+def test_event_pattern_extract_no_match_no_rows(spark):
+    import datetime
+
+    from bqetl_spark.operators.timeseries import event_pattern_extract
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 0, "view")],
+        ["user_id", "ts", "event_id", "event_type"])
+    out = event_pattern_extract(df, {"conv": "vc*p"}, {"view": "v"})
+    assert out.count() == 0
+
+
+def test_event_pattern_extract_validation(spark):
+    import datetime
+
+    import pytest
+
+    from bqetl_spark.operators.timeseries import event_pattern_extract
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 0, "view")],
+        ["user_id", "ts", "event_id", "event_type"])
+    with pytest.raises(ValueError, match="empty string"):
+        event_pattern_extract(df, {"bad": "v*"}, {"view": "v"})
+    with pytest.raises(ValueError, match="capturing"):
+        event_pattern_extract(df, {"bad": "(vc)+p"}, {"view": "v"})
+    with pytest.raises(ValueError, match="at least one"):
+        event_pattern_extract(df, {}, {"view": "v"})

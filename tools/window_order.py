@@ -44,7 +44,7 @@ ROUND_HEAD = {
     # ngram_prefix_jaccard re-fixtured to short-record titles with an
     # inverted-index oracle). robust_outliers leads: it is the one r7
     # driver hash FAIL and needs its green row first.
-    "new_first": [],
+    "new_first": ["event_multi_pattern", "embed_ivf_learned"],
     "changed": ["robust_outliers", "entity_resolution",
                 "ngram_prefix_jaccard"],
 }
