@@ -2361,6 +2361,26 @@ def q_kmv_incremental(spark, sf_dir):
     return sk.kmv_estimate(sk.kmv_merge(a, b, k=256), "lang", 256)
 
 
+def q_quantile_incremental(spark, sf_dir):
+    """Quantile-sketch MERGEABILITY gate (sketch.quantile_sketch /
+    quantile_sketch_merge / quantiles_from_sketch, r8): sketch the
+    odd- and even-event_id halves of events.value separately (bottom-k
+    min-hash priority samples, k=1024), merge, estimate p50/p90/p99 —
+    the oracle is the PLAIN full-corpus bottom-k estimate, so the
+    hash-match proves merge(sketch(A), sketch(B)) == sketch(A ∪ B)
+    EXACTLY (min-wise sampling commutes with union), the property that
+    lets a daily pipeline fold new batches into a stored quantile
+    sample without re-scanning history. Completes the persisted-sketch
+    family: KMV, CMS, HLL, bloom, and now quantiles."""
+    ev = _t(spark, sf_dir, "events")
+    a = sk.quantile_sketch(ev.filter(F.col("event_id") % 2 == 1),
+                           "value", F.col("event_id"), k=1024)
+    b = sk.quantile_sketch(ev.filter(F.col("event_id") % 2 == 0),
+                           "value", F.col("event_id"), k=1024)
+    return sk.quantiles_from_sketch(
+        sk.quantile_sketch_merge(a, b, k=1024), qs=(0.5, 0.9, 0.99))
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-point PageRank (functions.graph.pagerank_fixed, 5 iterations,
     damping 0.85) over the undirected customer–supplier trade graph; top
@@ -2962,6 +2982,20 @@ def q_lm_tail_split(spark, sf_dir):
     return tx.lm_tail_split(docs)
 
 
+def q_lm_tail_trained(spark, sf_dir):
+    """CCNet split with TRAINED thresholds (text.lm_tail_split_trained,
+    r8 — the held-out-calibrated variant left open at r7): [t33, t66]
+    are exact lower order statistics of nll_ppm over the CALIBRATION
+    slice 3 <= doc_id%10 < 5 (disjoint from the LM's doc_id%10 < 3
+    training slice), per source; every document is then classified
+    map-side against those two broadcast scalars — CCNet's production
+    shape (O(sources) state, no corpus-wide ntile sort, cuts reusable
+    on tomorrow's documents). Sources with no calibration docs get an
+    explicit 'uncalibrated' bucket."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.lm_tail_split_trained(docs)
+
+
 def q_hll_intersect(spark, sf_dir):
     """Distinct-set OVERLAP from sketches (functions.sketch.
     hll_intersect_estimate, r7): per order-year, how many customers
@@ -3136,6 +3170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "event_multi_pattern": q_event_multi_pattern,
         "embed_ivf_learned": q_embed_ivf_learned,
+        "lm_tail_trained": q_lm_tail_trained,
+        "quantile_incremental": q_quantile_incremental,
         "robust_outliers": q_robust_outliers,
         "entity_resolution": q_entity_resolution,
         "ngram_prefix_jaccard": q_ngram_prefix_jaccard,
@@ -5722,6 +5758,64 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle'
                     ELSE 'tail' END AS bucket
         FROM j"""
+    # trained-threshold variant (r8): same scoring CTEs; thresholds =
+    # exact lower order statistics on the held-out 3 <= id%10 < 5
+    # slice per source, applied with a left join + CASE
+    d["lm_tail_trained"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_TOK} AS w FROM documents
+          WHERE trim(text) != ''),
+        ref AS (SELECT w FROM base WHERE ((doc_id % 10) + 10) % 10 < 3),
+        rpr AS (
+          SELECT s.a AS a, s.b AS b FROM (
+            SELECT unnest(list_transform(range(1, len(w)),
+                          i -> {{'a': w[i], 'b': w[i+1]}})) AS s
+            FROM ref WHERE len(w) >= 2)),
+        bg AS (SELECT a, b, count(*) AS cb FROM rpr GROUP BY a, b),
+        ctx AS (SELECT a, count(*) AS cx FROM rpr GROUP BY a),
+        v AS (SELECT count(DISTINCT t) AS v FROM (
+                SELECT unnest(w) AS t FROM ref)),
+        dpr AS (
+          SELECT doc_id, s.a AS a, s.b AS b FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                          i -> {{'a': w[i], 'b': w[i+1]}})) AS s
+            FROM base WHERE len(w) >= 2)),
+        sc AS (
+          SELECT d.doc_id,
+                 CAST(floor(1000000.0 * ln(
+                      CAST(coalesce(ctx.cx, 0) + v.v AS DOUBLE)
+                      / CAST(coalesce(bg.cb, 0) + 1 AS DOUBLE)))
+                   AS BIGINT) AS nll
+          FROM dpr d CROSS JOIN v
+          LEFT JOIN bg ON d.a = bg.a AND d.b = bg.b
+          LEFT JOIN ctx ON d.a = ctx.a
+          WHERE v.v > 0),
+        per AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(nll) // count(*) AS BIGINT) AS nll_ppm
+          FROM sc GROUP BY doc_id),
+        j AS (
+          SELECT p.doc_id, d.source, p.n_pairs, p.nll_ppm
+          FROM per p JOIN documents d ON p.doc_id = d.doc_id),
+        rk AS (
+          SELECT source, doc_id, nll_ppm,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY nll_ppm ASC, doc_id ASC) AS r,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM j
+          WHERE ((doc_id % 10) + 10) % 10 >= 3
+            AND ((doc_id % 10) + 10) % 10 < 5),
+        t33 AS (SELECT source, nll_ppm AS t33 FROM rk
+                WHERE r = (n - 1) // 3 + 1),
+        t66 AS (SELECT source, nll_ppm AS t66 FROM rk
+                WHERE r = (2 * (n - 1)) // 3 + 1)
+        SELECT j.doc_id, j.source, j.n_pairs, j.nll_ppm,
+               CASE WHEN t33.t33 IS NULL THEN 'uncalibrated'
+                    WHEN j.nll_ppm <= t33.t33 THEN 'head'
+                    WHEN j.nll_ppm <= t66.t66 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM j LEFT JOIN t33 ON j.source = t33.source
+               LEFT JOIN t66 ON j.source = t66.source"""
     # HLL intersection: three estimator replays tagged a/b/u — the 'u'
     # registers come from the ROW union while Spark merges the two
     # sketches, so the hash-match proves merge ≡ union-sketch; the
@@ -6517,6 +6611,25 @@ def oracle_sql() -> dict[str, str]:
                         || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
                      AS hv
             FROM lineitem),
+        s AS (SELECT v, hv FROM s0 ORDER BY hv LIMIT 1024),
+        ranked AS (
+            SELECT v, hv, row_number() OVER (ORDER BY v, hv) AS rv,
+                   count(*) OVER () AS n
+            FROM s)
+        SELECT CAST(t.q AS DOUBLE) AS q, r.v AS value,
+               CAST(r.n AS BIGINT) AS n_sample
+        FROM ranked r
+        JOIN (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) AS t(q)
+          ON r.rv = CAST(floor(t.q * (r.n - 1)) AS BIGINT) + 1"""
+    # quantile_incremental (r8): oracle = the FULL-data bottom-k
+    # estimate over events.value — the Spark side folds two half
+    # sketches, so the hash-match certifies exact mergeability
+    d["quantile_incremental"] = """
+        WITH s0 AS (
+            SELECT value AS v,
+                   ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                     ::BIGINT AS hv
+            FROM events WHERE value IS NOT NULL),
         s AS (SELECT v, hv FROM s0 ORDER BY hv LIMIT 1024),
         ranked AS (
             SELECT v, hv, row_number() OVER (ORDER BY v, hv) AS rv,

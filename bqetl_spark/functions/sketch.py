@@ -798,3 +798,74 @@ def bloom_might_contain(key, words: list[int], m_bits: int = 32768,
         c = bit.bitwiseAND(F.lit(1)) == 1
         cond = c if cond is None else (cond & c)
     return F.when(key.isNull(), F.lit(False)).otherwise(cond)
+
+
+def quantile_sketch(df: DataFrame, value_col: str, id_expr,
+                    k: int = 1024) -> DataFrame:
+    """The PERSISTABLE bottom-k quantile sketch (r8): the k rows with
+    the smallest ``kmv_hash(id)`` priorities, carried as (v, hv) — what
+    a daily pipeline WRITES so tomorrow's run can
+    :func:`quantile_sketch_merge` new data in without re-scanning
+    history (the same persisted-sketch contract as kmv_sketch /
+    cms_sketch / hll_sketch).
+
+    Mergeability is EXACT, not approximate: min-wise priority sampling
+    commutes with union — bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+    bottom-k(B)) — because membership depends only on a row's own hash
+    priority vs the k-th smallest. So fold ≡ full recompute, value for
+    value (the quantile_incremental gate hash-proves it).
+
+    NULL values are dropped (quantiles are over the observed
+    distribution; a NULL would also rank differently across engines).
+    TakeOrdered ships at most k rows per partition.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return (df.select(F.col(value_col).alias("v"),
+                      kmv_hash(id_expr).alias("hv"))
+            .filter(F.col("v").isNotNull())
+            .orderBy("hv").limit(k))
+
+
+def quantile_sketch_merge(*sketches: DataFrame, k: int = 1024) -> DataFrame:
+    """Union bottom-k sketches and re-take the k smallest priorities —
+    the exact-merge step (see quantile_sketch). Input order is
+    irrelevant; duplicate priorities (hash collisions) behave the same
+    here as in a full-data build."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.orderBy("hv").limit(k)
+
+
+def quantiles_from_sketch(sample: DataFrame,
+                          qs: tuple[float, ...] = (0.5, 0.95, 0.99)
+                          ) -> DataFrame:
+    """Lower-quantile selection over a bounded (v, hv) sample — the
+    estimate step shared by sampled_quantiles and the persisted-sketch
+    path: rank floor(q·(n−1))+1 over the deterministic (v, hv) order.
+    The unpartitioned window is over the k-row sample, never the data
+    (same boundedness note as sampled_quantiles). Returns
+    (q DOUBLE, value, n_sample BIGINT)."""
+    from pyspark.sql import Window
+
+    if not qs or not all(0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in [0,1], got {qs}")
+    w = Window.orderBy("v", "hv")
+    ranked = (sample
+              .select("v", F.row_number().over(w).alias("rv"),
+                      F.count("*").over(
+                          Window.rowsBetween(Window.unboundedPreceding,
+                                             Window.unboundedFollowing))
+                      .alias("n")))
+    targets = F.array(*[F.struct(F.lit(float(q)).alias("q"),
+                                 (F.floor(F.lit(float(q)) * (F.col("n") - 1))
+                                  + 1).alias("rq")) for q in qs])
+    return (ranked
+            .select("v", "rv", F.col("n").alias("n_sample"),
+                    F.explode(targets).alias("t"))
+            .filter(F.col("rv") == F.col("t.rq"))
+            .select(F.col("t.q").alias("q"), F.col("v").alias("value"),
+                    "n_sample"))

@@ -619,3 +619,63 @@ def dsir_weights(df: DataFrame, text_col: str = "text",
             .groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_feats"),
                  F.sum("__s").cast("long").alias("logw_micro")))
+
+
+def lm_tail_split_trained(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          source_col: str = "source",
+                          ref_mod: int = 10, ref_keep: int = 3,
+                          cal_keep: int = 2) -> DataFrame:
+    """CCNet's split with TRAINED thresholds (r8 — closes the README
+    roadmap item left open at r7): instead of ntile(3) ranking every
+    document (:func:`lm_tail_split` — needs a full per-source sort),
+    the [t33, t66] cut points are CALIBRATED on a held-out slice and
+    then applied as two broadcastable scalars per source. This is
+    CCNet's actual production shape: thresholds come from a sample,
+    the corpus is classified map-side — O(sources) state, no
+    corpus-wide sort, and adding documents later reuses the same cuts
+    (ntile re-buckets everything).
+
+    Held-out discipline: the LM trains on ``id % ref_mod < ref_keep``
+    (lm_score's slice); calibration uses the DISJOINT slice
+    ``ref_keep <= id % ref_mod < ref_keep + cal_keep`` — scoring your
+    own training text underestimates tail perplexity, so the cuts
+    would skew without the split. Thresholds are exact lower order
+    statistics (rank (n-1) div 3 + 1 and (2*(n-1)) div 3 + 1 over the
+    deterministic (nll_ppm, id) order — sampled_quantiles' selection
+    convention), so the whole result replays in SQL.
+
+    bucket: nll <= t33 -> 'head', <= t66 -> 'middle', else 'tail';
+    documents of a source with NO calibration docs get 'uncalibrated'
+    (explicit, not silently head).
+
+    Shape: lm_score's joins + ONE window over the ~cal_keep/ref_mod
+    calibration fraction per source + a broadcastable per-source
+    threshold join + a map-side CASE. Returns
+    (id, source, n_pairs, nll_ppm, bucket STRING).
+    """
+    if cal_keep < 1 or ref_keep + cal_keep > ref_mod:
+        raise ValueError(
+            f"calibration slice [{ref_keep}, {ref_keep + cal_keep}) must "
+            f"fit inside ref_mod={ref_mod}")
+    scored = (lm_score(df, text_col, id_col, ref_mod, ref_keep)
+              .join(df.select(F.col(id_col), F.col(source_col)), id_col))
+    m = F.pmod(F.col(id_col), F.lit(ref_mod))
+    cal = scored.filter((m >= ref_keep) & (m < ref_keep + cal_keep))
+    w = Window.partitionBy(source_col).orderBy(F.asc("nll_ppm"),
+                                               F.asc(id_col))
+    ranked = (cal.withColumn("__r", F.row_number().over(w))
+              .withColumn("__n", F.count("*").over(
+                  Window.partitionBy(source_col))))
+    t33 = (ranked.filter(F.col("__r") == F.expr("(__n - 1) div 3 + 1"))
+           .select(source_col, F.col("nll_ppm").alias("__t33")))
+    t66 = (ranked.filter(F.col("__r") == F.expr("(2 * (__n - 1)) div 3 + 1"))
+           .select(source_col, F.col("nll_ppm").alias("__t66")))
+    bucket = (F.when(F.col("__t33").isNull(), F.lit("uncalibrated"))
+              .when(F.col("nll_ppm") <= F.col("__t33"), F.lit("head"))
+              .when(F.col("nll_ppm") <= F.col("__t66"), F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return (scored.join(F.broadcast(t33), source_col, "left")
+            .join(F.broadcast(t66), source_col, "left")
+            .select(F.col(id_col), source_col, "n_pairs", "nll_ppm",
+                    bucket.alias("bucket")))

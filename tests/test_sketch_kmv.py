@@ -269,3 +269,43 @@ def test_cms_probe_rejects_mismatched_width(spark):
     # ...and passes when parameters agree
     ok = cms_merge(sk, sk, width=256, depth=4)
     assert ok.agg(F.sum("cnt")).collect()[0][0] == 40
+
+
+def test_quantile_sketch_merge_equals_full(spark):
+    """r8 mergeable quantile sketch: fold of per-half bottom-k samples
+    equals the full-data bottom-k estimate EXACTLY (min-wise sampling
+    commutes with union)."""
+    from bqetl_spark.functions.sketch import (quantile_sketch,
+                                              quantile_sketch_merge,
+                                              quantiles_from_sketch)
+
+    df = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") * 7 % 101).cast("double").alias("v"))
+    full = quantiles_from_sketch(
+        quantile_sketch(df, "v", F.col("id"), k=64), qs=(0.5, 0.9))
+    a = quantile_sketch(df.filter("id % 2 = 1"), "v", F.col("id"), k=64)
+    b = quantile_sketch(df.filter("id % 2 = 0"), "v", F.col("id"), k=64)
+    merged = quantiles_from_sketch(quantile_sketch_merge(a, b, k=64),
+                                   qs=(0.5, 0.9))
+    assert sorted(map(tuple, full.collect())) == \
+        sorted(map(tuple, merged.collect()))
+
+
+def test_quantile_sketch_drops_nulls_and_validates(spark):
+    from bqetl_spark.functions.sketch import (quantile_sketch,
+                                              quantile_sketch_merge,
+                                              quantiles_from_sketch)
+
+    df = spark.createDataFrame([(1, 1.0), (2, None), (3, 3.0)],
+                               ["id", "v"])
+    sk_ = quantile_sketch(df, "v", F.col("id"), k=10)
+    assert sk_.count() == 2
+    got = {r["q"]: r["value"]
+           for r in quantiles_from_sketch(sk_, qs=(0.0, 1.0)).collect()}
+    assert got[0.0] == 1.0 and got[1.0] == 3.0
+    with pytest.raises(ValueError):
+        quantile_sketch(df, "v", F.col("id"), k=0)
+    with pytest.raises(ValueError):
+        quantile_sketch_merge()
+    with pytest.raises(ValueError):
+        quantiles_from_sketch(sk_, qs=(1.5,))

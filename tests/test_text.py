@@ -443,3 +443,37 @@ def test_dsir_ln_margin_on_gate_corpora(sf_dir):
             continue  # ln(1) = 0 exactly
         x = 10**6 * math.log(num / den)
         assert abs(x - round(x)) > 1e-5, (b, num, den, x)
+
+
+def test_lm_tail_trained_thresholds_and_buckets(spark):
+    """r8 trained split: buckets are consistent with the calibration
+    slice's exact tercile order statistics — every doc's bucket is
+    reproducible from the calibration scores alone — and bucket NLL
+    ranges are ordered head <= middle <= tail within a source."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = tx.lm_tail_split_trained(docs).collect()
+    from collections import defaultdict
+    cal = defaultdict(list)
+    for r in out:
+        if 3 <= r["doc_id"] % 10 < 5:
+            cal[r["source"]].append((r["nll_ppm"], r["doc_id"]))
+    for r in out:
+        c = sorted(cal[r["source"]])
+        if not c:
+            assert r["bucket"] == "uncalibrated"
+            continue
+        n = len(c)
+        t33 = c[(n - 1) // 3][0]
+        t66 = c[(2 * (n - 1)) // 3][0]
+        want = ("head" if r["nll_ppm"] <= t33
+                else "middle" if r["nll_ppm"] <= t66 else "tail")
+        assert r["bucket"] == want, (r, t33, t66)
+
+
+def test_lm_tail_trained_validation(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b", "s")],
+                                 ["doc_id", "text", "source"])
+    with pytest.raises(ValueError, match="calibration"):
+        tx.lm_tail_split_trained(docs, ref_keep=3, cal_keep=8)
