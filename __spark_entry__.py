@@ -1010,6 +1010,28 @@ def q_stream_kmv(spark, sf_dir):
     return kmv_estimate(spark.read.parquet(target), "event_type", 64)
 
 
+def q_stream_quantile(spark, sf_dir):
+    """Streaming quantile-sketch maintenance (streaming/events.py
+    stream_quantile_values, r8): events chopped into 4 files replay as
+    4 REAL micro-batches, each folding its bottom-k (k=1024) min-hash
+    priority sample of event values into the persisted sample; the
+    gate estimates p50/p90/p99 from the final stored table. Oracle =
+    the plain batch bottom-k SQL (same as quantile_incremental): the
+    hash-match proves the streaming fold equals the full-corpus sample
+    for any batch chop — min-wise sampling commutes with union, and
+    the (hv, v) dedup makes restart replays no-ops."""
+    from bqetl_spark.functions.sketch import quantiles_from_sketch
+    from bqetl_spark.streaming.events import stream_quantile_values
+
+    base = _scratch("squant", sf_dir, wipe=True)
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    ev.repartition(4).write.parquet(base + "/events_split")
+    target = base + "/sketch"
+    stream_quantile_values(spark, base + "/events_split", target, k=1024)
+    return quantiles_from_sketch(spark.read.parquet(target),
+                                 qs=(0.5, 0.9, 0.99))
+
+
 def q_stream_hll(spark, sf_dir):
     """Streaming HyperLogLog maintenance (streaming/events.py
     stream_hll_user_distinct, r7): events chopped into 4 files replay as
@@ -3172,6 +3194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_learned": q_embed_ivf_learned,
         "lm_tail_trained": q_lm_tail_trained,
         "quantile_incremental": q_quantile_incremental,
+        "stream_quantile": q_stream_quantile,
         "robust_outliers": q_robust_outliers,
         "entity_resolution": q_entity_resolution,
         "ngram_prefix_jaccard": q_ngram_prefix_jaccard,
@@ -6640,6 +6663,9 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked r
         JOIN (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) AS t(q)
           ON r.rv = CAST(floor(t.q * (r.n - 1)) AS BIGINT) + 1"""
+    # stream_quantile (r8): same full-data bottom-k oracle — the Spark
+    # side folds 4 micro-batch sketches through foreachBatch
+    d["stream_quantile"] = d["quantile_incremental"]
     # percentile band: same sample/rank machinery as sampled_quantiles,
     # thresholds at q=0.05/0.95 over n_chars, inclusive row filter
     d["percentile_band"] = """

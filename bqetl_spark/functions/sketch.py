@@ -830,14 +830,18 @@ def quantile_sketch(df: DataFrame, value_col: str, id_expr,
 def quantile_sketch_merge(*sketches: DataFrame, k: int = 1024) -> DataFrame:
     """Union bottom-k sketches and re-take the k smallest priorities —
     the exact-merge step (see quantile_sketch). Input order is
-    irrelevant; duplicate priorities (hash collisions) behave the same
-    here as in a full-data build."""
+    irrelevant. The (hv, v) dedup makes the fold IDEMPOTENT — merging
+    the same batch twice (a foreachBatch restart replay) changes
+    nothing, the property the streaming maintenance path needs; it
+    deviates from a full-data build only when two distinct rows share
+    a 60-bit hash AND a value boundary sits on the duplicate
+    (~k²/2^60 — the same accepted collision class as kmv_hash)."""
     if not sketches:
         raise ValueError("need at least one sketch")
     u = sketches[0]
     for s in sketches[1:]:
         u = u.unionByName(s)
-    return u.orderBy("hv").limit(k)
+    return u.dropDuplicates(["hv", "v"]).orderBy("hv").limit(k)
 
 
 def quantiles_from_sketch(sample: DataFrame,

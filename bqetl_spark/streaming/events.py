@@ -344,3 +344,54 @@ def stream_cms_user_counts(spark: SparkSession, events_dir: str,
      .trigger(availableNow=True)
      .option("checkpointLocation", target_path + ".ckpt")
      .start().awaitTermination())
+
+
+def stream_quantile_values(spark: SparkSession, events_dir: str,
+                           target_path: str, k: int = 1024,
+                           max_files_per_trigger: int = 1) -> None:
+    """Streaming QUANTILE-sketch maintenance (r8 — completes the
+    streaming half of the persisted-sketch family alongside
+    stream_kmv/stream_hll/stream_cms): fold each micro-batch's bottom-k
+    min-hash priority sample of events.value into a persisted (v, hv)
+    sample table, so a live pipeline answers p50/p90/p99 at any moment
+    from k rows of state without re-scanning history.
+
+    Correctness is quantile_sketch_merge's exact-mergeability: min-wise
+    sampling commutes with union, so the final persisted sample equals
+    the full-corpus sample REGARDLESS of the batch chop — which makes
+    the op value-oracle-able (the gate's oracle is the plain batch
+    bottom-k SQL). The merge's (hv, v) dedup additionally makes a
+    restart-replayed batch a no-op (same idempotency class as HLL's
+    register MAX). State is k (value, hash) rows total.
+
+    Runs to completion (availableNow) and returns None; callers read
+    ``target_path`` and apply ``quantiles_from_sketch``. Same
+    foreachBatch idempotency caveat as ``stream_upsert_user_totals``."""
+    from bqetl_spark.functions.sketch import (quantile_sketch,
+                                              quantile_sketch_merge)
+
+    stream = (_read_events_stream(spark, events_dir, max_files_per_trigger)
+              .select("event_id", "value"))
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        sp = bdf.sparkSession
+        batch_sketch = quantile_sketch(bdf, "value", F.col("event_id"), k)
+        # explicit existence check, NOT try/except (see stream_kmv note:
+        # a silently reset sketch is a plausible-but-wrong estimate)
+        base = (sp.read.parquet(target_path)
+                if os.path.isdir(target_path) else None)
+        out = (batch_sketch if base is None
+               else quantile_sketch_merge(base, batch_sketch, k=k))
+        tmp = target_path + f".batch{batch_id}"
+        out.write.mode("overwrite").parquet(tmp)
+        sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        shutil.rmtree(tmp, ignore_errors=True)  # bound on-disk state
+
+    (stream.writeStream.outputMode("append")
+     .foreachBatch(sink)
+     .trigger(availableNow=True)
+     .option("checkpointLocation", target_path + ".ckpt")
+     .start().awaitTermination())

@@ -226,3 +226,33 @@ def test_stream_cms_fold_is_chop_invariant(spark, tmp_path):
     batch = sorted(map(tuple, cms_sketch(ev, "user_id", 64, 3).collect()))
     assert run(2, "a") == batch
     assert run(4, "b") == batch
+
+
+def test_stream_quantile_fold_is_chop_invariant(spark, tmp_path):
+    """r8 streaming quantile maintenance: the persisted bottom-k sample
+    after an availableNow replay must be IDENTICAL whatever the
+    micro-batch chop (2-file vs 4-file vs plain batch sketch) —
+    min-wise sampling commutes with union, and the (hv, v) dedup makes
+    replays no-ops."""
+    from pyspark.sql import functions as F
+
+    from bqetl_spark.functions.sketch import (quantile_sketch,
+                                              quantiles_from_sketch)
+    from bqetl_spark.streaming.events import stream_quantile_values
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_id", "value")
+
+    def run(n_files, tag):
+        src = str(tmp_path / f"qsrc{tag}")
+        ev.repartition(n_files).write.parquet(src)
+        target = str(tmp_path / f"qsk{tag}")
+        stream_quantile_values(spark, src, target, k=64)
+        return sorted(map(tuple, quantiles_from_sketch(
+            spark.read.parquet(target), qs=(0.5, 0.9)).collect()))
+
+    batch = sorted(map(tuple, quantiles_from_sketch(
+        quantile_sketch(ev, "value", F.col("event_id"), k=64),
+        qs=(0.5, 0.9)).collect()))
+    assert run(2, "a") == batch
+    assert run(4, "b") == batch

@@ -45,7 +45,8 @@ ROUND_HEAD = {
     # inverted-index oracle). robust_outliers leads: it is the one r7
     # driver hash FAIL and needs its green row first.
     "new_first": ["event_multi_pattern", "embed_ivf_learned",
-                  "lm_tail_trained", "quantile_incremental"],
+                  "lm_tail_trained", "quantile_incremental",
+                  "stream_quantile"],
     "changed": ["robust_outliers", "entity_resolution",
                 "ngram_prefix_jaccard"],
 }
