@@ -2027,6 +2027,20 @@ def q_contamination(spark, sf_dir):
     return dd.contamination_flags(corpus, bench, n=8)
 
 
+def q_ngram_containment(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (dedup.
+    ngram_containment_pairs, r8): |grams(src) ∩ grams(dst)| /
+    |grams(src)| >= 0.8 over 8-word grams — the Broder-containment
+    complement to the symmetric Jaccard passes, catching a short
+    document pasted inside a long one (tiny Jaccard, containment ≈ 1
+    from the short side). Inverted gram index; the self-join count IS
+    the intersection, no arrays re-intersected, zero-overlap pairs
+    never materialize. Both directions emitted when both clear the
+    threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.ngram_containment_pairs(docs, n=8, threshold=0.8)
+
+
 def q_partitioned_roundtrip(spark, sf_dir):
     """Hive-partitioned lake write in the gate (sources/partitioned.py):
     customers written partitioned by market segment, read back through a
@@ -3195,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_tail_trained": q_lm_tail_trained,
         "quantile_incremental": q_quantile_incremental,
         "stream_quantile": q_stream_quantile,
+        "ngram_containment": q_ngram_containment,
         "robust_outliers": q_robust_outliers,
         "entity_resolution": q_entity_resolution,
         "ngram_prefix_jaccard": q_ngram_prefix_jaccard,
@@ -6666,6 +6681,26 @@ def oracle_sql() -> dict[str, str]:
     # stream_quantile (r8): same full-data bottom-k oracle — the Spark
     # side folds 4 micro-batch sketches through foreachBatch
     d["stream_quantile"] = d["quantile_incremental"]
+    # ngram_containment (r8): inverted-index intersection counts,
+    # asymmetric normalization by the SOURCE gram-set size; truncated
+    # gram for docs shorter than n (w[i:i+7] mirrors word_ngrams_of's
+    # greatest(size-n,0) sequence)
+    d["ngram_containment"] = """
+        WITH t AS MATERIALIZED (
+          SELECT doc_id AS id,
+                 list_distinct([array_to_string(w[i:i+7], ' ')
+                   for i in range(1, greatest(len(w)-8+1, 1) + 1)]) AS g
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents)),
+        inv AS (SELECT id, len(g) AS ng, unnest(g) AS gr FROM t),
+        sh AS (SELECT a.id AS src_id, b.id AS dst_id, a.ng,
+                      count(*) AS c
+               FROM inv a JOIN inv b ON a.gr = b.gr AND a.id != b.id
+               GROUP BY 1, 2, 3)
+        SELECT src_id, dst_id, CAST(ng AS BIGINT) AS n_src_grams,
+               round(CAST(c AS DOUBLE) / ng, 6) AS containment
+        FROM sh WHERE CAST(c AS DOUBLE) / ng >= 0.8"""
     # percentile band: same sample/rank machinery as sampled_quantiles,
     # thresholds at q=0.05/0.95 over n_chars, inclusive row filter
     d["percentile_band"] = """

@@ -986,3 +986,62 @@ def edit_distance_pairs(df: DataFrame, text_col: str = "text",
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                     dist.alias("dist"))
             .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist)))
+
+
+def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 3,
+                            threshold: float = 0.8,
+                            min_grams: int = 1,
+                            max_gram_freq: int | None = None) -> DataFrame:
+    """Exact ASYMMETRIC containment near-dup pairs (r8): for each
+    ordered pair, C(src→dst) = |grams(src) ∩ grams(dst)| / |grams(src)|
+    — the signal Jaccard structurally misses: a short document pasted
+    inside a long one has tiny Jaccard (union is dominated by the long
+    side) but containment ≈ 1 from the short side. This is the
+    Broder-containment complement to :func:`ngram_jaccard_pairs`, and
+    the quote/excerpt/wrapper-page detector a training-data dedup
+    stack runs beside the symmetric passes (same motivation as
+    substring_dup_pairs, at gram rather than byte granularity).
+
+    Same inverted-index machinery and scale levers as
+    ngram_jaccard_pairs: the gram self-join count IS the intersection,
+    no arrays are re-intersected, pairs sharing nothing never
+    materialize, ``max_gram_freq`` guards boilerplate blowup.
+    ``min_grams`` drops trivially-tiny sources (a 1-gram doc is
+    "contained" everywhere its one gram appears — noise, the standard
+    floor). Emits BOTH directions of a pair when both clear the
+    threshold (src_id == the contained side).
+
+    Returns (src_id, dst_id, n_src_grams BIGINT, containment DOUBLE
+    rounded to 6; filtered on the unrounded value like the oracle).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0,1], got {threshold}")
+    if min_grams < 1:
+        raise ValueError(f"min_grams must be >= 1, got {min_grams}")
+    n_part = compute_parallelism(df.sparkSession)
+    base = (df.repartition(n_part, id_col)
+            .select(F.col(id_col).alias("id"),
+                    tokens(F.col(text_col)).alias("__tk"))
+            .select("id", word_ngrams_of("__tk", n).alias("gr"))
+            .withColumn("n_gr", F.size("gr"))
+            .filter(F.col("n_gr") >= min_grams))
+    base = pin(base)
+    inv = base.select("id", "n_gr", F.explode("gr").alias("g"))
+    if max_gram_freq is not None:
+        freq = inv.groupBy("g").agg(F.count("*").alias("df_g"))
+        inv = (inv.join(freq.filter(F.col("df_g") <= max_gram_freq), "g")
+               .drop("df_g"))
+    a = inv.select(F.col("id").alias("src_id"),
+                   F.col("n_gr").alias("n_src_grams"), "g")
+    b = inv.select(F.col("id").alias("dst_id"), "g")
+    shared = (a.join(b, "g")
+              .filter(F.col("src_id") != F.col("dst_id"))
+              .groupBy("src_id", "dst_id", "n_src_grams")
+              .agg(F.count("*").alias("c")))
+    cont = F.col("c") / F.col("n_src_grams")
+    return (shared
+            .filter(cont >= threshold)
+            .select("src_id", "dst_id",
+                    F.col("n_src_grams").cast("long").alias("n_src_grams"),
+                    F.round(cont, 6).alias("containment")))

@@ -438,3 +438,37 @@ def test_edit_distance_pairs_non_ascii_excluded(spark):
     out = edit_distance_pairs(df, block_chars=12, max_dist=24).collect()
     ids = {r["id_a"] for r in out} | {r["id_b"] for r in out}
     assert 3 not in ids and (1, 2) in {(r["id_a"], r["id_b"]) for r in out}
+
+
+def test_ngram_containment_asymmetric(spark):
+    """r8: a short doc pasted inside a long one scores containment 1.0
+    from the short side only; Jaccard would miss it. Validation paths
+    covered."""
+    import pytest
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = ("intro words here first " + short +
+             " and then a very long tail of unrelated filler text "
+             "continues onward with many more words than the source")
+    df = spark.createDataFrame([(1, short), (2, long_), (3, "nothing alike here at all")],
+                               ["doc_id", "text"])
+    out = {(r["src_id"], r["dst_id"]): (r["n_src_grams"], r["containment"])
+           for r in dd.ngram_containment_pairs(df, n=3,
+                                               threshold=0.8).collect()}
+    assert (1, 2) in out and out[(1, 2)][1] == 1.0
+    assert (2, 1) not in out          # long side is NOT contained
+    assert not any(3 in k for k in out)
+    with pytest.raises(ValueError):
+        dd.ngram_containment_pairs(df, threshold=0.0)
+    with pytest.raises(ValueError):
+        dd.ngram_containment_pairs(df, min_grams=0)
+
+
+def test_ngram_containment_both_directions_on_twins(spark):
+    """Identical docs contain each other — both ordered pairs emitted."""
+    t = "one two three four five six seven eight nine"
+    df = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+    got = sorted((r["src_id"], r["dst_id"], r["containment"])
+                 for r in dd.ngram_containment_pairs(
+                     df, n=3, threshold=0.8).collect())
+    assert got == [(1, 2, 1.0), (2, 1, 1.0)]

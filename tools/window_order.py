@@ -46,7 +46,7 @@ ROUND_HEAD = {
     # driver hash FAIL and needs its green row first.
     "new_first": ["event_multi_pattern", "embed_ivf_learned",
                   "lm_tail_trained", "quantile_incremental",
-                  "stream_quantile"],
+                  "stream_quantile", "ngram_containment"],
     "changed": ["robust_outliers", "entity_resolution",
                 "ngram_prefix_jaccard"],
 }
