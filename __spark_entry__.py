@@ -2815,12 +2815,14 @@ def q_robust_outliers(spark, sf_dir):
     r8 integerized): |x − median| > 3·MAD with median and MAD as LOWER
     medians (position-selected order statistics — deterministic for any
     tie order because selection depends only on the multiset). Values
-    integerized to cents — CAST(floor(value·100) AS BIGINT) — one IEEE
-    double multiply + floor, bit-identical in any engine; r7's driver
-    hash miss traced to the old double→DECIMAL(18,2) cast's rounding
-    convention, removed entirely. EXACT BIGINT arithmetic end to end
-    (tie-margins audited in tests/test_oracle_margins.py). Two window
-    passes + two per-group median joins."""
+    integerized to cents — CAST(round(value·100) AS BIGINT), nearest
+    integer, whose decision margin to the half-integer boundary is
+    ~0.5 on cent-like data (floor would sit 1e-15 from the boundary —
+    the margin audit rejected it); r7's driver hash miss traced to the
+    old double→DECIMAL(18,2) cast's rounding convention, removed
+    entirely. EXACT BIGINT arithmetic end to end (margins audited in
+    tests/test_oracle_margins.py). Two window passes + two per-group
+    median joins."""
     from bqetl_spark.functions.stats import robust_outliers
 
     ev = _t(spark, sf_dir, "events")
@@ -5458,13 +5460,13 @@ def oracle_sql() -> dict[str, str]:
                  AS novelty_ppm
         FROM st"""
     # robust outliers: lower-median selections + exact BIGINT cents
-    # (floor(value*100): IEEE double multiply + floor, identical in
-    # both engines — no DECIMAL rounding-mode dependence, r8) —
-    # (n+1)//2 equals Spark's div on positive counts
+    # (round(value*100) to NEAREST: ~0.5 decision margin on cent-like
+    # doubles, tie-convention-independent — no DECIMAL rounding-mode
+    # dependence, r8) — (n+1)//2 equals Spark's div on positive counts
     d["robust_outliers"] = """
         WITH base AS (
           SELECT user_id AS k,
-                 CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v,
+                 CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v,
                  event_id AS t
           FROM events WHERE value IS NOT NULL),
         med AS (

@@ -117,6 +117,13 @@ EXTRAS = [
     "edit_dist_pairs",
     "triangle_count",
     "dsir_weights",
+    # round 8
+    "event_multi_pattern",
+    "embed_ivf_learned",
+    "lm_tail_trained",
+    "quantile_incremental",
+    "stream_quantile",
+    "ngram_containment",
 ]
 
 

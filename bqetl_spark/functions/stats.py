@@ -5,13 +5,17 @@ Mean/stddev anomaly thresholds break down exactly when you need them
 robust pair — median and MAD (median absolute deviation) — has a 50%
 breakdown point and is the standard data-quality screen for pipeline
 monitoring. Everything here is EXACT BIGINT arithmetic on integerized
-cents (floor(value*100) — one IEEE double multiply + floor, identical
-bit-for-bit in any engine reading the same parquet doubles) and
-position-selected order statistics, so results replay bit-identically
-in a SQL oracle: no float means, no transcendentals, no margins, and —
-unlike a double→DECIMAL cast — no dependence on an engine's rounding
-convention (r7 driver hash miss root cause: HALF_UP vs engine-version
-variance at the DECIMAL(18,2) cast boundary).
+cents (round(value*100) to the NEAREST integer) and position-selected
+order statistics, so results replay bit-identically in a SQL oracle:
+no float means, no transcendentals, and — unlike a double→DECIMAL cast
+— no dependence on an engine's rounding convention (r7 driver hash
+miss root cause: HALF_UP vs engine-version variance at the
+DECIMAL(18,2) cast boundary). Round-to-NEAREST, not floor: cent-like
+doubles put value*100 within ~1e-12 of an integer (0.29*100 =
+28.999999999999996), so a floor decision sits in the float-noise band
+while the nearest-integer decision has ~0.5 margin to its half-integer
+boundary — tie-convention-independent, audited per SF in
+tests/test_oracle_margins.py.
 """
 
 from __future__ import annotations
@@ -30,11 +34,11 @@ def robust_outliers(df: DataFrame, value_col: str = "value",
     multiset — deterministic for any tie order because selection
     depends only on the multiset).
 
-    Values are integerized to cents up front — CAST(floor(x·100) AS
-    BIGINT) — so every comparison downstream is exact integer
-    arithmetic with truncation semantics defined by IEEE floor, not by
-    a decimal cast's rounding mode (tie-margin audited in
-    tests/test_oracle_margins.py).
+    Values are integerized to cents up front — CAST(round(x·100) AS
+    BIGINT), nearest integer — so every comparison downstream is exact
+    integer arithmetic whose one float decision carries ~0.5 margin
+    (audited in tests/test_oracle_margins.py), independent of any
+    engine's tie or cast convention.
 
     Groups with MAD = 0 (over half the values identical, or n = 1)
     flag every value different from the median — the textbook MAD
@@ -50,7 +54,7 @@ def robust_outliers(df: DataFrame, value_col: str = "value",
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    v = F.floor(F.col(value_col).cast("double") * F.lit(100.0)).cast("long")
+    v = F.round(F.col(value_col).cast("double") * F.lit(100.0), 0).cast("long")
     base = (df.select(F.col(key_col).alias("__k"), v.alias("__v"),
                       F.col(tiebreak_col).alias("__t"))
             .filter(F.col("__v").isNotNull()))

@@ -111,23 +111,22 @@ def test_topk_rank_margins(sf_dir):
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
-def test_robust_outliers_cents_floor_margins(sf_dir):
+def test_robust_outliers_cents_round_margins(sf_dir):
     """robust_outliers (r8) integerizes events.value with
-    CAST(floor(value*100) AS BIGINT). The double multiply + floor is
-    bit-identical across engines reading the same parquet doubles, but
-    an engine that instead computed the product in decimal/extended
-    precision would flip the floor only if value*100 sits within
-    rounding distance of an integer from below. Audit: every non-
-    integral product must clear the boundary by far more than the
-    double multiply's relative error (~1e-13 at this magnitude)."""
+    CAST(round(value*100) AS BIGINT), NEAREST integer. This audit is
+    what rejected the first (floor) formulation: cent-like doubles put
+    value*100 within ~1e-15 of integer boundaries, so floor's decision
+    lived in the float-noise band. Round-to-nearest's decision boundary
+    is the HALF-integer; audit: every product must clear it by far more
+    than the multiply's error (~1e-13 at this magnitude) — which also
+    proves no engine tie convention (HALF_UP vs half-even vs
+    away-from-zero) can ever matter on this data."""
     f = glob.glob(f"{sf_dir}/events.parquet")[0]
     vals = pq.read_table(f, columns=["value"]).column("value").to_numpy()
     vals = vals[~np.isnan(vals)]
     p = vals * 100.0
     frac = p - np.floor(p)
-    nonint = frac[(frac != 0.0)]
-    if nonint.size:
-        m = float(min(np.min(nonint), np.min(1.0 - nonint)))
-        assert m > 1e-6, (
-            f"floor(value*100) margin {m:.3e} within multiply-error "
-            "band — the cents integerization is data-fragile here")
+    m = float(np.min(np.abs(frac - 0.5)))
+    assert m > 1e-6, (
+        f"round(value*100) margin {m:.3e} from the half-integer "
+        "boundary — the cents integerization is data-fragile here")

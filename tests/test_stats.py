@@ -56,12 +56,17 @@ def test_exact_boundary_not_outlier(spark):
     assert got[1] == (5, 200, 100, 0)
 
 
-def test_floor_truncation_semantics(spark):
-    """Sub-cent fractions truncate toward -inf (floor), matching the
-    oracle's floor() exactly: 1.239 -> 123, 1.231 -> 123."""
+def test_round_nearest_cent_semantics(spark):
+    """Sub-cent fractions round to the NEAREST cent: 1.239 -> 124,
+    1.231 -> 123; and the classic float trap 0.29 (·100 =
+    28.999999999999996) lands on 29, not floor's 28."""
     got = _ro(spark, {1: [1.239, 1.231, 1.231]})
-    assert got[1][1] == 123  # all three floor to 123 cents
-    assert got[1] == (3, 123, 0, 0)
+    assert got[1][1] == 123  # lower median of {124, 123, 123}
+    # values {124,123,123} -> lower median 123, devs sorted {0,0,1}
+    # -> MAD (2nd) = 0 -> the differing 124 is an outlier
+    assert got[1] == (3, 123, 0, 1)
+    got2 = _ro(spark, {2: [0.29]})
+    assert got2[2] == (1, 29, 0, 0)
 
 
 def test_validation(spark):
