@@ -48,7 +48,16 @@ QUERIES = ["denorm_flat", "q3_top_revenue", "dedup_fingerprint",
            # the same part pairs; measures scan+dedup linearity),
            # dsir_weights (bucket grid is fixed; stream is map-only)
            "winsorize", "edit_dist_pairs", "triangle_count",
-           "dsir_weights"]
+           "dsir_weights",
+           # r8 additions: event_multi_pattern (one coded-string
+           # shuffle shared across patterns), embed_ivf_learned
+           # (n_lists grows as sqrt(N) - probes more, smaller lists),
+           # lm_tail_trained (threshold state O(sources)),
+           # quantile_incremental (bottom-k fold, k rows of state),
+           # ngram_containment (guarded gram index at replicated
+           # scales, same rationale as ngram_jaccard)
+           "event_multi_pattern", "embed_ivf_learned", "lm_tail_trained",
+           "quantile_incremental", "ngram_containment"]
 
 
 def main() -> None:
@@ -72,6 +81,11 @@ def main() -> None:
     qs["winnow_neardup"] = lambda s, d: dd.winnow_overlap_pairs(
         load_parquet_table(s, d, "documents"), k=8, w=4, threshold=0.5,
         max_hash_freq=GUARD)
+    # r8: containment shares the gram-index blowup under replication;
+    # same guard as ngram_jaccard (see module doc)
+    qs["ngram_containment"] = lambda s, d: dd.ngram_containment_pairs(
+        load_parquet_table(s, d, "documents"), n=8, threshold=0.8,
+        max_gram_freq=GUARD)
     # entity_resolution: replication multiplies every (p_brand) block K x,
     # so pairs grow K^2 (first caught live by this tool's sf1 leg — the
     # run sat in a ~1.6B-pair block join). The production answer is a
