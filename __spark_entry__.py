@@ -2785,6 +2785,24 @@ def q_triangle_count(spark, sf_dir):
                            max_degree=4096)
 
 
+def q_kcore_parts(spark, sf_dir):
+    """K-core membership over the part co-purchase graph
+    (functions.graph.k_core, r8): peel parts with fewer than 80
+    co-purchase neighbors until the 80-core stabilizes (5 rounds on
+    this corpus; converged-or-raise at 12) — the density screen that
+    prunes loosely-connected products before community analysis.
+    Returns each core member with its WITHIN-core degree. The k-core
+    fixpoint is peel-order independent, so the oracle's 12 unrolled
+    peel CTEs land on the identical set (extra unrolls are no-ops) and
+    the driver hash-checks the full iterative result, like pagerank."""
+    from bqetl_spark.functions.graph import copurchase_edges, k_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    return k_core(copurchase_edges(li, min_parts=2,
+                                   max_parts_per_order=20),
+                  k=80, max_rounds=12)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (functions.text.dsir_weights, r7 — Xie
     et al. 2023): log-ratio of target vs raw bag-of-hashed-ngrams
@@ -3212,6 +3230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_incremental": q_quantile_incremental,
         "stream_quantile": q_stream_quantile,
         "ngram_containment": q_ngram_containment,
+        "kcore_parts": q_kcore_parts,
         "robust_outliers": q_robust_outliers,
         "entity_resolution": q_entity_resolution,
         "ngram_prefix_jaccard": q_ngram_prefix_jaccard,
@@ -3422,6 +3441,38 @@ _NORM = ("sqrt(list_reduce(list_transform({a}, "
 def _cosine_sql(a: str, b: str) -> str:
     return (f"({_DOT.format(a=a, b=b)} / "
             f"({_NORM.format(a=a)} * {_NORM.format(a=b)}))")
+
+
+def _kcore_cte(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling as DuckDB CTEs (same unroll treatment as
+    _bpe_cte / the pagerank oracle): the k-core is a peel-order-
+    independent fixpoint, so unrolling >= rounds-to-converge iterations
+    is exact — extra iterations are no-ops. The Spark side raises if it
+    needs more than ``rounds`` rounds, so whenever the gate returns,
+    both engines computed the same fixpoint."""
+    ctes = ["""li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+                      CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
+        oks AS (SELECT ok FROM li GROUP BY ok
+                HAVING count(*) BETWEEN 2 AND 20),
+        p AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+              FROM li x JOIN oks USING (ok) JOIN li y USING (ok)
+              WHERE x.pk < y.pk),
+        e0 AS MATERIALIZED (SELECT a AS s, b AS d FROM p
+               UNION ALL SELECT b, a FROM p)"""]
+    # every peel CTE MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # round references the previous one three times, so inlining grows
+    # 3^rounds and re-opens the parquet leaf thousands of times
+    # (EMFILE) — same rationale as dedup_clusters' MATERIALIZED hints
+    for i in range(rounds):
+        ctes.append(f"""x{i} AS MATERIALIZED (SELECT s FROM e{i} GROUP BY s
+                 HAVING count(*) < {k}),
+        e{i + 1} AS MATERIALIZED (SELECT s, d FROM e{i}
+                 WHERE s NOT IN (SELECT s FROM x{i})
+                   AND d NOT IN (SELECT s FROM x{i}))""")
+    return ("WITH " + ",\n        ".join(ctes) +
+            f"""\n        SELECT s AS node,
+               CAST(count(*) AS BIGINT) AS core_degree
+        FROM e{rounds} GROUP BY s""")
 
 
 def _bpe_cte(n_merges: int, emit: str = "merges") -> str:
@@ -5409,6 +5460,8 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT z FROM t)
         SELECT part, CAST(count(*) AS BIGINT) AS n_triangles
         FROM n GROUP BY part"""
+    # kcore_parts (r8): unrolled peeling, see _kcore_cte
+    d["kcore_parts"] = _kcore_cte(k=80, rounds=12)
     # dsir_weights: same md5-bucketed uni+bigram feature stream, same
     # add-one-smoothed integer-product quotient inside ln (operand pairs
     # margin-audited in tests/test_text.py)

@@ -124,6 +124,7 @@ EXTRAS = [
     "quantile_incremental",
     "stream_quantile",
     "ngram_containment",
+    "kcore_parts",
 ]
 
 

@@ -199,3 +199,40 @@ def test_triangle_validation(spark):
     li = spark.createDataFrame([(1, 2)], ["l_orderkey", "l_partkey"])
     with pytest.raises(ValueError):
         copurchase_edges(li, min_parts=1)
+
+
+def test_k_core_peels_to_fixpoint(spark):
+    """r8: triangle {1,2,3} with a pendant 4 on 1 — the 2-core drops
+    the pendant (and only it), each survivor keeping within-core
+    degree 2; peel-order independence means the same set for any chop."""
+    from bqetl_spark.functions.graph import k_core
+
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3), (1, 4)],
+                                  ["a", "b"])
+    got = sorted(map(tuple, k_core(edges, k=2).collect()))
+    assert got == [(1, 2), (2, 2), (3, 2)]
+
+
+def test_k_core_cascading_peel(spark):
+    """A chain 1-2-3-4-5 has NO 2-core: peeling endpoints cascades
+    inward over multiple rounds until nothing is left."""
+    from bqetl_spark.functions.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["a", "b"])
+    assert k_core(edges, k=2, max_rounds=5).count() == 0
+
+
+def test_k_core_converged_or_raise(spark):
+    """max_rounds too small for the cascade -> explicit RuntimeError,
+    never a silently-unconverged result (the oracle unroll contract)."""
+    import pytest
+
+    from bqetl_spark.functions.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="converge"):
+        k_core(edges, k=2, max_rounds=1)
+    with pytest.raises(ValueError):
+        k_core(edges, k=0)

@@ -57,7 +57,7 @@ QUERIES = ["denorm_flat", "q3_top_revenue", "dedup_fingerprint",
            # ngram_containment (guarded gram index at replicated
            # scales, same rationale as ngram_jaccard)
            "event_multi_pattern", "embed_ivf_learned", "lm_tail_trained",
-           "quantile_incremental", "ngram_containment"]
+           "quantile_incremental", "ngram_containment", "kcore_parts"]
 
 
 def main() -> None:

@@ -46,7 +46,8 @@ ROUND_HEAD = {
     # driver hash FAIL and needs its green row first.
     "new_first": ["event_multi_pattern", "embed_ivf_learned",
                   "lm_tail_trained", "quantile_incremental",
-                  "stream_quantile", "ngram_containment"],
+                  "stream_quantile", "ngram_containment",
+                  "kcore_parts"],
     "changed": ["robust_outliers", "entity_resolution",
                 "ngram_prefix_jaccard"],
 }
