@@ -1838,6 +1838,23 @@ def q_bpe_segments(spark, sf_dir):
     return bpe_apply(docs, merges)
 
 
+def q_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility diagnostics (functions.bpe.bpe_fertility,
+    r8): per document, words / subword tokens / fertility (subwords
+    per word, exact ppm) / worst single word, under the 8 merges just
+    learned — the post-training eval every tokenizer pipeline runs
+    (fertility ~1 on covered text, blows up on OOV). Oracle reuses the
+    unrolled-training CTEs' final vocab (v8) + the same two integer
+    aggregations, so the LEARN→APPLY→MEASURE loop is hash-certified
+    end to end."""
+    from bqetl_spark.functions.bpe import bpe_fertility, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r["left"], r["right"])
+              for r in bpe_train(docs, n_merges=8).orderBy("rank").collect()]
+    return bpe_fertility(docs, merges)
+
+
 def q_substring_dup(spark, sf_dir):
     """EXACT substring-duplication pairs (functions.dedup.
     substring_dup_pairs, r7): doc pairs sharing an identical 64-char
@@ -3231,6 +3248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_quantile": q_stream_quantile,
         "ngram_containment": q_ngram_containment,
         "kcore_parts": q_kcore_parts,
+        "bpe_fertility": q_bpe_fertility,
         "robust_outliers": q_robust_outliers,
         "entity_resolution": q_entity_resolution,
         "ngram_prefix_jaccard": q_ngram_prefix_jaccard,
@@ -6335,6 +6353,29 @@ def oracle_sql() -> dict[str, str]:
         FROM dw JOIN seg USING (word),
              LATERAL (SELECT unnest(generate_series(1, len(sym)))
                       AS j) u"""
+    # bpe_fertility (r8): the bpe_segments stream + two integer aggs
+    d["bpe_fertility"] = f"""
+        WITH {_bpe_cte(8, emit="vocab")},
+        dw AS (
+          SELECT doc_id, ws[i] AS word,
+                 CAST(i - 1 AS BIGINT) AS word_pos
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents),
+               LATERAL (SELECT unnest(generate_series(1, len(ws)))
+                        AS i) t
+          WHERE ws[i] != ''
+        ), seg AS (
+          SELECT word, len(string_split(trim(s), '  ')) AS nsym FROM v8
+        ), pw AS (
+          SELECT dw.doc_id, dw.word_pos, seg.nsym
+          FROM dw JOIN seg USING (word))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(nsym) AS BIGINT) AS n_subwords,
+               CAST(sum(nsym) * 1000000 // count(*) AS BIGINT)
+                 AS fertility_ppm,
+               CAST(max(nsym) AS BIGINT) AS max_word_subwords
+        FROM pw GROUP BY doc_id"""
     # prefix-filtered exact jaccard: same answer as ngram_jaccard by the
     # prefix principle (no pair lost) -> same oracle
     # ngram_prefix_jaccard (r8): exact Jaccard over 8-token "title"

@@ -125,6 +125,7 @@ EXTRAS = [
     "stream_quantile",
     "ngram_containment",
     "kcore_parts",
+    "bpe_fertility",
 ]
 
 

@@ -212,3 +212,37 @@ def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
                     # cannot collapse the when() and prune the assert
                     F.when(guard.isNull(), pos)
                     .otherwise(F.lit(None).cast("long")).alias("pos")))
+
+
+def bpe_fertility(docs: DataFrame, merges: list, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document tokenizer fertility statistics (r8) — the
+    diagnostic a pipeline runs after training a subword vocabulary:
+    fertility (subword tokens per word) is THE standard tokenizer
+    quality number (≈1 on well-covered text, blows up on
+    out-of-vocabulary/wrong-language/gibberish documents), so this is
+    both a tokenizer-eval surface and another quality screen.
+
+    Built on :func:`bpe_apply`'s segment stream (map-only chained
+    replaces) + two exact integer aggregations: per (doc, word)
+    subword counts, then per-doc totals. fertility_ppm =
+    n_subwords·10^6 div n_words (exact integer). max_word_subwords
+    flags the worst single word (the BPE failure mode is one
+    pathological token, not a uniform drift).
+
+    Returns (id, n_words BIGINT, n_subwords BIGINT, fertility_ppm
+    BIGINT, max_word_subwords BIGINT). Documents with no words produce
+    no rows (fertility undefined), matching bpe_apply's stream.
+    """
+    segs = bpe_apply(docs, merges, text_col, id_col)
+    per_word = (segs.groupBy(id_col,
+                             F.expr("pos div 1000").alias("__wp"))
+                .agg(F.count("*").alias("__c")))
+    return (per_word.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.sum("__c").cast("long").alias("n_subwords"),
+                 F.max("__c").cast("long").alias("max_word_subwords"))
+            .select(id_col, "n_words", "n_subwords",
+                    F.expr("n_subwords * 1000000 div n_words")
+                    .cast("long").alias("fertility_ppm"),
+                    "max_word_subwords"))

@@ -124,3 +124,22 @@ def test_bpe_apply_guards_pathological_word(spark):
     df = spark.createDataFrame([(1, "x" * 1200)], ["doc_id", "text"])
     with pytest.raises(Exception, match="1000 subword"):
         bpe_apply(df, merges=[]).collect()
+
+
+def test_bpe_fertility_counts(spark):
+    """r8: with no merges, fertility = (chars + 1 </w>) per word;
+    with the 'lo' merge learned from 'low lower', 'low' segments to
+    l o w </w> -> after lo-merge: lo w </w> = 3 symbols."""
+    from bqetl_spark.functions.bpe import bpe_fertility
+
+    df = spark.createDataFrame([(1, "low lower"), (2, "a")],
+                               ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_words"], r["n_subwords"],
+                         r["fertility_ppm"], r["max_word_subwords"])
+           for r in bpe_fertility(df, merges=[]).collect()}
+    # 'low' -> l o w </w> (4), 'lower' -> 6, 'a' -> a </w> (2)
+    assert got[1] == (2, 10, 5_000_000, 6)
+    assert got[2] == (1, 2, 2_000_000, 2)
+    got2 = {r["doc_id"]: r["n_subwords"]
+            for r in bpe_fertility(df, merges=[("l", "o")]).collect()}
+    assert got2[1] == 8  # lo w </w> (3) + lo w e r </w> (5)
