@@ -3231,11 +3231,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* history — (1) brand-new gates needing first-ever
     # driver rows, (2) gates whose code or oracle changed this round,
     # (3) everything else oldest newest-green-driver-row first. The r8
-    # head: robust_outliers (the one r7 hash FAIL, integerized to cents
-    # BIGINT), entity_resolution (capped (brand,type) production
-    # shape), ngram_prefix_jaccard (short-record title fixture) — then
-    # the 8 r3-stale gates (orders_above_customer_avg ...
-    # unpivot_part_metrics) and the oldest r4 rows fill the window.
+    # head: 8 NEW gates (event_multi_pattern, embed_ivf_learned,
+    # lm_tail_trained, quantile_incremental, stream_quantile,
+    # ngram_containment, kcore_parts, bpe_fertility), then the 3
+    # CHANGED gates (robust_outliers — the one r7 hash FAIL, now
+    # nearest-cent BIGINT; entity_resolution — capped (brand,type)
+    # production shape; ngram_prefix_jaccard — short-record title
+    # fixture), then the 8 r3-stale gates (orders_above_customer_avg
+    # ... unpivot_part_metrics) and the oldest r4 rows fill the
+    # 50-slot window.
     # Regenerate after gate changes with:
     #   python3 tools/window_order.py --new <gates> --changed <gates>
     # tests/test_entry.py::test_window_order_matches_tool pins dict order
