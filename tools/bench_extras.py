@@ -20,13 +20,14 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-    ROOT, "BENCH_EXTRAS_r07.json")
+    ROOT, "BENCH_EXTRAS_r08.json")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM_DIR = "/root/testdata/sf0.01"
 DUCK_CAP_S = 60
 # no duck timing: write-path/stream gates (oracle checks final state, not
 # the pipeline) — timing the SQL would compare apples to pipelines
-NO_DUCK = {"stream_kmv", "compression_ratio"}
+NO_DUCK = {"stream_kmv", "stream_hll", "stream_cms",
+           "stream_quantile", "compression_ratio"}
 
 
 def main() -> None:
