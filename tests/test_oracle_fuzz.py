@@ -152,7 +152,18 @@ def _check(spark, sf_dir, name):
                                   "edit_dist_pairs",
                                   # r7 late: hashed-ngram models under
                                   # tiny/blank/ref-only corpora
-                                  "dsir_weights"])
+                                  "dsir_weights",
+                                  # r8: asymmetric containment — tiny
+                                  # word-soup docs hit the truncated-gram
+                                  # (len<n) branch and near-full overlaps
+                                  "ngram_containment",
+                                  # r8: trained split — tiny corpora
+                                  # exercise empty calibration slices
+                                  # ('uncalibrated' branch) + nll ties
+                                  "lm_tail_trained",
+                                  # r8: fertility aggs under early-stop
+                                  # merge tables / single-word docs
+                                  "bpe_fertility"])
 def test_doc_gates_on_random_corpora(spark, tmp_path_factory, gate):
     @_SET
     @given(rows=_doc_strategy)
@@ -197,6 +208,8 @@ def test_event_gates_on_random_streams(spark, tmp_path_factory, evs):
                  "attribution",       # r7: exact window-edge touches
                  "hll_sliding",       # r7: sparse/adjacent hour mixes
                  "robust_outliers",   # r7: MAD=0 groups, tie-heavy values
+                 "quantile_incremental",  # r8: half-sketch fold == full
+                                          # bottom-k under tiny streams
                  "winsorize"):        # r7: k >= n exact-threshold regime
         _check(spark, d, gate)
 
