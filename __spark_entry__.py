@@ -2820,6 +2820,28 @@ def q_kcore_parts(spark, sf_dir):
                   k=80, max_rounds=12)
 
 
+def q_lpa_communities(spark, sf_dir):
+    """Synchronous label-propagation communities (functions.graph.
+    label_propagation, r8 — Raghavan et al.) over the WEIGHTED
+    co-purchase graph (pairs co-purchased on >= 2 distinct orders —
+    the sparsifier that turns the dense basket graph into real
+    structure: 297 communities at sf0.01 vs ONE on the raw graph).
+    5 fixed synchronous iterations, most-frequent-neighbor label with
+    smallest-label tie-break — a pure function of the previous
+    labeling, so the snapshot is deterministic and the oracle's
+    unrolled MATERIALIZED CTE chain hash-matches it bit-for-bit (the
+    pagerank treatment). Per iteration: one edge-label equi-join + one
+    combinable count + one per-node top-1 window; labels
+    lineage-cut per round."""
+    from bqetl_spark.functions.graph import (copurchase_edges,
+                                             label_propagation)
+
+    li = _t(spark, sf_dir, "lineitem")
+    return label_propagation(
+        copurchase_edges(li, min_parts=2, max_parts_per_order=20,
+                         min_orders=2), iters=5)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (functions.text.dsir_weights, r7 — Xie
     et al. 2023): log-ratio of target vs raw bag-of-hashed-ngrams
@@ -3253,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": q_ngram_containment,
         "kcore_parts": q_kcore_parts,
         "bpe_fertility": q_bpe_fertility,
+        "lpa_communities": q_lpa_communities,
         "robust_outliers": q_robust_outliers,
         "entity_resolution": q_entity_resolution,
         "ngram_prefix_jaccard": q_ngram_prefix_jaccard,
@@ -3463,6 +3486,43 @@ _NORM = ("sqrt(list_reduce(list_transform({a}, "
 def _cosine_sql(a: str, b: str) -> str:
     return (f"({_DOT.format(a=a, b=b)} / "
             f"({_NORM.format(a=a)} * {_NORM.format(a=b)}))")
+
+
+def _lpa_cte(iters: int, min_orders: int) -> str:
+    """Unrolled synchronous label propagation as DuckDB CTEs (pagerank
+    treatment): labels start as node ids; each iteration re-labels every
+    node with its neighbors' most frequent label (count DESC, label ASC
+    tie-break) — a pure function of the previous labeling, so the
+    fixed-iteration snapshot replays bit-for-bit. MATERIALIZED like the
+    k-core chain (plain CTEs inline multiplicatively)."""
+    ctes = [f"""li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+                      CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
+        oks AS (SELECT ok FROM li GROUP BY ok
+                HAVING count(*) BETWEEN 2 AND 20),
+        pr AS (SELECT x.pk AS a, y.pk AS b
+               FROM li x JOIN oks USING (ok) JOIN li y USING (ok)
+               WHERE x.pk < y.pk),
+        p AS MATERIALIZED (
+          SELECT a, b FROM (SELECT a, b, count(*) AS w
+                            FROM pr GROUP BY 1, 2)
+          WHERE w >= {min_orders}),
+        e0 AS MATERIALIZED (SELECT a AS s, b AS d FROM p
+               UNION ALL SELECT b, a FROM p),
+        l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lbl FROM e0)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""n{i} AS MATERIALIZED (
+          SELECT e.s, l.lbl, count(*) AS c
+          FROM e0 e JOIN l{i - 1} l ON e.d = l.node GROUP BY 1, 2),
+        l{i} AS MATERIALIZED (
+          SELECT s AS node, lbl FROM (
+            SELECT s, lbl, row_number() OVER (
+              PARTITION BY s ORDER BY c DESC, lbl ASC) AS rn
+            FROM n{i}) WHERE rn = 1)""")
+    return ("WITH " + ",\n        ".join(ctes) +
+            f"""\n        SELECT node, lbl AS community,
+               CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT)
+                 AS community_size
+        FROM l{iters}""")
 
 
 def _kcore_cte(k: int, rounds: int) -> str:
@@ -5484,6 +5544,8 @@ def oracle_sql() -> dict[str, str]:
         FROM n GROUP BY part"""
     # kcore_parts (r8): unrolled peeling, see _kcore_cte
     d["kcore_parts"] = _kcore_cte(k=80, rounds=12)
+    # lpa_communities (r8): unrolled synchronous LPA, see _lpa_cte
+    d["lpa_communities"] = _lpa_cte(iters=5, min_orders=2)
     # dsir_weights: same md5-bucketed uni+bigram feature stream, same
     # add-one-smoothed integer-product quotient inside ln (operand pairs
     # margin-audited in tests/test_text.py)

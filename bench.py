@@ -126,6 +126,7 @@ EXTRAS = [
     "ngram_containment",
     "kcore_parts",
     "bpe_fertility",
+    "lpa_communities",
 ]
 
 

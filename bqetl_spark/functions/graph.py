@@ -139,7 +139,8 @@ def node_label(node) -> "F.Column":
 
 def copurchase_edges(lineitem: DataFrame, min_parts: int = 2,
                      max_parts_per_order: int = 20,
-                     prefilter_counts: bool = False) -> DataFrame:
+                     prefilter_counts: bool = False,
+                     min_orders: int = 1) -> DataFrame:
     """Undirected part co-purchase edges: one edge per DISTINCT unordered
     partkey pair appearing on the same order, canonicalized a < b.
 
@@ -181,7 +182,18 @@ def copurchase_edges(lineitem: DataFrame, min_parts: int = 2,
         """flatten(transform(ps, (x, i) ->
                transform(slice(ps, i + 2, size(ps)),
                          y -> struct(x AS a, y AS b))))"""))
-    return arrs.select(pair.alias("p")).select("p.a", "p.b").distinct()
+    pairs = arrs.select(pair.alias("p")).select("p.a", "p.b")
+    if min_orders > 1:
+        # weight threshold (r8): keep pairs co-purchased on >= min_orders
+        # DISTINCT orders — the standard sparsifier that turns the dense
+        # everything-touches-everything basket graph into real structure
+        # (per-order part lists are already distinct, so the pair count
+        # IS the distinct-order count). Same groupBy key as the distinct.
+        return (pairs.groupBy("a", "b")
+                .agg(F.count("*").alias("__w"))
+                .filter(F.col("__w") >= min_orders)
+                .select("a", "b"))
+    return pairs.distinct()
 
 
 def triangle_counts(edges: DataFrame, max_degree: int = 4096,
@@ -338,3 +350,58 @@ def k_core(edges: DataFrame, k: int, a_col: str = "a", b_col: str = "b",
     return (e.groupBy("s")
             .agg(F.count("*").cast("long").alias("core_degree"))
             .select(F.col("s").alias("node"), "core_degree"))
+
+
+def label_propagation(edges: DataFrame, iters: int = 5,
+                      a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Synchronous label-propagation community detection (r8), run for
+    a FIXED number of iterations — the near-linear community baseline
+    (Raghavan et al. 2007) the graph family was missing between
+    connected_components (pure reachability) and the heavier modularity
+    methods. Labels start as node ids; each iteration every node
+    adopts the most frequent label among its neighbors, ties broken by
+    the SMALLEST label — with synchronous (all-nodes-at-once) updates
+    that argmax is a pure function of the previous labeling, so the
+    result after exactly ``iters`` rounds is deterministic and
+    bit-replayable by an unrolled SQL chain (the pagerank treatment;
+    asynchronous LPA's update-order dependence is exactly what this
+    variant trades away, and the textbook label oscillation on
+    bipartite-ish structure is why the contract is a fixed-iteration
+    SNAPSHOT, not convergence).
+
+    Shape per iteration: one equi-join of the (checkpointed, static)
+    edge list against the O(nodes) label table, one
+    map-side-combinable (node, label) count, one per-node top-1 window
+    — then the label table is lineage-cut (localCheckpoint, the
+    connected_components discipline). Nothing quadratic anywhere;
+    per-iteration cost is O(|E|) join rows.
+
+    Returns (node BIGINT, community BIGINT, community_size BIGINT) —
+    community = the surviving label (a node id), sizes computed over
+    the final labeling. Isolated nodes never enter the edge list and
+    produce no rows (consistent with the co-purchase builders).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    from pyspark.sql import Window
+
+    e = (edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+         .unionByName(edges.select(F.col(b_col).alias("s"),
+                                   F.col(a_col).alias("d")))
+         .localCheckpoint())
+    labels = (e.select(F.col("s").alias("node")).distinct()
+              .withColumn("lbl", F.col("node"))
+              .localCheckpoint())
+    w = Window.partitionBy("s").orderBy(F.desc("__c"), F.asc("lbl"))
+    for _ in range(iters):
+        neigh = (e.join(labels.withColumnRenamed("node", "d"), "d")
+                 .groupBy("s", "lbl").agg(F.count("*").alias("__c")))
+        labels = (neigh.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1)
+                  .select(F.col("s").alias("node"), "lbl")
+                  .localCheckpoint())
+    ws = Window.partitionBy("lbl")
+    return (labels.select(F.col("node"),
+                          F.col("lbl").alias("community"),
+                          F.count("*").over(ws).cast("long")
+                          .alias("community_size")))

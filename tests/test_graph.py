@@ -236,3 +236,56 @@ def test_k_core_converged_or_raise(spark):
         k_core(edges, k=2, max_rounds=1)
     with pytest.raises(ValueError):
         k_core(edges, k=0)
+
+
+def test_label_propagation_two_cliques(spark):
+    """r8 LPA: two triangles joined by one bridge edge — each triangle
+    collapses to its own min-label community; the deterministic
+    smallest-label tie-break decides the bridge endpoints' homes."""
+    from bqetl_spark.functions.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        ["a", "b"])
+    out = {r["node"]: (r["community"], r["community_size"])
+           for r in label_propagation(edges, iters=5).collect()}
+    # triangle {1,2,3} -> community 1; {4,5,6} pulls toward its own
+    # min label but the bridge lets label 1 leak to 4: the fixed-point
+    # of the SYNCHRONOUS argmax is deterministic either way — assert
+    # the structure, not a hand-picked labeling
+    assert len(out) == 6
+    comms = {}
+    for n, (c, _s) in out.items():
+        comms.setdefault(c, set()).add(n)
+    # sizes consistent with membership
+    for n, (c, size) in out.items():
+        assert size == len(comms[c])
+    # the two triangle cores agree within themselves
+    assert out[1][0] == out[2][0]
+    assert out[5][0] == out[6][0]
+
+
+def test_label_propagation_deterministic_and_validates(spark):
+    import pytest
+
+    from bqetl_spark.functions.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["a", "b"])
+    a = sorted(map(tuple, label_propagation(edges, iters=3).collect()))
+    b = sorted(map(tuple, label_propagation(edges, iters=3).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        label_propagation(edges, iters=0)
+
+
+def test_copurchase_min_orders_threshold(spark):
+    """min_orders=2 keeps only pairs co-purchased on >= 2 distinct
+    orders."""
+    from bqetl_spark.functions.graph import copurchase_edges
+
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 30)]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    all_pairs = sorted(map(tuple, copurchase_edges(li).collect()))
+    assert all_pairs == [(10, 20), (10, 30)]
+    w2 = sorted(map(tuple, copurchase_edges(li, min_orders=2).collect()))
+    assert w2 == [(10, 20)]

@@ -47,7 +47,8 @@ ROUND_HEAD = {
     "new_first": ["event_multi_pattern", "embed_ivf_learned",
                   "lm_tail_trained", "quantile_incremental",
                   "stream_quantile", "ngram_containment",
-                  "kcore_parts", "bpe_fertility"],
+                  "kcore_parts", "bpe_fertility",
+                  "lpa_communities"],
     "changed": ["robust_outliers", "entity_resolution",
                 "ngram_prefix_jaccard"],
 }
