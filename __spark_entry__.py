@@ -2426,9 +2426,9 @@ def q_quantile_incremental(spark, sf_dir):
     sample without re-scanning history. Completes the persisted-sketch
     family: KMV, CMS, HLL, bloom, and now quantiles."""
     ev = _t(spark, sf_dir, "events")
-    a = sk.quantile_sketch(ev.filter(F.col("event_id") % 2 == 1),
+    a = sk.quantile_sketch(ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1),
                            "value", F.col("event_id"), k=1024)
-    b = sk.quantile_sketch(ev.filter(F.col("event_id") % 2 == 0),
+    b = sk.quantile_sketch(ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0),
                            "value", F.col("event_id"), k=1024)
     return sk.quantiles_from_sketch(
         sk.quantile_sketch_merge(a, b, k=1024), qs=(0.5, 0.9, 0.99))
@@ -3207,6 +3207,36 @@ def q_hll_distinct(spark, sf_dir):
     return est.join(exact, "l_returnflag")
 
 
+def q_hll_bias_corrected(spark, sf_dir):
+    """HLL++ bias-corrected cardinality (functions.sketch.
+    hll_estimate_corrected, r9): distinct customers per order half-year
+    estimated from the SAME 256 registers as hll_distinct, with the
+    Heule-et-al. mid-range correction — piecewise-linear interpolated
+    bias over the 22-anchor table calibrated in-repo for this md5/60-bit
+    hash family (tools/calibrate_hll_bias.py; constants LITERAL on both
+    engines). At sf0.01 the half-year groups land ~770-830 distinct —
+    squarely in the corrected branch (raw in (640, 1280], nonzero bias);
+    at sf0.1 they exceed 5m and pass through raw, and one short stub
+    half exercises linear counting, so every branch is driver-covered
+    across SFs. est_plain (the uncorrected estimator) and exact_cnt ride
+    along so the artifact itself shows the error tightening."""
+    orders = _t(spark, sf_dir, "orders")
+    keyed = orders.select(
+        F.concat_ws(
+            "-", F.year("o_orderdate").cast("string"),
+            F.floor((F.month("o_orderdate") + F.lit(5)) / F.lit(6))
+            .cast("string")).alias("half"),
+        "o_custkey")
+    regs = sk.hll_sketch(keyed, "o_custkey", "half")
+    corr = sk.hll_estimate_corrected(regs, "half")
+    plain = (sk.hll_estimate(regs, "half")
+             .select("half", F.col("est").alias("est_plain")))
+    exact = (keyed.groupBy("half")
+             .agg(F.countDistinct("o_custkey").cast("long")
+                  .alias("exact_cnt")))
+    return corr.join(plain, "half").join(exact, "half")
+
+
 def q_bloom_prune(spark, sf_dir):
     """Bloom-filter fact-side pruning (functions.sketch.bloom_build/
     bloom_might_contain, r7) — the explicit runtime-filter shape: build
@@ -3252,71 +3282,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r6 item 1): tools/window_order.py derives it from the
     # CORRECTNESS_r* history — (1) brand-new gates needing first-ever
     # driver rows, (2) gates whose code or oracle changed this round,
-    # (3) everything else oldest newest-green-driver-row first. The r8
-    # head: 8 NEW gates (event_multi_pattern, embed_ivf_learned,
-    # lm_tail_trained, quantile_incremental, stream_quantile,
-    # ngram_containment, kcore_parts, bpe_fertility), then the 3
-    # CHANGED gates (robust_outliers — the one r7 hash FAIL, now
-    # nearest-cent BIGINT; entity_resolution — capped (brand,type)
-    # production shape; ngram_prefix_jaccard — short-record title
-    # fixture), then the 8 r3-stale gates (orders_above_customer_avg
-    # ... unpivot_part_metrics) and the oldest r4 rows fill the
-    # 50-slot window.
+    # (3) everything else oldest newest-green-driver-row first. The r9
+    # head: the NEW r9 gates (hll_bias_corrected, unigram_train,
+    # unigram_segments, ppr_seeded, lang_id_trained, multimodal_gif,
+    # lpa_modularity), then the 1 CHANGED gate (quantile_incremental —
+    # odd-half split flipped to pmod per ADVICE r8), then the oldest
+    # driver rows (the r4 cohort from stream_dedup alphabetically
+    # onward plus the r5 block) fill the 50-slot window.
     # Regenerate after gate changes with:
     #   python3 tools/window_order.py --new <gates> --changed <gates>
     # tests/test_entry.py::test_window_order_matches_tool pins dict order
     # to the tool's output so the comment cannot drift from reality.
     return {
-        "event_multi_pattern": q_event_multi_pattern,
-        "embed_ivf_learned": q_embed_ivf_learned,
-        "lm_tail_trained": q_lm_tail_trained,
+        "hll_bias_corrected": q_hll_bias_corrected,
         "quantile_incremental": q_quantile_incremental,
-        "stream_quantile": q_stream_quantile,
-        "ngram_containment": q_ngram_containment,
-        "kcore_parts": q_kcore_parts,
-        "bpe_fertility": q_bpe_fertility,
-        "lpa_communities": q_lpa_communities,
-        "robust_outliers": q_robust_outliers,
-        "entity_resolution": q_entity_resolution,
-        "ngram_prefix_jaccard": q_ngram_prefix_jaccard,
-        "orders_above_customer_avg": q_orders_above_customer_avg,
-        "quality_filter": q_quality_filter,
-        "range_join_bands": q_range_join_bands,
-        "schema_projection": q_schema_projection,
-        "text_quality": q_text_quality,
-        "token_stats": q_token_stats,
-        "top_tokens": q_top_tokens,
-        "unpivot_part_metrics": q_unpivot_part_metrics,
-        "asof_purchase": q_asof_purchase,
-        "conditional_aggs": q_conditional_aggs,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_keep_best": q_dedup_keep_best,
-        "denorm_flat": q_denorm_flat,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "doc_chunks": q_doc_chunks,
-        "embed_ivf_topk": q_embed_ivf_topk,
-        "embed_lsh_topk": q_embed_lsh_topk,
-        "events_hourly": q_events_hourly,
-        "except_segments": q_except_segments,
-        "forecast_revenue": q_forecast_revenue,
-        "heavy_suppliers": q_heavy_suppliers,
-        "heavy_tokens": q_heavy_tokens,
-        "idle_customers": q_idle_customers,
-        "important_parts": q_important_parts,
-        "min_price_supplier": q_min_price_supplier,
-        "namespace_project": q_namespace_project,
-        "nest_chunked": q_nest_chunked,
-        "nest_orders": q_nest_orders,
-        "orc_roundtrip": q_orc_roundtrip,
-        "order_count_histogram": q_order_count_histogram,
-        "pack_sequences": q_pack_sequences,
-        "parts_never_ordered": q_parts_never_ordered,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_revenue": q3_top_revenue,
-        "q5_region_revenue": q5_region_revenue,
-        "quantity_percentiles": q_quantity_percentiles,
-        "returned_revenue_topn": q_returned_revenue_topn,
-        "rollup_revenue": q_rollup_revenue,
         "salted_join": q_salted_join,
         "sample_hash": q_sample_hash,
         "scd2_intervals": q_scd2_intervals,
@@ -3462,6 +3441,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "upsert_customers": q_upsert_customers,
         "winsorize": q_winsorize,
+        "asof_purchase": q_asof_purchase,
+        "bpe_fertility": q_bpe_fertility,
+        "conditional_aggs": q_conditional_aggs,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_keep_best": q_dedup_keep_best,
+        "denorm_flat": q_denorm_flat,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "doc_chunks": q_doc_chunks,
+        "embed_ivf_learned": q_embed_ivf_learned,
+        "embed_ivf_topk": q_embed_ivf_topk,
+        "embed_lsh_topk": q_embed_lsh_topk,
+        "entity_resolution": q_entity_resolution,
+        "event_multi_pattern": q_event_multi_pattern,
+        "events_hourly": q_events_hourly,
+        "except_segments": q_except_segments,
+        "forecast_revenue": q_forecast_revenue,
+        "heavy_suppliers": q_heavy_suppliers,
+        "heavy_tokens": q_heavy_tokens,
+        "idle_customers": q_idle_customers,
+        "important_parts": q_important_parts,
+        "kcore_parts": q_kcore_parts,
+        "lm_tail_trained": q_lm_tail_trained,
+        "lpa_communities": q_lpa_communities,
+        "min_price_supplier": q_min_price_supplier,
+        "namespace_project": q_namespace_project,
+        "nest_chunked": q_nest_chunked,
+        "nest_orders": q_nest_orders,
+        "ngram_containment": q_ngram_containment,
+        "ngram_prefix_jaccard": q_ngram_prefix_jaccard,
+        "orc_roundtrip": q_orc_roundtrip,
+        "order_count_histogram": q_order_count_histogram,
+        "orders_above_customer_avg": q_orders_above_customer_avg,
+        "pack_sequences": q_pack_sequences,
+        "parts_never_ordered": q_parts_never_ordered,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue": q3_top_revenue,
+        "q5_region_revenue": q5_region_revenue,
+        "quality_filter": q_quality_filter,
+        "quantity_percentiles": q_quantity_percentiles,
+        "range_join_bands": q_range_join_bands,
+        "returned_revenue_topn": q_returned_revenue_topn,
+        "robust_outliers": q_robust_outliers,
+        "rollup_revenue": q_rollup_revenue,
+        "schema_projection": q_schema_projection,
+        "stream_quantile": q_stream_quantile,
+        "text_quality": q_text_quality,
+        "token_stats": q_token_stats,
+        "top_tokens": q_top_tokens,
+        "unpivot_part_metrics": q_unpivot_part_metrics,
     }
 
 
@@ -6286,6 +6314,56 @@ def oracle_sql() -> dict[str, str]:
                     THEN e.lc ELSE e.raw END AS BIGINT) AS est,
                exact.exact_cnt
         FROM e JOIN exact USING (g)"""
+    # HLL++ bias correction: identical register/raw/lc replay as
+    # hll_distinct, plus the interpolated-bias CASE ladder generated
+    # from the SAME literal HLL_BIAS_TABLE as the Spark expression
+    d["hll_bias_corrected"] = f"""
+        WITH k AS (
+          SELECT CAST(year(o_orderdate) AS VARCHAR) || '-' ||
+                 CAST((month(o_orderdate) + 5) // 6 AS VARCHAR) AS g,
+                 o_custkey AS v
+          FROM orders),
+        h AS (
+          SELECT g, ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))
+                   ::BIGINT AS hv
+          FROM k WHERE v IS NOT NULL),
+        rr AS (
+          SELECT g, (hv >> 52)::INT AS bucket,
+                 CAST(CASE WHEN (hv & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                      ELSE 53 - length(bin(hv & ((1::BIGINT << 52) - 1)))
+                      END AS INT) AS rho
+          FROM h),
+        reg AS (SELECT g, bucket, max(rho) AS max_rho
+                FROM rr GROUP BY g, bucket),
+        agg AS (
+          SELECT g, CAST(count(*) AS INT) AS n_buckets,
+                 sum((1::BIGINT << (53 - max_rho))) AS pow_sum
+          FROM reg GROUP BY g),
+        e AS (
+          SELECT g, n_buckets,
+                 CAST({sk.HLL_RAW_NUM} AS HUGEINT)
+                   // (CAST(1000000 AS HUGEINT) *
+                       ((256 - n_buckets)::HUGEINT * (1::BIGINT << 53)
+                        + pow_sum)) AS raw,
+                 (CAST(256 AS BIGINT) *
+                  CAST(floor(1000000 * ln(256.0 / (256 - n_buckets)))
+                       AS BIGINT)) // 1000000 AS lc
+          FROM agg),
+        est AS (
+          SELECT g, n_buckets,
+                 CAST(CASE WHEN n_buckets < 256 AND raw <= 640 THEN lc
+                      WHEN raw <= 1280 THEN
+                        raw - ({sk.hll_bias_case_sql('raw')})
+                      ELSE raw END AS BIGINT) AS est,
+                 CAST(CASE WHEN n_buckets < 256 AND raw <= 640 THEN lc
+                      ELSE raw END AS BIGINT) AS est_plain
+          FROM e),
+        exact AS (
+          SELECT g, CAST(count(DISTINCT v) AS BIGINT) AS exact_cnt
+          FROM k GROUP BY g)
+        SELECT est.g AS half, est.n_buckets, est.est, est.est_plain,
+               exact.exact_cnt
+        FROM est JOIN exact USING (g)"""
     # bloom filter: the bitmap-bit test is set-equivalent to "all k md5
     # positions present among the build side's positions", which is what
     # the join-count replay computes; false_neg is 0 by construction

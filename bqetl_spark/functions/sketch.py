@@ -372,6 +372,10 @@ def cms_merge(*sketches: DataFrame, width: int | None = None,
     silently producing a wrong grid)."""
     if not sketches:
         raise ValueError("need at least one sketch")
+    if (width is None) != (depth is None):
+        raise ValueError(
+            "cms_merge: pass BOTH width and depth (or neither) — a "
+            "half-specified grid cannot be range-validated")
     if width is not None and depth is not None:
         sketches = tuple(_cms_guarded(s, width, depth) for s in sketches)
     u = sketches[0]
@@ -432,6 +436,25 @@ HLL_ALPHA_PPM = 718272
 # alpha_ppm * m^2 * 2^HLL_RHO_MAX: the raw-estimate numerator as one
 # exact integer constant (DECIMAL(38,0) / HUGEINT on the two engines).
 HLL_RAW_NUM = HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << HLL_RHO_MAX)
+
+# HLL++ empirical bias-correction table (Heule et al., EDBT'13 §5.2):
+# (mean raw estimate, mean raw - true n) anchors through the correction
+# zone raw <= 5m = 1280, calibrated for THIS hash family / integer
+# estimate by tools/calibrate_hll_bias.py (1000 deterministic md5
+# streams per anchor; Google's published 200-point tables target their
+# 64-bit hash and are not reproducible offline — same method, our
+# parameters). Trailing all-zero anchors trimmed: bias is 0 from
+# raw >= 1025 on. LITERAL constants — the Spark expression and the
+# DuckDB oracle CASE ladder are both generated from this one table, so
+# the piecewise-linear interpolation replays bit-identically.
+HLL_BIAS_TABLE = (
+    (528, 28), (550, 25), (573, 23), (595, 20),
+    (618, 18), (642, 17), (664, 14), (687, 12),
+    (710, 10), (734, 9), (758, 8), (782, 7),
+    (806, 6), (831, 6), (854, 4), (879, 4),
+    (903, 3), (927, 2), (951, 1), (976, 1),
+    (1001, 1), (1025, 0),
+)
 
 
 def hll_sketch(df: DataFrame, value_col, group_col: str | None = None
@@ -518,6 +541,86 @@ def hll_estimate(registers: DataFrame, group_col: str | None = None
             .select(*keys, "n_buckets",
                     F.when((F.col("n_buckets") < HLL_M)
                            & (F.col("__raw") <= 5 * HLL_M // 2), lc)
+                    .otherwise(F.col("__raw"))
+                    .cast("long").alias("est")))
+
+
+def hll_bias(raw) -> "F.Column":
+    """Piecewise-linear interpolated bias at integer raw estimate ``raw``
+    over HLL_BIAS_TABLE — the HLL++ mid-range correction term. Every
+    term is a non-negative BIGINT (anchors ascending, biases >= 0), so
+    Spark's ``div`` and DuckDB's ``//`` agree (trunc == floor on
+    non-negatives) and the correction is exact cross-engine. Below the
+    first anchor the first bias applies; at/above the last anchor the
+    last (zero) bias applies."""
+    raw = F.col(raw) if isinstance(raw, str) else raw
+    tbl = HLL_BIAS_TABLE
+    expr = F.when(raw < tbl[0][0], F.lit(tbl[0][1]))
+    for (x0, b0), (x1, b1) in zip(tbl, tbl[1:]):
+        # numerator <= max_bias * anchor_gap ~ 700: exact in a double,
+        # so floor(/) == integer floor division on both engines
+        num = (F.lit(b0) * (F.lit(x1) - raw)
+               + F.lit(b1) * (raw - F.lit(x0)))
+        expr = expr.when(raw < x1, F.floor(num / F.lit(x1 - x0)))
+    return expr.otherwise(F.lit(tbl[-1][1])).cast("long")
+
+
+def hll_bias_case_sql(raw_expr: str) -> str:
+    """The DuckDB CASE ladder computing hll_bias(raw_expr) from the SAME
+    HLL_BIAS_TABLE literals — embed in oracle SQL so the interpolation
+    arithmetic is replayed bit-identically (integer // only)."""
+    tbl = HLL_BIAS_TABLE
+    parts = [f"WHEN {raw_expr} < {tbl[0][0]} THEN {tbl[0][1]}"]
+    for (x0, b0), (x1, b1) in zip(tbl, tbl[1:]):
+        parts.append(
+            f"WHEN {raw_expr} < {x1} THEN "
+            f"(({b0} * ({x1} - {raw_expr}) + {b1} * ({raw_expr} - {x0})))"
+            f" // {x1 - x0}")
+    return ("CASE " + " ".join(parts)
+            + f" ELSE {tbl[-1][1]} END")
+
+
+def hll_estimate_corrected(registers: DataFrame,
+                           group_col: str | None = None) -> DataFrame:
+    """HLL++ bias-corrected estimate (Heule et al., EDBT'13): identical
+    to hll_estimate except in the mid range — when linear counting does
+    NOT apply (registers full, or raw past the 5m/2 handoff) and
+    raw <= 5m, return raw - hll_bias(raw), the empirically-calibrated
+    overestimation of the raw harmonic-mean estimator. Branches:
+
+        V < m and raw <= 5m/2  ->  linear counting      (unchanged)
+        raw <= 5m              ->  raw - bias(raw)      (NEW, HLL++)
+        else                   ->  raw                  (unchanged)
+
+    The lc handoff keeps this repo's audited small-range behavior (the
+    paper's per-precision threshold table serves the same crossover
+    role); tests/test_sketch_hll_bloom.py pins the corrected estimator
+    strictly more accurate than hll_estimate on hold-out mid-range
+    streams. Same input registers, same single shuffle; the correction
+    is a constant-folded scalar CASE."""
+    keys = [group_col] if group_col else []
+    agg = (registers.groupBy(*keys)
+           .agg(F.count("*").cast("int").alias("n_buckets"),
+                F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_MAX} - max_rho)"))
+                .alias("pow_sum")))
+    s_full = (F.lit(HLL_M) - F.col("n_buckets")).cast("long") \
+        * F.lit(1 << HLL_RHO_MAX) + F.col("pow_sum")
+    raw = F.expr(
+        f"CAST({HLL_RAW_NUM} AS DECIMAL(38,0)) div "
+        f"(CAST(1000000 AS DECIMAL(38,0)) * CAST(__s AS DECIMAL(38,0)))"
+    ).cast("long")
+    ln_ppm = F.floor(F.lit(10**6)
+                     * F.log(F.lit(float(HLL_M))
+                             / (F.lit(HLL_M) - F.col("n_buckets"))))
+    lc = F.expr(f"CAST({HLL_M} AS BIGINT) * __ln_ppm div 1000000")
+    return (agg.withColumn("__s", s_full)
+            .withColumn("__raw", raw)
+            .withColumn("__ln_ppm", ln_ppm)
+            .select(*keys, "n_buckets",
+                    F.when((F.col("n_buckets") < HLL_M)
+                           & (F.col("__raw") <= 5 * HLL_M // 2), lc)
+                    .when(F.col("__raw") <= 5 * HLL_M,
+                          F.col("__raw") - hll_bias("__raw"))
                     .otherwise(F.col("__raw"))
                     .cast("long").alias("est")))
 

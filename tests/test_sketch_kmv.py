@@ -309,3 +309,16 @@ def test_quantile_sketch_drops_nulls_and_validates(spark):
         quantile_sketch_merge()
     with pytest.raises(ValueError):
         quantiles_from_sketch(sk_, qs=(1.5,))
+
+
+def test_cms_merge_rejects_half_specified_grid(spark):
+    """ADVICE r8: passing only one of width/depth must raise instead of
+    silently skipping the cell-range guard."""
+    from bqetl_spark.functions.sketch import cms_merge, cms_sketch
+
+    df = spark.createDataFrame([(str(i),) for i in range(20)], ["v"])
+    sk = cms_sketch(df, "v", 64, 3)
+    with pytest.raises(ValueError, match="BOTH width and depth"):
+        cms_merge(sk, sk, width=64)
+    with pytest.raises(ValueError, match="BOTH width and depth"):
+        cms_merge(sk, sk, depth=3)

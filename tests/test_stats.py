@@ -1,6 +1,6 @@
 """robust_outliers: lower-median selection, MAD semantics, exact
 integer-cents boundaries (r8: DECIMAL cast replaced by
-floor(value*100) BIGINT — no engine rounding-mode dependence)."""
+round(value*100) BIGINT — no engine rounding-mode dependence)."""
 
 from __future__ import annotations
 

@@ -38,19 +38,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # queries() dict order to compute_order(..., **ROUND_HEAD), so a stale
 # constant fails the suite instead of silently drifting.
 ROUND_HEAD = {
-    # r8: no brand-new gates yet; changed = the three r7-verdict fixes
-    # (robust_outliers integerized to cents BIGINT; entity_resolution
-    # flipped to the capped (brand,type) production shape;
-    # ngram_prefix_jaccard re-fixtured to short-record titles with an
-    # inverted-index oracle). robust_outliers leads: it is the one r7
-    # driver hash FAIL and needs its green row first.
-    "new_first": ["event_multi_pattern", "embed_ivf_learned",
-                  "lm_tail_trained", "quantile_incremental",
-                  "stream_quantile", "ngram_containment",
-                  "kcore_parts", "bpe_fertility",
-                  "lpa_communities"],
-    "changed": ["robust_outliers", "entity_resolution",
-                "ngram_prefix_jaccard"],
+    # r9: brand-new gates (the r8-verdict roadmap items — HLL++ bias
+    # correction, unigram-LM tokenizer train/apply, personalized
+    # PageRank, trained hashed-n-gram lang-id, GIF/LZW decode, Newman
+    # modularity of the LPA partition); changed = quantile_incremental
+    # (odd-half split flipped to pmod so negative ids stay total —
+    # ADVICE r8; same results on this corpus, fresh row anyway).
+    "new_first": ["hll_bias_corrected", "unigram_train",
+                  "unigram_segments", "ppr_seeded",
+                  "lang_id_trained", "multimodal_gif",
+                  "lpa_modularity"],
+    "changed": ["quantile_incremental"],
 }
 
 
