@@ -2450,6 +2450,30 @@ def q_pagerank(spark, sf_dir):
     return labeled.orderBy(F.desc("rank"), F.asc("node")).limit(100)
 
 
+def q_ppr_seeded(spark, sf_dir):
+    """Personalized PageRank (functions.graph.pagerank_personalized, r9):
+    random-walk-with-restart proximity to a seed set — teleport mass
+    restricted to NATION_7's customers in the customer–supplier trade
+    graph, the standard seed-expansion shape for growing a domain corpus
+    from trusted documents. Same integer fixed-point recurrence as
+    q_pagerank (bit-replayable via unrolled CTEs); the zero-rank frontier
+    filter keeps early-iteration rank broadcasts at frontier size. Top
+    100 nodes by rank, ties by label."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    edges = gr.cooccurrence_edges(orders, lineitem)
+    seeds = (customer.join(nation,
+                           F.col("c_nationkey") == F.col("n_nationkey"))
+             .filter(F.col("n_name") == "NATION_7")
+             .select((F.col("c_custkey").cast("long") * 2).alias("node")))
+    ranks = gr.pagerank_personalized(edges, seeds, iters=5, damping_pct=85)
+    labeled = (ranks.filter(F.col("rank") > 0)
+               .select(gr.node_label("node").alias("node"), "rank"))
+    return labeled.orderBy(F.desc("rank"), F.asc("node")).limit(100)
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order transition matrix over each user's time-ordered event
     stream: (from_type, to_type, n) — the Markov-chain view behind
@@ -3295,6 +3319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # to the tool's output so the comment cannot drift from reality.
     return {
         "hll_bias_corrected": q_hll_bias_corrected,
+        "ppr_seeded": q_ppr_seeded,
         "quantile_incremental": q_quantile_incremental,
         "salted_join": q_salted_join,
         "sample_hash": q_sample_hash,
@@ -6823,6 +6848,56 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT node, CAST(rank AS BIGINT) AS rank
         FROM r5
+        ORDER BY rank DESC, node ASC
+        LIMIT 100""")
+    # personalized PageRank: same unrolled fixed-point replay with the
+    # teleport term gated by seed membership (is_seed * base)
+    _ppr_iter = """
+        SELECT n.node,
+               n.is_seed * {base} + COALESCE(s.c, 0) AS rank
+        FROM ppr_s n LEFT JOIN (
+            SELECT e.dst AS node,
+                   SUM(CAST(floor(85 * r.rank / (100.0 * e.outdeg)) AS BIGINT)) AS c
+            FROM pr_e e JOIN {prev} r ON e.src = r.node
+            GROUP BY e.dst) s ON n.node = s.node"""
+    _ppr_base = ("(SELECT (15 * 1000000000000) // (100 * sum(is_seed)) "
+                 "FROM ppr_s)")
+    d["ppr_seeded"] = ("""
+        WITH pairs AS (
+            SELECT DISTINCT 'c:' || o_custkey AS a, 's:' || l_suppkey AS b
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        pr_edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL
+            SELECT b AS src, a AS dst FROM pairs),
+        pr_nodes AS (
+            SELECT src AS node FROM pr_edges
+            UNION
+            SELECT dst AS node FROM pr_edges),
+        pr_deg AS (SELECT src, count(*) AS outdeg FROM pr_edges GROUP BY src),
+        pr_e AS (
+            SELECT e.src, e.dst, g.outdeg
+            FROM pr_edges e JOIN pr_deg g ON e.src = g.src),
+        ppr_seeds AS (
+            SELECT DISTINCT 'c:' || c_custkey AS node
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'),
+        ppr_s AS (
+            SELECT n.node,
+                   CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+            FROM pr_nodes n LEFT JOIN ppr_seeds s ON n.node = s.node),
+        r0 AS (
+            SELECT node,
+                   is_seed * (1000000000000 //
+                              (SELECT sum(is_seed) FROM ppr_s)) AS rank
+            FROM ppr_s),"""
+        + ",".join(
+            f"\n        r{i} AS ({_ppr_iter.format(prev=f'r{i-1}', base=_ppr_base)})"
+            for i in range(1, 6))
+        + """
+        SELECT node, CAST(rank AS BIGINT) AS rank
+        FROM r5
+        WHERE rank > 0
         ORDER BY rank DESC, node ASC
         LIMIT 100""")
     # transition matrix: lag over the deterministic (ts, event_id) order

@@ -99,6 +99,81 @@ def pagerank_fixed(edges: DataFrame, src: str = "src", dst: str = "dst",
     return ranks
 
 
+def pagerank_personalized(edges: DataFrame, seeds: DataFrame,
+                          src: str = "src", dst: str = "dst",
+                          iters: int = 5, damping_pct: int = 85,
+                          broadcast_nodes_max: int = BROADCAST_NODES_MAX
+                          ) -> DataFrame:
+    """Personalized (seeded) PageRank — ``pagerank_fixed``'s fixed-point
+    machinery with the teleport vector concentrated on a seed set: the
+    standard seed-expansion primitive for curating a domain corpus from
+    a link graph (random-walk-with-restart proximity to the seeds).
+
+        rank'(v) = base·[v ∈ S] + Σ_{u→v} floor(damping·rank(u)
+                                                 / (100·outdeg(u)))
+        base     = floor((100−damping)·SCALE / (100·|S|))
+        rank0(v) = floor(SCALE / |S|)·[v ∈ S]
+
+    ``seeds`` is a one-column DataFrame of node ids; it is intersected
+    with the graph's nodes (a seed absent from the graph gets no mass —
+    keeps |S| consistent with what the walk can actually reach) and, like
+    the rank table, joined broadcast while the graph is small. Same
+    integer fixed-point discipline as pagerank_fixed: every quantity
+    < 2^53, so the unrolled-CTE DuckDB oracle replays it bit-for-bit.
+    Only driver-side scalars: node count, seed count, loop counter.
+    Returns (node, rank BIGINT); non-seed nodes unreachable from S stay
+    at exactly 0.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
+    edges = pin(edges.select(F.col(src).alias(src), F.col(dst).alias(dst)))
+    nodes = pin(edges.select(F.col(src).alias("node"))
+                .union(edges.select(F.col(dst).alias("node")))
+                .distinct())
+    n = nodes.count()  # metadata scalar
+    small = n <= broadcast_nodes_max
+    seed_nodes = pin(seeds.select(F.col(seeds.columns[0]).alias("node"))
+                     .distinct().join(nodes, "node"))
+    ns = seed_nodes.count()  # metadata scalar
+    if ns == 0:
+        raise ValueError("no seed intersects the graph's node set")
+    outdeg = edges.groupBy(src).agg(F.count("*").alias("__outdeg"))
+    e = pin(edges.select(src, dst)
+            .join(F.broadcast(outdeg) if small else outdeg, src)
+            .select(F.col(src).alias("__src"), F.col(dst).alias("node"),
+                    "__outdeg"))
+    base = ((100 - damping_pct) * SCALE) // (100 * ns)
+    seeded = (nodes.join(
+        (F.broadcast(seed_nodes) if small else seed_nodes)
+        .withColumn("__is_seed", F.lit(1)), "node", "left")
+        .select("node", F.coalesce("__is_seed", F.lit(0)).alias("__is_seed")))
+    seeded = pin(seeded)
+    ranks = seeded.select(
+        "node", (F.col("__is_seed").cast("long")
+                 * F.lit(SCALE // ns).cast("long")).alias("rank"))
+    for i in range(iters):
+        # zero-rank sources contribute floor(0) = 0 — dropping them is
+        # semantics-free and keeps the early-iteration rank broadcast at
+        # frontier size instead of graph size
+        rk = (ranks.filter(F.col("rank") > 0)
+              .withColumnRenamed("node", "__src"))
+        contrib = (e.join(F.broadcast(rk) if small else rk, "__src")
+                   .groupBy("node")
+                   .agg(F.sum(F.floor(F.lit(damping_pct) * F.col("rank")
+                                      / (100 * F.col("__outdeg"))))
+                        .alias("__in")))
+        ranks = (seeded.join(contrib, "node", "left")
+                 .select("node",
+                         (F.col("__is_seed").cast("long") * F.lit(base)
+                          + F.coalesce("__in", F.lit(0)))
+                         .cast("long").alias("rank")))
+        if i < iters - 1:
+            ranks = pin(ranks)
+    return ranks
+
+
 def cooccurrence_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Undirected customer–supplier trade graph from the TPC-H fact
     tables: one edge per DISTINCT (customer, supplier) pair that appears

@@ -289,3 +289,77 @@ def test_copurchase_min_orders_threshold(spark):
     assert all_pairs == [(10, 20), (10, 30)]
     w2 = sorted(map(tuple, copurchase_edges(li, min_orders=2).collect()))
     assert w2 == [(10, 20)]
+
+
+# ------------------------------------------- personalized PageRank (r9) --
+
+def test_ppr_all_seeds_equals_uniform_pagerank(spark, tri):
+    """Seeding EVERY node reduces personalized PageRank to the uniform
+    teleport — bit-identical to pagerank_fixed (same base, same init)."""
+    from bqetl_spark.functions.graph import pagerank_personalized
+
+    nodes = (tri.select(F.col("src").alias("node"))
+             .union(tri.select(F.col("dst").alias("node"))).distinct())
+    pers = _ranks(pagerank_personalized(tri, nodes, iters=4))
+    release_pinned()
+    uni = _ranks(pagerank_fixed(tri, iters=4))
+    release_pinned()
+    assert pers == uni
+
+
+def test_ppr_unreachable_stays_zero_and_seed_holds_mass(spark):
+    """Two disjoint 2-cycles; seeding one leaves the other at EXACTLY 0
+    rank, and every seed keeps at least the teleport base."""
+    from bqetl_spark.functions.graph import pagerank_personalized
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    # EVEN iteration count: a 2-cycle is bipartite, so the walk's mass
+    # oscillates between the sides each step and only even steps leave
+    # the bulk at the seed
+    r = _ranks(pagerank_personalized(edges, seeds, iters=4))
+    release_pinned()
+    assert r["x"] == 0 and r["y"] == 0
+    base = (15 * SCALE) // 100  # |S| = 1
+    assert r["a"] >= base and r["b"] > 0
+    # restart mass concentrates near the seed: a outranks b
+    assert r["a"] > r["b"]
+
+
+def test_ppr_python_replica_matches(spark, tri):
+    """The Spark loop replays the integer recurrence exactly (the same
+    bit-for-bit discipline pagerank_fixed pins)."""
+    from bqetl_spark.functions.graph import pagerank_personalized
+
+    seeds = spark.createDataFrame([("a",), ("zzz-not-in-graph",)], ["node"])
+    got = _ranks(pagerank_personalized(tri, seeds, iters=3))
+    release_pinned()
+    nodes = {"a", "b", "c", "d"}
+    out = {"a": 2, "b": 1, "c": 1}
+    adj = {("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")}
+    ns = 1  # the off-graph seed is dropped by the node intersection
+    base = (15 * SCALE) // (100 * ns)
+    rank = {v: (SCALE // ns if v == "a" else 0) for v in nodes}
+    for _ in range(3):
+        nxt = {}
+        for v in nodes:
+            inc = sum(85 * rank[u] // (100 * out[u])
+                      for u in nodes if (u, v) in adj and u in out)
+            nxt[v] = (base if v == "a" else 0) + inc
+        rank = nxt
+    assert got == rank
+
+
+def test_ppr_validation(spark, tri):
+    from bqetl_spark.functions.graph import pagerank_personalized
+
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    with pytest.raises(ValueError, match="iters"):
+        pagerank_personalized(tri, seeds, iters=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank_personalized(tri, seeds, damping_pct=100)
+    off = spark.createDataFrame([("nope",)], ["node"])
+    with pytest.raises(ValueError, match="seed"):
+        pagerank_personalized(tri, off)
+    release_pinned()
