@@ -2866,6 +2866,26 @@ def q_lpa_communities(spark, sf_dir):
                          min_orders=2), iters=5)
 
 
+def q_lpa_modularity(spark, sf_dir):
+    """Exact-integer Newman modularity (functions.graph.modularity, r9)
+    of the lpa_communities partition: per community
+    q_num = 4·m·m_c − D_c², so Q = Σ q_num / 4m² — numerators only, no
+    floats, making partitions COMPARABLE across sparsifier settings
+    (the r8-verdict ask). Reuses the exact lpa_communities labeling
+    (same copurchase sparsifier, same 5 synchronous iterations); the
+    oracle re-runs the unrolled LPA chain and the modularity arithmetic
+    in one statement. Two broadcast-eligible label joins + three aggs
+    past LPA itself."""
+    from bqetl_spark.functions.graph import (copurchase_edges,
+                                             label_propagation, modularity)
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li, min_parts=2, max_parts_per_order=20,
+                             min_orders=2)
+    coms = label_propagation(edges, iters=5)
+    return modularity(edges, coms)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (functions.text.dsir_weights, r7 — Xie
     et al. 2023): log-ratio of target vs raw bag-of-hashed-ngrams
@@ -3320,6 +3340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_bias_corrected": q_hll_bias_corrected,
         "ppr_seeded": q_ppr_seeded,
+        "lpa_modularity": q_lpa_modularity,
         "quantile_incremental": q_quantile_incremental,
         "salted_join": q_salted_join,
         "sample_hash": q_sample_hash,
@@ -3541,13 +3562,18 @@ def _cosine_sql(a: str, b: str) -> str:
             f"({_NORM.format(a=a)} * {_NORM.format(a=b)}))")
 
 
-def _lpa_cte(iters: int, min_orders: int) -> str:
+def _lpa_cte(iters: int, min_orders: int, emit: str = "communities") -> str:
     """Unrolled synchronous label propagation as DuckDB CTEs (pagerank
     treatment): labels start as node ids; each iteration re-labels every
     node with its neighbors' most frequent label (count DESC, label ASC
     tie-break) — a pure function of the previous labeling, so the
     fixed-iteration snapshot replays bit-for-bit. MATERIALIZED like the
-    k-core chain (plain CTEs inline multiplicatively)."""
+    k-core chain (plain CTEs inline multiplicatively).
+
+    emit='communities' -> the lpa_communities final SELECT;
+    emit='modularity'  -> appends the exact-integer Newman modularity
+    of the final labeling over the same sparsified pair list `p`
+    (q_num = 4·m·m_c − D_c², mirroring functions.graph.modularity)."""
     ctes = [f"""li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
                       CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
         oks AS (SELECT ok FROM li GROUP BY ok
@@ -3571,6 +3597,26 @@ def _lpa_cte(iters: int, min_orders: int) -> str:
             SELECT s, lbl, row_number() OVER (
               PARTITION BY s ORDER BY c DESC, lbl ASC) AS rn
             FROM n{i}) WHERE rn = 1)""")
+    if emit == "modularity":
+        return ("WITH " + ",\n        ".join(ctes) + f""",
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM p),
+        deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS deg
+                FROM e0 GROUP BY s),
+        dc AS (SELECT l.lbl AS c,
+                      CAST(sum(deg) AS BIGINT) AS degree_sum,
+                      CAST(count(*) AS BIGINT) AS n_nodes
+               FROM deg JOIN l{iters} l ON deg.node = l.node GROUP BY 1),
+        intra AS (SELECT la.lbl AS c, CAST(count(*) AS BIGINT) AS intra
+                  FROM p JOIN l{iters} la ON p.a = la.node
+                         JOIN l{iters} lb ON p.b = lb.node
+                  WHERE la.lbl = lb.lbl GROUP BY 1)
+        SELECT dc.c AS community, dc.n_nodes,
+               CAST(coalesce(intra.intra, 0) AS BIGINT) AS intra_edges,
+               dc.degree_sum,
+               CAST(4 * mm.m_edges * coalesce(intra.intra, 0)
+                    - dc.degree_sum * dc.degree_sum AS BIGINT) AS q_num,
+               mm.m_edges
+        FROM dc LEFT JOIN intra ON dc.c = intra.c CROSS JOIN mm""")
     return ("WITH " + ",\n        ".join(ctes) +
             f"""\n        SELECT node, lbl AS community,
                CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT)
@@ -5599,6 +5645,10 @@ def oracle_sql() -> dict[str, str]:
     d["kcore_parts"] = _kcore_cte(k=80, rounds=12)
     # lpa_communities (r8): unrolled synchronous LPA, see _lpa_cte
     d["lpa_communities"] = _lpa_cte(iters=5, min_orders=2)
+    # lpa_modularity (r9): same unrolled LPA chain + exact-integer
+    # Newman modularity of the final labeling
+    d["lpa_modularity"] = _lpa_cte(iters=5, min_orders=2,
+                                   emit="modularity")
     # dsir_weights: same md5-bucketed uni+bigram feature stream, same
     # add-one-smoothed integer-product quotient inside ln (operand pairs
     # margin-audited in tests/test_text.py)

@@ -363,3 +363,77 @@ def test_ppr_validation(spark, tri):
     with pytest.raises(ValueError, match="seed"):
         pagerank_personalized(tri, off)
     release_pinned()
+
+
+# ---------------------------------------------- Newman modularity (r9) --
+
+def test_modularity_two_triangles_exact(spark):
+    """Two disjoint triangles, perfectly partitioned: textbook Q = 1/2.
+    m = 6, each community has m_c = 3, D_c = 6 -> q_num = 4·6·3 − 36 = 36
+    per community; Q = 72 / (4·36) = 0.5 exactly."""
+    from bqetl_spark.functions.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6)], ["a", "b"])
+    coms = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)],
+        ["node", "community"])
+    rows = {r["community"]: r for r in modularity(edges, coms).collect()}
+    release_pinned()
+    assert rows[10]["q_num"] == 36 and rows[20]["q_num"] == 36
+    assert rows[10]["m_edges"] == 6
+    assert rows[10]["intra_edges"] == 3 and rows[10]["degree_sum"] == 6
+    total_q = sum(r["q_num"] for r in rows.values())
+    assert total_q / (4 * 6 * 6) == 0.5
+
+
+def test_modularity_single_community_is_zero(spark):
+    """Putting every node in one community gives Q = 0 EXACTLY
+    (4m·m − (2m)² = 0) — the standard null check."""
+    from bqetl_spark.functions.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)], ["a", "b"])
+    coms = spark.createDataFrame([(i, 1) for i in range(1, 5)],
+                                 ["node", "community"])
+    rows = modularity(edges, coms).collect()
+    release_pinned()
+    assert len(rows) == 1 and rows[0]["q_num"] == 0
+
+
+def test_modularity_singleton_community_negative(spark):
+    """A community with no internal edges contributes q_num = −D_c² —
+    intra_edges coalesces to 0 instead of dropping the row."""
+    from bqetl_spark.functions.graph import modularity
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["a", "b"])
+    coms = spark.createDataFrame([(1, 1), (2, 1), (3, 3)],
+                                 ["node", "community"])
+    rows = {r["community"]: r for r in modularity(edges, coms).collect()}
+    release_pinned()
+    assert rows[3]["intra_edges"] == 0
+    assert rows[3]["q_num"] == -(rows[3]["degree_sum"] ** 2)
+
+
+def test_modularity_prefers_true_partition(spark):
+    """On two cliques joined by one bridge, the true two-community
+    partition scores strictly higher than one-big-community and than a
+    random split — the property that makes Q a comparison score."""
+    from bqetl_spark.functions.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        ["a", "b"])
+
+    def q_of(pairs):
+        coms = spark.createDataFrame(pairs, ["node", "community"])
+        rows = modularity(edges, coms).collect()
+        release_pinned()
+        m = rows[0]["m_edges"]
+        return sum(r["q_num"] for r in rows) / (4 * m * m)
+
+    true_q = q_of([(1, 1), (2, 1), (3, 1), (4, 2), (5, 2), (6, 2)])
+    one_q = q_of([(i, 1) for i in range(1, 7)])
+    rand_q = q_of([(1, 1), (2, 2), (3, 1), (4, 2), (5, 1), (6, 2)])
+    assert true_q > one_q and true_q > rand_q
+    assert one_q == 0.0
