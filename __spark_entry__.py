@@ -2899,6 +2899,22 @@ def q_dsir_weights(spark, sf_dir):
     return tx.dsir_weights(docs, buckets=8192)
 
 
+def q_lang_id_trained(spark, sf_dir):
+    """Trained hashed char-trigram language classifier (functions.text.
+    lang_id_trained, r9 — the fastText langid shape on the DSIR
+    machinery): multinomial NB over md5-hashed trigram buckets, trained
+    on the labeled doc_id%10<3 slice, integer log-likelihood argmax with
+    lang-ASC tie-break. Model state is O(langs × 4096) — broadcastable
+    at any corpus size; the feature stream is map-only. NOTE the
+    testdata's lang label is decorative (same token distribution per
+    lang), so accuracy here is majority-class; the discriminative-power
+    floor vs the stopword heuristic is pinned in tests on a real
+    multilingual fixture. The gate certifies the train→score→argmax
+    arithmetic end-to-end (margin-audited ln, BIGINT elsewhere)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.lang_id_trained(docs, buckets=4096)
+
+
 def q_ngram_novelty(spark, sf_dir):
     """N-gram novelty vs the reference slice (functions.text.
     ngram_novelty, r7): the ppm share of each doc's distinct word
@@ -3340,6 +3356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_bias_corrected": q_hll_bias_corrected,
         "ppr_seeded": q_ppr_seeded,
+        "lang_id_trained": q_lang_id_trained,
         "lpa_modularity": q_lpa_modularity,
         "quantile_incremental": q_quantile_incremental,
         "salted_join": q_salted_join,
@@ -5680,6 +5697,48 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(s.s) AS BIGINT) AS logw_micro
         FROM feats JOIN score s USING (b) GROUP BY doc_id""".format(
         tok=_TOK)
+    # trained lang-id (r9): char-trigram NB — hashed buckets, labeled
+    # id%10<3 training slice, smoothing floor via coalesce, BIGINT argmax
+    d["lang_id_trained"] = """
+        WITH base AS (
+          SELECT doc_id, lang, lower(text) AS t FROM documents
+          WHERE length(lower(text)) >= 3),
+        g AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(substr(t, i, 3)), 1, 15))::BIGINT
+                   % 4096 AS b
+          FROM base, LATERAL unnest(range(1, length(t) - 1)) AS u(i)),
+        docfeat AS (
+          SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+          FROM g GROUP BY 1, 2),
+        train AS (
+          SELECT lang AS l, b, CAST(count(*) AS BIGINT) AS c
+          FROM g WHERE ((doc_id % 10) + 10) % 10 < 3 GROUP BY 1, 2),
+        tot AS (SELECT l, CAST(sum(c) AS BIGINT) AS nl
+                FROM train GROUP BY 1),
+        model AS (
+          SELECT l, b,
+                 CAST(floor(1000000 * ln((c + 1)::DOUBLE
+                                         / (nl + 4096)::DOUBLE))
+                      AS BIGINT) AS s
+          FROM train JOIN tot USING (l)),
+        miss AS (
+          SELECT l, CAST(floor(1000000 * ln(1.0 / (nl + 4096)::DOUBLE))
+                         AS BIGINT) AS s0
+          FROM tot),
+        ll AS (
+          SELECT d.doc_id, m.l,
+                 CAST(sum(d.n * coalesce(mo.s, m.s0)) AS BIGINT) AS ll
+          FROM docfeat d CROSS JOIN miss m
+          LEFT JOIN model mo ON mo.l = m.l AND mo.b = d.b
+          GROUP BY 1, 2),
+        pred AS (
+          SELECT doc_id, l, ll,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY ll DESC, l ASC) AS rn
+          FROM ll)
+        SELECT b.doc_id, b.lang, p.l AS pred_lang, p.ll AS ll_micro
+        FROM base b JOIN pred p ON b.doc_id = p.doc_id AND p.rn = 1"""
     # n-gram novelty: same clamped 3-gram construction as _GRAMS,
     # reference = distinct grams of the id%10<3 slice, exact ppm
     d["ngram_novelty"] = f"""

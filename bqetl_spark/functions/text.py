@@ -679,3 +679,96 @@ def lm_tail_split_trained(df: DataFrame, text_col: str = "text",
             .join(F.broadcast(t66), source_col, "left")
             .select(F.col(id_col), source_col, "n_pairs", "nll_ppm",
                     bucket.alias("bucket")))
+
+
+def lang_id_trained(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", lang_col: str = "lang",
+                    buckets: int = 4096, ref_mod: int = 10,
+                    ref_keep: int = 3) -> DataFrame:
+    """Trained hashed character-n-gram language classifier (r9) — the
+    published fastText langid shape (Joulin et al. 2016) on the repo's
+    DSIR machinery: char TRIGRAMS of the lowercased text md5-hashed
+    into ``buckets`` cells, a per-language multinomial Naive-Bayes
+    model fit on the deterministic labeled slice
+    ``id % ref_mod < ref_keep``, then every document classified by
+    integer log-likelihood argmax. Upgrades the stopword-overlap
+    heuristic (:func:`lang_id`): learned evidence covers scripts and
+    vocabulary the 5-language stopword lists cannot (accuracy floor
+    vs the heuristic pinned in tests).
+
+    Per (language L, bucket b), with add-one smoothing:
+
+        s[L][b]   = floor(10^6 · ln((c_L[b]+1) / (N_L+B)))
+        ll[d][L]  = Σ_{buckets b of doc d} n_d[b] · s[L][b]
+
+    prediction = argmax_L ll (ties by language code ASC). The ln
+    argument is a quotient of two exact integers (< 2^53 always —
+    c and N are corpus counts), so only libm's ≤1-ulp wobble remains
+    and the observed operand pairs are floor-margin-audited in tests;
+    the per-doc sums and the argmax are pure BIGINT — no float
+    tie-break anywhere.
+
+    Why it scales (DSIR's argument verbatim): model state is
+    O(languages × buckets) regardless of corpus size — broadcastable
+    at 100 TB; the feature stream is MAP-ONLY (lower + substring +
+    hash); training is one hash aggregation over the labeled slice;
+    scoring is one broadcast equi-join of the per-doc bucket grid
+    against the model plus one (doc, lang) aggregation and a top-1
+    window. Unseen buckets fall back to the language's smoothing
+    floor via coalesce (s_missing = floor(10^6·ln(1/(N_L+B)))).
+
+    Returns (id, <lang_col> — the labeled truth, pred_lang STRING,
+    ll_micro BIGINT of the winning language). Documents shorter than
+    one trigram are excluded (no evidence).
+    """
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    if ref_mod < 1 or not (0 < ref_keep <= ref_mod):
+        raise ValueError(f"bad training slice {ref_keep}/{ref_mod}")
+    base = (df.select(F.col(id_col), F.col(lang_col),
+                      F.lower(F.col(text_col)).alias("__txt"))
+            .filter(F.length("__txt") >= 3))
+    gram = F.explode(F.expr(
+        "transform(sequence(1, length(__txt) - 2), "
+        "i -> substring(__txt, i, 3))")).alias("__g")
+    bucket = (F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10)
+              .cast("long") % buckets)
+    feats = (base.select(F.col(id_col), F.col(lang_col), gram)
+             .select(F.col(id_col), F.col(lang_col),
+                     bucket.alias("__b")))
+    from bqetl_spark.caching import pin
+
+    docfeat = pin(feats.groupBy(id_col, "__b")
+                  .agg(F.count("*").cast("long").alias("__n")))
+    train = (feats.filter(F.pmod(F.col(id_col), F.lit(ref_mod)) < ref_keep)
+             .groupBy(F.col(lang_col).alias("__lang"), "__b")
+             .agg(F.count("*").cast("long").alias("__c")))
+    train = pin(train)
+    totals = pin(train.groupBy("__lang")
+                 .agg(F.sum("__c").cast("long").alias("__nl")))
+    ln_score = F.floor(
+        F.lit(10**6) * F.log((F.col("__c") + 1).cast("double")
+                             / (F.col("__nl") + buckets).cast("double"))
+    ).cast("long")
+    model = (train.join(F.broadcast(totals), "__lang")
+             .select("__lang", "__b", ln_score.alias("__s")))
+    # smoothing floor for buckets a language never saw in training
+    miss = totals.select(
+        "__lang",
+        F.floor(F.lit(10**6)
+                * F.log(F.lit(1.0)
+                        / (F.col("__nl") + buckets).cast("double")))
+        .cast("long").alias("__s0"))
+    ll = (docfeat.crossJoin(F.broadcast(miss))
+          .join(F.broadcast(model), ["__lang", "__b"], "left")
+          .groupBy(id_col, "__lang")
+          .agg(F.sum(F.col("__n")
+                     * F.coalesce(F.col("__s"), F.col("__s0")))
+               .cast("long").alias("__ll")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__ll"), F.asc("__lang"))
+    pred = (ll.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col(id_col), F.col("__lang").alias("pred_lang"),
+                    F.col("__ll").alias("ll_micro")))
+    return (base.select(F.col(id_col), F.col(lang_col))
+            .join(pred, id_col))

@@ -477,3 +477,148 @@ def test_lm_tail_trained_validation(spark):
                                  ["doc_id", "text", "source"])
     with pytest.raises(ValueError, match="calibration"):
         tx.lm_tail_split_trained(docs, ref_keep=3, cal_keep=8)
+
+
+# ------------------------------------------- trained lang-id (r9) --
+
+def _langid_fixture(spark):
+    """A small REAL multilingual corpus: per language, 6 training docs
+    (id%10 in 0..2 via id construction) + 2 hold-out docs. Hold-out
+    texts avoid every LANG_STOPWORDS word, so the stopword heuristic is
+    blind on them while trigram evidence (orthography, function-word
+    fragments, CJK script) remains."""
+    samples = {
+        "en": ["weather forecasting requires gathering measurements",
+               "children walked slowly through autumn leaves yesterday",
+               "scientists discovered remarkable patterns during research",
+               "freshly baked bread smells wonderful every morning",
+               "travellers crossed mountains carrying heavy backpacks",
+               "libraries preserve knowledge across many generations",
+               # hold-out (no stopwords):
+               "musicians rehearsed quietly backstage before evening performances",
+               "engineers tested bridges under heavy winter loads"],
+        "de": ["wettervorhersage erfordert sorgfaeltige messungen taeglich",
+               "kinder gingen langsam durch herbstlaub gestern spaziert",
+               "wissenschaftler entdeckten bemerkenswerte muster waehrend forschung",
+               "frisch gebackenes brot duftet herrlich jeden morgen",
+               "reisende ueberquerten berge schwere rucksaecke tragend",
+               "bibliotheken bewahren wissen ueber viele generationen",
+               "musiker probten leise hinter buehne vor abendlichen auffuehrungen",
+               "ingenieure prueften bruecken unter schweren winterlasten"],
+        "fr": ["prevoir meteo demande rassembler mesures soigneusement",
+               "enfants marchaient lentement parmi feuilles automne hier",
+               "chercheurs decouvrirent motifs remarquables pendant recherches",
+               "pain fraichement cuit sent merveilleusement chaque matin",
+               "voyageurs traverserent montagnes portant lourds sacs",
+               "bibliotheques conservent savoir travers nombreuses generations",
+               "musiciens repetaient doucement derriere scene avant representations",
+               "ingenieurs verifiaient ponts sous lourdes charges hivernales"],
+        "es": ["pronosticar tiempo requiere reunir mediciones cuidadosamente",
+               "ninos caminaban despacio entre hojas otono ayer",
+               "cientificos descubrieron patrones notables durante investigaciones",
+               "pan recien horneado huele maravillosamente cada manana",
+               "viajeros cruzaron montanas cargando mochilas pesadas",
+               "bibliotecas conservan conocimiento durante muchas generaciones",
+               "musicos ensayaban silenciosamente tras escenario antes funciones",
+               "ingenieros revisaron puentes bajo pesadas cargas invernales"],
+        "zh": ["天气预报需要收集大量的测量数据",
+               "孩子们昨天慢慢走过秋天的落叶",
+               "科学家在研究中发现了显著的规律",
+               "新鲜出炉的面包每天早晨闻起来很香",
+               "旅行者背着沉重的背包翻越高山",
+               "图书馆世代保存着人类的知识",
+               "音乐家晚上演出前在后台安静地排练",
+               "工程师在研究中检测桥梁保存测量数据"]}
+    # ids: residue j%3 (< 3, training) for the first 6 docs per lang,
+    # residue 3 + (j-6) (hold-out) for the last two
+    rows = []
+    for li, (lang, texts) in enumerate(sorted(samples.items())):
+        for j, t in enumerate(texts):
+            residue = j % 3 if j < 6 else 3 + (j - 6)
+            rows.append((100 * (li * 8 + j) + residue, lang, t))
+    return spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+
+def test_lang_id_trained_beats_heuristic_on_real_text(spark):
+    """Hold-out docs (id%10 in {3,4}) contain NO stopwords: the heuristic
+    scores 0 evidence ('und') on every non-zh hold-out, while the
+    trained trigram model classifies all 10 hold-outs correctly."""
+    df = _langid_fixture(spark)
+    out = {r["doc_id"]: r for r in tx.lang_id_trained(df).collect()}
+    release = [r for i, r in out.items() if i % 10 >= 3]
+    assert len(release) == 10
+    trained_acc = sum(r["lang"] == r["pred_lang"] for r in release)
+    heur = {r["doc_id"]: r for r in
+            tx.lang_id(df).select("doc_id", "lang", "lang_pred").collect()}
+    heur_acc = sum(1 for i, r in heur.items()
+                   if i % 10 >= 3 and r["lang"] == r["lang_pred"])
+    assert trained_acc == 10, [(r["lang"], r["pred_lang"])
+                               for r in release]
+    assert trained_acc > heur_acc
+    # the heuristic is blind on the stopword-free non-zh hold-outs
+    assert all(heur[i]["lang_pred"] in ("und", "zh")
+               for i in heur if i % 10 >= 3 and heur[i]["lang"] != "zh")
+
+
+def test_lang_id_trained_training_slice_perfect(spark):
+    """Docs the model trained on must classify correctly (sanity: the
+    argmax machinery sees its own evidence)."""
+    df = _langid_fixture(spark)
+    out = tx.lang_id_trained(df).collect()
+    train = [r for r in out if r["doc_id"] % 10 < 3]
+    assert train and all(r["lang"] == r["pred_lang"] for r in train)
+
+
+def test_lang_id_trained_excludes_short_docs_and_validates(spark):
+    df = spark.createDataFrame(
+        [(0, "en", "ab"), (1, "en", ""),
+         (2, "en", "hello world training text"), (13, "en", "abcdef")],
+        ["doc_id", "lang", "text"])
+    got = tx.lang_id_trained(df)
+    assert sorted(r["doc_id"] for r in got.collect()) == [2, 13]
+    with pytest.raises(ValueError):
+        tx.lang_id_trained(df, buckets=1)
+    with pytest.raises(ValueError):
+        tx.lang_id_trained(df, ref_mod=10, ref_keep=0)
+
+
+def test_lang_id_trained_ln_margin_on_gate_corpus():
+    """Every observed (c+1, nl+B) operand pair of the gate's ln must sit
+    > 1e-5 from an integer after the 1e6 scale (the dsir discipline)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    B = 4096
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                      columns=["doc_id", "text"]).to_pydict()
+    cnt: Counter = Counter()
+    for i, x in zip(t["doc_id"], t["text"]):
+        s = (x or "").lower()
+        if len(s) < 3 or i % 10 >= 3:
+            continue
+        for k in range(len(s) - 2):
+            g = s[k:k + 3]
+            b = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+            cnt[("L", b)] += 1  # single-lang grouping is the worst case
+    # audit per-lang too: group by real lang label
+    langs = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                          columns=["doc_id", "lang", "text"]).to_pydict()
+    per = Counter()
+    tot = Counter()
+    for i, lang, x in zip(langs["doc_id"], langs["lang"], langs["text"]):
+        s = (x or "").lower()
+        if len(s) < 3 or i % 10 >= 3:
+            continue
+        for k in range(len(s) - 2):
+            b = int(hashlib.md5(s[k:k + 3].encode()).hexdigest()[:15], 16) % B
+            per[(lang, b)] += 1
+            tot[lang] += 1
+    for (lang, b), c in per.items():
+        x = 10**6 * math.log((c + 1) / (tot[lang] + B))
+        assert abs(x - round(x)) > 1e-5, (lang, b, c, x)
+    for lang, nl in tot.items():  # the smoothing floor operands
+        x = 10**6 * math.log(1.0 / (nl + B))
+        assert abs(x - round(x)) > 1e-5, (lang, nl, x)
