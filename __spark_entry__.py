@@ -1990,6 +1990,32 @@ def q_multimodal_jpeg(spark, sf_dir):
                     "value"))
 
 
+def q_multimodal_gif(spark, sf_dir):
+    """REAL palette-indexed image decode in the gate (r9): each
+    document's first 24 ASCII bytes become the pixels of a 6×4 GIF89a
+    with the identity grayscale palette — LZW-compressed with the
+    pure-Python encoder (variable code width, 12-bit cap, clear/EOI,
+    sub-block framing; multimodal.encode_gif_gray), then decoded by the
+    full GIF decoder (header/LSD/color-table parse, sub-block joining,
+    LZW with KwKwK and width growth, palette mapping) and
+    feature-extracted with the same integer-exact statistics as the
+    other image gates. The decoder is layout-agnostic (tests pin the
+    canonical public 1×1-red GIF test vector and arbitrary-data
+    roundtrips through all code-width boundaries); the grayscale
+    palette is what makes the LOSSLESS chain value-oracle-able — the
+    oracle recomputes the statistics per character. n_bytes is
+    LZW-output size (not SQL-replayable), excluded like PNG/JPEG."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 24)
+        & (F.octet_length(F.substring("text", 1, 24)) == 24))
+    media = mm.attach_gif_media(docs, "doc_id", "text", 6, 4)
+    feats = mm.extract_features(media, fake=False)
+    return (feats.select("media_id",
+                         F.posexplode("feature").alias("idx", "value"))
+            .select("media_id", F.col("idx").cast("long").alias("idx"),
+                    "value"))
+
+
 def q_temperature_quotas(spark, sf_dir):
     """Temperature-scaled mixture quotas (functions.chunking.
     temperature_quotas, α = 0.5, budget 300) — the multilingual-corpus
@@ -3357,6 +3383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_bias_corrected": q_hll_bias_corrected,
         "ppr_seeded": q_ppr_seeded,
         "lang_id_trained": q_lang_id_trained,
+        "multimodal_gif": q_multimodal_gif,
         "lpa_modularity": q_lpa_modularity,
         "quantile_incremental": q_quantile_incremental,
         "salted_join": q_salted_join,
@@ -4761,6 +4788,35 @@ def oracle_sql() -> dict[str, str]:
                       CAST(3 * mn AS DOUBLE) / 3.0,
                       CAST(3 * mx AS DOUBLE) / 3.0,
                       CAST(sv * 192 AS DOUBLE) / 2304.0] AS feature
+              FROM agg)
+            SELECT media_id, unnest(range(8)) AS idx,
+                   unnest(feature) AS value
+            FROM feat""",
+        # multimodal_gif: the decoded pixels ARE the first 24 text bytes
+        # (lossless LZW + identity grayscale palette), one byte per pixel
+        # of a 6×4 gray image — channel means are sum(v)/24, luminance is
+        # (r+g+b)/3 = v, divisions reproduce image_features' IEEE ops.
+        "multimodal_gif": """
+            WITH d AS (
+              SELECT doc_id, substr(text, 1, 24) AS s
+              FROM documents WHERE len(text) >= 24
+                AND octet_length(encode(substr(text, 1, 24))) = 24
+            ), b AS (
+              SELECT doc_id, ord(substr(s, p, 1)) AS v
+              FROM d, (SELECT unnest(range(1, 25)) AS p)
+            ), agg AS (
+              SELECT doc_id AS media_id, sum(v) AS sv,
+                     min(v) AS mn, max(v) AS mx
+              FROM b GROUP BY doc_id
+            ), feat AS (
+              SELECT media_id,
+                     [6.0, 4.0,
+                      CAST(sv AS DOUBLE) / 24,
+                      CAST(sv AS DOUBLE) / 24,
+                      CAST(sv AS DOUBLE) / 24,
+                      CAST(3 * mn AS DOUBLE) / 3.0,
+                      CAST(3 * mx AS DOUBLE) / 3.0,
+                      CAST(3 * sv AS DOUBLE) / 72.0] AS feature
               FROM agg)
             SELECT media_id, unnest(range(8)) AS idx,
                    unnest(feature) AS value

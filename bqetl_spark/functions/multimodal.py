@@ -151,6 +151,44 @@ def attach_jpeg_media(df: DataFrame, id_col: str, text_col: str,
     return src.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def attach_gif_media(df: DataFrame, id_col: str, text_col: str,
+                     w: int, h: int) -> DataFrame:
+    """Encode the first w·h bytes of ``text_col`` as a w×h GIF89a with
+    the identity grayscale palette per row (see encode_gif_gray) — the
+    gate-side generator that makes the GIF/LZW decode path
+    value-oracle-able: decoded RGB equals the source bytes replicated
+    across channels, so the oracle recomputes statistics per character
+    and a hash-match certifies the LZW compress→sub-block→decompress→
+    palette-map chain end to end. One mapInPandas stage, thumbnail-sized
+    batches (the attach_png_media posture)."""
+    enc = encode_gif_gray  # by-value closure binding
+    need = w * h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def build(t):
+            vals = t.encode("utf-8")[:need]
+            if len(vals) < need:
+                raise ValueError(
+                    f"attach_gif_media needs >= {need} encoded bytes per "
+                    f"row for a {w}x{h} image, got {len(vals)}")
+            return enc(w, h, vals)
+
+        for pdf in batches:
+            payloads = [build(t) for t in pdf["text"]]
+            yield _pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "payload": _pd.Series(payloads, dtype="object"),
+                "meta": [{"kind": "image", "format": "gif", "width": w,
+                          "height": h, "duration_ms": None}] * len(pdf),
+            })
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"),
+                    F.col(text_col).alias("text"))
+    return src.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def _build_decoders():
     """Real decoders as CLOSURE-LOCAL defs: their __qualname__ is not
     importable, so cloudpickle ships them BY VALUE into UDF closures —
@@ -742,6 +780,199 @@ def _build_decoders():
         return (b"\xFF\xD8" + app0 + dqt + sof + dht + sos
                 + bytes(out) + b"\xFF\xD9")
 
+    # ---- GIF (CompuServe 87a/89a public spec), r9 --------------------
+    # LZW variant: LSB-first bit packing, variable code width from
+    # min_size+1 up to the 12-bit cap, clear/EOI control codes.
+
+    def _lzw_decode(data, min_size):
+        """GIF LZW decompress → index bytes. Dictionary rebuilt on every
+        clear code; the KwKwK case (code == next free slot) handled per
+        the spec; width grows when the table reaches 2^code_size."""
+        clear = 1 << min_size
+        eoi = clear + 1
+        out = bytearray()
+        table: list[bytes] = []
+        code_size = min_size + 1
+        prev = None
+
+        def reset():
+            nonlocal table, code_size, prev
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_size + 1
+            prev = None
+
+        reset()
+        acc = nbits = 0
+        for byte in data:
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= code_size:
+                code = acc & ((1 << code_size) - 1)
+                acc >>= code_size
+                nbits -= code_size
+                if code == clear:
+                    reset()
+                    continue
+                if code == eoi:
+                    return bytes(out)
+                if prev is None:
+                    if code >= len(table):
+                        raise ValueError("LZW: first code not in table")
+                    entry = table[code]
+                else:
+                    if code < len(table):
+                        entry = table[code]
+                    elif code == len(table):
+                        entry = prev + prev[:1]        # KwKwK
+                    else:
+                        raise ValueError("LZW: code beyond table")
+                    table.append(prev + entry[:1])
+                out += entry
+                prev = entry
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        return bytes(out)
+
+    def _lzw_encode(indices, min_size):
+        """GIF LZW compress. Emits an initial clear code, grows the code
+        width in lockstep with the decoder (next_code == 2^size + 1),
+        and emits clear + rebuilds when the table would pass code 4095 —
+        so the decoder's table never overflows the 12-bit cap."""
+        clear = 1 << min_size
+        eoi = clear + 1
+        out = bytearray()
+        acc = nbits = 0
+        code_size = min_size + 1
+
+        def emit(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += code_size
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = eoi + 1
+        emit(clear)
+        buf = b""
+        for k in bytes(indices):
+            kb = bytes([k])
+            if buf + kb in table:
+                buf += kb
+                continue
+            emit(table[buf])
+            table[buf + kb] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+            if next_code == 4097:                      # table full
+                emit(clear)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = eoi + 1
+                code_size = min_size + 1
+            buf = kb
+        if buf:
+            emit(table[buf])
+        emit(eoi)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def decode_gif(payload):
+        """GIF → (width, height, RGB bytes) of the FIRST image frame.
+        Pure Python over the public CompuServe 87a/89a spec: logical
+        screen descriptor, global and local color tables, extension
+        blocks (graphic control, comment, application) skipped by their
+        sub-block lengths, sub-block-joined variable-width LZW pixel
+        data. Interlace raises (the honest unsupported boundary, like
+        PNG's non-8-bit depths); animation beyond the first frame is
+        out of scope for feature extraction."""
+        import struct
+
+        if payload is None or bytes(payload[:6]) not in (b"GIF87a",
+                                                         b"GIF89a"):
+            raise ValueError("not a GIF (missing signature)")
+        p = bytes(payload)
+        _sw, _sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", p, 6)
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 7)
+            gct = p[pos:pos + 3 * n]
+            pos += 3 * n
+        while pos < len(p):
+            b0 = p[pos]
+            if b0 == 0x3B:                             # trailer
+                break
+            if b0 == 0x21:                             # extension
+                pos += 2
+                while p[pos] != 0:
+                    pos += 1 + p[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+            _left, _top, w, h, ip = struct.unpack_from("<HHHHB", p, pos + 1)
+            pos += 10
+            pal = gct
+            if ip & 0x80:                              # local color table
+                n = 2 << (ip & 7)
+                pal = p[pos:pos + 3 * n]
+                pos += 3 * n
+            if ip & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            min_size = p[pos]
+            pos += 1
+            data = bytearray()
+            while p[pos] != 0:
+                ln = p[pos]
+                data += p[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(data), min_size)
+            if len(idx) < w * h:
+                raise ValueError(
+                    f"GIF pixel data truncated: {len(idx)} < {w * h}")
+            npal = len(pal) // 3
+            rgb = bytearray()
+            for i in idx[:w * h]:
+                if i >= npal:
+                    raise ValueError(f"palette index {i} out of range")
+                rgb += pal[3 * i:3 * i + 3]
+            return w, h, bytes(rgb)
+        raise ValueError("GIF contains no image data")
+
+    def encode_gif_gray(w, h, vals):
+        """Byte values → single-frame GIF89a with the 256-entry identity
+        GRAYSCALE global palette (index i → (i,i,i)) — the layout that
+        makes the lossless LZW chain value-oracle-able: decoded RGB is
+        each source byte replicated across channels, so the oracle
+        recomputes the statistics per character (the JPEG-gate
+        discipline, without the constant-block trick)."""
+        import struct
+
+        vals = bytes(vals)
+        if len(vals) != w * h:
+            raise ValueError(
+                f"encode_gif_gray needs exactly {w * h} bytes for a "
+                f"{w}x{h} image, got {len(vals)}")
+        out = bytearray(b"GIF89a")
+        # packed 0xF7: global table present, 8-bit color, 256 entries
+        out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        out += bytes(v for i in range(256) for v in (i, i, i))
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(8)                                  # LZW min code size
+        comp = _lzw_encode(vals, 8)
+        for i in range(0, len(comp), 255):
+            blk = comp[i:i + 255]
+            out.append(len(blk))
+            out += blk
+        out += b"\x00\x3B"
+        return bytes(out)
+
     def audio_features(n_ch, rate, samples):
         """8-dim feature vector, EXACT arithmetic (integer sums, one final
         IEEE division; sqrt is IEEE-correctly-rounded in every engine):
@@ -779,12 +1010,13 @@ def _build_decoders():
 
     return (decode_ppm, decode_bmp, image_features, decode_wav,
             audio_features, decode_png, encode_png, decode_jpeg,
-            encode_jpeg_gray)
+            encode_jpeg_gray, decode_gif, encode_gif_gray)
 
 
 (decode_ppm, decode_bmp, image_features,
  decode_wav, audio_features, decode_png, encode_png,
- decode_jpeg, encode_jpeg_gray) = _build_decoders()
+ decode_jpeg, encode_jpeg_gray, decode_gif, encode_gif_gray) = \
+    _build_decoders()
 
 
 def extract_features(media: DataFrame, fake: bool = False,
@@ -792,8 +1024,9 @@ def extract_features(media: DataFrame, fake: bool = False,
     """Decode/feature-extract via mapInPandas (Arrow-batched; one Python
     round-trip per batch, not per row).
 
-    ``fake=False`` REALLY decodes ``meta.format in ('ppm','bmp','png')``
-    with the pure-Python decoders above and computes :func:`image_features`
+    ``fake=False`` REALLY decodes ``meta.format in ('ppm','bmp','png',
+    'jpeg','gif','wav')`` with the pure-Python decoders above and computes
+    :func:`image_features`
     (integer-exact, so the driver gate hash-checks the vectors against a
     SQL oracle); other formats raise NotImplementedError (their codecs need
     libraries absent from this container). ``fake=True`` keeps the
@@ -805,7 +1038,7 @@ def extract_features(media: DataFrame, fake: bool = False,
     """
     ppm, bmp, feats_of = decode_ppm, decode_bmp, image_features  # by-value
     wav, afeats_of = decode_wav, audio_features
-    png, jpg = decode_png, decode_jpeg
+    png, jpg, gif = decode_png, decode_jpeg, decode_gif
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd  # worker-side import, always available with pyspark
@@ -820,7 +1053,7 @@ def extract_features(media: DataFrame, fake: bool = False,
             return [round(a / n, 6) for a in acc]
 
         real = {"ppm": ppm, "bmp": bmp, "png": png, "jpeg": jpg,
-                "jpg": jpg}
+                "jpg": jpg, "gif": gif}
 
         def decode(payload, meta):
             if fake:
@@ -836,7 +1069,7 @@ def extract_features(media: DataFrame, fake: bool = False,
                     "perceptual audio/video codecs (mp3/mp4) need media "
                     "libraries absent from this container; pass fake=True "
                     "for the deterministic fake decoder, or use "
-                    "'ppm'/'bmp'/'png'/'jpeg'/'wav'")
+                    "'ppm'/'bmp'/'png'/'jpeg'/'gif'/'wav'")
             f = feats_of(*dec(payload))
             return (f + [0.0] * n_feat)[:n_feat]
 

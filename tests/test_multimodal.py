@@ -526,3 +526,137 @@ def test_jpeg_extract_features_matches_ppm(spark):
         assert jf[mid][5] == 3 * min(vals) / 3.0
         assert jf[mid][6] == 3 * max(vals) / 3.0
         assert jf[mid][7] == sum(vals) * 192 / 2304.0
+
+
+# ---------------------------------------------------- GIF / LZW (r9) --
+
+def test_gif_decodes_canonical_public_vector():
+    """The widely-published 35-byte 1×1 red GIF89a — a REAL third-party
+    byte stream, so the decoder is pinned to the actual spec, not to our
+    own encoder's dialect."""
+    from bqetl_spark.functions.multimodal import decode_gif
+
+    red = bytes.fromhex(
+        "47494638396101000100800000ff000000000021f90401000000002c000000"
+        "00010001000002024401003b")
+    assert decode_gif(red) == (1, 1, b"\xff\x00\x00")
+
+
+def test_gif_gray_roundtrip_and_palette_mapping():
+    from bqetl_spark.functions.multimodal import decode_gif, encode_gif_gray
+
+    vals = bytes(range(24))
+    w, h, rgb = decode_gif(encode_gif_gray(6, 4, vals))
+    assert (w, h) == (6, 4)
+    assert rgb == bytes(v for b in vals for v in (b, b, b))
+
+
+def test_gif_lzw_code_width_growth_and_table_reset():
+    """A 30k-byte pseudo-random stream forces every code-width step
+    (9→10→11→12) AND the 4096-entry table-full clear/rebuild; a
+    repetitive stream must actually compress."""
+    from bqetl_spark.functions.multimodal import decode_gif, encode_gif_gray
+
+    x, vals = 1, bytearray()
+    for _ in range(30000):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        vals.append((x >> 16) & 0xFF)
+    payload = encode_gif_gray(300, 100, bytes(vals))
+    w, h, rgb = decode_gif(payload)
+    assert (w, h) == (300, 100)
+    assert rgb == bytes(v for b in vals for v in (b, b, b))
+
+    rep = b"abcd" * 2500
+    small = encode_gif_gray(100, 100, rep)
+    assert decode_gif(small)[2] == bytes(v for b in rep for v in (b, b, b))
+    assert len(small) < len(rep) // 4  # LZW really compresses
+
+
+def test_gif_roundtrip_hypothesis():
+    """Property: encode_gif_gray→decode_gif is the identity for any
+    dims and byte content (hypothesis-driven, like PNG/JPEG)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bqetl_spark.functions.multimodal import decode_gif, encode_gif_gray
+
+    @settings(max_examples=30, deadline=None)
+    @given(w=st.integers(1, 12), h=st.integers(1, 12), data=st.data())
+    def run(w, h, data):
+        vals = bytes(data.draw(st.lists(st.integers(0, 255),
+                                        min_size=w * h, max_size=w * h)))
+        assert decode_gif(encode_gif_gray(w, h, vals)) == \
+            (w, h, bytes(v for b in vals for v in (b, b, b)))
+
+    run()
+
+
+def test_gif_rejects_corruption_and_unsupported():
+    import pytest
+
+    from bqetl_spark.functions.multimodal import decode_gif, encode_gif_gray
+
+    good = bytearray(encode_gif_gray(3, 2, bytes(6)))
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF" + bytes(good[7:]))
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(None)
+    # flip the image-descriptor interlace bit (descriptor starts right
+    # after header 13 + 768-byte palette; packed byte is at +9)
+    bad = bytearray(good)
+    bad[13 + 768 + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(bad))
+    # truncate pixel data: keep structure, drop the data sub-blocks
+    with pytest.raises(ValueError):
+        decode_gif(bytes(good[:13 + 768 + 10 + 1]) + b"\x00\x3b")
+    with pytest.raises(ValueError, match="exactly"):
+        encode_gif_gray(4, 4, bytes(3))
+
+
+def test_gif_extract_features_matches_ppm(spark):
+    """The SAME gray pixels through the GIF path and the PPM path must
+    give identical integer-exact features (the PNG test's
+    codec-independence contract, now for the palette codec)."""
+    from bqetl_spark.functions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwx")], "doc_id bigint, text string")
+    gif_media = mm.attach_gif_media(docs, "doc_id", "text", 6, 4)
+    gif_feats = mm.extract_features(gif_media, fake=False) \
+        .select("media_id", "feature").collect()
+    # PPM truecolor with each byte tripled = the gray decode result
+    tripled = F.expr(
+        "concat_ws('', transform(split(substring(text, 1, 24), ''), "
+        "c -> concat(c, c, c)))")
+    ppm_payload = F.concat(F.lit("P6\n6 4\n255\n").cast("binary"),
+                           tripled.cast("binary"))
+    ppm_media = mm.attach_media(docs, "doc_id", ppm_payload,
+                                kind="image", fmt="ppm")
+    ppm_feats = mm.extract_features(ppm_media, fake=False) \
+        .select("media_id", "feature").collect()
+    assert gif_feats == ppm_feats
+
+
+def test_gif_skips_extensions_and_local_palette():
+    """A GIF with a graphic-control extension, comment extension, and a
+    LOCAL color table must decode the same pixels (third-party GIFs
+    carry these even for single frames)."""
+    import struct
+
+    from bqetl_spark.functions.multimodal import decode_gif, encode_gif_gray
+
+    base = encode_gif_gray(3, 2, bytes([0, 50, 100, 150, 200, 250]))
+    # rebuild by hand: header+LSD WITHOUT global table, extensions, image
+    # with local table
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 3, 2, 0x00, 0, 0)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    comment = b"\x21\xfe\x05hello\x00"
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, 3, 2, 0x87)  # local table
+    # reuse the compressed stream from the canonical encoder output:
+    # it sits after header(13) + global pal(768) + descriptor(10)
+    stream = base[13 + 768 + 10:]
+    got = decode_gif(hdr + gce + comment + desc + pal + stream)
+    want = decode_gif(base)
+    assert got == want
