@@ -1855,6 +1855,46 @@ def q_bpe_fertility(spark, sf_dir):
     return bpe_fertility(docs, merges)
 
 
+def q_unigram_train(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) tokenizer training
+    (functions.unigram.unigram_train, r9): 2 hard-EM iterations over a
+    substring seed vocabulary — Kudo 2018's alternative to merge-based
+    BPE, completing the tokenizer family. The per-word Viterbi DP runs
+    as ONE Catalyst array-fold expression (map-only; the corpus
+    collapses to (word, freq) in one shuffle, every EM step then runs
+    on vocab-sized tables), costs are floor(1e6·ln(total/c)) BIGINTs
+    (the dsir/bm25 integer-ln discipline, margin-audited), and the
+    M-step counts every span on ANY optimal segmentation (all-integer
+    equality — no backtrace tie-break to disagree on). The oracle
+    unrolls both EM iterations as CTEs with the IDENTICAL DP fold via
+    DuckDB list_reduce, so the full learned model (token, cnt,
+    nll_micro) is value-hash-certified — an iterative trainer under a
+    value oracle, like bpe_train/pagerank."""
+    from bqetl_spark.functions.unigram import unigram_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_train(docs, iters=2, keep_multi=24)
+
+
+def q_unigram_segments(spark, sf_dir):
+    """Viterbi segmentation of the corpus with the unigram model just
+    trained (functions.unigram.unigram_segments after unigram_train,
+    r9): one row per subword occurrence (doc_id, token, pos =
+    word_pos·1000 + sym_pos — bpe_segments' contract). Segmentation is
+    a pure function of the word, so the DP + smallest-start backtrace
+    (a second array fold whose final accumulator IS the ascending
+    token-boundary list) runs once per DISTINCT word and joins back to
+    the occurrence stream. Oracle reuses the unrolled-training CTEs'
+    final model and replays both folds in DuckDB list_reduce —
+    LEARN→APPLY hash-certified end to end."""
+    from bqetl_spark.functions.unigram import (unigram_segments,
+                                               unigram_train)
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_segments(docs, unigram_train(docs, iters=2,
+                                                keep_multi=24))
+
+
 def q_substring_dup(spark, sf_dir):
     """EXACT substring-duplication pairs (functions.dedup.
     substring_dup_pairs, r7): doc pairs sharing an identical 64-char
@@ -3381,6 +3421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # to the tool's output so the comment cannot drift from reality.
     return {
         "hll_bias_corrected": q_hll_bias_corrected,
+        "unigram_train": q_unigram_train,
+        "unigram_segments": q_unigram_segments,
         "ppr_seeded": q_ppr_seeded,
         "lang_id_trained": q_lang_id_trained,
         "multimodal_gif": q_multimodal_gif,
@@ -3752,6 +3794,138 @@ def _bpe_cte(n_merges: int, emit: str = "merges") -> str:
         f"""r AS "right", l || r AS merged, cnt AS pair_count FROM b{k}"""
         for k in range(1, n_merges + 1))
     return ",\n        ".join(parts) + f"\n        SELECT * FROM ({union})"
+
+
+# Viterbi DP folds for the unigram-LM oracle (_unigram_cte): DuckDB
+# list_reduce has no seed parameter (v1.0), so the seed rides as the
+# FIRST element (list_prepend — same trick as _SIMHASH_ORACLE's FNV
+# fold) and the loop variable as single-element lists; structurally
+# identical to unigram.py's F.aggregate folds, down to the UNREACHABLE
+# sentinel.
+_UNI_DP = """list_reduce(
+            list_prepend([CAST(0 AS BIGINT)],
+                         list_transform(range(1, len + 1),
+                                        q -> [CAST(q AS BIGINT)])),
+            (acc, x) -> list_append(acc, coalesce(
+                list_min(list_transform(
+                    list_filter(spans, s -> s.i = x[1]),
+                    s -> acc[CAST(s.j AS INT) + 1] + s.cost)),
+                CAST(1000000000000000 AS BIGINT))))"""
+
+_UNI_SUF = """list_reduce(
+            list_prepend([CAST(0 AS BIGINT)],
+                         list_transform(range(1, len + 1),
+                                        q -> [CAST(q AS BIGINT)])),
+            (acc, x) -> list_append(acc, coalesce(
+                list_min(list_transform(
+                    list_filter(spans, s -> s.j = len - x[1]),
+                    s -> s.cost + acc[len - CAST(s.i AS INT) + 1])),
+                CAST(1000000000000000 AS BIGINT))))"""
+
+# backtrace: walk right-to-left prepending the smallest on-optimal-path
+# start, so the final accumulator IS the ascending boundary list
+# (unigram.py's `bounds` fold, same integer min / no tie-break)
+_UNI_BOUNDS = """list_reduce(
+            list_prepend([CAST(len AS BIGINT)],
+                         list_transform(range(1, len + 1),
+                                        q -> [CAST(q AS BIGINT)])),
+            (acc, x) -> CASE WHEN acc[1] <= 0 THEN acc ELSE
+                list_prepend(list_min(list_transform(
+                    list_filter(spans,
+                        s -> s.i = acc[1]
+                             AND dp[CAST(s.j AS INT) + 1] + s.cost
+                                 = dp[CAST(acc[1] AS INT) + 1]),
+                    s -> CAST(s.j AS BIGINT))), acc) END)"""
+
+
+def _unigram_cte(iters: int, max_token_len: int = 6,
+                 max_word_len: int = 12, max_seed_vocab: int = 5000,
+                 keep_multi: int = 24) -> str:
+    """Unrolled unigram-LM hard-EM training as DuckDB CTEs, mirroring
+    functions/unigram.py step for step: uwf = the length-filtered
+    word-frequency table; usp = every candidate span (double LATERAL
+    over start/end); uv0 = the seed vocabulary (all chars + top
+    max_seed_vocab multi-char substrings by count DESC, token ASC);
+    then per EM iteration k: ucost{k} (floor-1e6-ln integer costs),
+    ubw{k} (per-word span list + forward/backward Viterbi folds),
+    ucnt{k} (freq-weighted count of every span on ANY optimal
+    segmentation — the all-integer on-path equality), uv{k} (chars
+    +1-smoothed, zero-count multi tokens pruned). Ends at ``umodel``
+    (token, cnt, nll_micro) = the final kept vocabulary with costs
+    renormalized — byte-comparable to unigram_train's output."""
+    parts = [f"""uwf AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                   AS word
+            FROM documents)
+          WHERE word != '' AND length(word) <= {max_word_len}
+          GROUP BY word)""",
+             f"""usp AS (
+          SELECT word, freq, j, i, substring(word, j + 1, i - j) AS token
+          FROM uwf,
+               LATERAL (SELECT unnest(range(0, length(word))) AS j) tj,
+               LATERAL (SELECT unnest(range(j + 1,
+                          least(length(word), j + {max_token_len}) + 1))
+                        AS i) ti)""",
+             """useed AS (
+          SELECT token, CAST(sum(freq) AS BIGINT) AS c
+          FROM usp GROUP BY token)""",
+             """uchars AS (
+          SELECT token FROM useed WHERE length(token) = 1)""",
+             f"""uv0 AS (
+          SELECT token, c FROM useed WHERE length(token) = 1
+          UNION ALL
+          SELECT token, c FROM (
+            SELECT token, c FROM useed WHERE length(token) > 1
+            ORDER BY c DESC, token ASC LIMIT {max_seed_vocab}))"""]
+    for k in range(1, iters + 1):
+        prev = f"uv{k - 1}"
+        parts.append(f"""ucost{k} AS (
+          SELECT token,
+                 CAST(floor(1000000 * ln(
+                     CAST((SELECT sum(c) FROM {prev}) AS DOUBLE)
+                     / CAST(c AS DOUBLE))) AS BIGINT) AS cost
+          FROM {prev})""")
+        parts.append(f"""ubw{k} AS (
+          SELECT word, freq, len, spans,
+                 {_UNI_DP} AS dp,
+                 {_UNI_SUF} AS suf
+          FROM (
+            SELECT word, freq, length(word) AS len,
+                   list({{'j': j, 'i': i, 'token': token,
+                         'cost': cost}}) AS spans
+            FROM usp JOIN ucost{k} USING (token)
+            GROUP BY word, freq))""")
+        parts.append(f"""ucnt{k} AS (
+          SELECT s['token'] AS token, CAST(sum(freq) AS BIGINT) AS c
+          FROM (SELECT freq, unnest(list_filter(spans,
+                  s -> dp[CAST(s.j AS INT) + 1] + s.cost
+                       + suf[len - CAST(s.i AS INT) + 1]
+                       = dp[len + 1])) AS s
+                FROM ubw{k}) u
+          GROUP BY 1)""")
+        # chars +1 smoothing; counts ⊂ cost-table tokens, whose only
+        # single-char members ARE uchars, so length(token) > 1 is the
+        # trainer's anti-join exactly
+        parts.append(f"""uv{k} AS (
+          SELECT token, CAST(coalesce(c, 0) + 1 AS BIGINT) AS c
+          FROM uchars LEFT JOIN ucnt{k} USING (token)
+          UNION ALL
+          SELECT token, c FROM ucnt{k}
+          WHERE length(token) > 1 AND c > 0)""")
+    parts.append(f"""ukept AS (
+          SELECT token, c FROM uv{iters} WHERE length(token) = 1
+          UNION ALL
+          SELECT token, c FROM (
+            SELECT token, c FROM uv{iters} WHERE length(token) > 1
+            ORDER BY c DESC, token ASC LIMIT {keep_multi}))""")
+    parts.append("""umodel AS (
+          SELECT token, c AS cnt,
+                 CAST(floor(1000000 * ln(
+                     CAST((SELECT sum(c) FROM ukept) AS DOUBLE)
+                     / CAST(c AS DOUBLE))) AS BIGINT) AS nll_micro
+          FROM ukept)""")
+    return ",\n        ".join(parts)
 
 
 def _kmeans_cte(n_lists: int, iters: int, dim: int = 64) -> str:
@@ -6710,6 +6884,59 @@ def oracle_sql() -> dict[str, str]:
                  AS fertility_ppm,
                CAST(max(nsym) AS BIGINT) AS max_word_subwords
         FROM pw GROUP BY doc_id"""
+    # unigram-LM training (r9): both hard-EM iterations unrolled
+    # (_unigram_cte) with the per-word Viterbi DPs replayed as
+    # list_reduce folds — structurally identical to the Spark
+    # F.aggregate expressions, all-integer on-path counting, the one
+    # float (floor-1e6-ln cost) margin-audited in
+    # tests/test_oracle_margins.py
+    d["unigram_train"] = f"""
+        WITH {_unigram_cte(2)}
+        SELECT token, cnt, nll_micro FROM umodel"""
+    # unigram segmentation: reuses the training CTEs' final model;
+    # per DISTINCT word one DP + boundary-backtrace fold (smallest
+    # on-path start = longest token, integer min — no tie-break), then
+    # tokens are consecutive-boundary substrings joined back to the
+    # word-occurrence stream. pos = word_pos*1000 + sym_pos, 0-based
+    # on both sides (bpe_segments' contract).
+    d["unigram_segments"] = f"""
+        WITH {_unigram_cte(2)},
+        socc AS (
+          SELECT doc_id, ws[i] AS word, CAST(i - 1 AS BIGINT) AS word_pos
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents),
+               LATERAL (SELECT unnest(generate_series(1, len(ws)))
+                        AS i) t
+          WHERE ws[i] != '' AND length(ws[i]) <= 12),
+        sbw AS (
+          SELECT word, len, spans, {_UNI_DP} AS dp
+          FROM (
+            SELECT word, length(word) AS len,
+                   list({{'j': j, 'i': i, 'token': token,
+                         'cost': cost}}) AS spans
+            FROM (SELECT DISTINCT word FROM socc) w,
+                 LATERAL (SELECT unnest(range(0, length(word)))
+                          AS j) tj,
+                 LATERAL (SELECT unnest(range(j + 1,
+                            least(length(word), j + 6) + 1)) AS i) ti,
+                 LATERAL (SELECT substring(word, j + 1, i - j)
+                          AS token) tt
+            JOIN (SELECT token, nll_micro AS cost FROM umodel)
+              USING (token)
+            GROUP BY word)),
+        sbounds AS (
+          SELECT word, len, {_UNI_BOUNDS} AS bounds FROM sbw),
+        sseg AS (
+          SELECT word, CAST(k - 1 AS BIGINT) AS sym_pos,
+                 substring(word, CAST(bounds[k] AS INT) + 1,
+                           CAST(bounds[k + 1] - bounds[k] AS INT))
+                   AS token
+          FROM sbounds,
+               LATERAL (SELECT unnest(generate_series(1,
+                          len(bounds) - 1)) AS k) t)
+        SELECT doc_id, token, word_pos * 1000 + sym_pos AS pos
+        FROM socc JOIN sseg USING (word)"""
     # prefix-filtered exact jaccard: same answer as ngram_jaccard by the
     # prefix principle (no pair lost) -> same oracle
     # ngram_prefix_jaccard (r8): exact Jaccard over 8-token "title"
