@@ -3822,20 +3822,13 @@ _UNI_SUF = """list_reduce(
                     s -> s.cost + acc[len - CAST(s.i AS INT) + 1])),
                 CAST(1000000000000000 AS BIGINT))))"""
 
-# backtrace: walk right-to-left prepending the smallest on-optimal-path
-# start, so the final accumulator IS the ascending boundary list
-# (unigram.py's `bounds` fold, same integer min / no tie-break)
-_UNI_BOUNDS = """list_reduce(
-            list_prepend([CAST(len AS BIGINT)],
-                         list_transform(range(1, len + 1),
-                                        q -> [CAST(q AS BIGINT)])),
-            (acc, x) -> CASE WHEN acc[1] <= 0 THEN acc ELSE
-                list_prepend(list_min(list_transform(
-                    list_filter(spans,
-                        s -> s.i = acc[1]
-                             AND dp[CAST(s.j AS INT) + 1] + s.cost
-                                 = dp[CAST(acc[1] AS INT) + 1]),
-                    s -> CAST(s.j AS BIGINT))), acc) END)"""
+# NOTE (r10): the backtrace used to be a third list_reduce
+# (_UNI_BOUNDS) whose lambda correlated THREE outer list columns
+# (spans, dp, len); DuckDB's vectorized execution returned different
+# results across fresh connections at full cardinality (r9 red gate,
+# root-caused in VERDICT r9). It is now a fully relational
+# snext + WITH RECURSIVE walk inside the unigram_segments oracle —
+# no multi-column lambdas anywhere on the backtrace path.
 
 
 def _unigram_cte(iters: int, max_token_len: int = 6,
@@ -6894,13 +6887,18 @@ def oracle_sql() -> dict[str, str]:
         WITH {_unigram_cte(2)}
         SELECT token, cnt, nll_micro FROM umodel"""
     # unigram segmentation: reuses the training CTEs' final model;
-    # per DISTINCT word one DP + boundary-backtrace fold (smallest
-    # on-path start = longest token, integer min — no tie-break), then
-    # tokens are consecutive-boundary substrings joined back to the
-    # word-occurrence stream. pos = word_pos*1000 + sym_pos, 0-based
-    # on both sides (bpe_segments' contract).
+    # per DISTINCT word one forward Viterbi DP (the run-stable _UNI_DP
+    # fold), then — r10 rewrite, see the _UNI_DP block comment — the
+    # smallest-on-path-start backtrace is RELATIONAL: spans and DP
+    # values are exploded to rows, `snext` precomputes the unique next
+    # boundary per (word, position) with a plain integer GROUP BY
+    # (min j among spans ending at cur with dp[j]+cost = dp[cur] —
+    # same integer min, no tie-break), and a WITH RECURSIVE walk
+    # (entity_resolution's discipline) follows it from len down to 0.
+    # pos = word_pos*1000 + sym_pos, 0-based on both sides
+    # (bpe_segments' contract).
     d["unigram_segments"] = f"""
-        WITH {_unigram_cte(2)},
+        WITH RECURSIVE {_unigram_cte(2)},
         socc AS (
           SELECT doc_id, ws[i] AS word, CAST(i - 1 AS BIGINT) AS word_pos
           FROM (SELECT doc_id,
@@ -6909,32 +6907,52 @@ def oracle_sql() -> dict[str, str]:
                LATERAL (SELECT unnest(generate_series(1, len(ws)))
                         AS i) t
           WHERE ws[i] != '' AND length(ws[i]) <= 12),
-        sbw AS (
-          SELECT word, len, spans, {_UNI_DP} AS dp
+        sspanr AS MATERIALIZED (
+          SELECT word, CAST(j AS BIGINT) AS j, CAST(i AS BIGINT) AS i,
+                 cost
+          FROM (SELECT DISTINCT word FROM socc) w,
+               LATERAL (SELECT unnest(range(0, length(word)))
+                        AS j) tj,
+               LATERAL (SELECT unnest(range(j + 1,
+                          least(length(word), j + 6) + 1)) AS i) ti,
+               LATERAL (SELECT substring(word, j + 1, i - j)
+                        AS token) tt
+          JOIN (SELECT token, nll_micro AS cost FROM umodel)
+            USING (token)),
+        sbw AS MATERIALIZED (
+          SELECT word, len, {_UNI_DP} AS dp
           FROM (
             SELECT word, length(word) AS len,
-                   list({{'j': j, 'i': i, 'token': token,
-                         'cost': cost}}) AS spans
-            FROM (SELECT DISTINCT word FROM socc) w,
-                 LATERAL (SELECT unnest(range(0, length(word)))
-                          AS j) tj,
-                 LATERAL (SELECT unnest(range(j + 1,
-                            least(length(word), j + 6) + 1)) AS i) ti,
-                 LATERAL (SELECT substring(word, j + 1, i - j)
-                          AS token) tt
-            JOIN (SELECT token, nll_micro AS cost FROM umodel)
-              USING (token)
-            GROUP BY word)),
-        sbounds AS (
-          SELECT word, len, {_UNI_BOUNDS} AS bounds FROM sbw),
+                   list({{'j': j, 'i': i, 'cost': cost}}) AS spans
+            FROM sspanr GROUP BY word)),
+        sdp AS MATERIALIZED (
+          SELECT word, CAST(g - 1 AS BIGINT) AS q,
+                 dp[CAST(g AS INT)] AS dpv
+          FROM sbw,
+               LATERAL (SELECT unnest(generate_series(1, len + 1))
+                        AS g) t),
+        snext AS MATERIALIZED (
+          SELECT sp.word, sp.i AS cur, CAST(min(sp.j) AS BIGINT) AS nxt
+          FROM sspanr sp
+          JOIN sdp d1 ON d1.word = sp.word AND d1.q = sp.j
+          JOIN sdp d2 ON d2.word = sp.word AND d2.q = sp.i
+          WHERE d1.dpv + sp.cost = d2.dpv
+          GROUP BY sp.word, sp.i),
+        swalk AS (
+          SELECT word, CAST(len AS BIGINT) AS cur,
+                 CAST(NULL AS BIGINT) AS prev, CAST(0 AS BIGINT) AS step
+          FROM sbw
+          UNION ALL
+          SELECT w.word, n.nxt AS cur, w.cur AS prev, w.step + 1
+          FROM swalk w JOIN snext n ON n.word = w.word AND n.cur = w.cur
+          WHERE w.cur > 0),
         sseg AS (
-          SELECT word, CAST(k - 1 AS BIGINT) AS sym_pos,
-                 substring(word, CAST(bounds[k] AS INT) + 1,
-                           CAST(bounds[k + 1] - bounds[k] AS INT))
-                   AS token
-          FROM sbounds,
-               LATERAL (SELECT unnest(generate_series(1,
-                          len(bounds) - 1)) AS k) t)
+          SELECT word,
+                 CAST(max(step) OVER (PARTITION BY word) - step
+                      AS BIGINT) AS sym_pos,
+                 substring(word, CAST(cur AS INT) + 1,
+                           CAST(prev - cur AS INT)) AS token
+          FROM swalk WHERE step >= 1)
         SELECT doc_id, token, word_pos * 1000 + sym_pos AS pos
         FROM socc JOIN sseg USING (word)"""
     # prefix-filtered exact jaccard: same answer as ngram_jaccard by the

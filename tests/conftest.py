@@ -93,6 +93,14 @@ def _write_ndjson(path, rows):
 
 
 @pytest.fixture(scope="session")
+def docs_df(spark):
+    """sf0.001 documents table — the corpus the pure-Python tokenizer
+    references in test_unigram.py replicate (they hard-code sf0.001, so
+    this fixture pins the same scale regardless of SPARK_GRAFT_TEST_SF_DIR)."""
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="session")
 def mb_bucket(tmp_path_factory):
     """A local 'bucket' directory of NDJSON table files, shaped like the
     reference's GCS input (one {table}.json per table)."""

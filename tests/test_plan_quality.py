@@ -21,6 +21,14 @@ Justified allowlist (each audited round 4; hard_negatives round 6):
   each EM iteration's cost table attaches the ONE-ROW vocab-total
   aggregate via broadcast crossJoin (unigram._cost_table); every other
   join in the chain is an equi-join on token/word.
+- lang_id_trained (r10 audit): text.py ll-join — the crossJoin side is
+  `miss`, the per-language smoothing floor (one row per LANGUAGE in the
+  training labels, O(10²) at any corpus scale — it grows with the label
+  alphabet, not the data); the bucket-count join right after it is an
+  equi-join on (__lang, __b).
+- lpa_modularity (r10 audit): graph.py attaches `m_df`, the ONE-ROW
+  global edge-count aggregate, via broadcast crossJoin (the
+  important_parts scalar-attach shape).
 """
 
 from __future__ import annotations
@@ -31,7 +39,8 @@ from tests.conftest import SF_DIR
 
 ALLOWED_BNLJ = {"embed_topk", "embed_sq_topk", "embed_neardup",
                 "important_parts", "idle_customers", "hard_negatives",
-                "unigram_train", "unigram_segments"}
+                "unigram_train", "unigram_segments",
+                "lang_id_trained", "lpa_modularity"}
 
 # streaming queries execute a bounded replay inside the builder, and the
 # roundtrips write temp files — plan text is checked for batch shapes only

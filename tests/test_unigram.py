@@ -220,5 +220,6 @@ def test_long_words_dropped_consistently(spark):
     toks = {r["token"] for r in model.collect()}
     assert "x" not in toks
     seg = unigram_segments(docs, model, max_word_len=12).collect()
-    words = {r["doc_id"] * 1000000 + r["pos"] // 1000 for r in seg}
-    assert words == {0, 1000, 1001, 1002}   # the x-word emitted nothing
+    words = {r["doc_id"] * 1_000_000 + r["pos"] // 1000 for r in seg}
+    # doc0 keeps only word 0 ("short"); the 20-char x-word emits nothing
+    assert words == {0, 1_000_000, 1_000_001, 1_000_002}
