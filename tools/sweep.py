@@ -6,10 +6,22 @@ hash-checking EVERY oracle each round.
 
 Usage: cd /tmp && python3 /root/repo/tools/sweep.py [OUT_JSON]
        cd /tmp && python3 /root/repo/tools/sweep.py --only g1,g2
-Writes the artifact (default SWEEP_r08.json at the repo root) and prints a
+       cd /tmp && python3 /root/repo/tools/sweep.py --stability [N]
+Writes the artifact (default SWEEP_r10.json at the repo root) and prints a
 one-line summary. Rows-only gates (no oracle) are counted separately.
 --only runs just the named gates and does NOT write the artifact (quick
 iteration check after touching a gate or oracle).
+
+Stability tier (r10, after the r9 unigram_segments incident): DuckDB's
+vectorized evaluation of list_reduce lambdas that correlate multiple
+outer columns has been observed returning DIFFERENT results across fresh
+connections at full cardinality — invisible to any single-run compare.
+Every list_reduce-bearing oracle is therefore executed N (default 3)
+times, each in a FRESH connection, and all value hashes must agree.
+The full sweep runs this tier automatically and records it in the
+artifact; `--stability` runs the tier alone (no Spark needed; combine
+with --only to target specific gates), exiting non-zero on any
+instability.
 """
 
 from __future__ import annotations
@@ -22,15 +34,64 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 ONLY = None
+STABILITY_ONLY = False
+STAB_RUNS = 3
 args = sys.argv[1:]
-if args and args[0] == "--only":
-    ONLY = set(args[1].split(","))
-    args = args[2:]
-OUT = args[0] if args else os.path.join(ROOT, "SWEEP_r08.json")
+while args and args[0].startswith("--"):
+    if args[0] == "--only":
+        ONLY = set(args[1].split(","))
+        args = args[2:]
+    elif args[0] == "--stability":
+        STABILITY_ONLY = True
+        args = args[1:]
+        if args and args[0].isdigit():
+            STAB_RUNS = int(args[0])
+            args = args[1:]
+    else:
+        raise SystemExit(f"unknown flag {args[0]}")
+OUT = args[0] if args else os.path.join(ROOT, "SWEEP_r10.json")
 SF = "/root/testdata/sf0.01"
 
 
+def stability_tier(osql: dict[str, str], runs: int = STAB_RUNS,
+                   only: set[str] | None = None) -> dict[str, dict]:
+    """Run every list_reduce-bearing oracle `runs`× in fresh DuckDB
+    connections; a gate is stable iff all value hashes agree."""
+    from tests.oracle_harness import duck_connection, value_hash
+
+    targets = [n for n, s in sorted(osql.items()) if "list_reduce" in s
+               and (only is None or n in only)]
+    out: dict[str, dict] = {}
+    for name in targets:
+        hashes = []
+        try:
+            for _ in range(runs):
+                con = duck_connection(SF)        # FRESH connection per run
+                rel = con.sql(osql[name])
+                hashes.append(value_hash(rel.columns, rel.fetchall()))
+                con.close()
+            stable = len(set(hashes)) == 1
+        except Exception as exc:
+            out[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+            print(f"STAB {name} ERR {type(exc).__name__}", flush=True)
+            continue
+        out[name] = {"stable": stable, "runs": runs,
+                     "n_distinct_hashes": len(set(hashes))}
+        print(f"STAB {name} {'STABLE' if stable else 'UNSTABLE'}",
+              flush=True)
+    return out
+
+
 def main() -> None:
+    if STABILITY_ONLY:
+        import __spark_entry__ as em
+
+        res = stability_tier(em.oracle_sql(), STAB_RUNS, ONLY)
+        bad = [n for n, r in res.items() if not r.get("stable", False)]
+        print(f"SUMMARY stability {len(res) - len(bad)}/{len(res)} stable",
+              flush=True)
+        sys.exit(1 if bad else 0)
+
     from pyspark.sql import SparkSession
 
     spark = (SparkSession.builder.master("local[8]")
@@ -62,9 +123,10 @@ def main() -> None:
         except Exception as exc:  # record, keep sweeping
             results[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
             print(f"ERR {name} {type(exc).__name__}", flush=True)
+    stability = stability_tier(osql) if ONLY is None else {}
     artifact = {
         "sf": SF,
-        "session": "round-8",
+        "session": "round-10",
         "method": ("vanilla local[8] SparkSession from cwd=/tmp (driver "
                    "conditions), tests/oracle_harness.compare (rows + "
                    "sorted columns + order-insensitive value hash) vs "
@@ -73,6 +135,7 @@ def main() -> None:
         "n_hash_match": n_match,
         "n_rows_only": len(qs) - len(osql),
         "results": results,
+        "stability": stability,
     }
     if ONLY is None:
         with open(OUT, "w") as fh:
