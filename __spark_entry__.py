@@ -1580,6 +1580,20 @@ def q_gram_repetition(spark, sf_dir):
     return tx.gram_repetition(docs, n=2)
 
 
+def q_repetition_profile(spark, sf_dir):
+    """Gopher character-fraction repetition battery
+    (functions.text.repetition_profile, r10): per doc the exact-ppm
+    char fractions of the single most frequent 2-/3-gram and of ALL
+    duplicated 5-grams — the latter by position marking (union of
+    covered word positions), so overlapping duplicates are counted
+    once, Rae et al.'s "characters contained within" semantics.
+    Complements gram_repetition (top-bigram count fraction). All
+    integer arithmetic; ties on gram count break by gram ASC (binary
+    collation both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.repetition_profile(docs)
+
+
 def q_corpus_keep(spark, sf_dir):
     """The whole pretraining filter chain as one declarative plan: quality
     rules AND language-ID AND repetition cap AND exact-dedup representative
@@ -1893,6 +1907,60 @@ def q_unigram_segments(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return unigram_segments(docs, unigram_train(docs, iters=2,
                                                 keep_multi=24))
+
+
+def q_unigram_fertility(spark, sf_dir):
+    """Fertility diagnostics of the trained unigram model
+    (functions.unigram.unigram_fertility, r10): bpe_fertility's exact
+    per-document contract (n_words / n_subwords / exact-ppm fertility /
+    worst single word) over the unigram segmentation, closing the
+    tokenizer family — train, apply, and eval are now hash-certified
+    for BOTH vocabularies on the same corpus and directly comparable
+    (the suite pins unigram < BPE fertility). Oracle appends two
+    integer aggregations to the shared segmentation CTE chain."""
+    from bqetl_spark.functions.unigram import (unigram_fertility,
+                                               unigram_train)
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_fertility(docs, unigram_train(docs, iters=2,
+                                                 keep_multi=24))
+
+
+def q_wordpiece_train(spark, sf_dir):
+    """WordPiece merge training (functions.wordpiece.wordpiece_train,
+    r10): 8 merges scored by likelihood gain — the exact BIGINT fixed
+    point cnt(l,r)·10^9 div (cnt(l)·cnt(r)) over the current
+    segmentation (ties score DESC, l, r) — with '##' continuation
+    marking instead of BPE's '</w>'. The third tokenizer family (BERT's)
+    next to merge-count BPE and unigram-LM. Oracle unrolls the 8
+    iterations as CTEs (_wp_cte), two integer aggregations + one argmax
+    per merge, the merge step the proven cross-engine string replace."""
+    from bqetl_spark.functions.wordpiece import wordpiece_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return wordpiece_train(docs, n_merges=8)
+
+
+def q_wordpiece_segments(spark, sf_dir):
+    """Greedy longest-match-first WordPiece segmentation with the vocab
+    just learned (functions.wordpiece.wordpiece_segments, r10): per
+    DISTINCT word, position-adjusted candidate spans equi-join the
+    vocabulary (initial symbols ∪ 8 merge tokens) and ONE array fold
+    walks boundaries left to right taking the longest match (integer
+    max — no ties possible); '[UNK]' when a position has no match
+    (unreachable on the training corpus — chars are always in vocab).
+    Emits (doc_id, token, pos = word_pos·1000 + sym_pos), bpe_segments'
+    contract, '##'-prefixed continuations in the token text. Oracle:
+    the same spans→farthest-reach table and a relational WITH RECURSIVE
+    walk (the r10 backtrace discipline — no list_reduce)."""
+    from bqetl_spark.functions.wordpiece import (wordpiece_segments,
+                                                 wordpiece_train,
+                                                 wordpiece_vocab)
+
+    docs = _t(spark, sf_dir, "documents")
+    mt = wordpiece_train(docs, n_merges=8)
+    merged = [r["merged"] for r in mt.orderBy("rank").collect()]
+    return wordpiece_segments(docs, wordpiece_vocab(docs, merged))
 
 
 def q_substring_dup(spark, sf_dir):
@@ -3408,68 +3476,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r6 item 1): tools/window_order.py derives it from the
     # CORRECTNESS_r* history — (1) brand-new gates needing first-ever
     # driver rows, (2) gates whose code or oracle changed this round,
-    # (3) everything else oldest newest-green-driver-row first. The r9
-    # head: the NEW r9 gates (hll_bias_corrected, unigram_train,
-    # unigram_segments, ppr_seeded, lang_id_trained, multimodal_gif,
-    # lpa_modularity), then the 1 CHANGED gate (quantile_incremental —
-    # odd-half split flipped to pmod per ADVICE r8), then the oldest
-    # driver rows (the r4 cohort from stream_dedup alphabetically
-    # onward plus the r5 block) fill the 50-slot window.
+    # (3) everything else oldest newest-green-driver-row first. The r10
+    # head: the NEW r10 gates (unigram_fertility, wordpiece_train,
+    # wordpiece_segments, repetition_profile), then the 1 CHANGED gate
+    # (unigram_segments — its flaky list_reduce oracle rewritten as a
+    # relational WITH RECURSIVE walk, VERDICT r9 P0), then the oldest
+    # driver rows fill the 50-slot window.
     # Regenerate after gate changes with:
     #   python3 tools/window_order.py --new <gates> --changed <gates>
     # tests/test_entry.py::test_window_order_matches_tool pins dict order
     # to the tool's output so the comment cannot drift from reality.
     return {
-        "hll_bias_corrected": q_hll_bias_corrected,
-        "unigram_train": q_unigram_train,
+        "unigram_fertility": q_unigram_fertility,
+        "wordpiece_train": q_wordpiece_train,
+        "wordpiece_segments": q_wordpiece_segments,
+        "repetition_profile": q_repetition_profile,
         "unigram_segments": q_unigram_segments,
-        "ppr_seeded": q_ppr_seeded,
-        "lang_id_trained": q_lang_id_trained,
-        "multimodal_gif": q_multimodal_gif,
-        "lpa_modularity": q_lpa_modularity,
-        "quantile_incremental": q_quantile_incremental,
-        "salted_join": q_salted_join,
-        "sample_hash": q_sample_hash,
-        "scd2_intervals": q_scd2_intervals,
-        "sessionize": q_sessionize,
-        "small_qty_revenue": q_small_qty_revenue,
-        "snapshot_reconcile": q_snapshot_reconcile,
-        "stratified_sample": q_stratified_sample,
-        "stream_click_to_purchase": q_stream_click_to_purchase,
-        "stream_dedup": q_stream_dedup,
-        "stream_events_hourly": q_stream_events_hourly,
-        "stream_sessionize": q_stream_sessionize,
-        "stream_user_totals": q_stream_user_totals,
-        "supplier_cnt_by_attrs": q_supplier_cnt_by_attrs,
-        "suppliers_with_sales": q_suppliers_with_sales,
-        "top_supplier": q_top_supplier,
-        "volume_shipping": q_volume_shipping,
-        "waiting_suppliers": q_waiting_suppliers,
-        "window_running_total": q_window_running_total,
-        "asof_nearest": q_asof_nearest,
-        "bigram_pmi": q_bigram_pmi,
-        "compact_changelog": q_compact_changelog,
-        "contamination": q_contamination,
-        "dedup_fingerprint": q_dedup_fingerprint,
-        "distinct_segments": q_distinct_segments,
-        "doc_chunks_udtf": q_doc_chunks_udtf,
-        "embed_ivf_kmeans_topk": q_embed_ivf_kmeans_topk,
-        "event_transitions": q_event_transitions,
-        "export_shards": q_export_shards,
-        "funnel_stages": q_funnel_stages,
-        "interval_overlap": q_interval_overlap,
-        "lookup_decode": q_lookup_decode,
-        "minhash_lsh": q_minhash_lsh,
-        "mixture_repeats": q_mixture_repeats,
-        "ngram_jaccard": q_ngram_jaccard,
-        "partitioned_roundtrip": q_partitioned_roundtrip,
-        "point_in_time": q_point_in_time,
-        "priority_late_ship": q_priority_late_ship,
-        "quota_sample": q_quota_sample,
-        "retention_cohorts": q_retention_cohorts,
-        "rolling_window": q_rolling_window,
-        "salted_join_auto": q_salted_join_auto,
-        "sampled_quantiles": q_sampled_quantiles,
         "semantic_dedup": q_semantic_dedup,
         "session_labels": q_session_labels,
         "session_window": q_session_window,
@@ -3622,6 +3644,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "top_tokens": q_top_tokens,
         "unpivot_part_metrics": q_unpivot_part_metrics,
+        "asof_nearest": q_asof_nearest,
+        "bigram_pmi": q_bigram_pmi,
+        "compact_changelog": q_compact_changelog,
+        "contamination": q_contamination,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "distinct_segments": q_distinct_segments,
+        "doc_chunks_udtf": q_doc_chunks_udtf,
+        "embed_ivf_kmeans_topk": q_embed_ivf_kmeans_topk,
+        "event_transitions": q_event_transitions,
+        "export_shards": q_export_shards,
+        "funnel_stages": q_funnel_stages,
+        "hll_bias_corrected": q_hll_bias_corrected,
+        "interval_overlap": q_interval_overlap,
+        "lang_id_trained": q_lang_id_trained,
+        "lookup_decode": q_lookup_decode,
+        "lpa_modularity": q_lpa_modularity,
+        "minhash_lsh": q_minhash_lsh,
+        "mixture_repeats": q_mixture_repeats,
+        "multimodal_gif": q_multimodal_gif,
+        "ngram_jaccard": q_ngram_jaccard,
+        "partitioned_roundtrip": q_partitioned_roundtrip,
+        "point_in_time": q_point_in_time,
+        "ppr_seeded": q_ppr_seeded,
+        "priority_late_ship": q_priority_late_ship,
+        "quantile_incremental": q_quantile_incremental,
+        "quota_sample": q_quota_sample,
+        "retention_cohorts": q_retention_cohorts,
+        "rolling_window": q_rolling_window,
+        "salted_join": q_salted_join,
+        "salted_join_auto": q_salted_join_auto,
+        "sample_hash": q_sample_hash,
+        "sampled_quantiles": q_sampled_quantiles,
+        "scd2_intervals": q_scd2_intervals,
+        "sessionize": q_sessionize,
+        "small_qty_revenue": q_small_qty_revenue,
+        "snapshot_reconcile": q_snapshot_reconcile,
+        "stratified_sample": q_stratified_sample,
+        "stream_click_to_purchase": q_stream_click_to_purchase,
+        "stream_dedup": q_stream_dedup,
+        "stream_events_hourly": q_stream_events_hourly,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_user_totals": q_stream_user_totals,
+        "supplier_cnt_by_attrs": q_supplier_cnt_by_attrs,
+        "suppliers_with_sales": q_suppliers_with_sales,
+        "top_supplier": q_top_supplier,
+        "unigram_train": q_unigram_train,
+        "volume_shipping": q_volume_shipping,
+        "waiting_suppliers": q_waiting_suppliers,
+        "window_running_total": q_window_running_total,
     }
 
 
@@ -3918,6 +3989,149 @@ def _unigram_cte(iters: int, max_token_len: int = 6,
                      CAST((SELECT sum(c) FROM ukept) AS DOUBLE)
                      / CAST(c AS DOUBLE))) AS BIGINT) AS nll_micro
           FROM ukept)""")
+    return ",\n        ".join(parts)
+
+
+def _wp_cte(n_merges: int, emit: str = "merges",
+            max_word_len: int = 12, max_token_len: int = 12) -> str:
+    """Unrolled WordPiece training as DuckDB CTEs, mirroring
+    functions/wordpiece.py step for step: wv0 = the length-filtered
+    word-frequency table with each word encoded ' c0  ##c1  ##c2 '
+    (continuation marking, no '</w>'); per merge k: wsym_k (integer
+    symbol counts), wp_k (integer pair counts), wb_k (argmax by the
+    EXACT fixed-point likelihood score cnt·10^9 // (c_l·c_r), ties
+    score DESC, l ASC, r ASC; merged = l || r-stripped-of-'##'), wv_k
+    (plain replace — bpe's identical left-to-right scan). emit='merges'
+    appends the SELECT unioning the argmax rows; emit='apply' instead
+    extends the chain with the greedy longest-match segmentation:
+    wvocab (initial symbols ∪ merge tokens), wsp (position-adjusted
+    candidate spans equi-joined to the vocab), wnext (the unique
+    farthest reach per (word, position) — a plain integer GROUP BY),
+    a relational WITH RECURSIVE walk from 0 (the r10 backtrace
+    discipline — no list_reduce anywhere), and wseg (consecutive-
+    boundary tokens, or the single '[UNK]' row when the walk stalls
+    before the end — BERT's rule). Callers using emit='apply' must
+    open with WITH RECURSIVE."""
+    # wv{k-1} is read THREE times per iteration (wsym, wp, wv) and
+    # wb{k} twice — without MATERIALIZED the inlining grows 3^k-fold
+    # and DuckDB EMFILEs on parquet handles (the kcore peel lesson)
+    parts = [f"""wv0 AS MATERIALIZED (
+          SELECT word, freq,
+                 ' ' || array_to_string(list_transform(
+                     generate_series(1, length(word)),
+                     i -> CASE WHEN i = 1 THEN word[i]
+                          ELSE '##' || word[i] END), '  ') || ' ' AS s
+          FROM (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+              SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                     AS word
+              FROM documents)
+            WHERE word != '' AND length(word) <= {max_word_len}
+            GROUP BY word))"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""wsym{k} AS (
+          SELECT sym[i] AS t, CAST(sum(freq) AS BIGINT) AS c
+          FROM (SELECT string_split(trim(s), '  ') AS sym, freq
+                FROM wv{k - 1}),
+               LATERAL (SELECT unnest(generate_series(1, len(sym)))
+                        AS i) u
+          GROUP BY 1)""")
+        parts.append(f"""wp{k} AS (
+          SELECT sym[i] AS l, sym[i+1] AS r,
+                 CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (SELECT string_split(trim(s), '  ') AS sym, freq
+                FROM wv{k - 1}),
+               LATERAL (SELECT unnest(generate_series(1, len(sym) - 1))
+                        AS i) t
+          GROUP BY 1, 2)""")
+        parts.append(f"""wb{k} AS MATERIALIZED (
+          SELECT p.l, p.r,
+                 p.l || CASE WHEN p.r LIKE '##%' THEN p.r[3:]
+                             ELSE p.r END AS m,
+                 p.cnt,
+                 CAST(p.cnt * 1000000000 // (cl.c * cr.c) AS BIGINT)
+                   AS score
+          FROM wp{k} p JOIN wsym{k} cl ON p.l = cl.t
+                       JOIN wsym{k} cr ON p.r = cr.t
+          ORDER BY score DESC, p.l ASC, p.r ASC LIMIT 1)""")
+        if k < n_merges or emit == "apply":
+            # LEFT JOIN ON TRUE + coalesce: early-stop passthrough when
+            # the corpus runs out of pairs (bpe's r7-fuzz lesson)
+            parts.append(f"""wv{k} AS MATERIALIZED (
+          SELECT word, freq,
+                 coalesce(replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                                  ' ' || b.m || ' '), s) AS s
+          FROM wv{k - 1} LEFT JOIN wb{k} b ON TRUE)""")
+    if emit == "merges":
+        union = "\n          UNION ALL ".join(
+            f"""SELECT CAST({k} AS BIGINT) AS "rank", l AS "left", """
+            f"""r AS "right", m AS merged, cnt AS pair_count, """
+            f"""score AS score_ppb FROM wb{k}"""
+            for k in range(1, n_merges + 1))
+        return (",\n        ".join(parts)
+                + f"\n        SELECT * FROM ({union})")
+    vocab_union = "\n          UNION ".join(
+        f"SELECT m AS token FROM wb{k}" for k in range(1, n_merges + 1))
+    parts.append(f"""wvocab AS (
+          SELECT DISTINCT CASE WHEN i = 1 THEN word[i]
+                               ELSE '##' || word[i] END AS token
+          FROM wv0,
+               LATERAL (SELECT unnest(generate_series(1, length(word)))
+                        AS i) t
+          UNION
+          {vocab_union})""")
+    parts.append(f"""wocc AS (
+          SELECT doc_id, ws[i] AS word, CAST(i - 1 AS BIGINT) AS word_pos
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents),
+               LATERAL (SELECT unnest(generate_series(1, len(ws)))
+                        AS i) t
+          WHERE ws[i] != '' AND length(ws[i]) <= {max_word_len})""")
+    parts.append("""wdw AS (SELECT DISTINCT word FROM wocc)""")
+    parts.append(f"""wsp AS MATERIALIZED (
+          SELECT word, CAST(j AS BIGINT) AS j, CAST(i AS BIGINT) AS i
+          FROM wdw,
+               LATERAL (SELECT unnest(range(0, length(word)))
+                        AS j) tj,
+               LATERAL (SELECT unnest(range(j + 1,
+                          least(length(word), j + {max_token_len}) + 1))
+                        AS i) ti,
+               LATERAL (SELECT CASE WHEN j = 0
+                          THEN substring(word, 1, CAST(i AS INT))
+                          ELSE '##' || substring(word, CAST(j AS INT) + 1,
+                                                 CAST(i - j AS INT))
+                        END AS tok) tt
+          JOIN wvocab ON tok = wvocab.token)""")
+    parts.append("""wnext AS MATERIALIZED (
+          SELECT word, j AS cur, CAST(max(i) AS BIGINT) AS nxt
+          FROM wsp GROUP BY word, j)""")
+    parts.append("""wwalk AS (
+          SELECT word, CAST(length(word) AS BIGINT) AS len,
+                 CAST(0 AS BIGINT) AS cur, CAST(NULL AS BIGINT) AS prev,
+                 CAST(0 AS BIGINT) AS step
+          FROM wdw
+          UNION ALL
+          SELECT w.word, w.len, n.nxt AS cur, w.cur AS prev, w.step + 1
+          FROM wwalk w JOIN wnext n ON n.word = w.word AND n.cur = w.cur
+          WHERE w.cur < w.len)""")
+    parts.append("""wreach AS (
+          SELECT word, max(cur) AS reached, max(len) AS len
+          FROM wwalk GROUP BY word)""")
+    parts.append("""wseg AS (
+          SELECT w.word, w.step - 1 AS sym_pos,
+                 CASE WHEN w.prev = 0
+                      THEN substring(w.word, 1, CAST(w.cur AS INT))
+                      ELSE '##' || substring(w.word,
+                                             CAST(w.prev AS INT) + 1,
+                                             CAST(w.cur - w.prev AS INT))
+                 END AS token
+          FROM wwalk w JOIN wreach r
+            ON r.word = w.word AND r.reached = r.len
+          WHERE w.step >= 1
+          UNION ALL
+          SELECT word, CAST(0 AS BIGINT) AS sym_pos, '[UNK]' AS token
+          FROM wreach WHERE reached < len)""")
     return ",\n        ".join(parts)
 
 
@@ -6896,8 +7110,10 @@ def oracle_sql() -> dict[str, str]:
     # same integer min, no tie-break), and a WITH RECURSIVE walk
     # (entity_resolution's discipline) follows it from len down to 0.
     # pos = word_pos*1000 + sym_pos, 0-based on both sides
-    # (bpe_segments' contract).
-    d["unigram_segments"] = f"""
+    # (bpe_segments' contract). The CTE chain (ending at sseg, the
+    # per-distinct-word token stream) is shared with the
+    # unigram_fertility oracle, which appends two integer aggregations.
+    _useg = f"""
         WITH RECURSIVE {_unigram_cte(2)},
         socc AS (
           SELECT doc_id, ws[i] AS word, CAST(i - 1 AS BIGINT) AS word_pos
@@ -6952,9 +7168,100 @@ def oracle_sql() -> dict[str, str]:
                       AS BIGINT) AS sym_pos,
                  substring(word, CAST(cur AS INT) + 1,
                            CAST(prev - cur AS INT)) AS token
-          FROM swalk WHERE step >= 1)
+          FROM swalk WHERE step >= 1)"""
+    d["unigram_segments"] = _useg + """
         SELECT doc_id, token, word_pos * 1000 + sym_pos AS pos
         FROM socc JOIN sseg USING (word)"""
+    # unigram_fertility (r10): bpe_fertility's two exact integer
+    # aggregations over the shared segmentation chain — per distinct
+    # word the token count, joined to the occurrence stream, then
+    # per-doc totals (fertility_ppm = n_subwords*1e6 div n_words).
+    d["unigram_fertility"] = _useg + """,
+        sntok AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS ntok
+          FROM sseg GROUP BY word)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(ntok) AS BIGINT) AS n_subwords,
+               CAST(sum(ntok) * 1000000 // count(*) AS BIGINT)
+                 AS fertility_ppm,
+               CAST(max(ntok) AS BIGINT) AS max_word_subwords
+        FROM socc JOIN sntok USING (word)
+        GROUP BY doc_id"""
+    # WordPiece (r10): 8 likelihood-scored merges unrolled (_wp_cte);
+    # the apply oracle extends the chain with the greedy walk — both
+    # mirror functions/wordpiece.py step for step
+    d["wordpiece_train"] = f"""
+        WITH {_wp_cte(8, emit="merges")}"""
+    d["wordpiece_segments"] = f"""
+        WITH RECURSIVE {_wp_cte(8, emit="apply")}
+        SELECT doc_id, token, word_pos * 1000 + sym_pos AS pos
+        FROM wocc JOIN wseg USING (word)"""
+    # repetition_profile (r10): Gopher char-fraction battery — top-gram
+    # numerators are cnt·(gram chars − separators); the dup-5gram
+    # numerator marks the UNION of covered word positions (DISTINCT
+    # (doc, q)) before summing char lengths, so overlaps count once;
+    # all fixed-point ppm BIGINTs, ties cnt DESC then gram ASC
+    d["repetition_profile"] = r"""
+        WITH rw AS MATERIALIZED (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents WHERE trim(text) != ''),
+        rbase AS (
+          SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform(ws, w -> length(w)))
+                      AS BIGINT) AS word_chars
+          FROM rw),
+        g2 AS (
+          SELECT doc_id, array_to_string(ws[p:p+1], ' ') AS gram
+          FROM rw, LATERAL (SELECT unnest(generate_series(1,
+                              len(ws) - 1)) AS p) t
+          WHERE len(ws) >= 2),
+        t2 AS (
+          SELECT doc_id, cnt * (length(gram) - 1) AS num2 FROM (
+            SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY count(*) DESC, gram ASC) AS rn
+            FROM g2 GROUP BY doc_id, gram) WHERE rn = 1),
+        g3 AS (
+          SELECT doc_id, array_to_string(ws[p:p+2], ' ') AS gram
+          FROM rw, LATERAL (SELECT unnest(generate_series(1,
+                              len(ws) - 2)) AS p) t
+          WHERE len(ws) >= 3),
+        t3 AS (
+          SELECT doc_id, cnt * (length(gram) - 2) AS num3 FROM (
+            SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY count(*) DESC, gram ASC) AS rn
+            FROM g3 GROUP BY doc_id, gram) WHERE rn = 1),
+        g5 AS MATERIALIZED (
+          SELECT doc_id, CAST(p AS BIGINT) AS p,
+                 array_to_string(ws[p:p+4], ' ') AS gram
+          FROM rw, LATERAL (SELECT unnest(generate_series(1,
+                              len(ws) - 4)) AS p) t
+          WHERE len(ws) >= 5),
+        d5 AS (
+          SELECT doc_id, gram FROM g5
+          GROUP BY doc_id, gram HAVING count(*) > 1),
+        m5 AS (
+          SELECT DISTINCT g.doc_id, q
+          FROM g5 g JOIN d5 USING (doc_id, gram),
+               LATERAL (SELECT unnest(generate_series(g.p, g.p + 4))
+                        AS q) t),
+        n5 AS (
+          SELECT m5.doc_id,
+                 CAST(sum(length(ws[CAST(q AS INT)])) AS BIGINT) AS numd
+          FROM m5 JOIN rw ON rw.doc_id = m5.doc_id
+          GROUP BY m5.doc_id)
+        SELECT b.doc_id, b.n_words, b.word_chars,
+               CAST(coalesce(t2.num2, 0) * 1000000 // b.word_chars
+                    AS BIGINT) AS top2_char_ppm,
+               CAST(coalesce(t3.num3, 0) * 1000000 // b.word_chars
+                    AS BIGINT) AS top3_char_ppm,
+               CAST(coalesce(n5.numd, 0) * 1000000 // b.word_chars
+                    AS BIGINT) AS dup5_char_ppm
+        FROM rbase b
+        LEFT JOIN t2 ON b.doc_id = t2.doc_id
+        LEFT JOIN t3 ON b.doc_id = t3.doc_id
+        LEFT JOIN n5 ON b.doc_id = n5.doc_id"""
     # prefix-filtered exact jaccard: same answer as ngram_jaccard by the
     # prefix principle (no pair lost) -> same oracle
     # ngram_prefix_jaccard (r8): exact Jaccard over 8-token "title"

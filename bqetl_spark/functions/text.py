@@ -209,6 +209,104 @@ def gram_repetition(df: DataFrame, text_col: str = "text",
                     .alias("rep_ratio")))
 
 
+def repetition_profile(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       dup_n: int = 5) -> DataFrame:
+    """Gopher-style CHARACTER-fraction repetition battery (r10) —
+    Rae et al. 2021's quality signals that :func:`gram_repetition`
+    (gram-count fraction of the top bigram) does not cover, all as
+    exact fixed-point BIGINT ppm so the battery is value-hash
+    oracle-able:
+
+    - ``top2_char_ppm`` / ``top3_char_ppm``: fraction of word
+      characters covered by the single most frequent word 2-/3-gram —
+      occurrences × the gram's word characters (overlapping
+      occurrences count, the standard sliding window) over the doc's
+      total word characters. Ties on count break by gram ASC (binary
+      collation, identical in both engines).
+    - ``dup{n}_char_ppm``: fraction of word characters inside ANY
+      duplicated ``dup_n``-gram, computed by POSITION MARKING — the
+      union of word positions covered by every occurrence of every
+      gram appearing more than once — so overlapping duplicates are
+      not double-counted (Gopher's "characters contained within"
+      semantics, not a per-gram sum).
+
+    Returns (id, n_words, word_chars, top2_char_ppm, top3_char_ppm,
+    dup{n}_char_ppm); docs whose text is empty/whitespace produce no
+    row; docs with fewer words than a window get 0 for that signal.
+
+    Shape: one words-array scan feeds per-n gram explodes; every
+    aggregation keys on (doc, gram) or (doc, position) — fine-grained,
+    map-side combinable, no hot keys; the final assembly is per-doc
+    equi-joins of doc-sized aggregates. No UDFs, no folds."""
+    # deliberately NOT pinned: base is corpus-sized (the words arrays);
+    # recomputing scan+split per gram stream is cheaper at 100 TB than
+    # persisting ~the corpus (pin() is for compact intermediates)
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col), ws.alias("__ws"))
+            .select(id_col, "__ws",
+                    F.size("__ws").cast("long").alias("n_words"),
+                    F.expr("aggregate(transform(__ws, "
+                           "w -> cast(char_length(w) as bigint)), "
+                           "0L, (a, x) -> a + x)").alias("word_chars")))
+
+    def grams_of(n):
+        # guard size >= n BEFORE sequence(): Spark's sequence(1, k)
+        # DESCENDS when k < 1 instead of returning empty
+        return (base.filter(F.col("n_words") >= n)
+                .select(id_col, F.explode(F.expr(
+                    f"transform(sequence(1, size(__ws) - {n - 1}), "
+                    f"p -> struct(cast(p as bigint) AS p, "
+                    f"concat_ws(' ', slice(__ws, p, {n})) AS gram))"))
+                    .alias("g"))
+                .select(id_col, F.col("g.p").alias("p"),
+                        F.col("g.gram").alias("gram")))
+
+    def top_num(n):
+        counts = (grams_of(n).groupBy(id_col, "gram")
+                  .agg(F.count("*").cast("long").alias("__c")))
+        w = Window.partitionBy(id_col).orderBy(F.desc("__c"),
+                                               F.asc("gram"))
+        return (counts.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(F.col(id_col).alias("__id"),
+                        (F.col("__c")
+                         * (F.char_length("gram") - (n - 1)).cast("long"))
+                        .alias(f"__num{n}")))
+
+    gd = grams_of(dup_n)
+    wdup = Window.partitionBy(id_col, "gram")
+    marked = (gd.withColumn("__c", F.count("*").over(wdup))
+              .filter(F.col("__c") > 1)
+              .select(id_col, F.explode(
+                  F.sequence(F.col("p"), F.col("p") + (dup_n - 1)))
+                  .alias("q"))
+              .distinct())
+    dup_num = (marked
+               .join(base.select(id_col, "__ws"), id_col)
+               .select(id_col,
+                       F.expr("char_length(element_at(__ws, "
+                              "cast(q as int)))").cast("long")
+                       .alias("__ch"))
+               .groupBy(id_col)
+               .agg(F.sum("__ch").alias("__numd"))
+               .select(F.col(id_col).alias("__idd"), "__numd"))
+    return (base
+            .join(top_num(2), F.col(id_col) == F.col("__id"), "left")
+            .drop("__id")
+            .join(top_num(3), F.col(id_col) == F.col("__id"), "left")
+            .drop("__id")
+            .join(dup_num, F.col(id_col) == F.col("__idd"), "left")
+            .select(id_col, "n_words", "word_chars",
+                    F.expr("coalesce(__num2, 0L) * 1000000 div word_chars")
+                    .cast("long").alias("top2_char_ppm"),
+                    F.expr("coalesce(__num3, 0L) * 1000000 div word_chars")
+                    .cast("long").alias("top3_char_ppm"),
+                    F.expr("coalesce(__numd, 0L) * 1000000 div word_chars")
+                    .cast("long").alias(f"dup{dup_n}_char_ppm")))
+
+
 def source_divergence(df: DataFrame, group_col: str = "source",
                       text_col: str = "text") -> DataFrame:
     """KL(P_group ‖ P_corpus) over token unigram distributions — the

@@ -269,3 +269,29 @@ def unigram_segments(docs: DataFrame, model: DataFrame,
             .select(id_col, "token",
                     (F.col("word_pos").cast("long") * 1000
                      + F.col("sym_pos")).alias("pos")))
+
+
+def unigram_fertility(docs: DataFrame, model: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_token_len: int = 6,
+                      max_word_len: int = 12) -> DataFrame:
+    """Per-document fertility statistics of the trained unigram model
+    (r10) — bpe.bpe_fertility's exact contract over the unigram
+    segmentation, so the two tokenizer families are eval-comparable
+    row for row: (id, n_words, n_subwords, fertility_ppm =
+    n_subwords·10^6 div n_words, max_word_subwords), all exact
+    BIGINTs. Words over ``max_word_len`` are excluded on BOTH sides of
+    the ratio (the segmentation boundary, documented there); documents
+    with no kept words produce no rows."""
+    segs = unigram_segments(docs, model, text_col, id_col,
+                            max_token_len, max_word_len)
+    per_word = (segs.groupBy(id_col, F.expr("pos div 1000").alias("__wp"))
+                .agg(F.count("*").alias("__c")))
+    return (per_word.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.sum("__c").cast("long").alias("n_subwords"),
+                 F.max("__c").cast("long").alias("max_word_subwords"))
+            .select(id_col, "n_words", "n_subwords",
+                    F.expr("n_subwords * 1000000 div n_words")
+                    .cast("long").alias("fertility_ppm"),
+                    "max_word_subwords"))

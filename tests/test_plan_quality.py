@@ -17,7 +17,8 @@ Justified allowlist (each audited round 4; hard_negatives round 6):
   condition is non-equi by definition (a negative is ANY different
   label), and the broadcast side is the ≤10-row query set; at corpus
   scale the composition goes through the ANN bucket paths first.
-- unigram_train / unigram_segments (r9): the important_parts class —
+- unigram_train / unigram_segments (r9) / unigram_fertility (r10, a
+  composition of the two): the important_parts class —
   each EM iteration's cost table attaches the ONE-ROW vocab-total
   aggregate via broadcast crossJoin (unigram._cost_table); every other
   join in the chain is an equi-join on token/word.
@@ -39,7 +40,7 @@ from tests.conftest import SF_DIR
 
 ALLOWED_BNLJ = {"embed_topk", "embed_sq_topk", "embed_neardup",
                 "important_parts", "idle_customers", "hard_negatives",
-                "unigram_train", "unigram_segments",
+                "unigram_train", "unigram_segments", "unigram_fertility",
                 "lang_id_trained", "lpa_modularity"}
 
 # streaming queries execute a bounded replay inside the builder, and the

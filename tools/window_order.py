@@ -38,17 +38,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # queries() dict order to compute_order(..., **ROUND_HEAD), so a stale
 # constant fails the suite instead of silently drifting.
 ROUND_HEAD = {
-    # r9: brand-new gates (the r8-verdict roadmap items — HLL++ bias
-    # correction, unigram-LM tokenizer train/apply, personalized
-    # PageRank, trained hashed-n-gram lang-id, GIF/LZW decode, Newman
-    # modularity of the LPA partition); changed = quantile_incremental
-    # (odd-half split flipped to pmod so negative ids stay total —
-    # ADVICE r8; same results on this corpus, fresh row anyway).
-    "new_first": ["hll_bias_corrected", "unigram_train",
-                  "unigram_segments", "ppr_seeded",
-                  "lang_id_trained", "multimodal_gif",
-                  "lpa_modularity"],
-    "changed": ["quantile_incremental"],
+    # r10: brand-new gates (unigram_fertility closes the tokenizer-eval
+    # loop; wordpiece_train/_segments add the third tokenizer family;
+    # repetition_profile is the Gopher char-fraction battery); changed
+    # = unigram_segments, whose DuckDB oracle was rewritten relational
+    # (the r9 flaky list_reduce backtrace — VERDICT r9 P0).
+    "new_first": ["unigram_fertility", "wordpiece_train",
+                  "wordpiece_segments", "repetition_profile"],
+    "changed": ["unigram_segments"],
 }
 
 
