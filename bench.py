@@ -127,6 +127,19 @@ EXTRAS = [
     "kcore_parts",
     "bpe_fertility",
     "lpa_communities",
+    # round 9
+    "hll_bias_corrected",
+    "unigram_train",
+    "unigram_segments",
+    "ppr_seeded",
+    "lang_id_trained",
+    "multimodal_gif",
+    "lpa_modularity",
+    # round 10
+    "unigram_fertility",
+    "wordpiece_train",
+    "wordpiece_segments",
+    "repetition_profile",
 ]
 
 
@@ -186,31 +199,37 @@ def main() -> None:
         release_pinned()
         extras[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
-    duck = duckdb_timings()
+    for line in format_output(timings, extras, duckdb_timings(), SF_DIR):
+        print(line)
+    spark.stop()
+
+
+def format_output(timings: dict, extras: dict, duck: dict,
+                  sf_dir: str) -> list[str]:
+    """The two stdout lines, LAST line = the compact headline object the
+    driver parses. r8 output contract fix (r7 verdict item 3): the
+    single line had outgrown the driver's stdout-TAIL capture (~70
+    extras pushed "metric"/"value" off the front — BENCH_r07 recorded
+    parsed:null), so detail goes on its own line FIRST. Pinned by
+    tests/test_bench_output.py (r8 verdict item 8)."""
     duck_known = [v for v in duck.values() if v is not None]
-    # r8 output contract fix (r7 verdict item 3): the single line had
-    # outgrown the driver's stdout-TAIL capture (~70 extras pushed
-    # "metric"/"value" off the front — BENCH_r07 recorded parsed:null).
-    # Detail goes on its own line FIRST; the LAST line is the compact
-    # headline object the driver parses.
-    print(json.dumps({
+    detail = json.dumps({
         "detail": "per-extra timings + per-query DuckDB baseline",
         "extras": extras,
         # single-node engine baseline for the "within 2x" bar: the SAME
         # queries via oracle_sql() on DuckDB over the same parquet. null =
         # no SQL-expressible oracle or exceeded the per-query cap.
         "duckdb": duck,
-    }))
-    print(json.dumps({
+    })
+    headline = json.dumps({
         "metric": "total_headline_sec",
-        "value": total,
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": SF_DIR,
+        "sf": sf_dir,
         "duckdb_total_sec": round(sum(duck_known), 3) if duck_known else None,
-    }))
-    spark.stop()
+    })
+    return [detail, headline]
 
 
 DUCK_CAP_SEC = 60.0  # all-pairs near-dup oracles get expensive at sf>=0.1
