@@ -1963,6 +1963,36 @@ def q_wordpiece_segments(spark, sf_dir):
     return wordpiece_segments(docs, wordpiece_vocab(docs, merged))
 
 
+def q_wordpiece_fertility(spark, sf_dir):
+    """Fertility diagnostics of the WordPiece vocabulary
+    (functions.wordpiece.wordpiece_fertility, r10): the bpe_fertility
+    contract over the greedy segmentation, completing the tokenizer
+    triad's LEARN→APPLY→MEASURE certification — bpe, unigram and
+    wordpiece fertility are now directly comparable per document on
+    one corpus. Oracle appends the two integer aggregations to the
+    _wp_cte apply chain."""
+    from bqetl_spark.functions.wordpiece import (wordpiece_fertility,
+                                                 wordpiece_train,
+                                                 wordpiece_vocab)
+
+    docs = _t(spark, sf_dir, "documents")
+    mt = wordpiece_train(docs, n_merges=8)
+    merged = [r["merged"] for r in mt.orderBy("rank").collect()]
+    return wordpiece_fertility(docs, wordpiece_vocab(docs, merged))
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law type/token growth curve (functions.text.vocab_growth,
+    r10): cumulative docs / tokens / distinct types per doc-id decile —
+    the corpus diagnostic behind dedup and data-mixing decisions (a
+    flattening type curve = diminishing new vocabulary). Types are
+    counted at their FIRST appearance (min doc id), so the whole curve
+    costs one corpus scan + vocab-sized aggregations, never a
+    per-prefix distinct; cumulative sums run in a 10-row window."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.vocab_growth(docs, buckets=10)
+
+
 def q_substring_dup(spark, sf_dir):
     """EXACT substring-duplication pairs (functions.dedup.
     substring_dup_pairs, r7): doc pairs sharing an identical 64-char
@@ -3491,6 +3521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_train": q_wordpiece_train,
         "wordpiece_segments": q_wordpiece_segments,
         "repetition_profile": q_repetition_profile,
+        "wordpiece_fertility": q_wordpiece_fertility,
+        "vocab_growth": q_vocab_growth,
         "unigram_segments": q_unigram_segments,
         "semantic_dedup": q_semantic_dedup,
         "session_labels": q_session_labels,
@@ -7196,6 +7228,55 @@ def oracle_sql() -> dict[str, str]:
         WITH RECURSIVE {_wp_cte(8, emit="apply")}
         SELECT doc_id, token, word_pos * 1000 + sym_pos AS pos
         FROM wocc JOIN wseg USING (word)"""
+    # wordpiece_fertility (r10): the two fertility aggregations over
+    # the same apply chain ('[UNK]' words count their single token)
+    d["wordpiece_fertility"] = f"""
+        WITH RECURSIVE {_wp_cte(8, emit="apply")},
+        wntok AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS ntok
+          FROM wseg GROUP BY word)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(ntok) AS BIGINT) AS n_subwords,
+               CAST(sum(ntok) * 1000000 // count(*) AS BIGINT)
+                 AS fertility_ppm,
+               CAST(max(ntok) AS BIGINT) AS max_word_subwords
+        FROM wocc JOIN wntok USING (word)
+        GROUP BY doc_id"""
+    # vocab_growth (r10): Heaps-law curve — decile of a doc id is
+    # (id·10) // (max+1) + 1; types bucket at their min-doc-id first
+    # appearance; cumulative sums over the 10-row bucket table
+    d["vocab_growth"] = f"""
+        WITH vo AS (
+          SELECT doc_id, w AS word FROM (
+            SELECT doc_id, unnest({_TOK}) AS w FROM documents)
+          WHERE w != ''),
+        vmax AS (SELECT CAST(max(doc_id) AS BIGINT) AS maxd
+                 FROM documents),
+        vtypes AS (
+          SELECT CAST(fd * 10 // (maxd + 1) + 1 AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS t
+          FROM (SELECT word, min(doc_id) AS fd FROM vo GROUP BY word),
+               vmax
+          GROUP BY 1),
+        vtoks AS (
+          SELECT CAST(doc_id * 10 // (maxd + 1) + 1 AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM vo, vmax GROUP BY 1),
+        vdocs AS (
+          SELECT CAST(doc_id * 10 // (maxd + 1) + 1 AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS d
+          FROM documents, vmax GROUP BY 1)
+        SELECT bucket,
+               CAST(sum(coalesce(vdocs.d, 0)) OVER w AS BIGINT) AS n_docs,
+               CAST(sum(coalesce(vtoks.k, 0)) OVER w AS BIGINT)
+                 AS n_tokens,
+               CAST(sum(coalesce(vtypes.t, 0)) OVER w AS BIGINT)
+                 AS n_types
+        FROM vdocs
+        LEFT JOIN vtoks USING (bucket)
+        LEFT JOIN vtypes USING (bucket)
+        WINDOW w AS (ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
     # repetition_profile (r10): Gopher char-fraction battery — top-gram
     # numerators are cnt·(gram chars − separators); the dup-5gram
     # numerator marks the UNION of covered word positions (DISTINCT

@@ -307,6 +307,56 @@ def repetition_profile(df: DataFrame, text_col: str = "text",
                     .cast("long").alias(f"dup{dup_n}_char_ppm")))
 
 
+def vocab_growth(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", buckets: int = 10) -> DataFrame:
+    """Heaps-law type/token growth curve (r10) — the corpus diagnostic
+    behind dedup/quality decisions (a flattening type curve means new
+    data is mostly vocabulary the corpus already has). Docs are split
+    into ``buckets`` equal id-ranges (bucket b = ids in
+    [b·(max+1)/buckets, ...)); per bucket the CUMULATIVE doc count,
+    token count, and distinct-type count — a type is counted in the
+    bucket of its FIRST appearance (min doc id), so cumulative types
+    need one min-aggregation, never a per-prefix distinct.
+
+    Returns (bucket 1..buckets, n_docs, n_tokens, n_types), exact
+    BIGINTs. One corpus scan; everything after runs on vocab-sized or
+    bucket-sized tables. The max-id scalar attaches via a one-row
+    broadcast (the important_parts class). Cumulative sums run in a
+    single-partition window over ``buckets`` rows — metadata."""
+    occ = (df.select(F.col(id_col).cast("long").alias("__id"),
+                     F.explode(tokens(F.col(text_col))).alias("word"))
+           .filter(F.col("word") != ""))
+    maxd = df.agg(F.max(F.col(id_col)).cast("long").alias("__maxd"))
+
+    def bucket_of(c):
+        return (c * buckets / (F.col("__maxd") + 1)).cast("long") + 1
+
+    first = occ.groupBy("word").agg(F.min("__id").alias("__fd"))
+    types_b = (first.crossJoin(F.broadcast(maxd))
+               .groupBy(bucket_of(F.col("__fd")).alias("bucket"))
+               .agg(F.count("*").cast("long").alias("__t")))
+    toks_b = (occ.groupBy("__id").agg(F.count("*").alias("__n"))
+              .crossJoin(F.broadcast(maxd))
+              .groupBy(bucket_of(F.col("__id")).alias("bucket"))
+              .agg(F.sum("__n").cast("long").alias("__k")))
+    docs_b = (df.select(F.col(id_col).cast("long").alias("__id"))
+              .crossJoin(F.broadcast(maxd))
+              .groupBy(bucket_of(F.col("__id")).alias("bucket"))
+              .agg(F.count("*").cast("long").alias("__d")))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (docs_b
+            .join(toks_b, "bucket", "left")
+            .join(types_b, "bucket", "left")
+            .select("bucket",
+                    F.sum(F.coalesce("__d", F.lit(0))).over(w)
+                    .cast("long").alias("n_docs"),
+                    F.sum(F.coalesce("__k", F.lit(0))).over(w)
+                    .cast("long").alias("n_tokens"),
+                    F.sum(F.coalesce("__t", F.lit(0))).over(w)
+                    .cast("long").alias("n_types")))
+
+
 def source_divergence(df: DataFrame, group_col: str = "source",
                       text_col: str = "text") -> DataFrame:
     """KL(P_group ‖ P_corpus) over token unigram distributions — the

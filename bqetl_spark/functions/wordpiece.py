@@ -238,3 +238,27 @@ def wordpiece_segments(docs: DataFrame, vocab: DataFrame,
             .select(id_col, "token",
                     (F.col("word_pos").cast("long") * 1000
                      + F.col("sym_pos")).alias("pos")))
+
+
+def wordpiece_fertility(docs: DataFrame, vocab: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_token_len: int = 12,
+                        max_word_len: int = 12) -> DataFrame:
+    """Per-document fertility statistics of a WordPiece vocabulary —
+    bpe_fertility's exact contract over the greedy segmentation, so all
+    THREE tokenizer families are eval-comparable row for row. '[UNK]'
+    words count 1 subword (the token actually emitted). Returns (id,
+    n_words, n_subwords, fertility_ppm, max_word_subwords), exact
+    BIGINTs; docs with no kept words produce no rows."""
+    segs = wordpiece_segments(docs, vocab, text_col, id_col,
+                              max_token_len, max_word_len)
+    per_word = (segs.groupBy(id_col, F.expr("pos div 1000").alias("__wp"))
+                .agg(F.count("*").alias("__c")))
+    return (per_word.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.sum("__c").cast("long").alias("n_subwords"),
+                 F.max("__c").cast("long").alias("max_word_subwords"))
+            .select(id_col, "n_words", "n_subwords",
+                    F.expr("n_subwords * 1000000 div n_words")
+                    .cast("long").alias("fertility_ppm"),
+                    "max_word_subwords"))

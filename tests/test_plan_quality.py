@@ -30,6 +30,10 @@ Justified allowlist (each audited round 4; hard_negatives round 6):
 - lpa_modularity (r10 audit): graph.py attaches `m_df`, the ONE-ROW
   global edge-count aggregate, via broadcast crossJoin (the
   important_parts scalar-attach shape).
+- vocab_growth (r10): text.py attaches the ONE-ROW max-doc-id scalar
+  via broadcast crossJoin to three bucket aggregations (the same
+  scalar-attach shape; the joined sides are vocab-/doc-count-sized
+  aggregates, the loop side is 1 row).
 """
 
 from __future__ import annotations
@@ -41,7 +45,7 @@ from tests.conftest import SF_DIR
 ALLOWED_BNLJ = {"embed_topk", "embed_sq_topk", "embed_neardup",
                 "important_parts", "idle_customers", "hard_negatives",
                 "unigram_train", "unigram_segments", "unigram_fertility",
-                "lang_id_trained", "lpa_modularity"}
+                "lang_id_trained", "lpa_modularity", "vocab_growth"}
 
 # streaming queries execute a bounded replay inside the builder, and the
 # roundtrips write temp files — plan text is checked for batch shapes only

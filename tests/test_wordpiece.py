@@ -178,3 +178,23 @@ def test_long_words_dropped_consistently(spark):
 def test_validation_errors(spark, docs_df):
     with pytest.raises(ValueError, match="n_merges"):
         wordpiece_train(docs_df, n_merges=0)
+
+
+def test_fertility_consistent_with_segments(spark, docs_df):
+    from bqetl_spark.functions.wordpiece import wordpiece_fertility
+
+    mt = wordpiece_train(docs_df, n_merges=8)
+    merged = [r["merged"] for r in mt.orderBy("rank").collect()]
+    vocab = wordpiece_vocab(docs_df, merged)
+    segs = wordpiece_segments(docs_df, vocab)
+    fert = wordpiece_fertility(docs_df, vocab)
+    # totals must reconcile exactly with the segment stream
+    tot = fert.groupBy().sum("n_subwords").collect()[0][0]
+    assert tot == segs.count()
+    rows = fert.collect()
+    assert all(r["n_subwords"] >= r["n_words"] for r in rows)
+    assert all(r["fertility_ppm"] ==
+               r["n_subwords"] * 10**6 // r["n_words"] for r in rows)
+    # greedy longest-match with every char in vocab: a word never emits
+    # more subwords than characters
+    assert all(r["max_word_subwords"] <= 12 for r in rows)

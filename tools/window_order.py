@@ -44,7 +44,8 @@ ROUND_HEAD = {
     # = unigram_segments, whose DuckDB oracle was rewritten relational
     # (the r9 flaky list_reduce backtrace — VERDICT r9 P0).
     "new_first": ["unigram_fertility", "wordpiece_train",
-                  "wordpiece_segments", "repetition_profile"],
+                  "wordpiece_segments", "repetition_profile",
+                  "wordpiece_fertility", "vocab_growth"],
     "changed": ["unigram_segments"],
 }
 
