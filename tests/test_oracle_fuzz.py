@@ -163,7 +163,31 @@ def _check(spark, sf_dir, name):
                                   "lm_tail_trained",
                                   # r8: fertility aggs under early-stop
                                   # merge tables / single-word docs
-                                  "bpe_fertility"])
+                                  "bpe_fertility",
+                                  # r9: unigram EM under tiny corpora —
+                                  # seed vocab collapse, unreachable-DP
+                                  # sentinels, keep_multi > survivors
+                                  "unigram_train", "unigram_segments",
+                                  # r9: trained NB under single-lang /
+                                  # empty-bucket training slices
+                                  "lang_id_trained",
+                                  # r10: wordpiece — pair exhaustion
+                                  # before 8 merges (LEFT JOIN
+                                  # passthrough), single-char corpora,
+                                  # greedy walk on 1-char words
+                                  "wordpiece_train", "wordpiece_segments",
+                                  # r10: fertility over both families
+                                  # under early-stop/empty models
+                                  "unigram_fertility",
+                                  "wordpiece_fertility",
+                                  # r10: char-fraction battery — short
+                                  # docs (< window), whitespace-only
+                                  # docs, heavy repeats from the tiny
+                                  # word set
+                                  "repetition_profile",
+                                  # r10: growth curve — sparse doc-id
+                                  # deciles, empty texts, all-dup vocab
+                                  "vocab_growth"])
 def test_doc_gates_on_random_corpora(spark, tmp_path_factory, gate):
     @_SET
     @given(rows=_doc_strategy)

@@ -57,7 +57,17 @@ QUERIES = ["denorm_flat", "q3_top_revenue", "dedup_fingerprint",
            # ngram_containment (guarded gram index at replicated
            # scales, same rationale as ngram_jaccard)
            "event_multi_pattern", "embed_ivf_learned", "lm_tail_trained",
-           "quantile_incremental", "ngram_containment", "kcore_parts"]
+           "quantile_incremental", "ngram_containment", "kcore_parts",
+           # r9/r10 additions. The tokenizer trains are the interesting
+           # slope story: replication multiplies word FREQUENCIES, not
+           # distinct words, so the vocab-sized EM/merge loops are ~flat
+           # and only the corpus-collapse scan grows — expected strongly
+           # sublinear. repetition_profile/vocab_growth are one-scan
+           # linear; lang_id_trained's model state is O(langs·buckets);
+           # ppr/modularity inherit the pagerank loop shape.
+           "unigram_train", "wordpiece_train", "wordpiece_segments",
+           "repetition_profile", "vocab_growth", "lang_id_trained",
+           "ppr_seeded", "lpa_modularity", "hll_bias_corrected"]
 
 
 def main() -> None:
