@@ -97,9 +97,13 @@ def wordpiece_train(docs: DataFrame, n_merges: int = 8,
     for k in range(1, n_merges + 1):
         sym = F.split(F.trim(F.col("s")), "  ")
         exploded = vocab.select("freq", sym.alias("sym"))
-        symcnt = (exploded
-                  .select("freq", F.explode("sym").alias("t"))
-                  .groupBy("t").agg(F.sum("freq").cast("long").alias("c")))
+        # pinned: both broadcast branches of the score join read it —
+        # without the persist the symbol-count aggregation runs twice
+        # per iteration (the l- and r-side exchanges don't unify)
+        symcnt = pin(exploded
+                     .select("freq", F.explode("sym").alias("t"))
+                     .groupBy("t").agg(F.sum("freq").cast("long")
+                                       .alias("c")))
         pairs = (exploded
                  .filter(F.size("sym") >= 2)
                  .select("freq", F.explode(F.expr(
