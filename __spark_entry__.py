@@ -2638,6 +2638,37 @@ def q_ppr_seeded(spark, sf_dir):
     return labeled.orderBy(F.desc("rank"), F.asc("node")).limit(100)
 
 
+def q_hits_scores(spark, sf_dir):
+    """HITS hubs & authorities (functions.graph.hits_fixed, r10) on the
+    DIRECTED customer→supplier trade graph — the role-separating
+    counterpart to q_pagerank: hub mass accumulates on customers (who
+    they buy from), authority mass on suppliers (who buys from them).
+    Integer fixed-point with per-phase max-normalization (DECIMAL
+    product + exact integral div), so the 5-iteration result is
+    bit-identical to the oracle's unrolled-CTE HUGEINT replay. Same
+    compact LONG node encoding as q_pagerank (2·custkey / 2·suppkey+1),
+    decoded to labels only in the final projection. Output: one row per
+    scored node, (kind, node, score) — all scalar columns."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = (orders.select("o_orderkey", "o_custkey")
+             .join(lineitem.select("l_orderkey", "l_suppkey"),
+                   F.col("o_orderkey") == F.col("l_orderkey"))
+             .select((F.col("o_custkey").cast("long") * 2).alias("src"),
+                     (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"))
+             .distinct())
+    sc = gr.hits_fixed(edges, iters=5)
+    hubs = (sc.filter(F.col("hub").isNotNull())
+            .select(F.lit("hub").alias("kind"),
+                    gr.node_label("node").alias("node"),
+                    F.col("hub").alias("score")))
+    auths = (sc.filter(F.col("auth").isNotNull())
+             .select(F.lit("auth").alias("kind"),
+                     gr.node_label("node").alias("node"),
+                     F.col("auth").alias("score")))
+    return hubs.unionByName(auths)
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order transition matrix over each user's time-ordered event
     stream: (from_type, to_type, n) — the Markov-chain view behind
@@ -3523,6 +3554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": q_repetition_profile,
         "wordpiece_fertility": q_wordpiece_fertility,
         "vocab_growth": q_vocab_growth,
+        "hits_scores": q_hits_scores,
         "unigram_segments": q_unigram_segments,
         "semantic_dedup": q_semantic_dedup,
         "session_labels": q_session_labels,
@@ -7698,6 +7730,40 @@ def oracle_sql() -> dict[str, str]:
         WHERE rank > 0
         ORDER BY rank DESC, node ASC
         LIMIT 100""")
+    # HITS (r10): unrolled hub/authority phases on the DIRECTED c->s
+    # graph; DuckDB's SUM(BIGINT) is HUGEINT so raw*10^9 // max replays
+    # Spark's DECIMAL-product + integral-div exactly
+    # MATERIALIZED at every level: each CTE is read twice (FROM + the
+    # scalar MAX subquery), so plain CTEs would inline 2^k-fold across
+    # the 5 unrolled iterations (the kcore/wordpiece lesson)
+    _hits_iter = """
+        a{i}r AS MATERIALIZED (
+            SELECT e.dst AS node, SUM(r.h) AS raw
+            FROM he e JOIN h{p} r ON e.src = r.node GROUP BY e.dst),
+        a{i} AS MATERIALIZED (
+            SELECT node,
+                   raw * 1000000000 // (SELECT MAX(raw) FROM a{i}r) AS a
+            FROM a{i}r),
+        h{i}r AS MATERIALIZED (
+            SELECT e.src AS node, SUM(r.a) AS raw
+            FROM he e JOIN a{i} r ON e.dst = r.node GROUP BY e.src),
+        h{i} AS MATERIALIZED (
+            SELECT node,
+                   raw * 1000000000 // (SELECT MAX(raw) FROM h{i}r) AS h
+            FROM h{i}r)"""
+    d["hits_scores"] = ("""
+        WITH he AS MATERIALIZED (
+            SELECT DISTINCT 'c:' || o_custkey AS src,
+                            's:' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        h0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, CAST(1000000000 AS HUGEINT) AS h
+            FROM he),"""
+        + ",".join(_hits_iter.format(i=i, p=i - 1) for i in range(1, 6))
+        + """
+        SELECT 'hub' AS kind, node, CAST(h AS BIGINT) AS score FROM h5
+        UNION ALL
+        SELECT 'auth' AS kind, node, CAST(a AS BIGINT) AS score FROM a5""")
     # transition matrix: lag over the deterministic (ts, event_id) order
     d["event_transitions"] = """
         WITH seq AS (

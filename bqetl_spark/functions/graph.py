@@ -536,3 +536,81 @@ def modularity(edges: DataFrame, communities: DataFrame,
                      - F.col("degree_sum") * F.col("degree_sum"))
                     .cast("long").alias("q_num"),
                     "m_edges"))
+
+
+HITS_SCALE = 10**9  # fixed-point unit for hub/authority scores
+
+
+def hits_fixed(edges: DataFrame, src: str = "src", dst: str = "dst",
+               iters: int = 5,
+               broadcast_nodes_max: int = BROADCAST_NODES_MAX) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on a DIRECTED edge list,
+    in integer fixed-point arithmetic so the iterative result is
+    bit-identical across engines and partitionings (the ``pagerank_fixed``
+    discipline — a DuckDB oracle replays it with unrolled CTEs).
+
+    Beyond-reference op (the reference pipeline has no graph operators):
+    on a bipartite interaction graph HITS separates the two roles that
+    PageRank conflates — hub mass on the pointing side, authority mass
+    on the pointed-at side — the standard signal pair for seed-quality
+    scoring of link corpora.
+
+    Recurrence, with per-phase max-normalization (the classic HITS
+    normalization, made exact by scaling to HITS_SCALE before the floor):
+
+        a_raw(v) = Σ_{u→v} h(u)          a(v) = floor(a_raw(v)·S / max a_raw)
+        h_raw(u) = Σ_{u→v} a(v)          h(u) = floor(h_raw(u)·S / max h_raw)
+        h₀(u)    = S                      S = HITS_SCALE = 10⁹
+
+    Exactness/overflow audit: scores are ≤ S = 10⁹ after every
+    normalization, so a phase's raw sum is ≤ degree·10⁹ (< 2⁶³ while
+    max-degree < 9·10⁹). The ·S product is computed in DECIMAL —
+    sum cast to DECIMAL(20,0), ×S → DECIMAL(31,0), then Spark's exact
+    integral ``div`` (returns BIGINT); the oracle mirrors it with
+    DuckDB's HUGEINT ``//``. No float enters the recurrence.
+
+    Driver-side values: the per-phase max (ONE row collected per phase,
+    2·iters single-scalar jobs) — same metadata-collect audit class as
+    pagerank's node count. Each iteration is two passes over the edge
+    list; the score tables broadcast while the graph is small and fall
+    back to shuffle joins beyond ``broadcast_nodes_max``, the shape that
+    scales to billions of edges. Returns (node, hub, auth) — hub NULL
+    for pure sinks, auth NULL for pure sources.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = pin(edges.select(F.col(src).alias("__src"),
+                         F.col(dst).alias("__dst")))
+    n_src = e.select("__src").distinct().count()
+    small = n_src <= broadcast_nodes_max
+
+    def _norm(raw: DataFrame, key: str, col: str) -> DataFrame:
+        # metadata scalar: one BIGINT to the driver per phase
+        mx = raw.agg(F.max(col)).collect()[0][0]
+        scaled = (F.expr(f"CAST({col} AS DECIMAL(20,0))")
+                  * F.lit(HITS_SCALE).cast("decimal(10,0)"))
+        return raw.select(key, scaled.cast("decimal(31,0)")
+                          .alias("__s")) \
+            .select(key, F.expr(f"__s div CAST({mx} AS DECIMAL(20,0))")
+                    .cast("long").alias(col[:-4]))
+
+    hubs = (e.select(F.col("__src").alias("node"))
+            .distinct()
+            .select("node", F.lit(HITS_SCALE).cast("long").alias("hub")))
+    auths = None
+    for i in range(iters):
+        hk = hubs.select(F.col("node").alias("__src"), "hub")
+        a_raw = (e.join(F.broadcast(hk) if small else hk, "__src")
+                 .groupBy("__dst")
+                 .agg(F.sum(F.col("hub").cast("decimal(20,0)"))
+                      .cast("long").alias("auth_raw")))
+        auths = pin(_norm(a_raw, "__dst", "auth_raw"))
+        h_raw = (e.join(F.broadcast(auths) if small else auths, "__dst")
+                 .groupBy("__src")
+                 .agg(F.sum(F.col("auth").cast("decimal(20,0)"))
+                      .cast("long").alias("hub_raw")))
+        hubs = pin(_norm(h_raw, "__src", "hub_raw")
+                   .withColumnRenamed("__src", "node"))
+    return (hubs.join(auths.withColumnRenamed("__dst", "node"),
+                      "node", "full")
+            .select("node", "hub", "auth"))

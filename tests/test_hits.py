@@ -1,0 +1,101 @@
+"""hits_fixed: invariants of the integer fixed-point HITS recurrence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bqetl_spark.caching import release_pinned
+from bqetl_spark.functions.graph import HITS_SCALE, hits_fixed
+
+
+@pytest.fixture
+def bip(spark):
+    # bipartite: u1 points at v1,v2,v3; u2 at v1; u3 at v1,v2 —
+    # v1 is the strongest authority, u1 the strongest hub
+    return spark.createDataFrame(
+        [("u1", "v1"), ("u1", "v2"), ("u1", "v3"),
+         ("u2", "v1"), ("u3", "v1"), ("u3", "v2")], ["src", "dst"])
+
+
+def _scores(df):
+    return {r["node"]: (r["hub"], r["auth"]) for r in df.collect()}
+
+
+def _python_hits(edges, iters=5):
+    S = HITS_SCALE
+    h = {u: S for u, _ in edges}
+    a = {}
+    for _ in range(iters):
+        a_raw = {}
+        for u, v in edges:
+            a_raw[v] = a_raw.get(v, 0) + h.get(u, 0)
+        mx = max(a_raw.values())
+        a = {v: (x * S) // mx for v, x in a_raw.items()}
+        h_raw = {}
+        for u, v in edges:
+            h_raw[u] = h_raw.get(u, 0) + a[v]
+        mx = max(h_raw.values())
+        h = {u: (x * S) // mx for u, x in h_raw.items()}
+    out = {}
+    for u in h:
+        out[u] = (h[u], a.get(u))
+    for v in a:
+        if v not in out:
+            out[v] = (None, a[v])
+    return out
+
+
+def test_python_replica_matches(spark, bip):
+    edges = [(r["src"], r["dst"]) for r in bip.collect()]
+    got = _scores(hits_fixed(bip, iters=5))
+    release_pinned()
+    assert got == _python_hits(edges, iters=5)
+
+
+def test_max_normalization_and_ordering(spark, bip):
+    s = _scores(hits_fixed(bip, iters=3))
+    release_pinned()
+    hubs = {k: v[0] for k, v in s.items() if v[0] is not None}
+    auths = {k: v[1] for k, v in s.items() if v[1] is not None}
+    # max-normalization pins the top score of each phase to exactly S
+    assert max(hubs.values()) == HITS_SCALE
+    assert max(auths.values()) == HITS_SCALE
+    # v1 (indeg 3 from the best hubs) dominates; u1 (outdeg 3) dominates
+    assert max(auths, key=auths.get) == "v1"
+    assert max(hubs, key=hubs.get) == "u1"
+    # pure sources carry no authority, pure sinks no hub score
+    assert s["u1"][1] is None and s["v1"][0] is None
+
+
+def test_deterministic_across_partitionings(spark, bip):
+    a = _scores(hits_fixed(bip, iters=4))
+    release_pinned()
+    b = _scores(hits_fixed(bip.repartition(7, "dst"), iters=4))
+    release_pinned()
+    assert a == b
+
+
+def test_shuffle_join_fallback_equals_broadcast_path(spark, bip):
+    fast = _scores(hits_fixed(bip, iters=3))
+    release_pinned()
+    slow = _scores(hits_fixed(bip, iters=3, broadcast_nodes_max=0))
+    release_pinned()
+    assert fast == slow
+
+
+def test_validation(spark, bip):
+    with pytest.raises(ValueError, match="iters"):
+        hits_fixed(bip, iters=0)
+
+
+def test_symmetric_bipartite_is_uniform(spark):
+    """On K_{2,2} every hub (and every authority) is structurally
+    identical, so any score asymmetry would expose order dependence."""
+    edges = spark.createDataFrame(
+        [("u1", "v1"), ("u1", "v2"), ("u2", "v1"), ("u2", "v2")],
+        ["src", "dst"])
+    s = _scores(hits_fixed(edges, iters=4))
+    release_pinned()
+    assert s["u1"] == s["u2"] == (HITS_SCALE, None)
+    assert s["v1"] == s["v2"] == (None, HITS_SCALE)

@@ -45,7 +45,7 @@ ROUND_HEAD = {
     # (the r9 flaky list_reduce backtrace — VERDICT r9 P0).
     "new_first": ["unigram_fertility", "wordpiece_train",
                   "wordpiece_segments", "repetition_profile",
-                  "wordpiece_fertility", "vocab_growth"],
+                  "wordpiece_fertility", "vocab_growth", "hits_scores"],
     "changed": ["unigram_segments"],
 }
 
