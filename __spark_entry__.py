@@ -2154,6 +2154,28 @@ def q_multimodal_gif(spark, sf_dir):
                     "value"))
 
 
+def q_multimodal_qoi(spark, sf_dir):
+    """REAL QOI decode in the gate (r10): each document's first 40 ASCII
+    bytes become the pixels of an 8×5 grayscale-as-RGB QOI image —
+    encoded with the pure-Python reference-order encoder (run → color
+    cache → diff → luma → rgb; multimodal.encode_qoi_gray), then decoded
+    by the full QOI decoder (big-endian header, 64-entry color cache,
+    all six chunk ops, end-marker check) and feature-extracted with the
+    same integer-exact statistics as the other image gates. QOI is
+    lossless, so the decoded pixels ARE the source bytes and the oracle
+    recomputes the statistics per character. n_bytes is QOI-stream size
+    (not SQL-replayable), excluded like PNG/JPEG/GIF."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 40)
+        & (F.octet_length(F.substring("text", 1, 40)) == 40))
+    media = mm.attach_qoi_media(docs, "doc_id", "text", 8, 5)
+    feats = mm.extract_features(media, fake=False)
+    return (feats.select("media_id",
+                         F.posexplode("feature").alias("idx", "value"))
+            .select("media_id", F.col("idx").cast("long").alias("idx"),
+                    "value"))
+
+
 def q_temperature_quotas(spark, sf_dir):
     """Temperature-scaled mixture quotas (functions.chunking.
     temperature_quotas, α = 0.5, budget 300) — the multilingual-corpus
@@ -3555,6 +3577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_fertility": q_wordpiece_fertility,
         "vocab_growth": q_vocab_growth,
         "hits_scores": q_hits_scores,
+        "multimodal_qoi": q_multimodal_qoi,
         "unigram_segments": q_unigram_segments,
         "semantic_dedup": q_semantic_dedup,
         "session_labels": q_session_labels,
@@ -5262,6 +5285,35 @@ def oracle_sql() -> dict[str, str]:
                       CAST(3 * mn AS DOUBLE) / 3.0,
                       CAST(3 * mx AS DOUBLE) / 3.0,
                       CAST(3 * sv AS DOUBLE) / 72.0] AS feature
+              FROM agg)
+            SELECT media_id, unnest(range(8)) AS idx,
+                   unnest(feature) AS value
+            FROM feat""",
+        # multimodal_qoi: the decoded pixels ARE the first 40 text bytes
+        # (QOI is lossless; grayscale-as-RGB), one byte per pixel of an
+        # 8×5 image — channel means are sum(v)/40, luminance is
+        # (r+g+b)/3 = v, divisions reproduce image_features' IEEE ops.
+        "multimodal_qoi": """
+            WITH d AS (
+              SELECT doc_id, substr(text, 1, 40) AS s
+              FROM documents WHERE len(text) >= 40
+                AND octet_length(encode(substr(text, 1, 40))) = 40
+            ), b AS (
+              SELECT doc_id, ord(substr(s, p, 1)) AS v
+              FROM d, (SELECT unnest(range(1, 41)) AS p)
+            ), agg AS (
+              SELECT doc_id AS media_id, sum(v) AS sv,
+                     min(v) AS mn, max(v) AS mx
+              FROM b GROUP BY doc_id
+            ), feat AS (
+              SELECT media_id,
+                     [8.0, 5.0,
+                      CAST(sv AS DOUBLE) / 40,
+                      CAST(sv AS DOUBLE) / 40,
+                      CAST(sv AS DOUBLE) / 40,
+                      CAST(3 * mn AS DOUBLE) / 3.0,
+                      CAST(3 * mx AS DOUBLE) / 3.0,
+                      CAST(3 * sv AS DOUBLE) / 120.0] AS feature
               FROM agg)
             SELECT media_id, unnest(range(8)) AS idx,
                    unnest(feature) AS value

@@ -4,13 +4,14 @@ The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
 signatures) is real and tested. Decoding tiers:
 
 - REAL pure-Python decoders for the public formats that need no external
-  library: binary PPM (P6), 24-bit BMP, 16-bit PCM WAV, and — r6 — PNG
-  (8-bit depth, color types 0/2/4/6, all five filter types; DEFLATE via
-  the stdlib ``zlib``, which is not an external dependency).
+  library: binary PPM (P6), 24-bit BMP, 16-bit PCM WAV, PNG (r6: 8-bit
+  depth, color types 0/2/4/6, all five filter types; DEFLATE via the
+  stdlib ``zlib``), baseline JPEG (r7), GIF89a/LZW (r9), and QOI (r10).
   ``extract_features`` uses them for ``meta.format in ('ppm','bmp','wav',
-  'png')``. :func:`encode_png` writes the matching subset.
-- remaining compressed formats (jpeg/mp3/mp4) still raise
-  NotImplementedError — DCT/entropy coders are library territory and
+  'png','jpeg','gif','qoi')``; matching pure-Python encoders exist for
+  the gate-side generators.
+- remaining perceptual formats (mp3/mp4) still raise
+  NotImplementedError — their codecs are library territory and
   absent from this container; ``fake=True`` substitutes a deterministic
   fake decoder so those pipeline shapes stay exercised.
 
@@ -181,6 +182,43 @@ def attach_gif_media(df: DataFrame, id_col: str, text_col: str,
                 "media_id": pdf["media_id"].astype("int64"),
                 "payload": _pd.Series(payloads, dtype="object"),
                 "meta": [{"kind": "image", "format": "gif", "width": w,
+                          "height": h, "duration_ms": None}] * len(pdf),
+            })
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"),
+                    F.col(text_col).alias("text"))
+    return src.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def attach_qoi_media(df: DataFrame, id_col: str, text_col: str,
+                     w: int, h: int) -> DataFrame:
+    """Encode the first w·h bytes of ``text_col`` as a w×h QOI image
+    (grayscale written as 3-channel RGB, see encode_qoi_gray) — the
+    gate-side generator that makes the QOI decode path value-oracle-able:
+    QOI is lossless, so decoded RGB equals the source bytes replicated
+    across channels and the oracle recomputes statistics per character.
+    One mapInPandas stage, thumbnail-sized batches (the attach_png_media
+    posture)."""
+    enc = encode_qoi_gray  # by-value closure binding
+    need = w * h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def build(t):
+            vals = t.encode("utf-8")[:need]
+            if len(vals) < need:
+                raise ValueError(
+                    f"attach_qoi_media needs >= {need} encoded bytes per "
+                    f"row for a {w}x{h} image, got {len(vals)}")
+            return enc(w, h, vals)
+
+        for pdf in batches:
+            payloads = [build(t) for t in pdf["text"]]
+            yield _pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "payload": _pd.Series(payloads, dtype="object"),
+                "meta": [{"kind": "image", "format": "qoi", "width": w,
                           "height": h, "duration_ms": None}] * len(pdf),
             })
 
@@ -1008,14 +1046,136 @@ def _build_decoders():
                 int(psum.min()) / 3.0, int(psum.max()) / 3.0,
                 int(csum.sum()) / (3.0 * npix)]
 
+    def decode_qoi(payload):
+        """QOI → (width, height, RGB bytes). Full decoder over the public
+        one-page spec (qoiformat.org, Dominic Szablewski 2022): 14-byte
+        big-endian header, the 64-entry (r·3+g·5+b·7+a·11)%64 color cache,
+        and all six chunk ops — RGB (0xFE), RGBA (0xFF), INDEX (0b00…),
+        DIFF (0b01…, 2-bit wrapping deltas bias 2), LUMA (0b10…, 6-bit dg
+        bias 32 + 4-bit dr−dg/db−dg bias 8), RUN (0b11…, bias −1, max 62)
+        — ending with the 7×0x00,0x01 marker. Alpha is decoded but
+        dropped from the returned RGB (image_features contract)."""
+        import struct
+
+        if payload is None or bytes(payload[:4]) != b"qoif":
+            raise ValueError("not a QOI (missing qoif magic)")
+        payload = bytes(payload)
+        if len(payload) < 14 + 8:
+            raise ValueError("truncated QOI header")
+        w, h, ch, cs = struct.unpack_from(">IIBB", payload, 4)
+        if ch not in (3, 4):
+            raise ValueError(f"QOI channels must be 3 or 4, got {ch}")
+        if cs not in (0, 1):
+            raise ValueError(f"QOI colorspace must be 0 or 1, got {cs}")
+        n = w * h
+        index = [(0, 0, 0, 0)] * 64
+        px = (0, 0, 0, 255)
+        out = bytearray()
+        pos, npx = 14, 0
+        while npx < n:
+            if pos > len(payload) - 8:
+                raise ValueError("truncated QOI stream")
+            b1 = payload[pos]
+            pos += 1
+            if b1 == 0xFE:                                # QOI_OP_RGB
+                px = (payload[pos], payload[pos + 1], payload[pos + 2],
+                      px[3])
+                pos += 3
+            elif b1 == 0xFF:                              # QOI_OP_RGBA
+                px = tuple(payload[pos:pos + 4])
+                pos += 4
+            else:
+                tag = b1 >> 6
+                if tag == 0:                              # QOI_OP_INDEX
+                    px = index[b1 & 0x3F]
+                elif tag == 1:                            # QOI_OP_DIFF
+                    px = ((px[0] + ((b1 >> 4) & 3) - 2) % 256,
+                          (px[1] + ((b1 >> 2) & 3) - 2) % 256,
+                          (px[2] + (b1 & 3) - 2) % 256, px[3])
+                elif tag == 2:                            # QOI_OP_LUMA
+                    dg = (b1 & 0x3F) - 32
+                    b2 = payload[pos]
+                    pos += 1
+                    px = ((px[0] + dg + ((b2 >> 4) & 0xF) - 8) % 256,
+                          (px[1] + dg) % 256,
+                          (px[2] + dg + (b2 & 0xF) - 8) % 256, px[3])
+                else:                                     # QOI_OP_RUN
+                    run = (b1 & 0x3F) + 1
+                    if npx + run > n:
+                        raise ValueError("QOI run overflows pixel count")
+                    out += bytes(px[:3]) * run
+                    npx += run
+                    continue
+            index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11)
+                  % 64] = px
+            out += bytes(px[:3])
+            npx += 1
+        if payload[pos:pos + 8] != b"\x00" * 7 + b"\x01":
+            raise ValueError("missing QOI end marker")
+        return w, h, bytes(out)
+
+    def encode_qoi_gray(w, h, vals):
+        """Byte values → 3-channel QOI (index i → pixel (i,i,i)) with the
+        reference encoder's op-selection order (run → index → diff → luma
+        → rgb). Gray deltas have dr=dg=db, so text payloads exercise RUN,
+        INDEX, DIFF (|Δ| ≤ 2 wrapping), LUMA (|Δ| ≤ 8 here: dr−dg = 0
+        keeps the second byte at 0x88) and fall back to RGB on big jumps
+        — full op coverage of the 3-channel subset. Lossless, so the
+        decoded RGB is the source bytes replicated across channels (the
+        GIF-gate discipline)."""
+        import struct
+
+        vals = bytes(vals)
+        if len(vals) != w * h:
+            raise ValueError(
+                f"encode_qoi_gray needs exactly {w * h} bytes for a "
+                f"{w}x{h} image, got {len(vals)}")
+        out = bytearray(b"qoif")
+        out += struct.pack(">IIBB", w, h, 3, 0)
+        index = [(0, 0, 0, 0)] * 64
+        prev = (0, 0, 0, 255)
+        run = 0
+        for v in vals:
+            px = (v, v, v, 255)
+            if px == prev:
+                run += 1
+                if run == 62:                             # RUN cap
+                    out.append(0xC0 | (run - 1))
+                    run = 0
+                continue
+            if run:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            hidx = (px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64
+            if index[hidx] == px:
+                out.append(hidx)                          # INDEX
+            else:
+                index[hidx] = px
+                d = (v - prev[0] + 128) % 256 - 128       # wrapping int8
+                if -2 <= d <= 1:
+                    out.append(0x40 | ((d + 2) << 4)
+                               | ((d + 2) << 2) | (d + 2))  # DIFF
+                elif -32 <= d <= 31:
+                    out.append(0x80 | (d + 32))           # LUMA, dg = d
+                    out.append(0x88)                      # dr−dg=db−dg=0
+                else:
+                    out += bytes((0xFE, v, v, v))         # RGB
+            prev = px
+        if run:
+            out.append(0xC0 | (run - 1))
+        out += b"\x00" * 7 + b"\x01"
+        return bytes(out)
+
     return (decode_ppm, decode_bmp, image_features, decode_wav,
             audio_features, decode_png, encode_png, decode_jpeg,
-            encode_jpeg_gray, decode_gif, encode_gif_gray)
+            encode_jpeg_gray, decode_gif, encode_gif_gray,
+            decode_qoi, encode_qoi_gray)
 
 
 (decode_ppm, decode_bmp, image_features,
  decode_wav, audio_features, decode_png, encode_png,
- decode_jpeg, encode_jpeg_gray, decode_gif, encode_gif_gray) = \
+ decode_jpeg, encode_jpeg_gray, decode_gif, encode_gif_gray,
+ decode_qoi, encode_qoi_gray) = \
     _build_decoders()
 
 
@@ -1025,7 +1185,7 @@ def extract_features(media: DataFrame, fake: bool = False,
     round-trip per batch, not per row).
 
     ``fake=False`` REALLY decodes ``meta.format in ('ppm','bmp','png',
-    'jpeg','gif','wav')`` with the pure-Python decoders above and computes
+    'jpeg','gif','qoi','wav')`` with the pure-Python decoders above and computes
     :func:`image_features`
     (integer-exact, so the driver gate hash-checks the vectors against a
     SQL oracle); other formats raise NotImplementedError (their codecs need
@@ -1038,7 +1198,7 @@ def extract_features(media: DataFrame, fake: bool = False,
     """
     ppm, bmp, feats_of = decode_ppm, decode_bmp, image_features  # by-value
     wav, afeats_of = decode_wav, audio_features
-    png, jpg, gif = decode_png, decode_jpeg, decode_gif
+    png, jpg, gif, qoi = decode_png, decode_jpeg, decode_gif, decode_qoi
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd  # worker-side import, always available with pyspark
@@ -1053,7 +1213,7 @@ def extract_features(media: DataFrame, fake: bool = False,
             return [round(a / n, 6) for a in acc]
 
         real = {"ppm": ppm, "bmp": bmp, "png": png, "jpeg": jpg,
-                "jpg": jpg, "gif": gif}
+                "jpg": jpg, "gif": gif, "qoi": qoi}
 
         def decode(payload, meta):
             if fake:
@@ -1069,7 +1229,7 @@ def extract_features(media: DataFrame, fake: bool = False,
                     "perceptual audio/video codecs (mp3/mp4) need media "
                     "libraries absent from this container; pass fake=True "
                     "for the deterministic fake decoder, or use "
-                    "'ppm'/'bmp'/'png'/'jpeg'/'gif'/'wav'")
+                    "'ppm'/'bmp'/'png'/'jpeg'/'gif'/'qoi'/'wav'")
             f = feats_of(*dec(payload))
             return (f + [0.0] * n_feat)[:n_feat]
 

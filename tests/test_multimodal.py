@@ -660,3 +660,110 @@ def test_gif_skips_extensions_and_local_palette():
     got = decode_gif(hdr + gce + comment + desc + pal + stream)
     want = decode_gif(base)
     assert got == want
+
+
+def test_qoi_decodes_spec_constructed_vector():
+    """A 4×1 RGBA QOI stream hand-assembled FROM THE PUBLISHED SPEC
+    (qoiformat.org), one chunk per op class our encoder never emits in
+    this order — pins the decoder to the spec, not to our encoder's
+    dialect: RGB, RUN(1), DIFF(+1,+1,+1), INDEX back to pixel 0."""
+    import struct
+
+    from bqetl_spark.functions.multimodal import decode_qoi
+
+    # hash(10,20,30,255) = (10*3 + 20*5 + 30*7 + 255*11) % 64 = 9
+    payload = (b"qoif" + struct.pack(">IIBB", 4, 1, 4, 0)
+               + bytes([0xFE, 10, 20, 30])      # QOI_OP_RGB
+               + bytes([0xC0])                  # QOI_OP_RUN, len 1
+               + bytes([0x7F])                  # QOI_OP_DIFF +1/+1/+1
+               + bytes([0x09])                  # QOI_OP_INDEX slot 9
+               + b"\x00" * 7 + b"\x01")
+    assert decode_qoi(payload) == (
+        4, 1, bytes([10, 20, 30, 10, 20, 30, 11, 21, 31, 10, 20, 30]))
+
+
+def test_qoi_gray_roundtrip_exercises_all_ops():
+    """Byte patterns that force RUN (incl. the 62 cap), INDEX reuse,
+    wrapping DIFF, LUMA, and the RGB fallback — decode(encode(x)) must
+    reproduce x replicated across channels."""
+    from bqetl_spark.functions.multimodal import decode_qoi, encode_qoi_gray
+
+    cases = [
+        bytes(200),                           # run from the (0,0,0,255) seed
+        bytes([65] * 63 + [66] + [65] * 130),  # run-cap boundary + index hit
+        bytes(range(250)),                    # +1 deltas -> DIFF chain
+        bytes([0, 255] * 50),                 # wrapping -1/+1 deltas
+        bytes([10, 200] * 40),                # big jumps -> RGB + INDEX
+        b"The quick brown fox jumps over the lazy dog 1234" * 5,
+    ]
+    for vals in cases:
+        w, h, rgb = decode_qoi(encode_qoi_gray(len(vals), 1, vals))
+        assert (w, h) == (len(vals), 1)
+        assert rgb == bytes(v for b in vals for v in (b, b, b))
+
+
+def test_qoi_roundtrip_hypothesis():
+    """Property: encode_qoi_gray→decode_qoi is the identity for any dims
+    and byte content (hypothesis-driven, like PNG/JPEG/GIF)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bqetl_spark.functions.multimodal import decode_qoi, encode_qoi_gray
+
+    @settings(max_examples=30, deadline=None)
+    @given(w=st.integers(1, 12), h=st.integers(1, 12), data=st.data())
+    def run(w, h, data):
+        vals = bytes(data.draw(st.lists(st.integers(0, 255),
+                                        min_size=w * h, max_size=w * h)))
+        assert decode_qoi(encode_qoi_gray(w, h, vals)) == \
+            (w, h, bytes(v for b in vals for v in (b, b, b)))
+
+    run()
+
+
+def test_qoi_rejects_corruption():
+    import pytest
+
+    from bqetl_spark.functions.multimodal import decode_qoi, encode_qoi_gray
+
+    good = encode_qoi_gray(3, 2, bytes(6))
+    with pytest.raises(ValueError, match="magic"):
+        decode_qoi(b"qoix" + good[4:])
+    with pytest.raises(ValueError, match="channels"):
+        decode_qoi(good[:12] + b"\x05" + good[13:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_qoi(good[:15])
+    with pytest.raises(ValueError, match="end marker"):
+        decode_qoi(good[:-1] + b"\x02")
+    # a RUN that overshoots the declared pixel count is corrupt
+    import struct
+    bad = (b"qoif" + struct.pack(">IIBB", 2, 1, 3, 0)
+           + bytes([0xFE, 1, 1, 1, 0xC0 | 5]) + b"\x00" * 7 + b"\x01")
+    with pytest.raises(ValueError, match="overflows"):
+        decode_qoi(bad)
+
+
+def test_qoi_extract_features_matches_ppm(spark):
+    """extract_features over QOI media must equal the PPM path on the
+    same pixels — certifies the whole attach→decode→featurize chain
+    against the simplest codec (the GIF-gate cross-check discipline)."""
+    from pyspark.sql import functions as F
+
+    from bqetl_spark.functions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz0123456789ABCD"),
+         (2, "The quick brown fox jumps over a lazy do")],
+        ["doc_id", "text"])
+    qoi_media = mm.attach_qoi_media(docs, "doc_id", "text", 8, 5)
+    qoi_feats = mm.extract_features(qoi_media, fake=False) \
+        .select("media_id", "feature").collect()
+    tripled = F.expr(
+        "concat('P6 8 5 255\\n', "
+        "array_join(transform(split(substring(text, 1, 40), ''), "
+        "c -> concat(c, c, c)), ''))")
+    ppm_media = mm.attach_media(docs, "doc_id", tripled.cast("binary"),
+                                kind="image", fmt="ppm")
+    ppm_feats = mm.extract_features(ppm_media, fake=False) \
+        .select("media_id", "feature").collect()
+    assert sorted(qoi_feats) == sorted(ppm_feats)

@@ -45,7 +45,8 @@ ROUND_HEAD = {
     # (the r9 flaky list_reduce backtrace — VERDICT r9 P0).
     "new_first": ["unigram_fertility", "wordpiece_train",
                   "wordpiece_segments", "repetition_profile",
-                  "wordpiece_fertility", "vocab_growth", "hits_scores"],
+                  "wordpiece_fertility", "vocab_growth", "hits_scores",
+                  "multimodal_qoi"],
     "changed": ["unigram_segments"],
 }
 
