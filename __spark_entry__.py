@@ -2154,6 +2154,19 @@ def q_multimodal_gif(spark, sf_dir):
                     "value"))
 
 
+def q_kn_bigram_lm(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM (functions.text.kn_bigram_probs,
+    r10) with the fixed D = 3/4 discount — unlike the add-one lm_score
+    there is NO logarithm anywhere: the published p_ppb is an exact
+    integer rational over the common denominator 4·c_a·N_bb, so the
+    DuckDB oracle replays the whole smoothed model in HUGEINT and the
+    hash-match certifies discounting, continuation counts, and
+    interpolation weights bit-for-bit. Output pruned to pairs seen ≥ 5
+    times (model counts keep every pair)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.kn_bigram_probs(docs, min_count=5)
+
+
 def q_multimodal_qoi(spark, sf_dir):
     """REAL QOI decode in the gate (r10): each document's first 40 ASCII
     bytes become the pixels of an 8×5 grayscale-as-RGB QOI image —
@@ -3578,6 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "hits_scores": q_hits_scores,
         "multimodal_qoi": q_multimodal_qoi,
+        "kn_bigram_lm": q_kn_bigram_lm,
         "unigram_segments": q_unigram_segments,
         "semantic_dedup": q_semantic_dedup,
         "session_labels": q_session_labels,
@@ -8013,6 +8027,33 @@ def oracle_sql() -> dict[str, str]:
         JOIN uni ua ON bg.a = ua.t
         JOIN uni ub ON bg.b = ub.t
         CROSS JOIN m CROSS JOIN bt"""
+    # Kneser-Ney bigram LM: exact integer rational over the common
+    # denominator 4*c_a*N_bb (D = 3/4); HUGEINT replays Spark's
+    # DECIMAL product + integral div bit-for-bit — no float anywhere
+    d["kn_bigram_lm"] = f"""
+        WITH base AS (
+            SELECT {_TOK} AS w FROM documents WHERE trim(text) != ''),
+        pr AS (
+            SELECT s.a AS a, s.b AS b FROM (
+                SELECT unnest(list_transform(range(1, len(w)),
+                              i -> {{'a': w[i], 'b': w[i+1]}})) AS s
+                FROM base WHERE len(w) >= 2)),
+        bg AS (SELECT a, b, count(*) AS n_pair FROM pr GROUP BY a, b),
+        ctx AS (SELECT a, sum(n_pair) AS ca, count(*) AS n1p
+                FROM bg GROUP BY a),
+        cont AS (SELECT b, count(*) AS nc FROM bg GROUP BY b),
+        nbb AS (SELECT count(*) AS t FROM bg)
+        SELECT bg.a AS tok_a, bg.b AS tok_b,
+               CAST(bg.n_pair AS BIGINT) AS n_pair,
+               CAST((CAST(1000000000 AS HUGEINT)
+                     * (CAST(greatest(4 * bg.n_pair - 3, 0) AS HUGEINT)
+                          * nbb.t
+                        + CAST(3 AS HUGEINT) * ctx.n1p * cont.nc))
+                    // (CAST(4 AS HUGEINT) * ctx.ca * nbb.t)
+                 AS BIGINT) AS p_ppb
+        FROM bg JOIN ctx ON bg.a = ctx.a JOIN cont ON bg.b = cont.b
+        CROSS JOIN nbb
+        WHERE bg.n_pair >= 5"""
     # skew report: integer ppm share (n·10^6 div total) — exact
     d["key_skew"] = """
         SELECT CAST(user_id AS VARCHAR) AS key,

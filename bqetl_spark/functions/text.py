@@ -463,6 +463,73 @@ def bigram_pmi(df: DataFrame, text_col: str = "text",
                     F.floor(F.lit(1e6) * F.log(ratio)).alias("pmi_e6")))
 
 
+def kn_bigram_probs(df: DataFrame, text_col: str = "text",
+                    min_count: int = 5, scale: int = 10**9) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    Chen & Goodman 1999) — the standard smoothed n-gram LM, here with
+    the fixed discount D = 3/4 so the whole model is EXACT integer
+    rational arithmetic (no logarithm, no float — unlike the add-one
+    ``lm_score``, nothing here can wobble even 1 ulp):
+
+        P(b|a) = max(c_ab − D, 0)/c_a + (D·N1p(a)/c_a) · (Nc(b)/N_bb)
+
+    with c_a = Σ_b c_ab (context count), N1p(a) = |{b: c_ab > 0}|
+    (distinct continuations — the discount mass donors), Nc(b) =
+    |{a: c_ab > 0}| (distinct left contexts — the continuation
+    probability that makes KN better than Katz: "Francisco" is frequent
+    but only ever follows "San"), and N_bb = Σ_b Nc(b) = distinct bigram
+    types. Over the common denominator 4·c_a·N_bb:
+
+        p_ppb = floor(scale · (max(4·c_ab − 3, 0)·N_bb + 3·N1p(a)·Nc(b))
+                      / (4·c_a·N_bb))
+
+    Exactness envelope: numerator ≤ scale·8·max_count² fits DECIMAL(38)
+    while every count < 10¹² (far past a 100 TB corpus's type counts);
+    Spark evaluates the product in DECIMAL and divides with the exact
+    integral ``div``; a DuckDB oracle replays it in HUGEINT.
+
+    Shape: one pair explode off the scan, one (a,b) hash aggregation,
+    then the three model tables are aggregations OF that table —
+    groupBy(a) for (c_a, N1p), groupBy(b) for Nc, one count for N_bb —
+    re-joined on their keys (broadcast when the vocabulary is small,
+    shuffle equi-joins at web scale: the standard LM-training shape).
+    ``min_count`` prunes the OUTPUT rows only — the model counts keep
+    every pair, so published probabilities are the true model's.
+    Returns (tok_a, tok_b, n_pair, p_ppb).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    tk = (df.filter(F.trim(F.col(text_col)) != "")
+          .select(tokens(F.col(text_col)).alias("__tk"))
+          .filter(F.size("__tk") >= 2))
+    pairs = (tk.select(F.explode(_adjacent_pairs(F.col("__tk"))).alias("p"))
+             .select("p.a", "p.b"))
+    bg = pairs.groupBy("a", "b").agg(F.count("*").alias("n_pair"))
+    ctx = bg.groupBy("a").agg(F.sum("n_pair").alias("__ca"),
+                              F.count("*").alias("__n1p"))
+    cont = bg.groupBy("b").agg(F.count("*").alias("__nc"))
+    n_bb = bg.count()  # metadata scalar: distinct bigram types
+    if n_bb == 0:
+        return bg.select(F.col("a").alias("tok_a"),
+                         F.col("b").alias("tok_b"),
+                         F.lit(0).cast("long").alias("n_pair"),
+                         F.lit(0).cast("long").alias("p_ppb")).limit(0)
+    p_ppb = F.expr(f"""
+        (CAST({scale} AS DECIMAL(12,0))
+         * (CAST(greatest(4 * n_pair - 3, 0) AS DECIMAL(13,0))
+              * CAST({n_bb} AS DECIMAL(13,0))
+            + CAST(3 AS DECIMAL(2,0)) * CAST(__n1p AS DECIMAL(12,0))
+              * CAST(__nc AS DECIMAL(12,0))))
+        div
+        (CAST(4 * __ca AS DECIMAL(14,0)) * CAST({n_bb} AS DECIMAL(13,0)))
+        """)
+    return (bg.filter(F.col("n_pair") >= min_count)
+            .join(ctx, "a").join(cont, "b")
+            .select(F.col("a").alias("tok_a"), F.col("b").alias("tok_b"),
+                    F.col("n_pair").cast("long").alias("n_pair"),
+                    p_ppb.cast("long").alias("p_ppb")))
+
+
 def key_skew_report(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
     """Operational skew diagnostic: the top-k hottest keys with exact
     counts and parts-per-million share — the report you run BEFORE

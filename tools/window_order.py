@@ -46,7 +46,7 @@ ROUND_HEAD = {
     "new_first": ["unigram_fertility", "wordpiece_train",
                   "wordpiece_segments", "repetition_profile",
                   "wordpiece_fertility", "vocab_growth", "hits_scores",
-                  "multimodal_qoi"],
+                  "multimodal_qoi", "kn_bigram_lm"],
     "changed": ["unigram_segments"],
 }
 
