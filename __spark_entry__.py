@@ -2154,6 +2154,18 @@ def q_multimodal_gif(spark, sf_dir):
                     "value"))
 
 
+def q_lm_greedy_decode(spark, sf_dir):
+    """Greedy (temperature-0) decoding from the corpus bigram table
+    (functions.text.lm_greedy_chain, r10): next(a) = argmax_b c(a,b)
+    with lexicographic tie-break, walked 8 hops from the 20 most
+    frequent tokens. The transition table is one aggregation + one
+    window; each hop broadcasts the ≤20-row frontier — the walk is
+    metadata-sized however big the corpus. Oracle replays it with
+    WITH RECURSIVE over the same argmax table."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.lm_greedy_chain(docs, seeds_k=20, steps=8)
+
+
 def q_kn_bigram_lm(spark, sf_dir):
     """Interpolated Kneser-Ney bigram LM (functions.text.kn_bigram_probs,
     r10) with the fixed D = 3/4 discount — unlike the add-one lm_score
@@ -3592,6 +3604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "multimodal_qoi": q_multimodal_qoi,
         "kn_bigram_lm": q_kn_bigram_lm,
+        "lm_greedy_decode": q_lm_greedy_decode,
         "unigram_segments": q_unigram_segments,
         "semantic_dedup": q_semantic_dedup,
         "session_labels": q_session_labels,
@@ -8027,6 +8040,35 @@ def oracle_sql() -> dict[str, str]:
         JOIN uni ua ON bg.a = ua.t
         JOIN uni ub ON bg.b = ub.t
         CROSS JOIN m CROSS JOIN bt"""
+    # greedy decode: argmax-next table (row_number over count desc, tok
+    # asc — a total order, so both engines pick the same row), walked
+    # with WITH RECURSIVE from the top-20 unigram seeds
+    d["lm_greedy_decode"] = f"""
+        WITH RECURSIVE base AS (
+            SELECT {_TOK} AS w FROM documents WHERE trim(text) != ''),
+        tok AS (SELECT unnest(w) AS t FROM base),
+        seeds AS (
+            SELECT t AS seed FROM (
+                SELECT t, count(*) AS c FROM tok GROUP BY t
+                ORDER BY c DESC, t ASC LIMIT 20)),
+        pr AS (
+            SELECT s.a AS a, s.b AS b FROM (
+                SELECT unnest(list_transform(range(1, len(w)),
+                              i -> {{'a': w[i], 'b': w[i+1]}})) AS s
+                FROM base WHERE len(w) >= 2)),
+        bg AS (SELECT a, b, count(*) AS n FROM pr GROUP BY a, b),
+        nxt AS (
+            SELECT a, b FROM (
+                SELECT a, b, row_number() OVER (
+                    PARTITION BY a ORDER BY n DESC, b ASC) AS rn
+                FROM bg) WHERE rn = 1),
+        walk AS (
+            SELECT seed, CAST(0 AS BIGINT) AS step, seed AS tok FROM seeds
+            UNION ALL
+            SELECT w.seed, w.step + 1, n.b
+            FROM walk w JOIN nxt n ON w.tok = n.a
+            WHERE w.step < 8)
+        SELECT seed, step, tok FROM walk"""
     # Kneser-Ney bigram LM: exact integer rational over the common
     # denominator 4*c_a*N_bb (D = 3/4); HUGEINT replays Spark's
     # DECIMAL product + integral div bit-for-bit — no float anywhere

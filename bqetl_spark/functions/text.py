@@ -530,6 +530,61 @@ def kn_bigram_probs(df: DataFrame, text_col: str = "text",
                     p_ppb.cast("long").alias("p_ppb")))
 
 
+def lm_greedy_chain(df: DataFrame, text_col: str = "text",
+                    seeds_k: int = 20, steps: int = 8) -> DataFrame:
+    """Greedy argmax decoding from a corpus-trained bigram table — the
+    deterministic skeleton of LM generation (argmax sampling ≡
+    temperature 0), useful as a corpus fingerprint (the chains surface
+    the dominant phrase attractors, e.g. boilerplate loops) and as the
+    oracle-able stand-in for a sampling decoder.
+
+    Train: bigram counts over adjacent token pairs; the transition
+    function next(a) = argmax_b c(a,b), ties broken by lexicographically
+    smallest b (one window row_number — fully deterministic). Decode:
+    from each of the ``seeds_k`` most frequent tokens (count desc, token
+    asc), follow next() for ``steps`` hops, emitting (seed, step, tok)
+    with step 0 = the seed; a token that never occurs as a context ends
+    its chain early.
+
+    Shape: the transition table is one hash aggregation + one window
+    over the pair stream (vocab-sized, pinned once); each hop joins the
+    ≤ seeds_k-row frontier (broadcast) against it — ``steps`` map-side
+    joins, no driver-side row iteration. A DuckDB oracle replays the
+    walk with WITH RECURSIVE. Cost at web scale is the one pair
+    aggregation; the walk itself is metadata-sized.
+    """
+    if seeds_k < 1 or steps < 1:
+        raise ValueError(f"need seeds_k >= 1 and steps >= 1, got "
+                         f"{seeds_k}/{steps}")
+    from pyspark.sql import Window
+
+    from bqetl_spark.caching import pin
+
+    base = df.filter(F.trim(F.col(text_col)) != "")
+    tok = base.select(F.explode(tokens(F.col(text_col))).alias("t"))
+    seeds = (tok.groupBy("t").agg(F.count("*").alias("__c"))
+             .orderBy(F.desc("__c"), F.asc("t")).limit(seeds_k)
+             .select(F.col("t").alias("seed")))
+    tk = (base.select(tokens(F.col(text_col)).alias("__tk"))
+          .filter(F.size("__tk") >= 2))
+    bg = (tk.select(F.explode(_adjacent_pairs(F.col("__tk"))).alias("p"))
+          .groupBy("p.a", "p.b").agg(F.count("*").alias("__n")))
+    w = Window.partitionBy("a").orderBy(F.desc("__n"), F.asc("b"))
+    nxt = pin(bg.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).select("a", "b"))
+    frontier = seeds.select("seed", F.col("seed").alias("tok"))
+    out = frontier.select("seed", F.lit(0).cast("long").alias("step"),
+                          "tok")
+    for i in range(1, steps + 1):
+        frontier = (nxt.join(F.broadcast(frontier),
+                             F.col("tok") == F.col("a"))
+                    .select("seed", F.col("b").alias("tok")))
+        out = out.unionByName(
+            frontier.select("seed", F.lit(i).cast("long").alias("step"),
+                            "tok"))
+    return out
+
+
 def key_skew_report(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
     """Operational skew diagnostic: the top-k hottest keys with exact
     counts and parts-per-million share — the report you run BEFORE

@@ -46,7 +46,7 @@ ROUND_HEAD = {
     "new_first": ["unigram_fertility", "wordpiece_train",
                   "wordpiece_segments", "repetition_profile",
                   "wordpiece_fertility", "vocab_growth", "hits_scores",
-                  "multimodal_qoi", "kn_bigram_lm"],
+                  "multimodal_qoi", "kn_bigram_lm", "lm_greedy_decode"],
     "changed": ["unigram_segments"],
 }
 
