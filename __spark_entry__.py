@@ -2154,6 +2154,22 @@ def q_multimodal_gif(spark, sf_dir):
                     "value"))
 
 
+def q_ams_f2(spark, sf_dir):
+    """AMS tug-of-war F₂ sketch (functions.sketch.ams_f2, r10): per-lang
+    self-join size of the token stream — 40 md5-signed sums, means over
+    8, lower median over 5 groups, all exact integer arithmetic, PLUS
+    the exact F₂ and the integer ppm error. The oracle replays sketch
+    AND exact side in HUGEINT, so the hash-match certifies the
+    estimator itself, not just a bound. One data-sized shuffle (the
+    (lang, token) count); sketch state is 40 longs per lang —
+    mergeable by addition across batches."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (docs.filter(F.trim(F.col("text")) != "")
+           .select("lang", F.explode(tx.tokens(F.col("text")))
+                   .alias("tok")))
+    return sk.ams_f2(tok, "tok", "lang", groups=5, per_group=8)
+
+
 def q_lm_greedy_decode(spark, sf_dir):
     """Greedy (temperature-0) decoding from the corpus bigram table
     (functions.text.lm_greedy_chain, r10): next(a) = argmax_b c(a,b)
@@ -3605,6 +3621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_qoi": q_multimodal_qoi,
         "kn_bigram_lm": q_kn_bigram_lm,
         "lm_greedy_decode": q_lm_greedy_decode,
+        "ams_f2": q_ams_f2,
         "unigram_segments": q_unigram_segments,
         "semantic_dedup": q_semantic_dedup,
         "session_labels": q_session_labels,
@@ -8040,6 +8057,30 @@ def oracle_sql() -> dict[str, str]:
         JOIN uni ua ON bg.a = ua.t
         JOIN uni ub ON bg.b = ub.t
         CROSS JOIN m CROSS JOIN bt"""
+    # AMS F2: 40 md5-signed sums replayed in HUGEINT; lower median of 5
+    # group means (list_sort is 1-based in DuckDB: [3])
+    _ams_s = ", ".join(
+        f"SUM((1 - 2 * (('0x' || substr(md5('{j}:' || v), 1, 1))::INT % 2))"
+        f" * c) AS s{j}" for j in range(40))
+    _ams_m = ", ".join(
+        "(" + " + ".join(f"s{g * 8 + i}::HUGEINT * s{g * 8 + i}"
+                         for i in range(8)) + f") // 8 AS m{g}"
+        for g in range(5))
+    d["ams_f2"] = f"""
+        WITH tok AS (
+            SELECT lang, unnest({_TOK}) AS v
+            FROM documents WHERE trim(text) != ''),
+        cnt AS (SELECT lang, v, count(*) AS c FROM tok GROUP BY lang, v),
+        agg AS (
+            SELECT lang, SUM(c::HUGEINT * c) AS f2, {_ams_s}
+            FROM cnt GROUP BY lang),
+        med AS (
+            SELECT lang, f2, list_sort([m0, m1, m2, m3, m4])[3] AS est
+            FROM (SELECT lang, f2, {_ams_m} FROM agg) g)
+        SELECT lang, CAST(f2 AS BIGINT) AS f2_exact,
+               CAST(est AS BIGINT) AS f2_est,
+               CAST(abs(est - f2) * 1000000 // f2 AS BIGINT) AS err_ppm
+        FROM med"""
     # greedy decode: argmax-next table (row_number over count desc, tok
     # asc — a total order, so both engines pick the same row), walked
     # with WITH RECURSIVE from the top-20 unigram seeds

@@ -976,3 +976,73 @@ def quantiles_from_sketch(sample: DataFrame,
             .filter(F.col("rv") == F.col("t.rq"))
             .select(F.col("t.q").alias("q"), F.col("v").alias("value"),
                     "n_sample"))
+
+
+def ams_sign(j: int, col) -> "F.Column":
+    """The ±1 estimator-j sign for a value: low bit of the first hex
+    digit of md5('<j>:<value>'), mapped to {+1, −1}. md5 is the one hash
+    available bit-identically in every engine (the kmv_hash rationale),
+    so the SKETCH — not just its error bound — replays in a SQL oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"),
+                                          c.cast("string"))), 1, 1),
+               16, 10).cast("int")
+    return (F.lit(1) - F.lit(2) * (h % 2)).cast("long")
+
+
+def ams_f2(df: DataFrame, value_col: str, group_col: str,
+           groups: int = 5, per_group: int = 8) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy 1996)
+    per group: estimates F₂ = Σ_t c_t² — the self-join size, the
+    quantity a planner needs to size a join on a skewed key and the
+    classic "tug-of-war" streaming sketch.
+
+    Estimator: X_j = (Σ_t sign_j(t)·c_t)² with 4-wise-independent-style
+    signs (here md5-derived, ``ams_sign``); E[X_j] = F₂. Variance is
+    tamed median-of-means style: means over ``per_group`` estimators,
+    lower median over an ODD number of ``groups`` — both exact integer
+    operations (div for the mean, array_sort + index for the median),
+    so the published estimate is bit-reproducible cross-engine.
+
+    Shape: ONE hash aggregation collapses the value stream to (group,
+    value, c) — the only data-sized shuffle; then one aggregation
+    computes all groups·per_group signed sums UNROLLED as sum
+    expressions (the embed_centroids/minhash discipline — no 40×
+    explode of the vocab table) alongside the exact F₂ = Σ c² for the
+    error report. Sketch state is O(groups·per_group) longs per group:
+    linear in nothing — mergeable by addition across batches.
+
+    Squares/sums run in DECIMAL(38): exact while Σ_t c_t < 10¹⁴ tokens
+    per group (past that, the estimate column would also overflow its
+    BIGINT — re-type both to DECIMAL then). Returns
+    (group_col, f2_exact, f2_est, err_ppm) — err_ppm =
+    |est − exact|·10⁶ div exact.
+    """
+    if groups < 1 or groups % 2 == 0:
+        raise ValueError(f"groups must be odd and >= 1, got {groups}")
+    if per_group < 1:
+        raise ValueError(f"per_group must be >= 1, got {per_group}")
+    cnt = (df.groupBy(group_col, F.col(value_col).cast("string")
+                      .alias("__v"))
+           .agg(F.count("*").alias("__c")))
+    r = groups * per_group
+    sums = [F.sum(ams_sign(j, "__v") * F.col("__c"))
+            .cast("decimal(19,0)").alias(f"__s{j}") for j in range(r)]
+    exact = F.sum(F.col("__c").cast("decimal(19,0)") * F.col("__c")) \
+        .cast("decimal(38,0)").alias("__f2")
+    agg = cnt.groupBy(group_col).agg(exact, *sums)
+    means = [
+        F.expr("(" + " + ".join(
+            f"CAST(__s{g * per_group + i} AS DECIMAL(38,0))"
+            f" * __s{g * per_group + i}" for i in range(per_group))
+            + f") div {per_group}")
+        for g in range(groups)]
+    est = F.array_sort(F.array(*[m.cast("decimal(38,0)") for m in means])) \
+        .getItem((groups - 1) // 2)
+    return (agg.select(group_col, F.col("__f2").alias("__f2"),
+                       est.alias("__est"))
+            .select(group_col,
+                    F.col("__f2").cast("long").alias("f2_exact"),
+                    F.col("__est").cast("long").alias("f2_est"),
+                    F.expr("abs(__est - __f2) * 1000000 div __f2")
+                    .cast("long").alias("err_ppm")))

@@ -46,7 +46,8 @@ ROUND_HEAD = {
     "new_first": ["unigram_fertility", "wordpiece_train",
                   "wordpiece_segments", "repetition_profile",
                   "wordpiece_fertility", "vocab_growth", "hits_scores",
-                  "multimodal_qoi", "kn_bigram_lm", "lm_greedy_decode"],
+                  "multimodal_qoi", "kn_bigram_lm", "lm_greedy_decode",
+                  "ams_f2"],
     "changed": ["unigram_segments"],
 }
 
