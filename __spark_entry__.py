@@ -34,6 +34,7 @@ from bqetl_spark.functions import dedup as dd
 from bqetl_spark.functions import graph as gr
 from bqetl_spark.functions import retrieval as rt
 from bqetl_spark.functions import sketch as sk
+from bqetl_spark.functions import stats as st
 from bqetl_spark.functions import multimodal as mm
 from bqetl_spark.functions import similarity as sim
 from bqetl_spark.functions import text as tx
@@ -2154,6 +2155,20 @@ def q_multimodal_gif(spark, sf_dir):
                     "value"))
 
 
+def q_basket_lift(spark, sf_dir):
+    """Market-basket association rules (functions.stats.basket_lift,
+    r10): lift(a,b) = P(ab)/(P(a)·P(b)) over the parts co-purchased on
+    an order, exact integer ppm (n_ab·N·10⁶ div n_a·n_b — no float
+    anywhere). Pair expansion is map-only over sorted per-order arrays
+    (the copurchase_edges shape) with the [2,20] basket-size guard;
+    support ≥ 2 orders. The oracle replays the guarded sample space,
+    frequencies and HUGEINT lift bit-for-bit."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    li = lineitem.select(F.col("l_orderkey").alias("ok"),
+                         F.col("l_partkey").cast("long").alias("pk"))
+    return st.basket_lift(li, "ok", "pk", min_baskets=2)
+
+
 def q_ams_f2(spark, sf_dir):
     """AMS tug-of-war F₂ sketch (functions.sketch.ams_f2, r10): per-lang
     self-join size of the token stream — 40 md5-signed sums, means over
@@ -3622,6 +3637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_bigram_lm": q_kn_bigram_lm,
         "lm_greedy_decode": q_lm_greedy_decode,
         "ams_f2": q_ams_f2,
+        "basket_lift": q_basket_lift,
         "unigram_segments": q_unigram_segments,
         "semantic_dedup": q_semantic_dedup,
         "session_labels": q_session_labels,
@@ -8057,6 +8073,31 @@ def oracle_sql() -> dict[str, str]:
         JOIN uni ua ON bg.a = ua.t
         JOIN uni ub ON bg.b = ub.t
         CROSS JOIN m CROSS JOIN bt"""
+    # basket lift: guarded sample space (basket size in [2,20]) defines
+    # N, the item frequencies AND the pairs; pure integer ppm in HUGEINT
+    d["basket_lift"] = """
+        WITH bi AS (
+            SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+            FROM lineitem),
+        sz AS (
+            SELECT bk FROM bi GROUP BY bk
+            HAVING count(*) BETWEEN 2 AND 20),
+        gb AS (SELECT bi.bk, bi.it FROM bi JOIN sz USING (bk)),
+        nb AS (SELECT count(DISTINCT bk) AS n FROM gb),
+        freq AS (SELECT it, count(*) AS n FROM gb GROUP BY it),
+        pairs AS (
+            SELECT x.it AS a, y.it AS b, count(*) AS n_pair
+            FROM gb x JOIN gb y ON x.bk = y.bk AND x.it < y.it
+            GROUP BY x.it, y.it
+            HAVING count(*) >= 2)
+        SELECT p.a AS item_a, p.b AS item_b,
+               CAST(p.n_pair AS BIGINT) AS n_pair,
+               CAST((p.n_pair::HUGEINT * nb.n * 1000000)
+                    // (fa.n::HUGEINT * fb.n) AS BIGINT) AS lift_ppm
+        FROM pairs p
+        JOIN freq fa ON p.a = fa.it
+        JOIN freq fb ON p.b = fb.it
+        CROSS JOIN nb"""
     # AMS F2: 40 md5-signed sums replayed in HUGEINT; lower median of 5
     # group means (list_sort is 1-based in DuckDB: [3])
     _ams_s = ", ".join(

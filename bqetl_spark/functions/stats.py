@@ -81,3 +81,64 @@ def robust_outliers(df: DataFrame, value_col: str = "value",
                  F.max("__mad").alias("mad_cents"),
                  F.sum("__out").cast("long").alias("n_outliers"))
             .withColumnRenamed("__k", key_col))
+
+
+def basket_lift(df: DataFrame, basket_col: str, item_col: str,
+                min_baskets: int = 2, min_items: int = 2,
+                max_items_per_basket: int = 20) -> DataFrame:
+    """Association-rule mining's core table: for every unordered item
+    pair co-occurring in a basket, support counts and the LIFT ratio
+    lift(a,b) = P(ab)/(P(a)·P(b)) — the classic market-basket signal
+    (and, over (document, token) pairs, a term-association miner).
+
+    All-integer formulation: with N baskets, n_a/n_b item frequencies
+    (distinct baskets containing the item) and n_ab the pair frequency,
+
+        lift_ppm = floor(n_ab · N · 10⁶ / (n_a · n_b))
+
+    evaluated in DECIMAL (Spark) / HUGEINT (oracle) — no float, exact
+    at any corpus size while counts stay < 10¹².
+
+    Shape (the copurchase_edges discipline): one shuffle on the basket
+    key builds the sorted distinct-item array; pair expansion is
+    MAP-ONLY via nested transform/slice over the sorted array — already
+    canonical a < b, no self-join. Quadratic-expansion guard: baskets
+    outside [min_items, max_items_per_basket] are dropped ENTIRELY
+    (drop-don't-truncate, oracle-replayable). Item frequencies n_a come
+    from the SAME guarded baskets, so P(a) and P(ab) live on one sample
+    space and lift is well-defined. ``min_baskets`` prunes the output
+    pair table before the frequency joins. Returns
+    (item_a, item_b, n_pair, lift_ppm).
+    """
+    if not 2 <= min_items <= max_items_per_basket:
+        raise ValueError("need 2 <= min_items <= max_items_per_basket")
+    if min_baskets < 1:
+        raise ValueError(f"min_baskets must be >= 1, got {min_baskets}")
+    from bqetl_spark.caching import pin
+
+    bi = (df.select(F.col(basket_col).alias("__bk"),
+                    F.col(item_col).alias("__it")).distinct())
+    arrs = pin(bi.groupBy("__bk")
+               .agg(F.sort_array(F.collect_list("__it")).alias("__is"))
+               .filter((F.size("__is") >= min_items)
+                       & (F.size("__is") <= max_items_per_basket)))
+    n_baskets = arrs.count()  # metadata scalar
+    freq = (arrs.select(F.explode("__is").alias("__it"))
+            .groupBy("__it").agg(F.count("*").alias("__n")))
+    pair = F.explode(F.expr(
+        """flatten(transform(__is, (x, i) ->
+               transform(slice(__is, i + 2, size(__is)),
+                         y -> struct(x AS a, y AS b))))"""))
+    pairs = (arrs.select(pair.alias("p")).select("p.a", "p.b")
+             .groupBy("a", "b").agg(F.count("*").alias("n_pair"))
+             .filter(F.col("n_pair") >= min_baskets))
+    fa = freq.select(F.col("__it").alias("a"), F.col("__n").alias("__na"))
+    fb = freq.select(F.col("__it").alias("b"), F.col("__n").alias("__nb"))
+    lift = F.expr(f"""
+        (CAST(n_pair AS DECIMAL(13,0)) * CAST({n_baskets} AS DECIMAL(13,0))
+         * CAST(1000000 AS DECIMAL(7,0)))
+        div (CAST(__na AS DECIMAL(13,0)) * CAST(__nb AS DECIMAL(13,0)))""")
+    return (pairs.join(fa, "a").join(fb, "b")
+            .select(F.col("a").alias("item_a"), F.col("b").alias("item_b"),
+                    F.col("n_pair").cast("long").alias("n_pair"),
+                    lift.cast("long").alias("lift_ppm")))
