@@ -2155,6 +2155,20 @@ def q_multimodal_gif(spark, sf_dir):
                     "value"))
 
 
+def q_perceptron_langid(spark, sf_dir):
+    """Batch multiclass perceptron language classifier
+    (functions.text.perceptron_langid, r10): mistake-driven TRAINING
+    LOOP as an exact dataframe program — 3 batch iterations over the
+    id%10<3 labeled slice, integer weights, argmax prediction with
+    class-ASC tie-break, zero float ANYWHERE (training included; the
+    NB lang_id_trained still carries a margin-audited ln). The oracle
+    unrolls all three iterations as MATERIALIZED CTEs — scores,
+    argmax, signed updates, FULL-JOIN weight fold — and hash-matches
+    the final per-doc predictions + winning scores."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.perceptron_langid(docs, buckets=256, iters=3)
+
+
 def q_basket_lift(spark, sf_dir):
     """Market-basket association rules (functions.stats.basket_lift,
     r10): lift(a,b) = P(ab)/(P(a)·P(b)) over the parts co-purchased on
@@ -3638,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_greedy_decode": q_lm_greedy_decode,
         "ams_f2": q_ams_f2,
         "basket_lift": q_basket_lift,
+        "perceptron_langid": q_perceptron_langid,
         "unigram_segments": q_unigram_segments,
         "semantic_dedup": q_semantic_dedup,
         "session_labels": q_session_labels,
@@ -8073,6 +8088,70 @@ def oracle_sql() -> dict[str, str]:
         JOIN uni ua ON bg.a = ua.t
         JOIN uni ub ON bg.b = ub.t
         CROSS JOIN m CROSS JOIN bt"""
+    # batch perceptron: three unrolled train iterations (score -> argmax
+    # -> signed update -> FULL-JOIN weight fold), all-integer; every CTE
+    # is read more than once -> MATERIALIZED throughout (kcore lesson)
+    _pc_iter = """
+        sc{k} AS MATERIALIZED (
+            SELECT d.doc_id, d.lang, c.c AS cls,
+                   COALESCE(SUM(t.n * w.w), 0) AS s
+            FROM pc_trdocs d
+            CROSS JOIN pc_cls c
+            LEFT JOIN pc_tr t ON t.doc_id = d.doc_id
+            LEFT JOIN w{p} w ON w.c = c.c AND w.b = t.b
+            GROUP BY d.doc_id, d.lang, c.c),
+        pd{k} AS MATERIALIZED (
+            SELECT doc_id, lang, cls AS pred FROM (
+                SELECT doc_id, lang, cls, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY s DESC, cls ASC) AS rn
+                FROM sc{k}) z WHERE rn = 1),
+        up{k} AS MATERIALIZED (
+            SELECT c, b, SUM(dn) AS dw FROM (
+                SELECT p.lang AS c, t.b, t.n AS dn
+                FROM pd{k} p JOIN pc_tr t ON p.doc_id = t.doc_id
+                WHERE p.pred != p.lang
+                UNION ALL
+                SELECT p.pred AS c, t.b, -t.n AS dn
+                FROM pd{k} p JOIN pc_tr t ON p.doc_id = t.doc_id
+                WHERE p.pred != p.lang) u
+            GROUP BY c, b),
+        w{k} AS MATERIALIZED (
+            SELECT COALESCE(w.c, u.c) AS c, COALESCE(w.b, u.b) AS b,
+                   COALESCE(w.w, 0) + COALESCE(u.dw, 0) AS w
+            FROM w{p} w FULL JOIN up{k} u ON w.c = u.c AND w.b = u.b)"""
+    d["perceptron_langid"] = ("""
+        WITH base AS MATERIALIZED (
+            SELECT doc_id, lang, lower(text) AS t FROM documents
+            WHERE length(lower(text)) >= 3),
+        pc_df AS MATERIALIZED (
+            SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(substr(t, i, 3)), 1, 15))::BIGINT
+                         % 256 AS b
+                FROM base, LATERAL unnest(range(1, length(t) - 1)) AS u(i)
+            ) g GROUP BY doc_id, lang, b),
+        pc_tr AS MATERIALIZED (
+            SELECT * FROM pc_df WHERE ((doc_id % 10) + 10) % 10 < 3),
+        pc_trdocs AS MATERIALIZED (
+            SELECT DISTINCT doc_id, lang FROM pc_tr),
+        pc_cls AS MATERIALIZED (SELECT DISTINCT lang AS c FROM pc_tr),
+        w0 AS (SELECT CAST(NULL AS VARCHAR) AS c, CAST(NULL AS BIGINT) AS b,
+                      CAST(NULL AS BIGINT) AS w WHERE 1 = 0),"""
+        + ",".join(_pc_iter.format(k=k, p=k - 1) for k in range(1, 4))
+        + """,
+        alldocs AS (SELECT DISTINCT doc_id, lang FROM pc_df),
+        fin AS MATERIALIZED (
+            SELECT d.doc_id, d.lang, c.c AS cls,
+                   COALESCE(SUM(t.n * w.w), 0) AS s
+            FROM alldocs d CROSS JOIN pc_cls c
+            LEFT JOIN pc_df t ON t.doc_id = d.doc_id
+            LEFT JOIN w3 w ON w.c = c.c AND w.b = t.b
+            GROUP BY d.doc_id, d.lang, c.c)
+        SELECT doc_id, lang, cls AS pred_lang, CAST(s AS BIGINT) AS score
+        FROM (SELECT doc_id, lang, cls, s, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY s DESC, cls ASC) AS rn
+              FROM fin) z
+        WHERE rn = 1""")
     # basket lift: guarded sample space (basket size in [2,20]) defines
     # N, the item frequencies AND the pairs; pure integer ppm in HUGEINT
     d["basket_lift"] = """

@@ -1042,3 +1042,112 @@ def lang_id_trained(df: DataFrame, text_col: str = "text",
                     F.col("__ll").alias("ll_micro")))
     return (base.select(F.col(id_col), F.col(lang_col))
             .join(pred, id_col))
+
+
+def perceptron_langid(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", lang_col: str = "lang",
+                      buckets: int = 256, iters: int = 3,
+                      ref_mod: int = 10, ref_keep: int = 3) -> DataFrame:
+    """Trained multiclass BATCH perceptron language classifier (r10) —
+    the second learned model family next to the Naive-Bayes
+    :func:`lang_id_trained`, and the repo's demonstration that
+    mistake-driven TRAINING LOOPS are expressible as exact, oracle-able
+    dataframe programs: unlike NB (one counting pass), the perceptron's
+    weights depend on its own previous predictions.
+
+    Features: the lang_id_trained scheme verbatim — char trigrams of
+    the lowercased text, md5-hashed into ``buckets`` cells, per-doc
+    counts. Training on the deterministic labeled slice
+    ``id % ref_mod < ref_keep`` for ``iters`` BATCH iterations (updates
+    summed over the whole slice per iteration — order-free, unlike the
+    sequential online perceptron, which is why the result is
+    partition- and engine-independent):
+
+        pred(d)  = argmax_c Σ_b n_d[b]·w_c[b]   (ties: class ASC)
+        w_gold  += Σ_{d misclassified} n_d      (per bucket)
+        w_pred  −= Σ_{d misclassified} n_d
+
+    Everything is BIGINT — counts in, integer weights out, argmax on
+    integer scores: NOTHING can wobble, not even a ulp (the one model
+    family here with zero float anywhere, including training).
+
+    Scale shape: weights are O(classes × buckets) — broadcast;
+    per-iteration cost is one (doc, class) score aggregation over the
+    slice's bucket grid + one update aggregation — 2 shuffles per
+    iteration, no driver-side data. The class list is an O(languages)
+    broadcast crossJoin (BNLJ — allowlisted like lang_id_trained's
+    smoothing floors). Final pass scores EVERY document with the
+    trained weights. Returns (id, lang, pred_lang, score BIGINT).
+    """
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if ref_mod < 1 or not (0 < ref_keep <= ref_mod):
+        raise ValueError(f"bad training slice {ref_keep}/{ref_mod}")
+    from bqetl_spark.caching import pin
+
+    base = (df.select(F.col(id_col), F.col(lang_col),
+                      F.lower(F.col(text_col)).alias("__txt"))
+            .filter(F.length("__txt") >= 3))
+    gram = F.explode(F.expr(
+        "transform(sequence(1, length(__txt) - 2), "
+        "i -> substring(__txt, i, 3))")).alias("__g")
+    bucket = (F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10)
+              .cast("long") % buckets)
+    feats = (base.select(F.col(id_col), F.col(lang_col), gram)
+             .select(F.col(id_col), F.col(lang_col), bucket.alias("__b")))
+    docfeat = pin(feats.groupBy(id_col, lang_col, "__b")
+                  .agg(F.count("*").cast("long").alias("__n")))
+    tr = pin(docfeat.filter(
+        F.pmod(F.col(id_col), F.lit(ref_mod)) < ref_keep))
+    cls = pin(tr.select(F.col(lang_col).alias("__cls")).distinct())
+    trdocs = pin(tr.select(id_col, lang_col).distinct())
+    weights = None  # empty model: every score coalesces to 0
+
+    def _scores(grid_docs, grid_feat, w):
+        sc = grid_docs.crossJoin(F.broadcast(cls))
+        joined = (sc.join(grid_feat.select(id_col, "__b", "__n"), id_col)
+                  .join(F.broadcast(w), ["__cls", "__b"], "left")
+                  if w is not None else
+                  sc.join(grid_feat.select(id_col, "__b", "__n"), id_col)
+                  .withColumn("__w", F.lit(None).cast("long")))
+        return (joined.groupBy(id_col, lang_col, "__cls")
+                .agg(F.coalesce(F.sum(F.col("__n") * F.col("__w")),
+                                F.lit(0)).cast("long").alias("__s")))
+
+    def _argmax(sc):
+        w_ = Window.partitionBy(id_col).orderBy(F.desc("__s"),
+                                                F.asc("__cls"))
+        return (sc.withColumn("__rn", F.row_number().over(w_))
+                .filter(F.col("__rn") == 1)
+                .select(id_col, lang_col, F.col("__cls").alias("__pred"),
+                        "__s"))
+
+    for _ in range(iters):
+        pred = _argmax(_scores(trdocs, tr, weights))
+        mis = pred.filter(F.col("__pred") != F.col(lang_col)) \
+            .select(id_col, lang_col, "__pred")
+        delta = (tr.join(mis, [id_col, lang_col])
+                 .select(F.col(lang_col).alias("__cls"), "__b",
+                         F.col("__n").alias("__d"))
+                 .unionByName(
+                     tr.join(mis, [id_col, lang_col])
+                     .select(F.col("__pred").alias("__cls"), "__b",
+                             (-F.col("__n")).alias("__d")))
+                 .groupBy("__cls", "__b")
+                 .agg(F.sum("__d").cast("long").alias("__dw")))
+        if weights is None:
+            weights = pin(delta.withColumnRenamed("__dw", "__w"))
+        else:
+            weights = pin(
+                weights.join(delta, ["__cls", "__b"], "full")
+                .select("__cls", "__b",
+                        (F.coalesce("__w", F.lit(0))
+                         + F.coalesce("__dw", F.lit(0)))
+                        .cast("long").alias("__w")))
+    alldocs = docfeat.select(id_col, lang_col).distinct()
+    final = _argmax(_scores(alldocs, docfeat, weights))
+    return final.select(F.col(id_col), F.col(lang_col),
+                        F.col("__pred").alias("pred_lang"),
+                        F.col("__s").alias("score"))

@@ -34,6 +34,11 @@ Justified allowlist (each audited round 4; hard_negatives round 6):
   via broadcast crossJoin to three bucket aggregations (the same
   scalar-attach shape; the joined sides are vocab-/doc-count-sized
   aggregates, the loop side is 1 row).
+- perceptron_langid (r10): text.perceptron_langid builds the
+  (doc × class) score grid by broadcast-crossJoining the class list —
+  one row per LANGUAGE in the training labels (the lang_id_trained
+  class: O(10²) at any corpus scale, grows with the label alphabet,
+  not the data); every weight/feature join is an equi-join.
 """
 
 from __future__ import annotations
@@ -45,7 +50,8 @@ from tests.conftest import SF_DIR
 ALLOWED_BNLJ = {"embed_topk", "embed_sq_topk", "embed_neardup",
                 "important_parts", "idle_customers", "hard_negatives",
                 "unigram_train", "unigram_segments", "unigram_fertility",
-                "lang_id_trained", "lpa_modularity", "vocab_growth"}
+                "lang_id_trained", "lpa_modularity", "vocab_growth",
+                "perceptron_langid"}
 
 # streaming queries execute a bounded replay inside the builder, and the
 # roundtrips write temp files — plan text is checked for batch shapes only

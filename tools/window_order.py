@@ -47,7 +47,7 @@ ROUND_HEAD = {
                   "wordpiece_segments", "repetition_profile",
                   "wordpiece_fertility", "vocab_growth", "hits_scores",
                   "multimodal_qoi", "kn_bigram_lm", "lm_greedy_decode",
-                  "ams_f2", "basket_lift"],
+                  "ams_f2", "basket_lift", "perceptron_langid"],
     "changed": ["unigram_segments"],
 }
 
