@@ -2155,6 +2155,18 @@ def q_multimodal_gif(spark, sf_dir):
                     "value"))
 
 
+def q_zipf_slope(spark, sf_dir):
+    """Zipf exponent per language (functions.text.zipf_slope, r10): OLS
+    of floor-1e6-ln frequency on floor-1e6-ln rank over the top-1000
+    types — integer regression algebra over the two audited ln floors
+    (ranks 1..1000 exhaustively margin-checked; observed counts checked
+    per corpus), negated-and-clamped so the integral div never sees a
+    negative dividend (Spark div truncates, DuckDB // floors — they
+    agree only at ≥ 0). The Heaps-curve (vocab_growth) companion."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.zipf_slope(docs, group_col="lang", max_rank=1000)
+
+
 def q_perceptron_langid(spark, sf_dir):
     """Batch multiclass perceptron language classifier
     (functions.text.perceptron_langid, r10): mistake-driven TRAINING
@@ -3653,6 +3665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2": q_ams_f2,
         "basket_lift": q_basket_lift,
         "perceptron_langid": q_perceptron_langid,
+        "zipf_slope": q_zipf_slope,
         "unigram_segments": q_unigram_segments,
         "semantic_dedup": q_semantic_dedup,
         "session_labels": q_session_labels,
@@ -8088,6 +8101,30 @@ def oracle_sql() -> dict[str, str]:
         JOIN uni ua ON bg.a = ua.t
         JOIN uni ub ON bg.b = ub.t
         CROSS JOIN m CROSS JOIN bt"""
+    # Zipf slope: integer OLS over floor-1e6-ln points; HUGEINT algebra,
+    # negated-and-clamped dividend (div/| // | agree only at >= 0)
+    d["zipf_slope"] = f"""
+        WITH tok AS (
+            SELECT lang, unnest({_TOK}) AS t
+            FROM documents WHERE trim(text) != ''),
+        cnt AS (SELECT lang, t, count(*) AS c FROM tok GROUP BY lang, t),
+        rk AS (
+            SELECT lang, c, row_number() OVER (
+                PARTITION BY lang ORDER BY c DESC, t ASC) AS r
+            FROM cnt),
+        pts AS (
+            SELECT lang,
+                   CAST(floor(1000000 * ln(r)) AS HUGEINT) AS x,
+                   CAST(floor(1000000 * ln(c)) AS HUGEINT) AS y
+            FROM rk WHERE r <= 1000),
+        agg AS (
+            SELECT lang, count(*)::HUGEINT AS n, SUM(x) AS sx,
+                   SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM pts GROUP BY lang HAVING count(*) >= 2)
+        SELECT lang, CAST(n AS BIGINT) AS n_points,
+               CAST(greatest(-(n * sxy - sx * sy), 0::HUGEINT) * 1000000
+                    // (n * sxx - sx * sx) AS BIGINT) AS s_ppm
+        FROM agg"""
     # batch perceptron: three unrolled train iterations (score -> argmax
     # -> signed update -> FULL-JOIN weight fold), all-integer; every CTE
     # is read more than once -> MATERIALIZED throughout (kcore lesson)

@@ -1151,3 +1151,66 @@ def perceptron_langid(df: DataFrame, text_col: str = "text",
     return final.select(F.col(id_col), F.col(lang_col),
                         F.col("__pred").alias("pred_lang"),
                         F.col("__s").alias("score"))
+
+
+def zipf_slope(df: DataFrame, text_col: str = "text",
+               group_col: str = "lang", max_rank: int = 1000) -> DataFrame:
+    """Zipf's-law exponent per group: OLS slope of ln(frequency) on
+    ln(rank) over the top ``max_rank`` token types — the corpus-health
+    twin of the Heaps curve (:func:`vocab_growth`): natural language
+    sits near s ≈ 1; templated/boilerplate corpora flatten, gibberish
+    steepens.
+
+    Integerized so the published value is exact given identical floors
+    (the token_entropy discipline): x = floor(10⁶·ln r),
+    y = floor(10⁶·ln c) — both ln arguments are plain integers, the
+    only float op; every observed argument is floor-margin-audited
+    (ranks 1..max_rank exhaustively). The regression itself is pure
+    integer algebra over those floors:
+
+        num = n·Σxy − Σx·Σy          (negative when Zipfian)
+        den = n·Σx² − (Σx)²          (> 0 for n ≥ 2 distinct ranks)
+        s_ppm = greatest(−num, 0)·10⁶ div den
+
+    — the NEGATED slope (the conventional positive exponent), clamped
+    at 0 so the integral div never sees a negative dividend (Spark's
+    div truncates toward zero, DuckDB's // floors: they disagree ONLY
+    below zero, so the clamp is what keeps the gate engine-exact).
+
+    Shape: one token-count aggregation (the only data-sized shuffle),
+    a per-group top-max_rank window over the vocab table, and one
+    4-sum aggregation in DECIMAL(38) (exact while 10⁶·ln-scaled sums
+    stay < 10³⁸ — any real corpus). Returns
+    (group_col, n_points, s_ppm).
+    """
+    if max_rank < 2:
+        raise ValueError(f"max_rank must be >= 2, got {max_rank}")
+    cnt = (df.filter(F.trim(F.col(text_col)) != "")
+           .select(F.col(group_col),
+                   F.explode(tokens(F.col(text_col))).alias("__t"))
+           .groupBy(group_col, "__t").agg(F.count("*").alias("__c")))
+    w = Window.partitionBy(group_col).orderBy(F.desc("__c"), F.asc("__t"))
+    ranked = (cnt.withColumn("__r", F.row_number().over(w))
+              .filter(F.col("__r") <= max_rank))
+    x = F.floor(F.lit(10**6) * F.log(F.col("__r").cast("double")))
+    y = F.floor(F.lit(10**6) * F.log(F.col("__c").cast("double")))
+    pts = ranked.select(group_col, x.cast("decimal(20,0)").alias("__x"),
+                        y.cast("decimal(20,0)").alias("__y"))
+    agg = (pts.groupBy(group_col)
+           .agg(F.count("*").cast("decimal(20,0)").alias("__n"),
+                F.sum("__x").alias("__sx"), F.sum("__y").alias("__sy"),
+                F.sum(F.expr("__x * __y")).alias("__sxy"),
+                F.sum(F.expr("__x * __x")).alias("__sxx"))
+           .filter(F.col("__n") >= 2))
+    return agg.select(
+        group_col,
+        F.col("__n").cast("long").alias("n_points"),
+        F.expr("""
+            CAST(greatest(-(CAST(__n AS DECIMAL(38,0)) * __sxy
+                            - CAST(__sx AS DECIMAL(38,0)) * __sy),
+                          CAST(0 AS DECIMAL(38,0)))
+                 * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0))
+            div
+            (CAST(__n AS DECIMAL(38,0)) * __sxx
+             - CAST(__sx AS DECIMAL(38,0)) * __sx)
+        """).cast("long").alias("s_ppm"))

@@ -47,7 +47,8 @@ ROUND_HEAD = {
                   "wordpiece_segments", "repetition_profile",
                   "wordpiece_fertility", "vocab_growth", "hits_scores",
                   "multimodal_qoi", "kn_bigram_lm", "lm_greedy_decode",
-                  "ams_f2", "basket_lift", "perceptron_langid"],
+                  "ams_f2", "basket_lift", "perceptron_langid",
+                  "zipf_slope"],
     "changed": ["unigram_segments"],
 }
 
