@@ -3274,6 +3274,34 @@ def q_stream_cms(spark, sf_dir):
             .na.fill(0, ["exact_cnt"]))
 
 
+def q_stream_ams(spark, sf_dir):
+    """Streaming AMS F₂ maintenance (streaming/events.stream_ams_moment,
+    r10): events chopped into 4 files replay as 4 real micro-batches,
+    each ADDING its (event_type, j, s) signed-sum sketch of user_id
+    into the persisted table (ams_merge — linear, so the fold equals
+    the full-corpus sketch for any chop); the gate estimates F₂ per
+    event_type from the final stored sketch and joins the exact
+    self-join size. Oracle = the plain batch AMS construction in
+    HUGEINT: the hash-match certifies the streaming fold end to end.
+    Completes the persisted-sketch streaming family
+    (KMV/HLL/CMS/quantile/AMS)."""
+    from bqetl_spark.streaming.events import stream_ams_moment
+
+    base = _scratch("sams", sf_dir, wipe=True)
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    ev.repartition(4).write.parquet(base + "/events_split")
+    target = base + "/sketch"
+    stream_ams_moment(spark, base + "/events_split", target)
+    est = sk.ams_estimate_f2(spark.read.parquet(target), "event_type")
+    exact = (_t(spark, sf_dir, "events")
+             .groupBy("event_type", "user_id")
+             .agg(F.count("*").alias("__c"))
+             .groupBy("event_type")
+             .agg(F.sum(F.expr("CAST(__c AS DECIMAL(19,0)) * __c"))
+                  .cast("long").alias("f2_exact")))
+    return est.join(exact, "event_type")
+
+
 def q_entity_resolution(spark, sf_dir):
     """Entity resolution / catalog dedup (functions.entity.
     resolve_entities, r8 capped production shape): parts sharing >= 2
@@ -3666,6 +3694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_lift": q_basket_lift,
         "perceptron_langid": q_perceptron_langid,
         "zipf_slope": q_zipf_slope,
+        "stream_ams": q_stream_ams,
         "unigram_segments": q_unigram_segments,
         "semantic_dedup": q_semantic_dedup,
         "session_labels": q_session_labels,
@@ -8101,6 +8130,29 @@ def oracle_sql() -> dict[str, str]:
         JOIN uni ua ON bg.a = ua.t
         JOIN uni ub ON bg.b = ub.t
         CROSS JOIN m CROSS JOIN bt"""
+    # streaming AMS: oracle is the plain batch construction — the
+    # sketch is linear so any chop folds to the same signed sums
+    _sams_s = ", ".join(
+        f"SUM((1 - 2 * (('0x' || substr(md5('{j}:' || user_id), 1, 1))::INT"
+        f" % 2)) * c) AS s{j}" for j in range(40))
+    _sams_m = ", ".join(
+        "(" + " + ".join(f"s{g * 8 + i}::HUGEINT * s{g * 8 + i}"
+                         for i in range(8)) + f") // 8 AS m{g}"
+        for g in range(5))
+    d["stream_ams"] = f"""
+        WITH cnt AS (
+            SELECT event_type, user_id, count(*) AS c
+            FROM events GROUP BY 1, 2),
+        agg AS (
+            SELECT event_type, SUM(c::HUGEINT * c) AS f2, {_sams_s}
+            FROM cnt GROUP BY 1),
+        med AS (
+            SELECT event_type, f2,
+                   list_sort([m0, m1, m2, m3, m4])[3] AS est
+            FROM (SELECT event_type, f2, {_sams_m} FROM agg) g)
+        SELECT event_type, CAST(est AS BIGINT) AS f2_est,
+               CAST(f2 AS BIGINT) AS f2_exact
+        FROM med"""
     # Zipf slope: integer OLS over floor-1e6-ln points; HUGEINT algebra,
     # negated-and-clamped dividend (div/| // | agree only at >= 0)
     d["zipf_slope"] = f"""

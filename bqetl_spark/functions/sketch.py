@@ -1046,3 +1046,63 @@ def ams_f2(df: DataFrame, value_col: str, group_col: str,
                     F.col("__est").cast("long").alias("f2_est"),
                     F.expr("abs(__est - __f2) * 1000000 div __f2")
                     .cast("long").alias("err_ppm")))
+
+
+def ams_sketch(df: DataFrame, value_col: str, group_col: str,
+               groups: int = 5, per_group: int = 8) -> DataFrame:
+    """The AMS sketch as PERSISTABLE STATE: (group, j, s) rows, one per
+    estimator — s_j = Σ_rows sign_j(value), which equals the
+    Σ_t sign_j(t)·c_t of :func:`ams_f2` (each occurrence contributes
+    its sign once). Linear in the data, so sketches MERGE BY ADDITION
+    (:func:`ams_merge`) — the persisted-sketch family's contract
+    (KMV/CMS/HLL/quantile), which is what lets a streaming pipeline
+    fold micro-batches without re-scanning history. One aggregation,
+    sums unrolled, posexploded to rows. State: groups·per_group longs
+    per group."""
+    if groups < 1 or groups % 2 == 0:
+        raise ValueError(f"groups must be odd and >= 1, got {groups}")
+    if per_group < 1:
+        raise ValueError(f"per_group must be >= 1, got {per_group}")
+    r = groups * per_group
+    sums = [F.sum(ams_sign(j, value_col)).cast("long").alias(f"__s{j}")
+            for j in range(r)]
+    agg = df.groupBy(group_col).agg(*sums)
+    return (agg.select(group_col,
+                       F.posexplode(F.array(*[F.col(f"__s{j}")
+                                              for j in range(r)]))
+                       .alias("j", "s"))
+            .select(group_col, F.col("j").cast("int").alias("j"),
+                    F.coalesce("s", F.lit(0)).cast("long").alias("s")))
+
+
+def ams_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge AMS sketches by ADDING matching (group, j) cells — exact
+    (the signed sum is linear), so merge(sketch(A), sketch(B)) ≡
+    sketch(A ∪ B) value-for-value. Like CMS, additive merge is NOT
+    restart-idempotent; exactly-once rests on foreachBatch's
+    checkpointed batch ids."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    gcol = [c for c in out.columns if c not in ("j", "s")][0]
+    return out.groupBy(gcol, "j").agg(F.sum("s").cast("long").alias("s"))
+
+
+def ams_estimate_f2(sketch: DataFrame, group_col: str,
+                    groups: int = 5, per_group: int = 8) -> DataFrame:
+    """F₂ estimate from persisted (group, j, s) sketch rows: means of
+    s² over each band of ``per_group`` estimators (exact integer div),
+    lower median across the odd ``groups`` bands (array_sort + index —
+    collect_list order-independence restored by the sort). Returns
+    (group_col, f2_est BIGINT). Bit-identical to :func:`ams_f2`'s
+    estimate on the same data — pinned in tests."""
+    band = (F.col("j") / per_group).cast("int")
+    means = (sketch.groupBy(group_col, band.alias("__g"))
+             .agg(F.expr("SUM(CAST(s AS DECIMAL(19,0)) * s)"
+                         f" div {per_group}").alias("__m")))
+    mid = (groups - 1) // 2
+    return (means.groupBy(group_col)
+            .agg(F.array_sort(F.collect_list("__m")).getItem(mid)
+                 .cast("long").alias("f2_est")))

@@ -395,3 +395,49 @@ def stream_quantile_values(spark: SparkSession, events_dir: str,
      .trigger(availableNow=True)
      .option("checkpointLocation", target_path + ".ckpt")
      .start().awaitTermination())
+
+
+def stream_ams_moment(spark: SparkSession, events_dir: str,
+                      target_path: str, groups: int = 5,
+                      per_group: int = 8,
+                      max_files_per_trigger: int = 1) -> None:
+    """Streaming AMS F₂ maintenance (r10 — the self-join-size member of
+    the persisted-sketch family alongside stream_kmv/hll/cms/quantile):
+    fold each micro-batch's (event_type, j, s) signed-sum sketch of
+    user_id into a persisted table by ADDITION (``ams_merge``), so a
+    live pipeline can size a prospective self-join on the key at any
+    moment from groups·per_group longs per group — never re-scanning
+    history.
+
+    The signed sum is linear in the data, so the persisted sketch
+    equals the full-corpus sketch for ANY batch chop (chop-invariance
+    pinned in tests). Like CMS, additive merge is not
+    restart-idempotent — exactly-once rests on foreachBatch's
+    checkpointed batch ids. Runs to completion (availableNow); callers
+    read ``target_path`` and apply ``ams_estimate_f2``."""
+    from bqetl_spark.functions.sketch import ams_merge, ams_sketch
+
+    stream = (_read_events_stream(spark, events_dir, max_files_per_trigger)
+              .select("event_type", "user_id"))
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        sp = bdf.sparkSession
+        batch_sketch = ams_sketch(bdf, "user_id", "event_type",
+                                  groups, per_group)
+        base = (sp.read.parquet(target_path)
+                if os.path.isdir(target_path) else None)
+        out = (batch_sketch if base is None
+               else ams_merge(base, batch_sketch))
+        tmp = target_path + f".batch{batch_id}"
+        out.write.mode("overwrite").parquet(tmp)
+        sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    (stream.writeStream.outputMode("append")
+     .foreachBatch(sink)
+     .trigger(availableNow=True)
+     .option("checkpointLocation", target_path + ".ckpt")
+     .start().awaitTermination())

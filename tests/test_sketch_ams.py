@@ -77,3 +77,37 @@ def test_validation(spark):
         ams_f2(df, "v", "g", groups=4)
     with pytest.raises(ValueError, match="per_group"):
         ams_f2(df, "v", "g", per_group=0)
+
+
+def test_sketch_estimate_equals_fused_ams_f2(spark):
+    """ams_estimate_f2(ams_sketch(x)) must reproduce ams_f2's estimate
+    bit-for-bit — the decomposed persistable path and the fused gate
+    path are the same estimator."""
+    from bqetl_spark.functions.sketch import ams_estimate_f2, ams_sketch
+
+    vals = [("g1", f"t{i % 13}") for i in range(100)] + \
+           [("g2", f"t{i % 7}") for i in range(50)]
+    df = spark.createDataFrame(vals, ["g", "v"])
+    fused = {r["g"]: r["f2_est"] for r in ams_f2(df, "v", "g").collect()}
+    deco = {r["g"]: r["f2_est"]
+            for r in ams_estimate_f2(ams_sketch(df, "v", "g"),
+                                     "g").collect()}
+    assert fused == deco
+
+
+def test_sketch_merges_by_addition_exactly(spark):
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) value-for-value —
+    the persisted-sketch family contract, exact here (linearity)."""
+    from bqetl_spark.functions.sketch import ams_merge, ams_sketch
+
+    vals = [("g", f"t{i % 11}") for i in range(120)]
+    df = spark.createDataFrame(vals, ["g", "v"]).withColumn(
+        "i", F.monotonically_increasing_id())
+    a = ams_sketch(df.filter("i % 2 = 0"), "v", "g")
+    b = ams_sketch(df.filter("i % 2 = 1"), "v", "g")
+    merged = sorted(map(tuple,
+                        ams_merge(a, b).select("g", "j", "s").collect()))
+    full = sorted(map(tuple,
+                      ams_sketch(df, "v", "g").select("g", "j", "s")
+                      .collect()))
+    assert merged == full

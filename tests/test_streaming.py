@@ -256,3 +256,30 @@ def test_stream_quantile_fold_is_chop_invariant(spark, tmp_path):
         qs=(0.5, 0.9)).collect()))
     assert run(2, "a") == batch
     assert run(4, "b") == batch
+
+
+def test_stream_ams_fold_is_chop_invariant(spark, tmp_path):
+    """r10 streaming AMS maintenance: the persisted (group, j, s)
+    signed-sum sketch after an availableNow replay must be IDENTICAL
+    whatever the micro-batch chop (2-file vs 4-file vs plain batch
+    sketch) — the signed sum is linear, so batch folds commute; restart
+    tolerance is foreachBatch's checkpoint contract (documented on the
+    sink, the CMS caveat)."""
+    from bqetl_spark.functions.sketch import ams_sketch
+    from bqetl_spark.streaming.events import stream_ams_moment
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_type", "user_id")
+
+    def run(n_files, tag):
+        src = str(tmp_path / f"asrc{tag}")
+        ev.repartition(n_files).write.parquet(src)
+        target = str(tmp_path / f"ask{tag}")
+        stream_ams_moment(spark, src, target, groups=3, per_group=4)
+        return sorted(map(tuple, spark.read.parquet(target).collect()))
+
+    batch = sorted(map(tuple,
+                       ams_sketch(ev, "user_id", "event_type",
+                                  groups=3, per_group=4).collect()))
+    assert run(2, "a") == batch
+    assert run(4, "b") == batch
