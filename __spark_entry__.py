@@ -1109,6 +1109,24 @@ def q_zorder_key(spark, sf_dir):
         .alias("zkey"))
 
 
+def q_hilbert_key(spark, sf_dir):
+    """Hilbert-curve layout key (operators.layout.hilbert_key, r10):
+    xy2d over (o_custkey, o_orderkey) low 8 bits as a RUNTIME
+    F.aggregate fold (a macro-unrolled column would grow the expression
+    tree ~5× per level), the locality-preserving sibling of zorder_key
+    — consecutive keys are always grid neighbors, so range-partitioned
+    files carry strictly tighter two-dimensional min/max boxes. Pure
+    integer walk, replayed by the oracle as a linear CTE chain."""
+    from bqetl_spark.operators.layout import hilbert_key
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        hilbert_key(F.pmod(F.col("o_custkey"), F.lit(256)),
+                    F.pmod(F.col("o_orderkey"), F.lit(256)),
+                    bits=8).alias("hkey"))
+
+
 def q_session_labels(spark, sf_dir):
     """Per-EVENT session labels (the join-key downstream feature pipelines
     need): cumulative-break islands give each event its user-local
@@ -3695,6 +3713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perceptron_langid": q_perceptron_langid,
         "zipf_slope": q_zipf_slope,
         "stream_ams": q_stream_ams,
+        "hilbert_key": q_hilbert_key,
         "unigram_segments": q_unigram_segments,
         "semantic_dedup": q_semantic_dedup,
         "session_labels": q_session_labels,
@@ -4982,6 +5001,32 @@ def oracle_sql() -> dict[str, str]:
                    max(us) + 1800000000 AS sess_end_us,
                    count(*) AS n_events
             FROM g GROUP BY user_id, sid""",
+        # Hilbert key: the xy2d walk as a linear CTE chain (one
+        # reference per level — no inlining blowup); xor() is native
+        "hilbert_key": ("""
+            WITH h0 AS (
+                SELECT o_orderkey, o_custkey % 256 AS x,
+                       o_orderkey % 256 AS y, CAST(0 AS BIGINT) AS d
+                FROM orders)"""
+            + "".join(f""",
+            h{i} AS (
+                SELECT o_orderkey,
+                       CASE WHEN (y & {1 << (8 - i)}) = 0
+                            THEN (CASE WHEN (x & {1 << (8 - i)}) != 0
+                                       THEN 255 - y ELSE y END)
+                            ELSE x END AS x,
+                       CASE WHEN (y & {1 << (8 - i)}) = 0
+                            THEN (CASE WHEN (x & {1 << (8 - i)}) != 0
+                                       THEN 255 - x ELSE x END)
+                            ELSE y END AS y,
+                       d + {(1 << (8 - i)) ** 2} * xor(
+                           CASE WHEN (x & {1 << (8 - i)}) != 0
+                                THEN 3 ELSE 0 END,
+                           CASE WHEN (y & {1 << (8 - i)}) != 0
+                                THEN 1 ELSE 0 END) AS d
+                FROM h{i - 1})""" for i in range(1, 9))
+            + """
+            SELECT o_orderkey, CAST(d AS BIGINT) AS hkey FROM h8"""),
         "zorder_key": "SELECT o_orderkey, " + " + ".join(
             f"((({col} % 65536) >> {b}) & 1) * {1 << (b * 2 + i)}"
             for b in range(16)

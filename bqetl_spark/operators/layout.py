@@ -56,3 +56,57 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
      .sortWithinPartitions("__zkey")
      .drop("__zkey")
      .write.mode("overwrite").parquet(path))
+
+
+def hilbert_key(xcol: Column | str, ycol: Column | str,
+                bits: int = 8) -> Column:
+    """Hilbert-curve key for two dimensions — the locality-preserving
+    upgrade to :func:`zorder_key`: unlike Morton order, consecutive
+    Hilbert indices are always GRID NEIGHBORS (no diagonal jumps across
+    half the space), so range-partitioned files get strictly tighter
+    per-file min/max boxes on both dimensions (the reason table formats
+    offer Hilbert clustering alongside Z-order).
+
+    Implementation: the canonical xy2d walk (per level: quadrant digit
+    d += s²·((3·rx) XOR ry), then reflect-and-swap rotation with the
+    n−1 mirror, which keeps every intermediate in [0, n)) expressed as
+    a RUNTIME fold — ``F.aggregate`` over a ``bits``-element sequence
+    with a (x, y, d) struct accumulator. A macro-unrolled column would
+    multiply the expression tree ~5× per level (the rotation reads each
+    coordinate twice); the fold keeps the plan O(1) and inside
+    whole-stage codegen. Pure integer ops — reproduced exactly in the
+    SQL oracle as a linear CTE chain.
+
+    Inputs are masked to ``bits`` bits (same contract as zorder_key:
+    callers bucket/rank other types first). The key uses 2·bits bits —
+    bits ≤ 31 keeps it in a signed BIGINT."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    xc = F.col(xcol) if isinstance(xcol, str) else xcol
+    yc = F.col(ycol) if isinstance(ycol, str) else ycol
+    n = 1 << bits
+    init = F.struct(
+        xc.cast("long").bitwiseAND(F.lit(n - 1)).alias("x"),
+        yc.cast("long").bitwiseAND(F.lit(n - 1)).alias("y"),
+        F.lit(0).cast("long").alias("d"))
+
+    def step(acc, s):
+        # fold runs over the literal level sizes s = 2^(bits-1) .. 1
+        rx = F.when(acc["x"].bitwiseAND(s) != 0,
+                    F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ry = F.when(acc["y"].bitwiseAND(s) != 0,
+                    F.lit(1)).otherwise(F.lit(0)).cast("long")
+        d2 = (acc["d"] + s * s * (rx * F.lit(3)).bitwiseXOR(ry))
+        x2 = F.when(ry == 0,
+                    F.when(rx == 1, F.lit(n - 1) - acc["y"])
+                    .otherwise(acc["y"])).otherwise(acc["x"])
+        y2 = F.when(ry == 0,
+                    F.when(rx == 1, F.lit(n - 1) - acc["x"])
+                    .otherwise(acc["x"])).otherwise(acc["y"])
+        return F.struct(x2.cast("long").alias("x"),
+                        y2.cast("long").alias("y"),
+                        d2.cast("long").alias("d"))
+
+    levels = F.array(*[F.lit(1 << (bits - i)).cast("long")
+                       for i in range(1, bits + 1)])
+    return F.aggregate(levels, init, step, lambda acc: acc["d"])

@@ -82,3 +82,92 @@ def test_write_zordered_skips_files_in_both_dims(spark, tmp_path):
     # layout changes bytes on disk, never values
     assert (spark.read.parquet(zpath).orderBy("a", "b").collect()
             == df.orderBy("a", "b").collect())
+
+
+def _xy2d(order, x, y):
+    """Reference xy2d (canonical n-1 mirror) — independent of the
+    engine implementation."""
+    n = 1 << order
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_exhaustively(spark):
+    from bqetl_spark.operators.layout import hilbert_key
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {(r["x"], r["y"]): r["h"]
+           for r in df.select("x", "y", hilbert_key("x", "y", bits=4)
+                              .alias("h")).collect()}
+    assert got == {(x, y): _xy2d(4, x, y) for x, y in rows}
+
+
+def test_hilbert_is_bijective_and_continuous(spark):
+    """The defining curve properties on the full 16x16 grid: every cell
+    gets a distinct index, and consecutive indices are GRID NEIGHBORS
+    (Manhattan distance exactly 1) — the property Morton order lacks."""
+    from bqetl_spark.operators.layout import hilbert_key, zorder_key
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    h = {r["h"]: (r["x"], r["y"])
+         for r in df.select("x", "y", hilbert_key("x", "y", bits=4)
+                            .alias("h")).collect()}
+    assert len(h) == 256 and set(h) == set(range(256))
+    steps = [abs(h[d][0] - h[d + 1][0]) + abs(h[d][1] - h[d + 1][1])
+             for d in range(255)]
+    assert all(s == 1 for s in steps)
+    # Morton, by contrast, jumps: its max step on the same grid is > 1
+    z = {r["z"]: (r["x"], r["y"])
+         for r in df.select("x", "y", zorder_key(["x", "y"], bits=4)
+                            .alias("z")).collect()}
+    zsteps = [abs(z[d][0] - z[d + 1][0]) + abs(z[d][1] - z[d + 1][1])
+              for d in range(255)]
+    assert max(zsteps) > 1
+
+
+def test_hilbert_range_blocks_have_tighter_boxes_than_morton(spark):
+    """The layout claim itself: split the 32x32 grid into 16 contiguous
+    key-range blocks (as range partitioning would); the mean bounding-
+    box area over Hilbert blocks must be <= Morton's — tighter boxes
+    are what turn into tighter parquet min/max stats."""
+    from bqetl_spark.operators.layout import hilbert_key, zorder_key
+
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = df.select("x", "y",
+                    hilbert_key("x", "y", bits=5).alias("h"),
+                    zorder_key(["x", "y"], bits=5).alias("z")).collect()
+
+    def mean_box(key):
+        blocks = {}
+        for r in out:
+            blocks.setdefault(r[key] // 64, []).append((r["x"], r["y"]))
+        areas = []
+        for pts in blocks.values():
+            xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+            areas.append((max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1))
+        return sum(areas) / len(areas)
+
+    assert mean_box("h") <= mean_box("z")
+
+
+def test_hilbert_key_validations(spark):
+    import pytest
+
+    from bqetl_spark.operators.layout import hilbert_key
+
+    with pytest.raises(ValueError, match="bits"):
+        hilbert_key("a", "b", bits=0)
+    with pytest.raises(ValueError, match="bits"):
+        hilbert_key("a", "b", bits=32)
