@@ -2173,6 +2173,18 @@ def q_multimodal_gif(spark, sf_dir):
                     "value"))
 
 
+def q_tfidf_doc_pairs(spark, sf_dir):
+    """All-pairs TF-IDF cosine similarity (functions.retrieval.
+    tfidf_doc_pairs, r10) — SemDeDup's lexical sibling over the
+    inverted index: SQUARED cosine as an exact integer rational
+    (dot²·10⁶ div n_a·n_b — no sqrt, no float ranking), the 10³ idf
+    scale keeping everything in 38 digits. df-capped term space
+    (2 ≤ df ≤ 50) bounds the self-join fanout AND defines the cosine's
+    space self-consistently; pairs ≥ 0.25 cos² (cos ≥ 0.5) published."""
+    docs = _t(spark, sf_dir, "documents")
+    return rt.tfidf_doc_pairs(docs, min_cos2_ppm=250_000, max_df=50)
+
+
 def q_zipf_slope(spark, sf_dir):
     """Zipf exponent per language (functions.text.zipf_slope, r10): OLS
     of floor-1e6-ln frequency on floor-1e6-ln rank over the top-1000
@@ -3714,6 +3726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": q_zipf_slope,
         "stream_ams": q_stream_ams,
         "hilbert_key": q_hilbert_key,
+        "tfidf_doc_pairs": q_tfidf_doc_pairs,
         "unigram_segments": q_unigram_segments,
         "semantic_dedup": q_semantic_dedup,
         "session_labels": q_session_labels,
@@ -8175,6 +8188,40 @@ def oracle_sql() -> dict[str, str]:
         JOIN uni ua ON bg.a = ua.t
         JOIN uni ub ON bg.b = ub.t
         CROSS JOIN m CROSS JOIN bt"""
+    # TF-IDF doc pairs: squared-cosine rational in HUGEINT over the
+    # df-capped term space; ln floors at the 1e3 scale margin-audited
+    d["tfidf_doc_pairs"] = f"""
+        WITH base AS (
+            SELECT doc_id, {_TOK} AS w FROM documents
+            WHERE trim(text) != ''),
+        nn AS (SELECT count(*) AS n FROM base),
+        tf AS (
+            SELECT doc_id AS d, t, count(*) AS tf FROM (
+                SELECT doc_id, unnest(w) AS t FROM base) g
+            GROUP BY doc_id, t),
+        dfq AS (
+            SELECT t, count(*) AS df FROM tf GROUP BY t
+            HAVING count(*) BETWEEN 2 AND 50),
+        post AS (
+            SELECT tf.t, tf.d,
+                   tf.tf * CAST(floor(1000 * ln(nn.n::DOUBLE / dfq.df))
+                                AS BIGINT) AS w
+            FROM tf JOIN dfq ON tf.t = dfq.t CROSS JOIN nn),
+        norms AS (
+            SELECT d, SUM(w::HUGEINT * w) AS n2 FROM post GROUP BY d),
+        dots AS (
+            SELECT a.d AS da, b.d AS db, count(*) AS ns,
+                   SUM(a.w::HUGEINT * b.w) AS dot
+            FROM post a JOIN post b ON a.t = b.t AND a.d < b.d
+            GROUP BY a.d, b.d)
+        SELECT dots.da AS doc_a, dots.db AS doc_b,
+               CAST(dots.ns AS BIGINT) AS n_shared,
+               CAST(dot * dot * 1000000 // (na.n2 * nb.n2) AS BIGINT)
+                 AS cos2_ppm
+        FROM dots
+        JOIN norms na ON dots.da = na.d
+        JOIN norms nb ON dots.db = nb.d
+        WHERE dot * dot * 1000000 // (na.n2 * nb.n2) >= 250000"""
     # streaming AMS: oracle is the plain batch construction — the
     # sketch is linear so any chop folds to the same signed sums
     _sams_s = ", ".join(

@@ -138,3 +138,77 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return (scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
             .withColumn("rank", F.row_number().over(w).cast("int")))
+
+
+def tfidf_doc_pairs(docs: DataFrame, min_cos2_ppm: int = 250_000,
+                    max_df: int = 50, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """All-pairs lexical document similarity — SemDeDup's lexical
+    sibling: TF-IDF cosine over an inverted index, for topic clustering
+    and near-topic dedup where no embeddings exist yet.
+
+    Exactness: cosine needs a square root, so the gate publishes the
+    SQUARED cosine as an integer rational instead —
+
+        w(t,d)    = tf(t,d) · floor(10³·ln(N/df_t))        (BIGINT)
+        cos²(a,b) = (Σ_t w_a w_b)² / (Σ w_a² · Σ w_b²)
+        cos2_ppm  = dot²·10⁶ div (n_a·n_b)
+
+    evaluated in DECIMAL(38)/HUGEINT. The 10³ idf scale (not tfidf's
+    10⁶) is what keeps dot²·10⁶ inside 38 digits — exact while
+    tf·idf_e3 stays < ~10⁹ per term (any plausible document); observed
+    ln floors are margin-audited like every other idf here.
+
+    Similarity space: terms with df_t > ``max_df`` (or df_t < 2) are
+    excluded from BOTH the candidates and the norms — the cosine is
+    computed self-consistently in the pruned term space (the
+    ngram_jaccard df-cap discipline: hot boilerplate terms would
+    otherwise pair everything with everything; the cap bounds per-term
+    join fanout at max_df², which is what makes the self-join scale).
+
+    Shape: one tf aggregation, one df aggregation, posting-list
+    self-join on the term key (equi-join), one (a, b) dot aggregation,
+    two broadcast-eligible norm joins. Returns
+    (doc_a, doc_b, n_shared, cos2_ppm), pairs canonical a < b.
+    """
+    if not 0 <= min_cos2_ppm <= 10**6:
+        raise ValueError(f"min_cos2_ppm must be in [0, 1e6], got "
+                         f"{min_cos2_ppm}")
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2, got {max_df}")
+    base = docs.filter(F.trim(F.col(text_col)) != "")
+    n_docs = base.count()  # metadata scalar
+    tf = (base.select(F.col(id_col).alias("__d"),
+                      F.explode(tokens(F.col(text_col))).alias("__t"))
+          .groupBy("__d", "__t").agg(F.count("*").alias("__tf")))
+    dfreq = (tf.groupBy("__t").agg(F.count("*").alias("__df"))
+             .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df)))
+    idf = F.floor(F.lit(1000) * F.log(F.lit(float(n_docs))
+                                      / F.col("__df").cast("double")))
+    post = (tf.join(dfreq, "__t")
+            .select("__t", "__d",
+                    (F.col("__tf") * idf).cast("long").alias("__w")))
+    norms = (post.groupBy("__d")
+             .agg(F.sum(F.expr("CAST(__w AS DECIMAL(19,0)) * __w"))
+                  .cast("decimal(38,0)").alias("__n2")))
+    a = post.select("__t", F.col("__d").alias("__a"),
+                    F.col("__w").alias("__wa"))
+    b = post.select("__t", F.col("__d").alias("__b"),
+                    F.col("__w").alias("__wb"))
+    dots = (a.join(b, "__t")
+            .filter(F.col("__a") < F.col("__b"))
+            .groupBy("__a", "__b")
+            .agg(F.count("*").alias("__ns"),
+                 F.sum(F.expr("CAST(__wa AS DECIMAL(19,0)) * __wb"))
+                 .cast("decimal(38,0)").alias("__dot")))
+    na = norms.select(F.col("__d").alias("__a"), F.col("__n2").alias("__na"))
+    nb = norms.select(F.col("__d").alias("__b"), F.col("__n2").alias("__nb"))
+    cos2 = F.expr("""
+        CAST(__dot * __dot * 1000000 AS DECIMAL(38,0))
+        div CAST(__na * __nb AS DECIMAL(38,0))""")
+    return (dots.join(na, "__a").join(nb, "__b")
+            .select(F.col("__a").alias("doc_a"),
+                    F.col("__b").alias("doc_b"),
+                    F.col("__ns").cast("long").alias("n_shared"),
+                    cos2.cast("long").alias("cos2_ppm"))
+            .filter(F.col("cos2_ppm") >= min_cos2_ppm))

@@ -48,7 +48,8 @@ ROUND_HEAD = {
                   "wordpiece_fertility", "vocab_growth", "hits_scores",
                   "multimodal_qoi", "kn_bigram_lm", "lm_greedy_decode",
                   "ams_f2", "basket_lift", "perceptron_langid",
-                  "zipf_slope", "stream_ams", "hilbert_key"],
+                  "zipf_slope", "stream_ams", "hilbert_key",
+                  "tfidf_doc_pairs"],
     "changed": ["unigram_segments"],
 }
 
