@@ -2772,6 +2772,27 @@ def q_ppr_seeded(spark, sf_dir):
     return labeled.orderBy(F.desc("rank"), F.asc("node")).limit(100)
 
 
+def q_bfs_distances(spark, sf_dir):
+    """Multi-source BFS hop distances (functions.graph.bfs_distances,
+    r10): exact distance from NATION_7's customer seed set over the
+    undirected trade graph, ≤ 4 hops — the hop-metric complement to
+    ppr_seeded's smooth proximity. Level-synchronous frontier
+    expansion (one frontier equi-join + one anti-join per round, the
+    Pregel shape); all-integer, no tie-breaks, so the oracle's
+    WITH RECURSIVE walk + per-node MIN replays it exactly."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    edges = gr.cooccurrence_edges(orders, lineitem)
+    seeds = (customer.join(nation,
+                           F.col("c_nationkey") == F.col("n_nationkey"))
+             .filter(F.col("n_name") == "NATION_7")
+             .select((F.col("c_custkey").cast("long") * 2).alias("node")))
+    dist = gr.bfs_distances(edges, seeds, max_hops=4)
+    return dist.select(gr.node_label("node").alias("node"), "dist")
+
+
 def q_hits_scores(spark, sf_dir):
     """HITS hubs & authorities (functions.graph.hits_fixed, r10) on the
     DIRECTED customer→supplier trade graph — the role-separating
@@ -3727,6 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ams": q_stream_ams,
         "hilbert_key": q_hilbert_key,
         "tfidf_doc_pairs": q_tfidf_doc_pairs,
+        "bfs_distances": q_bfs_distances,
         "unigram_segments": q_unigram_segments,
         "semantic_dedup": q_semantic_dedup,
         "session_labels": q_session_labels,
@@ -7957,6 +7979,33 @@ def oracle_sql() -> dict[str, str]:
         WHERE rank > 0
         ORDER BY rank DESC, node ASC
         LIMIT 100""")
+    # BFS: WITH RECURSIVE over (node, d) with UNION dedup (bounds rows
+    # at nodes x hops — UNION ALL would enumerate paths), final MIN
+    d["bfs_distances"] = """
+        WITH RECURSIVE pairs AS (
+            SELECT DISTINCT 'c:' || o_custkey AS a, 's:' || l_suppkey AS b
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        bfs_edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL
+            SELECT b AS src, a AS dst FROM pairs),
+        bfs_nodes AS (
+            SELECT src AS node FROM bfs_edges
+            UNION
+            SELECT dst AS node FROM bfs_edges),
+        bfs_seeds AS (
+            SELECT DISTINCT 'c:' || c_custkey AS node
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'),
+        walk AS (
+            SELECT s.node, 0 AS d
+            FROM bfs_seeds s JOIN bfs_nodes n ON s.node = n.node
+            UNION
+            SELECT e.dst AS node, w.d + 1 AS d
+            FROM walk w JOIN bfs_edges e ON w.node = e.src
+            WHERE w.d < 4)
+        SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+        FROM walk GROUP BY node"""
     # HITS (r10): unrolled hub/authority phases on the DIRECTED c->s
     # graph; DuckDB's SUM(BIGINT) is HUGEINT so raw*10^9 // max replays
     # Spark's DECIMAL-product + integral-div exactly

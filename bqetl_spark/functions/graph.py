@@ -614,3 +614,67 @@ def hits_fixed(edges: DataFrame, src: str = "src", dst: str = "dst",
     return (hubs.join(auths.withColumnRenamed("__dst", "node"),
                       "node", "full")
             .select("node", "hub", "auth"))
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame,
+                  src: str = "src", dst: str = "dst",
+                  max_hops: int = 4,
+                  broadcast_nodes_max: int = BROADCAST_NODES_MAX
+                  ) -> DataFrame:
+    """Multi-source BFS hop distances — the missing shortest-path
+    primitive next to the rank/community family: distance-to-seed-set
+    is the standard graph locality feature (crawl-frontier depth,
+    trust propagation radius, 'how far is this node from the curated
+    core'). Personalized PageRank gives a smooth proximity; this gives
+    the exact hop metric.
+
+    Level-synchronous frontier expansion, ``max_hops`` fixed rounds:
+
+        dist₀ = {seed: 0}
+        frontier_k = (frontier_{k-1} ⋈ edges) \\ dist    (new nodes only)
+        dist      += {node: k}
+
+    A node's distance is the ROUND it first appears — order-free and
+    partition-independent (min over equal values), so the result
+    replays exactly; the oracle walks the same levels with WITH
+    RECURSIVE + a final per-node MIN. All-integer, no tie-breaks.
+
+    Scale shape: each round is ONE equi-join of the frontier against
+    the edge list + an anti-join against the visited set — the
+    Pregel/GraphX BFS shape; the frontier/visited tables broadcast
+    while the graph is small and fall back to shuffle joins beyond
+    ``broadcast_nodes_max``. Frontiers are pinned per round (lineage
+    cut, the k_core discipline). Returns (node, dist) for nodes within
+    ``max_hops`` of a seed; unreached nodes are absent (the caller
+    left-joins and coalesces a sentinel if needed).
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    e = pin(edges.select(F.col(src).alias("__src"),
+                         F.col(dst).alias("__dst")))
+    seed_nodes = seeds.select(F.col(seeds.columns[0]).alias("node")) \
+        .distinct()
+    nodes = (e.select(F.col("__src").alias("node"))
+             .union(e.select(F.col("__dst").alias("node"))).distinct())
+    # seeds outside the graph get distance 0 rows only if they exist as
+    # nodes — intersect keeps the metric about the graph, like ppr
+    visited = pin(seed_nodes.join(nodes, "node")
+                  .select("node", F.lit(0).cast("long").alias("dist")))
+    frontier = visited.select("node")
+    small = True  # re-evaluated per round against the cap below
+    n_seen = visited.count()
+    for k in range(1, max_hops + 1):
+        small = n_seen <= broadcast_nodes_max
+        fr = frontier.withColumnRenamed("node", "__src")
+        nxt = (e.join(F.broadcast(fr) if small else fr, "__src")
+               .select(F.col("__dst").alias("node")).distinct()
+               .join(visited, "node", "left_anti")
+               .select("node", F.lit(k).cast("long").alias("dist")))
+        nxt = pin(nxt)
+        cnt = nxt.count()  # metadata scalar: drives early exit
+        if cnt == 0:
+            break
+        n_seen += cnt
+        visited = pin(visited.unionByName(nxt))
+        frontier = nxt.select("node")
+    return visited

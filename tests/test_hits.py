@@ -99,3 +99,70 @@ def test_symmetric_bipartite_is_uniform(spark):
     release_pinned()
     assert s["u1"] == s["u2"] == (HITS_SCALE, None)
     assert s["v1"] == s["v2"] == (None, HITS_SCALE)
+
+
+# --- bfs_distances (same module, shares the graph fixtures) ---
+
+
+def test_bfs_hand_graph(spark):
+    from bqetl_spark.functions.graph import bfs_distances
+
+    # path a->b->c->d->e plus both directions, seed {a}
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(
+        pairs + [(y, x) for x, y in pairs], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(edges, seeds, max_hops=3).collect()}
+    release_pinned()
+    # e is 4 hops away -> absent at max_hops=3
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_bfs_multi_source_takes_min(spark):
+    from bqetl_spark.functions.graph import bfs_distances
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d")]
+    edges = spark.createDataFrame(
+        pairs + [(y, x) for x, y in pairs], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",), ("d",)], ["node"])
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(edges, seeds, max_hops=3).collect()}
+    release_pinned()
+    assert got == {"a": 0, "d": 0, "b": 1, "c": 1}
+
+
+def test_bfs_seed_outside_graph_ignored_and_early_exit(spark):
+    from bqetl_spark.functions.graph import bfs_distances
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",), ("ghost",)], ["node"])
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(edges, seeds, max_hops=5).collect()}
+    release_pinned()
+    assert got == {"a": 0, "b": 1}  # ghost absent; loop exits early
+
+
+def test_bfs_deterministic_across_partitionings(spark):
+    from bqetl_spark.functions.graph import bfs_distances
+
+    pairs = [(f"n{i}", f"n{(i * 7 + 3) % 20}") for i in range(40)]
+    edges = spark.createDataFrame(
+        pairs + [(y, x) for x, y in pairs], ["src", "dst"])
+    seeds = spark.createDataFrame([("n0",)], ["node"])
+    a = sorted(map(tuple, bfs_distances(edges, seeds, max_hops=4)
+                   .collect()))
+    release_pinned()
+    b = sorted(map(tuple, bfs_distances(edges.repartition(9), seeds,
+                                        max_hops=4).collect()))
+    release_pinned()
+    assert a == b
+
+
+def test_bfs_validation(spark):
+    from bqetl_spark.functions.graph import bfs_distances
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_distances(edges, seeds, max_hops=0)
