@@ -187,7 +187,33 @@ def _check(spark, sf_dir, name):
                                   "repetition_profile",
                                   # r10: growth curve — sparse doc-id
                                   # deciles, empty texts, all-dup vocab
-                                  "vocab_growth"])
+                                  "vocab_growth",
+                                  # r10 second half: KN under tiny
+                                  # corpora — n_bb=0 guard, all-unique
+                                  # pair sets (every c_ab = 1)
+                                  "kn_bigram_lm",
+                                  # r10: greedy decode — empty/1-token
+                                  # corpora (no transitions), chains
+                                  # that die at step 0, argmax ties
+                                  "lm_greedy_decode",
+                                  # r10: AMS — single-value groups (est
+                                  # exact), empty corpora
+                                  "ams_f2",
+                                  # r10: Zipf — single-type langs (the
+                                  # HAVING n>=2 branch), all-equal freqs
+                                  "zipf_slope",
+                                  # r10: doc pairs — df band empties the
+                                  # space on unique-word soup; identical
+                                  # tiny docs hit exact 1.0
+                                  "tfidf_doc_pairs",
+                                  # r10: perceptron — EMPTY training
+                                  # slices (no id%10<3), single-class
+                                  # slices, zero-weight first argmax
+                                  "perceptron_langid",
+                                  # r10: QOI — fuzz docs are shorter
+                                  # than 40 bytes (empty gate both
+                                  # sides) until hypothesis grows one
+                                  "multimodal_qoi"])
 def test_doc_gates_on_random_corpora(spark, tmp_path_factory, gate):
     @_SET
     @given(rows=_doc_strategy)
@@ -287,7 +313,10 @@ def test_relational_gates_survive_broken_referential_integrity(
 STREAM_GATES = ["stream_events_hourly", "stream_dedup", "stream_user_totals",
                 "stream_sessionize", "stream_click_to_purchase",
                 "stream_session_window", "stream_upsert",
-                "stream_static_join"]
+                "stream_static_join",
+                # r10: AMS fold — random chops + tiny streams (single
+                # event types, one-user batches)
+                "stream_ams"]
 
 
 def test_streaming_gates_on_random_streams(spark, tmp_path_factory):
