@@ -3325,6 +3325,29 @@ def q_stream_cms(spark, sf_dir):
             .na.fill(0, ["exact_cnt"]))
 
 
+def q_cms_join_size(spark, sf_dir):
+    """CMS join-cardinality estimation (functions.sketch.cms_join_size,
+    r10): size |orders ⋈ NATION_7-customers| on custkey from two
+    depth×width sketches — min over depth rows of the grid inner
+    products, re-anchored on a literal depth spine so zero-overlap
+    rows count (the estimator is an upper bound; dropping them would
+    inflate it). Published next to the exact join count, so the
+    hash-match certifies the estimator value AND the est ≥ exact
+    property is visible in the row itself."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    seg = (customer.join(nation,
+                         F.col("c_nationkey") == F.col("n_nationkey"))
+           .filter(F.col("n_name") == "NATION_7").select("c_custkey"))
+    sk_a = sk.cms_sketch(orders.select("o_custkey"), "o_custkey")
+    sk_b = sk.cms_sketch(seg, "c_custkey")
+    est = sk.cms_join_size(sk_a, sk_b)
+    exact = (orders.join(seg, F.col("o_custkey") == F.col("c_custkey"))
+             .agg(F.count("*").cast("long").alias("join_size_exact")))
+    return est.crossJoin(exact)
+
+
 def q_stream_ams(spark, sf_dir):
     """Streaming AMS F₂ maintenance (streaming/events.stream_ams_moment,
     r10): events chopped into 4 files replay as 4 real micro-batches,
@@ -3749,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_key": q_hilbert_key,
         "tfidf_doc_pairs": q_tfidf_doc_pairs,
         "bfs_distances": q_bfs_distances,
+        "cms_join_size": q_cms_join_size,
         "unigram_segments": q_unigram_segments,
         "semantic_dedup": q_semantic_dedup,
         "session_labels": q_session_labels,
@@ -8271,6 +8295,41 @@ def oracle_sql() -> dict[str, str]:
         JOIN norms na ON dots.da = na.d
         JOIN norms nb ON dots.db = nb.d
         WHERE dot * dot * 1000000 // (na.n2 * nb.n2) >= 250000"""
+    # CMS join-size: min over depth rows of the grid inner products,
+    # re-anchored on the depth spine so zero-overlap rows count
+    d["cms_join_size"] = """
+        WITH seg AS (
+            SELECT c_custkey FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'),
+        ga AS (
+            SELECT d, ('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                                          || o_custkey), 1, 15))::BIGINT
+                       % 256 AS idx,
+                   count(*) AS ca
+            FROM orders, (SELECT unnest(range(4)) AS d)
+            GROUP BY 1, 2),
+        gb AS (
+            SELECT d, ('0x' || substr(md5(CAST(d AS VARCHAR) || ':'
+                                          || c_custkey), 1, 15))::BIGINT
+                       % 256 AS idx,
+                   count(*) AS cb
+            FROM seg, (SELECT unnest(range(4)) AS d)
+            GROUP BY 1, 2),
+        dots AS (
+            SELECT ga.d, SUM(ga.ca::HUGEINT * gb.cb) AS dot
+            FROM ga JOIN gb ON ga.d = gb.d AND ga.idx = gb.idx
+            GROUP BY ga.d),
+        est AS (
+            SELECT MIN(COALESCE(dots.dot, 0)) AS e
+            FROM (SELECT unnest(range(4)) AS d) u
+            LEFT JOIN dots ON u.d = dots.d),
+        exact AS (
+            SELECT count(*) AS x
+            FROM orders JOIN seg ON o_custkey = c_custkey)
+        SELECT CAST(e AS BIGINT) AS join_size_est,
+               CAST(x AS BIGINT) AS join_size_exact
+        FROM est CROSS JOIN exact"""
     # streaming AMS: oracle is the plain batch construction — the
     # sketch is linear so any chop folds to the same signed sums
     _sams_s = ", ".join(

@@ -1106,3 +1106,33 @@ def ams_estimate_f2(sketch: DataFrame, group_col: str,
     return (means.groupBy(group_col)
             .agg(F.array_sort(F.collect_list("__m")).getItem(mid)
                  .cast("long").alias("f2_est")))
+
+
+def cms_join_size(a: DataFrame, b: DataFrame, width: int = 256,
+                  depth: int = 4) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches —
+    the planner primitive: |A ⋈_k B| = Σ_v c_A(v)·c_B(v), estimated as
+    the MIN over depth rows of the grid-row inner products (each row's
+    dot ≥ the true size — every true match lands in matching cells —
+    so the min is the tightest of depth upper bounds; the classic CMS
+    inner-product estimator). Lets a pipeline size a prospective join
+    from two depth×width state tables without touching either input.
+
+    A depth row whose cells don't overlap at all has TRUE dot 0 and
+    must count: the dots are re-anchored on a literal depth spine
+    (missing row = 0) before the min, otherwise zero-overlap rows
+    would silently drop out of the aggregation and inflate the
+    estimate. DECIMAL(19) products — exact to 10¹⁸ matches per cell
+    pair. Returns one row: (join_size_est BIGINT).
+    """
+    ga = _cms_guarded(a, width, depth).withColumnRenamed("cnt", "__ca")
+    gb = _cms_guarded(b, width, depth).withColumnRenamed("cnt", "__cb")
+    per_d = (ga.join(gb, ["d", "idx"])
+             .groupBy("d")
+             .agg(F.sum(F.expr("CAST(__ca AS DECIMAL(19,0)) * __cb"))
+                  .cast("decimal(38,0)").alias("__dot")))
+    spine = a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("d"))
+    return (spine.join(per_d, "d", "left")
+            .select(F.coalesce("__dot", F.lit(0)).alias("__dot"))
+            .agg(F.min("__dot").cast("long").alias("join_size_est")))

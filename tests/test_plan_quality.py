@@ -34,6 +34,9 @@ Justified allowlist (each audited round 4; hard_negatives round 6):
   via broadcast crossJoin to three bucket aggregations (the same
   scalar-attach shape; the joined sides are vocab-/doc-count-sized
   aggregates, the loop side is 1 row).
+- cms_join_size (r10): the gate crossJoins two ONE-ROW aggregates (the
+  sketch estimate and the exact join count) for side-by-side output —
+  the important_parts scalar-attach shape on both sides.
 - perceptron_langid (r10): text.perceptron_langid builds the
   (doc × class) score grid by broadcast-crossJoining the class list —
   one row per LANGUAGE in the training labels (the lang_id_trained
@@ -51,7 +54,7 @@ ALLOWED_BNLJ = {"embed_topk", "embed_sq_topk", "embed_neardup",
                 "important_parts", "idle_customers", "hard_negatives",
                 "unigram_train", "unigram_segments", "unigram_fertility",
                 "lang_id_trained", "lpa_modularity", "vocab_growth",
-                "perceptron_langid"}
+                "perceptron_langid", "cms_join_size"}
 
 # streaming queries execute a bounded replay inside the builder, and the
 # roundtrips write temp files — plan text is checked for batch shapes only

@@ -111,3 +111,28 @@ def test_sketch_merges_by_addition_exactly(spark):
                       ams_sketch(df, "v", "g").select("g", "j", "s")
                       .collect()))
     assert merged == full
+
+
+def test_cms_join_size_upper_bound_and_exact_when_collision_free(spark):
+    """The estimator is an upper bound always, and EXACT when the two
+    key sets are small enough that no grid cell collides."""
+    from bqetl_spark.functions.sketch import cms_join_size, cms_sketch
+
+    a = spark.createDataFrame([(k,) for k in [1, 1, 1, 2, 2, 3]], ["k"])
+    b = spark.createDataFrame([(k,) for k in [1, 2, 2, 4]], ["k"])
+    true_size = 3 * 1 + 2 * 2  # k=1: 3x1, k=2: 2x2
+    sa, sb = cms_sketch(a, "k"), cms_sketch(b, "k")
+    est = cms_join_size(sa, sb).collect()[0]["join_size_est"]
+    assert est == true_size  # 4 keys into 256 cells: collision-free
+
+
+def test_cms_join_size_zero_overlap_rows_count(spark):
+    """Disjoint key sets: the true join is 0 — the depth-spine anchor
+    must return 0 even though no (d, idx) cells overlap."""
+    from bqetl_spark.functions.sketch import cms_join_size, cms_sketch
+
+    a = spark.createDataFrame([("x1",), ("x2",)], ["k"])
+    b = spark.createDataFrame([("y1",), ("y2",)], ["k"])
+    est = cms_join_size(cms_sketch(a, "k"), cms_sketch(b, "k")) \
+        .collect()[0]["join_size_est"]
+    assert est == 0

@@ -49,7 +49,7 @@ ROUND_HEAD = {
                   "multimodal_qoi", "kn_bigram_lm", "lm_greedy_decode",
                   "ams_f2", "basket_lift", "perceptron_langid",
                   "zipf_slope", "stream_ams", "hilbert_key",
-                  "tfidf_doc_pairs", "bfs_distances"],
+                  "tfidf_doc_pairs", "bfs_distances", "cms_join_size"],
     "changed": ["unigram_segments"],
 }
 
