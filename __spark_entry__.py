@@ -8276,10 +8276,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT t, count(*) AS df FROM tf GROUP BY t
             HAVING count(*) BETWEEN 2 AND 50),
         post AS (
-            SELECT tf.t, tf.d,
-                   tf.tf * CAST(floor(1000 * ln(nn.n::DOUBLE / dfq.df))
-                                AS BIGINT) AS w
-            FROM tf JOIN dfq ON tf.t = dfq.t CROSS JOIN nn),
+            SELECT * FROM (
+                SELECT tf.t, tf.d,
+                       tf.tf * CAST(floor(1000 * ln(nn.n::DOUBLE / dfq.df))
+                                    AS BIGINT) AS w
+                FROM tf JOIN dfq ON tf.t = dfq.t CROSS JOIN nn) z
+            WHERE w > 0),
         norms AS (
             SELECT d, SUM(w::HUGEINT * w) AS n2 FROM post GROUP BY d),
         dots AS (

@@ -187,7 +187,11 @@ def tfidf_doc_pairs(docs: DataFrame, min_cos2_ppm: int = 250_000,
                                       / F.col("__df").cast("double")))
     post = (tf.join(dfreq, "__t")
             .select("__t", "__d",
-                    (F.col("__tf") * idf).cast("long").alias("__w")))
+                    (F.col("__tf") * idf).cast("long").alias("__w"))
+            # a df == N term has idf exactly 0: zero-weight postings
+            # carry no signal but would put 0 norms under the division
+            # (the fuzz tier found the two-identical-one-word-doc case)
+            .filter(F.col("__w") > 0))
     norms = (post.groupBy("__d")
              .agg(F.sum(F.expr("CAST(__w AS DECIMAL(19,0)) * __w"))
                   .cast("decimal(38,0)").alias("__n2")))
