@@ -2173,6 +2173,21 @@ def q_multimodal_gif(spark, sf_dir):
                     "value"))
 
 
+def q_token_embed_topk(spark, sf_dir):
+    """Distributional token embeddings TRAINED IN THE ENGINE
+    (functions.text.token_embeddings + token_embed_topk, r10): PPMI
+    co-occurrence vectors (±2 window, the matrix word2vec implicitly
+    factorizes) compressed to 16 dims by md5-signed random projection,
+    then nearest tokens for the 5 most frequent probes by the exact
+    squared-cosine rational (dot > 0 candidates — the zipf_slope div
+    clamp). One audited ln floor in the whole train+search pipeline;
+    everything else is integer. The oracle replays co-occurrence,
+    PPMI, all 16 signed sums, norms, dots and the ranking."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.token_embed_topk(docs, n_probes=5, k=5, window=2, dim=16,
+                               min_pair=2)
+
+
 def q_tfidf_doc_pairs(spark, sf_dir):
     """All-pairs TF-IDF cosine similarity (functions.retrieval.
     tfidf_doc_pairs, r10) — SemDeDup's lexical sibling over the
@@ -3773,6 +3788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_doc_pairs": q_tfidf_doc_pairs,
         "bfs_distances": q_bfs_distances,
         "cms_join_size": q_cms_join_size,
+        "token_embed_topk": q_token_embed_topk,
         "unigram_segments": q_unigram_segments,
         "semantic_dedup": q_semantic_dedup,
         "session_labels": q_session_labels,
@@ -8261,6 +8277,85 @@ def oracle_sql() -> dict[str, str]:
         JOIN uni ua ON bg.a = ua.t
         JOIN uni ub ON bg.b = ub.t
         CROSS JOIN m CROSS JOIN bt"""
+    # token embeddings: PPMI (one audited ln floor) -> 16 md5-signed
+    # sums -> squared-cosine ranking; heavily-reused CTEs MATERIALIZED
+    _emb_s = ", ".join(
+        f"SUM((1 - 2 * (('0x' || substr(md5('{k}:' || c), 1, 1))::INT"
+        f" % 2)) * p) AS e{k}" for k in range(16))
+    _emb_list = "[" + ", ".join(f"e{k}" for k in range(16)) + "]"
+    d["token_embed_topk"] = f"""
+        WITH tkk AS MATERIALIZED (
+            SELECT w FROM (
+                SELECT {_TOK} AS w FROM documents
+                WHERE trim(text) != '') b
+            WHERE len(w) >= 2),
+        pr AS (
+            SELECT s.t AS t, s.c AS c FROM (
+                SELECT unnest(list_transform(range(1, len(w)),
+                              i -> {{'t': w[i], 'c': w[i+1]}})) AS s
+                FROM tkk)
+            UNION ALL
+            SELECT s.t, s.c FROM (
+                SELECT unnest(list_transform(range(1, len(w) - 1),
+                              i -> {{'t': w[i], 'c': w[i+2]}})) AS s
+                FROM tkk WHERE len(w) >= 3)),
+        sym AS (
+            SELECT t, c FROM pr
+            UNION ALL
+            SELECT c AS t, t AS c FROM pr),
+        cnt AS MATERIALIZED (
+            SELECT t, c, count(*) AS n FROM sym GROUP BY t, c
+            HAVING count(*) >= 2),
+        tot AS (SELECT SUM(n) AS s FROM cnt),
+        mt AS MATERIALIZED (SELECT t, SUM(n) AS nt FROM cnt GROUP BY t),
+        mc AS MATERIALIZED (SELECT c, SUM(n) AS nc FROM cnt GROUP BY c),
+        scored AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT cnt.t, cnt.c,
+                       greatest(CAST(floor(1000 * ln(
+                           (cnt.n::DOUBLE * tot.s) / (mt.nt::DOUBLE
+                                                      * mc.nc)))
+                           AS BIGINT), 0) AS p
+                FROM cnt JOIN mt ON cnt.t = mt.t
+                JOIN mc ON cnt.c = mc.c CROSS JOIN tot) z
+            WHERE p > 0),
+        emb AS MATERIALIZED (
+            SELECT t AS tok, {_emb_s} FROM scored GROUP BY t),
+        comp AS MATERIALIZED (
+            SELECT tok, unnest(range(16)) AS k,
+                   unnest({_emb_list}) AS e
+            FROM emb),
+        nrm AS MATERIALIZED (
+            SELECT tok, SUM(e::HUGEINT * e) AS n2 FROM comp GROUP BY tok),
+        freq AS (
+            SELECT t AS tok, count(*) AS f FROM (
+                SELECT unnest({_TOK}) AS t FROM documents
+                WHERE trim(text) != '') g GROUP BY t),
+        probes AS MATERIALIZED (
+            SELECT f.tok FROM freq f JOIN emb ON f.tok = emb.tok
+            ORDER BY f.f DESC, f.tok ASC LIMIT 5),
+        pcomp AS MATERIALIZED (
+            SELECT p.tok AS probe, c.k, c.e AS pe
+            FROM probes p JOIN comp c ON p.tok = c.tok),
+        dots AS MATERIALIZED (
+            SELECT pc.probe, c.tok, SUM(pc.pe::HUGEINT * c.e) AS dot
+            FROM comp c JOIN pcomp pc ON c.k = pc.k
+            WHERE c.tok != pc.probe
+            GROUP BY pc.probe, c.tok
+            HAVING SUM(pc.pe::HUGEINT * c.e) > 0),
+        ranked AS (
+            SELECT d.probe, d.tok,
+                   CAST(d.dot * d.dot * 1000000
+                        // (np.n2 * nt2.n2) AS BIGINT) AS cos2_ppm
+            FROM dots d
+            JOIN nrm np ON d.probe = np.tok
+            JOIN nrm nt2 ON d.tok = nt2.tok)
+        SELECT probe, tok, cos2_ppm, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT probe, tok, cos2_ppm, row_number() OVER (
+                  PARTITION BY probe
+                  ORDER BY cos2_ppm DESC, tok ASC) AS rnk
+              FROM ranked) z
+        WHERE rnk <= 5"""
     # TF-IDF doc pairs: squared-cosine rational in HUGEINT over the
     # df-capped term space; ln floors at the 1e3 scale margin-audited
     d["tfidf_doc_pairs"] = f"""

@@ -1214,3 +1214,131 @@ def zipf_slope(df: DataFrame, text_col: str = "text",
             (CAST(__n AS DECIMAL(38,0)) * __sxx
              - CAST(__sx AS DECIMAL(38,0)) * __sx)
         """).cast("long").alias("s_ppm"))
+
+
+def token_embeddings(df: DataFrame, text_col: str = "text",
+                     window: int = 2, dim: int = 16,
+                     min_pair: int = 2, scale: int = 1000) -> DataFrame:
+    """Count-based distributional token embeddings TRAINED IN THE
+    ENGINE — PPMI co-occurrence vectors compressed by signed random
+    projection (the pre-neural word-embedding recipe: Levy & Goldberg
+    2014 show word2vec SGNS implicitly factorizes this same PPMI
+    matrix):
+
+        ppmi(t,c) = max(0, floor(scale·ln(n_tc·T / (n_t·n_c))))
+        e_k(t)    = Σ_c sign_k(c)·ppmi(t,c)        k = 0..dim−1
+
+    with symmetric ±``window`` co-occurrence counts, marginals over
+    the pair table, and the md5 ±1 signs of :func:`sketch.ams_sign` —
+    so the entire training pipeline is exact integer arithmetic around
+    ONE audited ln floor (the bigram_pmi boundary class; the PPMI
+    clamp at 0 is the same floor boundary, audited together).
+
+    Shape: pair expansion is MAP-ONLY (array shifts per offset — no
+    token self-join); one (t,c) count shuffle; marginals are
+    aggregations OF that table; the dim signed sums run UNROLLED in
+    one aggregation (the ams_f2 discipline — no dim× explode).
+    ``min_pair`` prunes singleton co-occurrences before ln. Model
+    state: one row of ``dim`` BIGINTs per vocab type — broadcastable.
+    Returns (tok, e0..e{dim-1} BIGINT).
+    """
+    if window < 1 or dim < 1:
+        raise ValueError(f"window/dim must be >= 1, got {window}/{dim}")
+    if min_pair < 1:
+        raise ValueError(f"min_pair must be >= 1, got {min_pair}")
+    from bqetl_spark.functions.sketch import ams_sign
+
+    tk = (df.filter(F.trim(F.col(text_col)) != "")
+          .select(tokens(F.col(text_col)).alias("__tk"))
+          .filter(F.size("__tk") >= 2))
+    shifted = []
+    for off in range(1, window + 1):
+        p = F.explode(F.zip_with(
+            F.slice("__tk", 1, F.greatest(F.size("__tk") - off, F.lit(0))),
+            F.slice("__tk", 1 + off,
+                    F.greatest(F.size("__tk") - off, F.lit(0))),
+            lambda a, b: F.struct(a.alias("t"), b.alias("c"))))
+        shifted.append(tk.select(p.alias("p")).select("p.t", "p.c"))
+    pairs = shifted[0]
+    for s in shifted[1:]:
+        pairs = pairs.unionByName(s)
+    # symmetric: every (t,c) also counts as (c,t)
+    sym = pairs.unionByName(pairs.select(F.col("c").alias("t"),
+                                         F.col("t").alias("c")))
+    cnt = (sym.groupBy("t", "c").agg(F.count("*").alias("__n"))
+           .filter(F.col("__n") >= min_pair))
+    tot = cnt.agg(F.sum("__n")).collect()[0][0] or 0
+    if tot == 0:
+        return (cnt.select(F.col("t").alias("tok"),
+                           *[F.lit(0).cast("long").alias(f"e{k}")
+                             for k in range(dim)]).limit(0))
+    mt = cnt.groupBy("t").agg(F.sum("__n").alias("__nt"))
+    mc = cnt.groupBy("c").agg(F.sum("__n").alias("__nc"))
+    ratio = (F.col("__n").cast("double") * F.lit(float(tot))
+             / (F.col("__nt").cast("double") * F.col("__nc")))
+    ppmi = F.greatest(F.floor(F.lit(scale) * F.log(ratio)), F.lit(0)) \
+        .cast("long")
+    scored = (cnt.join(mt, "t").join(mc, "c")
+              .select("t", "c", ppmi.alias("__p"))
+              .filter(F.col("__p") > 0))
+    sums = [F.sum(ams_sign(k, "c") * F.col("__p")).cast("long")
+            .alias(f"e{k}") for k in range(dim)]
+    return (scored.groupBy(F.col("t").alias("tok")).agg(*sums))
+
+
+def token_embed_topk(df: DataFrame, text_col: str = "text",
+                     n_probes: int = 5, k: int = 5, window: int = 2,
+                     dim: int = 16, min_pair: int = 2) -> DataFrame:
+    """Nearest neighbours in the trained embedding space
+    (:func:`token_embeddings`): for each of the ``n_probes`` most
+    frequent tokens, the ``k`` most-similar other tokens by SQUARED
+    cosine over the integer vectors — published as the exact rational
+    cos2_ppm = dot²·10⁶ div (‖p‖²·‖t‖²), candidates restricted to
+    dot > 0 (cos² is sign-blind; the integral div disagrees between
+    engines below 0 — the zipf_slope clamp discipline). Ties break by
+    token ASC; the probe itself is excluded.
+
+    Shape: the probe vectors are an O(n_probes·dim) broadcast; dots
+    come from a dim-key equi-join of the exploded components (fanout
+    ``dim`` per vocab row — no BNLJ, no vocab self-join); one window
+    ranks per probe. Returns (probe, tok, cos2_ppm, rnk).
+    """
+    if n_probes < 1 or k < 1:
+        raise ValueError(f"n_probes/k must be >= 1, got {n_probes}/{k}")
+    emb = token_embeddings(df, text_col, window=window, dim=dim,
+                           min_pair=min_pair)
+    freq = (df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.explode(tokens(F.col(text_col))).alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("__f")))
+    probes = (freq.join(emb.select("tok"), "tok")
+              .orderBy(F.desc("__f"), F.asc("tok")).limit(n_probes)
+              .select("tok"))
+    comp = emb.select(
+        "tok", F.posexplode(F.array(*[F.col(f"e{i}")
+                                      for i in range(dim)]))
+        .alias("__k", "__e"))
+    norm = (comp.groupBy("tok")
+            .agg(F.sum(F.expr("CAST(__e AS DECIMAL(19,0)) * __e"))
+                 .cast("decimal(38,0)").alias("__n2")))
+    pcomp = (probes.join(comp, "tok")
+             .select(F.col("tok").alias("probe"), "__k",
+                     F.col("__e").alias("__pe")))
+    dots = (comp.join(F.broadcast(pcomp), "__k")
+            .filter(F.col("tok") != F.col("probe"))
+            .groupBy("probe", "tok")
+            .agg(F.sum(F.expr("CAST(__pe AS DECIMAL(19,0)) * __e"))
+                 .cast("decimal(38,0)").alias("__dot"))
+            .filter(F.col("__dot") > 0))
+    np_ = norm.select(F.col("tok").alias("probe"),
+                      F.col("__n2").alias("__np"))
+    cos2 = F.expr("""
+        CAST(__dot * __dot * 1000000 AS DECIMAL(38,0))
+        div CAST(__np * __n2 AS DECIMAL(38,0))""")
+    ranked = (dots.join(F.broadcast(np_), "probe").join(norm, "tok")
+              .select("probe", "tok", cos2.cast("long").alias("cos2_ppm")))
+    w = Window.partitionBy("probe").orderBy(F.desc("cos2_ppm"),
+                                            F.asc("tok"))
+    return (ranked.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("probe", "tok", "cos2_ppm",
+                    F.col("rnk").cast("long").alias("rnk")))

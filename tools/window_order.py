@@ -49,7 +49,8 @@ ROUND_HEAD = {
                   "multimodal_qoi", "kn_bigram_lm", "lm_greedy_decode",
                   "ams_f2", "basket_lift", "perceptron_langid",
                   "zipf_slope", "stream_ams", "hilbert_key",
-                  "tfidf_doc_pairs", "bfs_distances", "cms_join_size"],
+                  "tfidf_doc_pairs", "bfs_distances", "cms_join_size",
+                  "token_embed_topk"],
     "changed": ["unigram_segments"],
 }
 
