@@ -2303,6 +2303,38 @@ def q_multimodal_qoi(spark, sf_dir):
                     "value"))
 
 
+def q_multimodal_mulaw(spark, sf_dir):
+    """REAL lossy audio codec in the gate (r10): the multimodal_audio
+    WAV (32 LE int16 samples from 64 ASCII bytes) transcoded through
+    G.711 μ-law (multimodal.transcode_wav_mulaw — compress to 8-bit
+    companded bytes, expand back) and feature-extracted. μ-law
+    decode(encode(x)) is a deterministic pure-integer quantizer, so
+    the oracle replays the quantized sample per character pair with a
+    CASE-ladder exponent + integer mantissa arithmetic — the 1-D
+    analogue of the JPEG constant-block discipline. ASCII samples are
+    always positive and reach 32639 > the 32635 clip, so the clamp
+    path is exercised on the gate corpus; the sign path is pinned in
+    pytest."""
+    import struct
+
+    header = (b"RIFF" + (100).to_bytes(4, "little") + b"WAVE"
+              + b"fmt " + (16).to_bytes(4, "little")
+              + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+              + b"data" + (64).to_bytes(4, "little"))
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 64)
+        & (F.octet_length(F.substring("text", 1, 64)) == 64))
+    payload = F.concat(F.lit(header),
+                       F.substring(F.col("text"), 1, 64).cast("binary"))
+    media = mm.attach_media(docs, "doc_id", payload, kind="audio",
+                            fmt="wav")
+    feats = mm.extract_features(mm.transcode_wav_mulaw(media), fake=False)
+    return (feats.select("media_id", "n_bytes",
+                         F.posexplode("feature").alias("idx", "value"))
+            .select("media_id", "n_bytes",
+                    F.col("idx").cast("long").alias("idx"), "value"))
+
+
 def q_temperature_quotas(spark, sf_dir):
     """Temperature-scaled mixture quotas (functions.chunking.
     temperature_quotas, α = 0.5, budget 300) — the multilingual-corpus
@@ -3789,6 +3821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs_distances,
         "cms_join_size": q_cms_join_size,
         "token_embed_topk": q_token_embed_topk,
+        "multimodal_mulaw": q_multimodal_mulaw,
         "unigram_segments": q_unigram_segments,
         "semantic_dedup": q_semantic_dedup,
         "session_labels": q_session_labels,
@@ -6048,6 +6081,46 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, sum(v) AS sv, min(v) AS mn, max(v) AS mx,
                  sum(v * v) AS sq
           FROM smp GROUP BY doc_id
+        ), feat AS (
+          SELECT doc_id AS media_id, CAST(108 AS BIGINT) AS n_bytes,
+                 [1.0, 8000.0, 32.0, 4.0,
+                  CAST(sv AS DOUBLE) / 32.0,
+                  CAST(mn AS DOUBLE), CAST(mx AS DOUBLE),
+                  sqrt(CAST(sq AS DOUBLE) / 32.0)] AS feature
+          FROM agg)
+        SELECT media_id, n_bytes, unnest(range(8)) AS idx,
+               unnest(feature) AS value
+        FROM feat"""
+    # multimodal_mulaw: same sample construction, then the G.711
+    # decode(encode(x)) quantizer replayed per sample — CASE-ladder
+    # exponent over the biased range, integer mantissa shifts; ASCII
+    # samples are all positive (sign branch pinned in pytest instead)
+    d["multimodal_mulaw"] = """
+        WITH d AS (
+          SELECT doc_id, substr(text, 1, 64) AS s
+          FROM documents WHERE len(text) >= 64
+                AND octet_length(encode(substr(text, 1, 64))) = 64
+        ), smp AS (
+          SELECT doc_id,
+                 ord(substr(s, 2 * i + 1, 1))
+                 + 256 * ord(substr(s, 2 * i + 2, 1)) AS v
+          FROM d, (SELECT unnest(range(0, 32)) AS i)
+        ), expo AS (
+          SELECT doc_id, a,
+                 CASE WHEN a < 256 THEN 0 WHEN a < 512 THEN 1
+                      WHEN a < 1024 THEN 2 WHEN a < 2048 THEN 3
+                      WHEN a < 4096 THEN 4 WHEN a < 8192 THEN 5
+                      WHEN a < 16384 THEN 6 ELSE 7 END AS e
+          FROM (SELECT doc_id, LEAST(v, 32635) + 132 AS a FROM smp) c
+        ), q AS (
+          SELECT doc_id,
+                 (((a // (1 << (e + 3))) % 16) * 8 + 132) * (1 << e)
+                   - 132 AS v
+          FROM expo
+        ), agg AS (
+          SELECT doc_id, sum(v) AS sv, min(v) AS mn, max(v) AS mx,
+                 sum(v * v) AS sq
+          FROM q GROUP BY doc_id
         ), feat AS (
           SELECT doc_id AS media_id, CAST(108 AS BIGINT) AS n_bytes,
                  [1.0, 8000.0, 32.0, 4.0,

@@ -1166,17 +1166,77 @@ def _build_decoders():
         out += b"\x00" * 7 + b"\x01"
         return bytes(out)
 
+    def mulaw_byte(x):
+        """G.711 μ-law compress one signed 16-bit sample to one byte:
+        clamp to 32635, add the 132 bias, exponent = top-bit position
+        (bit_length − 8 over the biased range [132, 32767]), 4-bit
+        mantissa, ones-complement output — the public telephony
+        companding spec, pure integer."""
+        s = 0x80 if x < 0 else 0
+        a = min(-x if x < 0 else x, 32635) + 132
+        e = a.bit_length() - 8
+        m = (a >> (e + 3)) & 0x0F
+        return (~(s | (e << 4) | m)) & 0xFF
+
+    def mulaw_sample(b):
+        """Expand one μ-law byte back to the quantized linear sample:
+        ((mantissa·8 + 132) << exponent) − 132, sign from bit 7. The
+        decode(encode(x)) composition is a deterministic pure-integer
+        quantizer — what makes a lossy audio codec value-oracle-able
+        (the JPEG constant-block discipline, in 1-D)."""
+        u = (~b) & 0xFF
+        s, e, m = u & 0x80, (u >> 4) & 7, u & 0x0F
+        t = (((m << 3) + 132) << e) - 132
+        return -t if s else t
+
     return (decode_ppm, decode_bmp, image_features, decode_wav,
             audio_features, decode_png, encode_png, decode_jpeg,
             encode_jpeg_gray, decode_gif, encode_gif_gray,
-            decode_qoi, encode_qoi_gray)
+            decode_qoi, encode_qoi_gray, mulaw_byte, mulaw_sample)
 
 
 (decode_ppm, decode_bmp, image_features,
  decode_wav, audio_features, decode_png, encode_png,
  decode_jpeg, encode_jpeg_gray, decode_gif, encode_gif_gray,
- decode_qoi, encode_qoi_gray) = \
+ decode_qoi, encode_qoi_gray, mulaw_byte, mulaw_sample) = \
     _build_decoders()
+
+
+def transcode_wav_mulaw(media: DataFrame) -> DataFrame:
+    """Transcode 16-bit PCM WAV payloads through the G.711 μ-law codec
+    (encode to 8-bit companded bytes, expand back) and re-emit WAV —
+    the audio sibling of the resize pipeline: a REAL lossy DSP stage
+    whose output is still value-oracle-able, because μ-law
+    decode(encode(x)) is a deterministic pure-integer quantizer the
+    oracle replays per sample with a CASE ladder. One Arrow-batched
+    mapInPandas stage, closure-local codec (ships by value)."""
+    wav, mb, ms = decode_wav, mulaw_byte, mulaw_sample  # by-value
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as _pd
+
+        def build(p):
+            n_ch, rate, samples = wav(p)
+            q = [ms(mb(x)) for x in samples]
+            data = struct.pack(f"<{len(q)}h", *q)
+            hdr = (b"RIFF" + (36 + len(data)).to_bytes(4, "little")
+                   + b"WAVE" + b"fmt " + (16).to_bytes(4, "little")
+                   + struct.pack("<HHIIHH", 1, n_ch, rate,
+                                 rate * n_ch * 2, n_ch * 2, 16)
+                   + b"data" + len(data).to_bytes(4, "little"))
+            return hdr + data
+
+        for pdf in batches:
+            payloads = [build(p) for p in pdf["payload"]]
+            yield _pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "payload": _pd.Series(payloads, dtype="object"),
+                "meta": list(pdf["meta"]),
+            })
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def extract_features(media: DataFrame, fake: bool = False,

@@ -767,3 +767,69 @@ def test_qoi_extract_features_matches_ppm(spark):
     ppm_feats = mm.extract_features(ppm_media, fake=False) \
         .select("media_id", "feature").collect()
     assert sorted(qoi_feats) == sorted(ppm_feats)
+
+
+def test_mulaw_quantizer_properties():
+    """The G.711 companding invariants: byte-roundtrip identity
+    (encode(decode(b)) == b for every byte), quantization error
+    bounded by the segment step, sign symmetry, and the clip."""
+    from bqetl_spark.functions.multimodal import mulaw_byte, mulaw_sample
+
+    for b in range(256):
+        if b == 0x7F:
+            # the classic mu-law quirk: 0x7F is NEGATIVE zero — it
+            # decodes to 0, which re-encodes as positive zero 0xFF
+            assert mulaw_sample(b) == 0 and mulaw_byte(0) == 0xFF
+            continue
+        assert mulaw_byte(mulaw_sample(b)) == b
+    # quantizer idempotence holds for every byte, negative zero included
+    for b in range(256):
+        q = mulaw_sample(b)
+        assert mulaw_sample(mulaw_byte(q)) == q
+    for x in [0, 1, 50, 131, 132, 1000, 8191, 32635, 32767, -32768,
+              -1000, -7]:
+        q = mulaw_sample(mulaw_byte(x))
+        clipped = max(min(x, 32635), -32635)
+        # error <= half the segment step (step = 2^(e+3) <= 1024)
+        assert abs(q - clipped) <= 1024, (x, q)
+        assert (q < 0) == (clipped < 0) or q == 0
+    assert mulaw_sample(mulaw_byte(-1000)) == -mulaw_sample(mulaw_byte(1000))
+    assert mulaw_sample(mulaw_byte(32767)) == mulaw_sample(mulaw_byte(32635))
+
+
+def test_mulaw_known_vectors():
+    """Spot values computed by hand from the spec arithmetic: x=1000 ->
+    a=1132, e=3, m=1 -> q=988; x=0 -> a=132, e=0, m=0 -> q=0."""
+    from bqetl_spark.functions.multimodal import mulaw_byte, mulaw_sample
+
+    assert mulaw_sample(mulaw_byte(1000)) == 988
+    assert mulaw_sample(mulaw_byte(0)) == 0
+    assert mulaw_sample(mulaw_byte(-988)) == -988  # quantizer fixpoint
+
+
+def test_transcode_wav_mulaw_quantizes_samples(spark):
+    """End-to-end: WAV -> mu-law -> WAV; decoded samples must equal the
+    pure-Python quantizer applied to the originals, including negative
+    samples (the path the ASCII gate corpus cannot reach)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from bqetl_spark.functions import multimodal as mm
+    from bqetl_spark.functions.multimodal import (decode_wav, mulaw_byte,
+                                                  mulaw_sample)
+
+    samples = [0, 1, -1, 1000, -1000, 32767, -32768, 12345, -23456, 7]
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    hdr = (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+           + b"data" + len(data).to_bytes(4, "little"))
+    df = spark.createDataFrame([(1, bytearray(hdr + data))],
+                               ["doc_id", "payload"])
+    media = mm.attach_media(df, "doc_id", F.col("payload"),
+                            kind="audio", fmt="wav")
+    out = mm.transcode_wav_mulaw(media).collect()[0]["payload"]
+    n_ch, rate, got = decode_wav(bytes(out))
+    assert (n_ch, rate) == (1, 8000)
+    assert got == [mulaw_sample(mulaw_byte(x)) for x in samples]
