@@ -2200,6 +2200,24 @@ def q_tfidf_doc_pairs(spark, sf_dir):
     return rt.tfidf_doc_pairs(docs, min_cos2_ppm=250_000, max_df=50)
 
 
+def q_langid_confusion(spark, sf_dir):
+    """Model evaluation as a first-class op (r10): the confusion matrix
+    of the TRAINED NB language classifier against the labeled truth,
+    split by training-slice membership — (lang, pred_lang, split, n).
+    Closes the train→apply→EVALUATE loop for the learned-model family
+    the way fertility does for tokenizers; the oracle composes the
+    already-certified lang_id_trained SQL as a subquery (the
+    corpus_keep composition precedent), so a hash-match certifies the
+    evaluation arithmetic on top of the certified model."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = tx.lang_id_trained(docs)
+    split = F.when(F.pmod(F.col("doc_id"), F.lit(10)) < 3,
+                   F.lit("train")).otherwise(F.lit("held_out"))
+    return (pred.select("lang", "pred_lang", split.alias("split"))
+            .groupBy("lang", "pred_lang", "split")
+            .agg(F.count("*").cast("long").alias("n")))
+
+
 def q_zipf_slope(spark, sf_dir):
     """Zipf exponent per language (functions.text.zipf_slope, r10): OLS
     of floor-1e6-ln frequency on floor-1e6-ln rank over the top-1000
@@ -3822,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_join_size": q_cms_join_size,
         "token_embed_topk": q_token_embed_topk,
         "multimodal_mulaw": q_multimodal_mulaw,
+        "langid_confusion": q_langid_confusion,
         "unigram_segments": q_unigram_segments,
         "semantic_dedup": q_semantic_dedup,
         "session_labels": q_session_labels,
@@ -8523,6 +8542,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, CAST(est AS BIGINT) AS f2_est,
                CAST(f2 AS BIGINT) AS f2_exact
         FROM med"""
+    # confusion matrix: composes the certified lang_id_trained SQL as a
+    # subquery (the corpus_keep composition precedent)
+    d["langid_confusion"] = f"""
+        SELECT lang, pred_lang,
+               CASE WHEN ((doc_id % 10) + 10) % 10 < 3 THEN 'train'
+                    ELSE 'held_out' END AS split,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ({d["lang_id_trained"]}) p
+        GROUP BY 1, 2, 3"""
     # Zipf slope: integer OLS over floor-1e6-ln points; HUGEINT algebra,
     # negated-and-clamped dividend (div/| // | agree only at >= 0)
     d["zipf_slope"] = f"""

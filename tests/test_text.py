@@ -622,3 +622,27 @@ def test_lang_id_trained_ln_margin_on_gate_corpus():
     for lang, nl in tot.items():  # the smoothing floor operands
         x = 10**6 * math.log(1.0 / (nl + B))
         assert abs(x - round(x)) > 1e-5, (lang, nl, x)
+
+
+def test_langid_confusion_partitions_the_predictions(spark, docs_df):
+    """The confusion matrix must be a PARTITION of lang_id_trained's
+    output: cell counts sum back to the per-(lang, pred) totals and to
+    the overall scored-doc count, split by id%10<3 membership."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    from bqetl_spark.functions.text import lang_id_trained
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    cells = em.queries()["langid_confusion"](spark, sf).collect()
+    pred = lang_id_trained(docs).collect()
+    assert sum(c["n"] for c in cells) == len(pred)
+    from collections import Counter
+
+    want = Counter()
+    for r in pred:
+        split = "train" if r["doc_id"] % 10 < 3 else "held_out"
+        want[(r["lang"], r["pred_lang"], split)] += 1
+    got = {(c["lang"], c["pred_lang"], c["split"]): c["n"] for c in cells}
+    assert got == dict(want)

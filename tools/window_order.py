@@ -50,7 +50,8 @@ ROUND_HEAD = {
                   "ams_f2", "basket_lift", "perceptron_langid",
                   "zipf_slope", "stream_ams", "hilbert_key",
                   "tfidf_doc_pairs", "bfs_distances", "cms_join_size",
-                  "token_embed_topk", "multimodal_mulaw"],
+                  "token_embed_topk", "multimodal_mulaw",
+                  "langid_confusion"],
     "changed": ["unigram_segments"],
 }
 
