@@ -2200,6 +2200,22 @@ def q_tfidf_doc_pairs(spark, sf_dir):
     return rt.tfidf_doc_pairs(docs, min_cos2_ppm=250_000, max_df=50)
 
 
+def q_frequent_seqs(spark, sf_dir):
+    """Sequential-pattern mining (operators.timeseries.
+    frequent_subsequences, r10): support counts for every length-2/3
+    ordered type pattern occurring as a gapped SUBSEQUENCE of a user's
+    event stream — the mining complement to event_pattern's known-
+    pattern matching. Containment by order statistics (first-a <
+    last-b; a middle-b between them via a map-side array exists — no
+    range join on the Spark side); per-user state from one window
+    pass. Oracle replays pairs from min/max and triples via a
+    positions range join + DISTINCT."""
+    from bqetl_spark.operators.timeseries import frequent_subsequences
+
+    ev = _t(spark, sf_dir, "events")
+    return frequent_subsequences(ev, min_support=5)
+
+
 def q_langid_confusion(spark, sf_dir):
     """Model evaluation as a first-class op (r10): the confusion matrix
     of the TRAINED NB language classifier against the labeled truth,
@@ -3841,6 +3857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_embed_topk": q_token_embed_topk,
         "multimodal_mulaw": q_multimodal_mulaw,
         "langid_confusion": q_langid_confusion,
+        "frequent_seqs": q_frequent_seqs,
         "unigram_segments": q_unigram_segments,
         "semantic_dedup": q_semantic_dedup,
         "session_labels": q_session_labels,
@@ -8542,6 +8559,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, CAST(est AS BIGINT) AS f2_est,
                CAST(f2 AS BIGINT) AS f2_exact
         FROM med"""
+    # frequent subsequences: pairs from per-(key,type) min/max order
+    # statistics; triples witness the middle occurrence via a range
+    # join on positions + DISTINCT (oracle-side only; Spark uses a
+    # map-side array exists)
+    d["frequent_seqs"] = """
+        WITH pos AS MATERIALIZED (
+            SELECT user_id AS k, event_type AS t,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS p
+            FROM events),
+        st AS MATERIALIZED (
+            SELECT k, t, min(p) AS mn, max(p) AS mx
+            FROM pos GROUP BY k, t),
+        pairs AS (
+            SELECT a.t || '>' || b.t AS pattern,
+                   CAST(2 AS BIGINT) AS plen,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM st a JOIN st b ON a.k = b.k
+            WHERE a.mn < b.mx
+            GROUP BY 1),
+        tri AS (
+            SELECT DISTINCT a.k, a.t AS ta, pb.t AS tb, c.t AS tc
+            FROM st a
+            JOIN st c ON a.k = c.k
+            JOIN pos pb ON pb.k = a.k AND pb.p > a.mn AND pb.p < c.mx),
+        triples AS (
+            SELECT ta || '>' || tb || '>' || tc AS pattern,
+                   CAST(3 AS BIGINT) AS plen,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM tri GROUP BY 1)
+        SELECT * FROM pairs WHERE support >= 5
+        UNION ALL
+        SELECT * FROM triples WHERE support >= 5"""
     # confusion matrix: composes the certified lang_id_trained SQL as a
     # subquery (the corpus_keep composition precedent)
     d["langid_confusion"] = f"""

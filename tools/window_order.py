@@ -51,7 +51,7 @@ ROUND_HEAD = {
                   "zipf_slope", "stream_ams", "hilbert_key",
                   "tfidf_doc_pairs", "bfs_distances", "cms_join_size",
                   "token_embed_topk", "multimodal_mulaw",
-                  "langid_confusion"],
+                  "langid_confusion", "frequent_seqs"],
     "changed": ["unigram_segments"],
 }
 
