@@ -2337,6 +2337,28 @@ def q_multimodal_qoi(spark, sf_dir):
                     "value"))
 
 
+def q_multimodal_tiff(spark, sf_dir):
+    """REAL TIFF decode in the gate (r10): each document's first 28
+    ASCII bytes become a 7×4 grayscale baseline TIFF written with
+    rows_per_strip=2, so EVERY document exercises the decoder's
+    multi-strip reassembly and offset-array indirection (the part of
+    IFD parsing that actually bites — values inline when ≤4 bytes,
+    pointed otherwise). Lossless, so the oracle recomputes the image
+    statistics per character (the GIF/QOI discipline); n_bytes IS
+    deterministic for TIFF (fixed layout) but excluded for family
+    consistency. Endianness + WhiteIsZero paths pinned in pytest."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 28)
+        & (F.octet_length(F.substring("text", 1, 28)) == 28))
+    media = mm.attach_tiff_media(docs, "doc_id", "text", 7, 4,
+                                 rows_per_strip=2)
+    feats = mm.extract_features(media, fake=False)
+    return (feats.select("media_id",
+                         F.posexplode("feature").alias("idx", "value"))
+            .select("media_id", F.col("idx").cast("long").alias("idx"),
+                    "value"))
+
+
 def q_multimodal_mulaw(spark, sf_dir):
     """REAL lossy audio codec in the gate (r10): the multimodal_audio
     WAV (32 LE int16 samples from 64 ASCII bytes) transcoded through
@@ -3858,6 +3880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mulaw": q_multimodal_mulaw,
         "langid_confusion": q_langid_confusion,
         "frequent_seqs": q_frequent_seqs,
+        "multimodal_tiff": q_multimodal_tiff,
         "unigram_segments": q_unigram_segments,
         "semantic_dedup": q_semantic_dedup,
         "session_labels": q_session_labels,
@@ -5620,6 +5643,34 @@ def oracle_sql() -> dict[str, str]:
                       CAST(3 * mn AS DOUBLE) / 3.0,
                       CAST(3 * mx AS DOUBLE) / 3.0,
                       CAST(3 * sv AS DOUBLE) / 120.0] AS feature
+              FROM agg)
+            SELECT media_id, unnest(range(8)) AS idx,
+                   unnest(feature) AS value
+            FROM feat""",
+        # multimodal_tiff: the decoded pixels ARE the first 28 text
+        # bytes (lossless multi-strip TIFF), one byte per pixel of a
+        # 7×4 image — same statistics family as GIF/QOI
+        "multimodal_tiff": """
+            WITH d AS (
+              SELECT doc_id, substr(text, 1, 28) AS s
+              FROM documents WHERE len(text) >= 28
+                AND octet_length(encode(substr(text, 1, 28))) = 28
+            ), b AS (
+              SELECT doc_id, ord(substr(s, p, 1)) AS v
+              FROM d, (SELECT unnest(range(1, 29)) AS p)
+            ), agg AS (
+              SELECT doc_id AS media_id, sum(v) AS sv,
+                     min(v) AS mn, max(v) AS mx
+              FROM b GROUP BY doc_id
+            ), feat AS (
+              SELECT media_id,
+                     [7.0, 4.0,
+                      CAST(sv AS DOUBLE) / 28,
+                      CAST(sv AS DOUBLE) / 28,
+                      CAST(sv AS DOUBLE) / 28,
+                      CAST(3 * mn AS DOUBLE) / 3.0,
+                      CAST(3 * mx AS DOUBLE) / 3.0,
+                      CAST(3 * sv AS DOUBLE) / 84.0] AS feature
               FROM agg)
             SELECT media_id, unnest(range(8)) AS idx,
                    unnest(feature) AS value

@@ -227,6 +227,42 @@ def attach_qoi_media(df: DataFrame, id_col: str, text_col: str,
     return src.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def attach_tiff_media(df: DataFrame, id_col: str, text_col: str,
+                      w: int, h: int, rows_per_strip: int = 2
+                      ) -> DataFrame:
+    """Encode the first w·h bytes of ``text_col`` as a w×h grayscale
+    baseline TIFF per row (multi-strip by default, so the gate
+    exercises the decoder's strip reassembly on every document).
+    Lossless — the oracle recomputes statistics per character (the
+    GIF/QOI discipline). One mapInPandas stage."""
+    enc = encode_tiff_gray  # by-value closure binding
+    need = w * h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def build(t):
+            vals = t.encode("utf-8")[:need]
+            if len(vals) < need:
+                raise ValueError(
+                    f"attach_tiff_media needs >= {need} encoded bytes "
+                    f"per row for a {w}x{h} image, got {len(vals)}")
+            return enc(w, h, vals, rows_per_strip=rows_per_strip)
+
+        for pdf in batches:
+            payloads = [build(t) for t in pdf["text"]]
+            yield _pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "payload": _pd.Series(payloads, dtype="object"),
+                "meta": [{"kind": "image", "format": "tiff", "width": w,
+                          "height": h, "duration_ms": None}] * len(pdf),
+            })
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"),
+                    F.col(text_col).alias("text"))
+    return src.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def _build_decoders():
     """Real decoders as CLOSURE-LOCAL defs: their __qualname__ is not
     importable, so cloudpickle ships them BY VALUE into UDF closures —
@@ -1166,6 +1202,131 @@ def _build_decoders():
         out += b"\x00" * 7 + b"\x01"
         return bytes(out)
 
+    def decode_tiff(payload):
+        """Baseline TIFF → (width, height, RGB bytes). Pure Python over
+        the public TIFF 6.0 baseline layout: 'II'/'MM' byte order +
+        magic 42, linked IFDs of 12-byte entries; supports 8-bit
+        grayscale (PhotometricInterpretation 0/1, BlackIsZero or
+        WhiteIsZero), Compression=1 (none), any strip layout
+        (StripOffsets/StripByteCounts arrays with RowsPerStrip).
+        Values inline in the entry when they fit 4 bytes, else at the
+        pointed offset — the part of TIFF parsing that actually bites.
+        Gray is returned tripled to RGB (image_features contract)."""
+        import struct
+
+        if payload is None or len(payload) < 8:
+            raise ValueError("truncated TIFF header")
+        payload = bytes(payload)
+        if payload[:2] == b"II":
+            e = "<"
+        elif payload[:2] == b"MM":
+            e = ">"
+        else:
+            raise ValueError("not a TIFF (missing II/MM byte order)")
+        magic, ifd_off = struct.unpack_from(e + "HI", payload, 2)
+        if magic != 42:
+            raise ValueError(f"not a TIFF (magic {magic} != 42)")
+        n = struct.unpack_from(e + "H", payload, ifd_off)[0]
+        SZ = {1: 1, 2: 1, 3: 2, 4: 4}
+        FMT = {1: "B", 3: "H", 4: "I"}
+        tags = {}
+        for i in range(n):
+            base = ifd_off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack_from(e + "HHI", payload, base)
+            if typ not in SZ:
+                continue                       # RATIONAL etc: not needed
+            total = SZ[typ] * cnt
+            off = (base + 8 if total <= 4
+                   else struct.unpack_from(e + "I", payload, base + 8)[0])
+            if typ == 2:
+                tags[tag] = payload[off:off + cnt]
+            else:
+                tags[tag] = list(struct.unpack_from(
+                    e + FMT[typ] * cnt, payload, off))
+        def one(t, default=None):
+            v = tags.get(t)
+            if v is None:
+                if default is None:
+                    raise ValueError(f"TIFF missing required tag {t}")
+                return default
+            return v[0]
+        w, h = one(256), one(257)
+        if one(259, 1) != 1:
+            raise ValueError("only uncompressed TIFF supported")
+        if one(258, 1) != 8 or one(277, 1) != 1:
+            raise ValueError("only 8-bit single-sample TIFF supported")
+        photo = one(262, 1)
+        if photo not in (0, 1):
+            raise ValueError(f"only grayscale TIFF supported, got "
+                             f"photometric {photo}")
+        offs = tags.get(273)
+        cnts = tags.get(279)
+        if offs is None or cnts is None:
+            raise ValueError("TIFF missing strip offsets/byte counts")
+        gray = bytearray()
+        for o, c in zip(offs, cnts):
+            gray += payload[o:o + c]
+        if len(gray) < w * h:
+            raise ValueError(f"truncated TIFF strips: want {w * h}, "
+                             f"got {len(gray)}")
+        gray = gray[:w * h]
+        if photo == 0:                          # WhiteIsZero: invert
+            gray = bytes(255 - g for g in gray)
+        return w, h, bytes(v for g in gray for v in (g, g, g))
+
+    def encode_tiff_gray(w, h, vals, rows_per_strip=None):
+        """Byte values → baseline little-endian grayscale TIFF, strip
+        layout controlled by ``rows_per_strip`` (default: one strip) so
+        the decoder's multi-strip reassembly is exercised for real.
+        Lossless, hence value-oracle-able like GIF/QOI."""
+        import struct
+
+        vals = bytes(vals)
+        if len(vals) != w * h:
+            raise ValueError(
+                f"encode_tiff_gray needs exactly {w * h} bytes for a "
+                f"{w}x{h} image, got {len(vals)}")
+        rps = rows_per_strip or h
+        strips = [vals[r * w:(r + rps) * w] for r in range(0, h, rps)]
+        ns = len(strips)
+        # layout: header(8) | IFD | [strip arrays if ns > 1] | strips
+        n_entries = 9
+        ifd_size = 2 + 12 * n_entries + 4
+        arr_off = 8 + ifd_size
+        arrays = b""
+        if ns > 1:
+            off_pos, cnt_pos = arr_off, arr_off + 4 * ns
+            data_off = arr_off + 8 * ns
+        else:
+            data_off = arr_off
+        offs, pos = [], data_off
+        for s in strips:
+            offs.append(pos)
+            pos += len(s)
+        ent = b""
+
+        def entry(tag, typ, cnt, val):
+            return struct.pack("<HHII", tag, typ, cnt, val)
+
+        ent += entry(256, 4, 1, w)
+        ent += entry(257, 4, 1, h)
+        ent += entry(258, 3, 1, 8)
+        ent += entry(259, 3, 1, 1)
+        ent += entry(262, 3, 1, 1)              # BlackIsZero
+        ent += entry(273, 4, ns, offs[0] if ns == 1 else off_pos)
+        ent += entry(277, 3, 1, 1)
+        ent += entry(278, 4, 1, rps)
+        ent += entry(279, 4, ns,
+                     len(strips[0]) if ns == 1 else cnt_pos)
+        out = bytearray(b"II" + struct.pack("<HI", 42, 8))
+        out += struct.pack("<H", n_entries) + ent + struct.pack("<I", 0)
+        if ns > 1:
+            out += struct.pack(f"<{ns}I", *offs)
+            out += struct.pack(f"<{ns}I", *[len(s) for s in strips])
+        for s in strips:
+            out += s
+        return bytes(out)
+
     def mulaw_byte(x):
         """G.711 μ-law compress one signed 16-bit sample to one byte:
         clamp to 32635, add the 132 bias, exponent = top-bit position
@@ -1192,13 +1353,15 @@ def _build_decoders():
     return (decode_ppm, decode_bmp, image_features, decode_wav,
             audio_features, decode_png, encode_png, decode_jpeg,
             encode_jpeg_gray, decode_gif, encode_gif_gray,
-            decode_qoi, encode_qoi_gray, mulaw_byte, mulaw_sample)
+            decode_qoi, encode_qoi_gray, mulaw_byte, mulaw_sample,
+            decode_tiff, encode_tiff_gray)
 
 
 (decode_ppm, decode_bmp, image_features,
  decode_wav, audio_features, decode_png, encode_png,
  decode_jpeg, encode_jpeg_gray, decode_gif, encode_gif_gray,
- decode_qoi, encode_qoi_gray, mulaw_byte, mulaw_sample) = \
+ decode_qoi, encode_qoi_gray, mulaw_byte, mulaw_sample,
+ decode_tiff, encode_tiff_gray) = \
     _build_decoders()
 
 
@@ -1259,6 +1422,7 @@ def extract_features(media: DataFrame, fake: bool = False,
     ppm, bmp, feats_of = decode_ppm, decode_bmp, image_features  # by-value
     wav, afeats_of = decode_wav, audio_features
     png, jpg, gif, qoi = decode_png, decode_jpeg, decode_gif, decode_qoi
+    tif = decode_tiff
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd  # worker-side import, always available with pyspark
@@ -1273,7 +1437,7 @@ def extract_features(media: DataFrame, fake: bool = False,
             return [round(a / n, 6) for a in acc]
 
         real = {"ppm": ppm, "bmp": bmp, "png": png, "jpeg": jpg,
-                "jpg": jpg, "gif": gif, "qoi": qoi}
+                "jpg": jpg, "gif": gif, "qoi": qoi, "tiff": tif, "tif": tif}
 
         def decode(payload, meta):
             if fake:

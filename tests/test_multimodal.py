@@ -833,3 +833,98 @@ def test_transcode_wav_mulaw_quantizes_samples(spark):
     n_ch, rate, got = decode_wav(bytes(out))
     assert (n_ch, rate) == (1, 8000)
     assert got == [mulaw_sample(mulaw_byte(x)) for x in samples]
+
+
+def test_tiff_roundtrip_all_strip_layouts():
+    import random
+
+    from bqetl_spark.functions.multimodal import (decode_tiff,
+                                                  encode_tiff_gray)
+
+    random.seed(3)
+    for w, h, rps in [(6, 4, None), (8, 5, 2), (3, 7, 1), (10, 1, None),
+                      (1, 9, 4)]:
+        vals = bytes(random.randrange(256) for _ in range(w * h))
+        got = decode_tiff(encode_tiff_gray(w, h, vals,
+                                           rows_per_strip=rps))
+        assert got == (w, h, bytes(v for g in vals for v in (g, g, g)))
+
+
+def test_tiff_big_endian_and_inline_value_justification():
+    """A hand-assembled MM (big-endian) fixture: per the TIFF spec an
+    inline SHORT value is LEFT-justified in the 4 value bytes — the
+    detail that silently corrupts naive readers. Built independently
+    of the encoder (which always writes II)."""
+    import struct
+
+    from bqetl_spark.functions.multimodal import decode_tiff
+
+    def entry_long(tag, cnt, val):
+        return struct.pack(">HHII", tag, 4, cnt, val)
+
+    def entry_short(tag, cnt, val):
+        return struct.pack(">HHIHH", tag, 3, cnt, val, 0)
+
+    ifd = struct.pack(">H", 9)
+    ifd += entry_long(256, 1, 2) + entry_long(257, 1, 1)
+    ifd += entry_short(258, 1, 8) + entry_short(259, 1, 1)
+    ifd += entry_short(262, 1, 1)
+    ifd += entry_long(273, 1, 8 + 2 + 12 * 9 + 4)
+    ifd += entry_short(277, 1, 1)
+    ifd += entry_long(278, 1, 1) + entry_long(279, 1, 2)
+    mm = (b"MM" + struct.pack(">HI", 42, 8) + ifd
+          + struct.pack(">I", 0) + bytes([7, 200]))
+    assert decode_tiff(mm) == (2, 1, bytes([7, 7, 7, 200, 200, 200]))
+
+
+def test_tiff_white_is_zero_inverts():
+    import struct
+
+    from bqetl_spark.functions.multimodal import (decode_tiff,
+                                                  encode_tiff_gray)
+
+    s = encode_tiff_gray(2, 1, bytes([0, 255]))
+    i = s.index(struct.pack("<HHII", 262, 3, 1, 1))
+    s = s[:i] + struct.pack("<HHII", 262, 3, 1, 0) + s[i + 12:]
+    assert decode_tiff(s) == (2, 1, bytes([255] * 3 + [0] * 3))
+
+
+def test_tiff_rejects_corruption_and_unsupported():
+    import struct
+
+    import pytest
+
+    from bqetl_spark.functions.multimodal import (decode_tiff,
+                                                  encode_tiff_gray)
+
+    good = encode_tiff_gray(3, 2, bytes(6))
+    with pytest.raises(ValueError, match="byte order"):
+        decode_tiff(b"XX" + good[2:])
+    with pytest.raises(ValueError, match="magic"):
+        decode_tiff(b"II" + struct.pack("<HI", 41, 8) + good[8:])
+    with pytest.raises(ValueError, match="truncated TIFF strips"):
+        decode_tiff(good[:-3])
+    i = good.index(struct.pack("<HHII", 259, 3, 1, 1))
+    lzw = good[:i] + struct.pack("<HHII", 259, 3, 1, 5) + good[i + 12:]
+    with pytest.raises(ValueError, match="uncompressed"):
+        decode_tiff(lzw)
+
+
+def test_tiff_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bqetl_spark.functions.multimodal import (decode_tiff,
+                                                  encode_tiff_gray)
+
+    @settings(max_examples=25, deadline=None)
+    @given(w=st.integers(1, 10), h=st.integers(1, 10),
+           rps=st.integers(1, 11), data=st.data())
+    def run(w, h, rps, data):
+        vals = bytes(data.draw(st.lists(st.integers(0, 255),
+                                        min_size=w * h, max_size=w * h)))
+        got = decode_tiff(encode_tiff_gray(w, h, vals,
+                                           rows_per_strip=min(rps, h)))
+        assert got == (w, h, bytes(v for g in vals for v in (g, g, g)))
+
+    run()

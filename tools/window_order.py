@@ -51,7 +51,8 @@ ROUND_HEAD = {
                   "zipf_slope", "stream_ams", "hilbert_key",
                   "tfidf_doc_pairs", "bfs_distances", "cms_join_size",
                   "token_embed_topk", "multimodal_mulaw",
-                  "langid_confusion", "frequent_seqs"],
+                  "langid_confusion", "frequent_seqs",
+                  "multimodal_tiff"],
     "changed": ["unigram_segments"],
 }
 
