@@ -140,6 +140,25 @@ EXTRAS = [
     "wordpiece_train",
     "wordpiece_segments",
     "repetition_profile",
+    # round 10, second half
+    "hits_scores",
+    "bfs_distances",
+    "kn_bigram_lm",
+    "lm_greedy_decode",
+    "zipf_slope",
+    "token_embed_topk",
+    "tfidf_doc_pairs",
+    "perceptron_langid",
+    "ams_f2",
+    "stream_ams",
+    "cms_join_size",
+    "basket_lift",
+    "frequent_seqs",
+    "multimodal_qoi",
+    "multimodal_mulaw",
+    "multimodal_tiff",
+    "langid_confusion",
+    "hilbert_key",
 ]
 
 

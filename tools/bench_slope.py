@@ -67,7 +67,21 @@ QUERIES = ["denorm_flat", "q3_top_revenue", "dedup_fingerprint",
            # ppr/modularity inherit the pagerank loop shape.
            "unigram_train", "wordpiece_train", "wordpiece_segments",
            "repetition_profile", "vocab_growth", "lang_id_trained",
-           "ppr_seeded", "lpa_modularity", "hll_bias_corrected"]
+           "ppr_seeded", "lpa_modularity", "hll_bias_corrected",
+           # r10 second-half additions. Expected shapes: hits/bfs
+           # inherit the pagerank loop (graph size is FIXED under
+           # replication — measures scan+dedup); kn/zipf/embeddings/
+           # doc-pairs are vocab-bounded past one corpus scan (the
+           # tokenizer-train story); perceptron scoring is corpus-sized
+           # (the lang_id_trained story); ams/cms_join_size are
+           # fixed-state sketches; basket/frequent_seqs re-derive the
+           # same guarded candidates; codecs are map-only per row.
+           "hits_scores", "bfs_distances", "kn_bigram_lm",
+           "lm_greedy_decode", "zipf_slope", "token_embed_topk",
+           "tfidf_doc_pairs", "perceptron_langid", "ams_f2",
+           "cms_join_size", "basket_lift", "frequent_seqs",
+           "multimodal_qoi", "multimodal_mulaw", "multimodal_tiff",
+           "langid_confusion"]
 
 
 def main() -> None:

@@ -100,6 +100,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as em
+    from bqetl_spark.caching import release_pinned
     from tests.oracle_harness import compare, duck_connection
 
     con = duck_connection(SF)
@@ -123,6 +124,14 @@ def main() -> None:
         except Exception as exc:  # record, keep sweeping
             results[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
             print(f"ERR {name} {type(exc).__name__}", flush=True)
+        finally:
+            # 220+ gates in ONE vanilla JVM: operator pins accumulate
+            # and blew the driver heap at gate ~200 (r10 second half —
+            # two spurious OOM rows in an otherwise green sweep).
+            # Per-gate release matches the driver, which never runs two
+            # gates against shared cache state either.
+            release_pinned()
+            spark.catalog.clearCache()
     stability = stability_tier(osql) if ONLY is None else {}
     artifact = {
         "sf": SF,
