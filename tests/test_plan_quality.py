@@ -34,6 +34,9 @@ Justified allowlist (each audited round 4; hard_negatives round 6):
   via broadcast crossJoin to three bucket aggregations (the same
   scalar-attach shape; the joined sides are vocab-/doc-count-sized
   aggregates, the loop side is 1 row).
+- langid_confusion (r10): composes lang_id_trained's plan verbatim (it
+  aggregates that gate's output), so it inherits the SAME audited
+  O(languages) smoothing-floor crossJoin — no new loop shape.
 - cms_join_size (r10): the gate crossJoins two ONE-ROW aggregates (the
   sketch estimate and the exact join count) for side-by-side output —
   the important_parts scalar-attach shape on both sides.
@@ -54,7 +57,8 @@ ALLOWED_BNLJ = {"embed_topk", "embed_sq_topk", "embed_neardup",
                 "important_parts", "idle_customers", "hard_negatives",
                 "unigram_train", "unigram_segments", "unigram_fertility",
                 "lang_id_trained", "lpa_modularity", "vocab_growth",
-                "perceptron_langid", "cms_join_size"}
+                "perceptron_langid", "cms_join_size",
+                "langid_confusion"}
 
 # streaming queries execute a bounded replay inside the builder, and the
 # roundtrips write temp files — plan text is checked for batch shapes only
