@@ -3847,11 +3847,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* history — (1) brand-new gates needing first-ever
     # driver rows, (2) gates whose code or oracle changed this round,
     # (3) everything else oldest newest-green-driver-row first. The r10
-    # head: the NEW r10 gates (unigram_fertility, wordpiece_train,
-    # wordpiece_segments, repetition_profile), then the 1 CHANGED gate
-    # (unigram_segments — its flaky list_reduce oracle rewritten as a
-    # relational WITH RECURSIVE walk, VERDICT r9 P0), then the oldest
-    # driver rows fill the 50-slot window.
+    # head: 24 NEW r10 gates (the tokenizer/fertility/repetition wave,
+    # then the second-half wave — hits/qoi/kn/greedy-decode/ams/basket/
+    # perceptron/zipf/stream-ams/hilbert/tfidf-pairs/bfs/cms-join/
+    # token-embed/mulaw/confusion/frequent-seqs/tiff), then the 1
+    # CHANGED gate (unigram_segments — its flaky list_reduce oracle
+    # rewritten relational, VERDICT r9 P0), then the oldest driver rows
+    # fill the remaining window slots.
     # Regenerate after gate changes with:
     #   python3 tools/window_order.py --new <gates> --changed <gates>
     # tests/test_entry.py::test_window_order_matches_tool pins dict order
