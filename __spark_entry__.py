@@ -3846,69 +3846,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r6 item 1): tools/window_order.py derives it from the
     # CORRECTNESS_r* history — (1) brand-new gates needing first-ever
     # driver rows, (2) gates whose code or oracle changed this round,
-    # (3) everything else oldest newest-green-driver-row first. The r10
-    # head: 24 NEW r10 gates (the tokenizer/fertility/repetition wave,
-    # then the second-half wave — hits/qoi/kn/greedy-decode/ams/basket/
-    # perceptron/zipf/stream-ams/hilbert/tfidf-pairs/bfs/cms-join/
-    # token-embed/mulaw/confusion/frequent-seqs/tiff), then the 1
-    # CHANGED gate (unigram_segments — its flaky list_reduce oracle
-    # rewritten relational, VERDICT r9 P0), then the oldest driver rows
-    # fill the remaining window slots.
+    # (3) everything else oldest newest-green-driver-row first. The r11
+    # head: new r11 gates first (appended to ROUND_HEAD as they land),
+    # then the stalest driver rows (the r6-evidence cohort rotating back
+    # through) fill the remaining window slots.
     # Regenerate after gate changes with:
     #   python3 tools/window_order.py --new <gates> --changed <gates>
     # tests/test_entry.py::test_window_order_matches_tool pins dict order
     # to the tool's output so the comment cannot drift from reality.
     return {
-        "unigram_fertility": q_unigram_fertility,
-        "wordpiece_train": q_wordpiece_train,
-        "wordpiece_segments": q_wordpiece_segments,
-        "repetition_profile": q_repetition_profile,
-        "wordpiece_fertility": q_wordpiece_fertility,
-        "vocab_growth": q_vocab_growth,
-        "hits_scores": q_hits_scores,
-        "multimodal_qoi": q_multimodal_qoi,
-        "kn_bigram_lm": q_kn_bigram_lm,
-        "lm_greedy_decode": q_lm_greedy_decode,
-        "ams_f2": q_ams_f2,
-        "basket_lift": q_basket_lift,
-        "perceptron_langid": q_perceptron_langid,
-        "zipf_slope": q_zipf_slope,
-        "stream_ams": q_stream_ams,
-        "hilbert_key": q_hilbert_key,
-        "tfidf_doc_pairs": q_tfidf_doc_pairs,
-        "bfs_distances": q_bfs_distances,
-        "cms_join_size": q_cms_join_size,
-        "token_embed_topk": q_token_embed_topk,
-        "multimodal_mulaw": q_multimodal_mulaw,
-        "langid_confusion": q_langid_confusion,
-        "frequent_seqs": q_frequent_seqs,
-        "multimodal_tiff": q_multimodal_tiff,
-        "unigram_segments": q_unigram_segments,
-        "semantic_dedup": q_semantic_dedup,
-        "session_labels": q_session_labels,
-        "session_window": q_session_window,
-        "simhash_pairs": q_simhash_pairs,
-        "source_divergence": q_source_divergence,
-        "sql_frontdoor": q_sql_frontdoor,
-        "stream_session_window": q_stream_session_window,
-        "stream_static_join": q_stream_static_join,
-        "stream_upsert": q_stream_upsert,
-        "tfidf_topk": q_tfidf_topk,
-        "weighted_sample": q_weighted_sample,
-        "window_suite": q_window_suite,
-        "winnow_neardup": q_winnow_neardup,
-        "zorder_key": q_zorder_key,
-        "array_suite": q_array_suite,
-        "big_orders": q_big_orders,
-        "bq_sink_emulated": q_bq_sink_emulated,
-        "compact_roundtrip": q_compact_roundtrip,
-        "compression_ratio": q_compression_ratio,
-        "corpus_keep": q_corpus_keep,
-        "corpus_keep_reasons": q_corpus_keep_reasons,
-        "csv_roundtrip": q_csv_roundtrip,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_exact": q_dedup_exact,
-        "embed_centroids": q_embed_centroids,
         "embed_sq_topk": q_embed_sq_topk,
         "embed_topk": q_embed_topk,
         "events_calendar": q_events_calendar,
@@ -4085,6 +4031,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": q_volume_shipping,
         "waiting_suppliers": q_waiting_suppliers,
         "window_running_total": q_window_running_total,
+        "ams_f2": q_ams_f2,
+        "array_suite": q_array_suite,
+        "basket_lift": q_basket_lift,
+        "bfs_distances": q_bfs_distances,
+        "big_orders": q_big_orders,
+        "bq_sink_emulated": q_bq_sink_emulated,
+        "cms_join_size": q_cms_join_size,
+        "compact_roundtrip": q_compact_roundtrip,
+        "compression_ratio": q_compression_ratio,
+        "corpus_keep": q_corpus_keep,
+        "corpus_keep_reasons": q_corpus_keep_reasons,
+        "csv_roundtrip": q_csv_roundtrip,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_exact": q_dedup_exact,
+        "embed_centroids": q_embed_centroids,
+        "frequent_seqs": q_frequent_seqs,
+        "hilbert_key": q_hilbert_key,
+        "hits_scores": q_hits_scores,
+        "kn_bigram_lm": q_kn_bigram_lm,
+        "langid_confusion": q_langid_confusion,
+        "lm_greedy_decode": q_lm_greedy_decode,
+        "multimodal_mulaw": q_multimodal_mulaw,
+        "multimodal_qoi": q_multimodal_qoi,
+        "multimodal_tiff": q_multimodal_tiff,
+        "perceptron_langid": q_perceptron_langid,
+        "repetition_profile": q_repetition_profile,
+        "semantic_dedup": q_semantic_dedup,
+        "session_labels": q_session_labels,
+        "session_window": q_session_window,
+        "simhash_pairs": q_simhash_pairs,
+        "source_divergence": q_source_divergence,
+        "sql_frontdoor": q_sql_frontdoor,
+        "stream_ams": q_stream_ams,
+        "stream_session_window": q_stream_session_window,
+        "stream_static_join": q_stream_static_join,
+        "stream_upsert": q_stream_upsert,
+        "tfidf_doc_pairs": q_tfidf_doc_pairs,
+        "tfidf_topk": q_tfidf_topk,
+        "token_embed_topk": q_token_embed_topk,
+        "unigram_fertility": q_unigram_fertility,
+        "unigram_segments": q_unigram_segments,
+        "vocab_growth": q_vocab_growth,
+        "weighted_sample": q_weighted_sample,
+        "window_suite": q_window_suite,
+        "winnow_neardup": q_winnow_neardup,
+        "wordpiece_fertility": q_wordpiece_fertility,
+        "wordpiece_segments": q_wordpiece_segments,
+        "wordpiece_train": q_wordpiece_train,
+        "zipf_slope": q_zipf_slope,
+        "zorder_key": q_zorder_key,
     }
 
 

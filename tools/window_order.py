@@ -38,22 +38,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # queries() dict order to compute_order(..., **ROUND_HEAD), so a stale
 # constant fails the suite instead of silently drifting.
 ROUND_HEAD = {
-    # r10: brand-new gates (unigram_fertility closes the tokenizer-eval
-    # loop; wordpiece_train/_segments add the third tokenizer family;
-    # repetition_profile is the Gopher char-fraction battery); changed
-    # = unigram_segments, whose DuckDB oracle was rewritten relational
-    # (the r9 flaky list_reduce backtrace — VERDICT r9 P0).
-    "new_first": ["unigram_fertility", "wordpiece_train",
-                  "wordpiece_segments", "repetition_profile",
-                  "wordpiece_fertility", "vocab_growth", "hits_scores",
-                  "multimodal_qoi", "kn_bigram_lm", "lm_greedy_decode",
-                  "ams_f2", "basket_lift", "perceptron_langid",
-                  "zipf_slope", "stream_ams", "hilbert_key",
-                  "tfidf_doc_pairs", "bfs_distances", "cms_join_size",
-                  "token_embed_topk", "multimodal_mulaw",
-                  "langid_confusion", "frequent_seqs",
-                  "multimodal_tiff"],
-    "changed": ["unigram_segments"],
+    # r11: starts empty — new gates are appended here as they land
+    # (phash_neardup, quality_trained, sssp_hops, ... per VERDICT r10
+    # items 2/3/6/7), with regen_queries_dict.py re-run each time.
+    "new_first": [],
+    "changed": [],
 }
 
 
