@@ -1732,11 +1732,17 @@ def q_ngram_prefix_jaccard(spark, sf_dir):
 def q_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup pairs verified by true Jaccard ≥ 0.9.
 
-    Band parameters (64 perms / 32 bands) make collision-miss probability at
-    j≥0.9 about 1e-23, so the LSH result equals the exact-SQL oracle.
-    """
+    Band geometry (64 perms / 16 bands × 4 rows, r11): collision-miss
+    probability at j ≥ 0.9 is (1−0.9⁴)¹⁶ ≈ 4e-8 — still effectively
+    exact, so the LSH result equals the exact-SQL oracle. The r10 gate
+    ran 32 bands × 2 rows, whose S-curve admits j≈0.33 noise pairs into
+    ≥1 band with ~97% probability — measured at replicated scales this
+    was THE superlinear driver (sf3: 3.19M candidates, 75 s) while 4-row
+    bands generate 6-11× fewer candidates (sf3: 0.53M, 18 s — sf1→sf3
+    growth 1.08× vs 3.7×) with BIT-IDENTICAL output at every scale
+    point (PLANS.md r11)."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.minhash_lsh_pairs(docs, num_perm=64, bands=32,
+    return dd.minhash_lsh_pairs(docs, num_perm=64, bands=16,
                                 jaccard_threshold=0.9)
 
 
@@ -1744,9 +1750,10 @@ def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: MinHash-LSH pairs → connected components →
     (doc_id, cluster_id, cluster_size, is_representative). The oracle
     computes the same transitive closure with a recursive CTE over the
-    exact-Jaccard pair set (LSH miss probability ~1e-23 at j≥0.9)."""
+    exact-Jaccard pair set (LSH miss probability ~4e-8 at j≥0.9 with
+    the r11 16×4 band geometry — see q_minhash_lsh)."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.dedup_clusters(docs, num_perm=64, bands=32,
+    return dd.dedup_clusters(docs, num_perm=64, bands=16,
                              jaccard_threshold=0.9)
 
 
@@ -2260,6 +2267,37 @@ def q_perceptron_langid(spark, sf_dir):
     return tx.perceptron_langid(docs, buckets=256, iters=3)
 
 
+def q_quality_trained(spark, sf_dir):
+    """TRAINED quality classifier (functions.text.quality_perceptron,
+    r11): the fastText shape — weak labels from integer-exact Gopher/C4
+    rules, hashed uni+bigram+length-bin features length-normalized to
+    integer ppm mass, 3 batch-perceptron iterations on the id%10<3
+    slice, zero float in training or inference. Closes the quality
+    story from hand rules (quality_filter) to the learned model
+    production pipelines use (measured 95%/97% train/held-out rule
+    agreement at sf0.01). The oracle unrolls the training loop with
+    the same MATERIALIZED-CTE scheme as perceptron_langid and
+    hash-matches every per-doc label, prediction and winning score."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.quality_perceptron(docs, buckets=512, iters=3)
+
+
+def q_quality_confusion(spark, sf_dir):
+    """Evaluation gate for the trained quality classifier (r11): the
+    confusion matrix of predicted vs weak-rule labels split by
+    training-slice membership — the langid_confusion harness applied
+    to the quality model, certifying the evaluation arithmetic on top
+    of the certified training loop (oracle composes the quality_trained
+    SQL as a subquery)."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = tx.quality_perceptron(docs, buckets=512, iters=3)
+    split = F.when(F.pmod(F.col("doc_id"), F.lit(10)) < 3,
+                   F.lit("train")).otherwise(F.lit("held_out"))
+    return (pred.select("weak_keep", "pred_keep", split.alias("split"))
+            .groupBy("weak_keep", "pred_keep", "split")
+            .agg(F.count("*").cast("long").alias("n")))
+
+
 def q_basket_lift(spark, sf_dir):
     """Market-basket association rules (functions.stats.basket_lift,
     r10): lift(a,b) = P(ab)/(P(a)·P(b)) over the parts co-purchased on
@@ -2357,6 +2395,28 @@ def q_multimodal_tiff(spark, sf_dir):
                          F.posexplode("feature").alias("idx", "value"))
             .select("media_id", F.col("idx").cast("long").alias("idx"),
                     "value"))
+
+
+def q_phash_neardup(spark, sf_dir):
+    """Perceptual image near-dup pairs (r11): each document's first 64
+    ASCII bytes become an 8×8 grayscale TIFF (the lossless codec family),
+    decoded by the REAL TIFF decoder, then hashed with the integer-exact
+    DCT pHash (multimodal.image_phash: fixed-point DCT basis, 63 AC sign
+    bits vs the 32nd-order-statistic median) and paired by Hamming-banded
+    self-join (9 bands × 7 bits — pigeonhole recall 1.0 at hamming ≤ 8,
+    deterministic max_bucket_size guard). The image-dedup step of a
+    multimodal training pipeline, composing two certified families:
+    codecs × banded dedup. The oracle replays decode-equivalent pixels,
+    all 64 DCT sums, the order-statistic median, bit packing, banding,
+    the bucket cap and the Hamming verify — the whole pipeline
+    value-hashed."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 64)
+        # ASCII prefix required explicitly — see q_multimodal_decode
+        & (F.octet_length(F.substring("text", 1, 64)) == 64))
+    media = mm.attach_tiff_media(docs, "doc_id", "text", 8, 8,
+                                 rows_per_strip=2)
+    return mm.phash_neardup(media, max_hamming=8, max_bucket_size=64)
 
 
 def q_multimodal_mulaw(spark, sf_dir):
@@ -2606,7 +2666,7 @@ def q_minhash_incremental(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 2 == 1)
     seen = docs.filter(F.col("doc_id") % 2 == 0)
-    return dd.minhash_pairs_between(new, seen, num_perm=64, bands=32,
+    return dd.minhash_pairs_between(new, seen, num_perm=64, bands=16,
                                     jaccard_threshold=0.9)
 
 
@@ -2682,7 +2742,7 @@ def q_dedup_keep_best(spark, sf_dir):
     arbitrary min-id representative — what a production corpus curation
     actually keeps. Ties by ascending doc_id."""
     docs = _t(spark, sf_dir, "documents")
-    clusters = dd.dedup_clusters(docs, num_perm=64, bands=32,
+    clusters = dd.dedup_clusters(docs, num_perm=64, bands=16,
                                  jaccard_threshold=0.9)
     scored = tx.quality_score(docs, "text").select("doc_id", "quality_score")
     return dd.keep_best(clusters, scored)
@@ -3855,6 +3915,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_entry.py::test_window_order_matches_tool pins dict order
     # to the tool's output so the comment cannot drift from reality.
     return {
+        "phash_neardup": q_phash_neardup,
+        "quality_trained": q_quality_trained,
+        "quality_confusion": q_quality_confusion,
+        "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "minhash_incremental": q_minhash_incremental,
+        "dedup_keep_best": q_dedup_keep_best,
         "embed_sq_topk": q_embed_sq_topk,
         "embed_topk": q_embed_topk,
         "events_calendar": q_events_calendar,
@@ -3870,7 +3937,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_incremental": q_kmv_incremental,
         "market_share": q_market_share,
         "median_quantity": q_median_quantity,
-        "minhash_incremental": q_minhash_incremental,
         "multimodal_bytes": q_multimodal_bytes,
         "multimodal_frames": q_multimodal_frames,
         "percentile_band": q_percentile_band,
@@ -3937,7 +4003,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": q_bpe_fertility,
         "conditional_aggs": q_conditional_aggs,
         "dedup_incremental": q_dedup_incremental,
-        "dedup_keep_best": q_dedup_keep_best,
         "denorm_flat": q_denorm_flat,
         "disjunctive_revenue": q_disjunctive_revenue,
         "doc_chunks": q_doc_chunks,
@@ -3998,7 +4063,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_trained": q_lang_id_trained,
         "lookup_decode": q_lookup_decode,
         "lpa_modularity": q_lpa_modularity,
-        "minhash_lsh": q_minhash_lsh,
         "mixture_repeats": q_mixture_repeats,
         "multimodal_gif": q_multimodal_gif,
         "ngram_jaccard": q_ngram_jaccard,
@@ -4043,7 +4107,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_keep": q_corpus_keep,
         "corpus_keep_reasons": q_corpus_keep_reasons,
         "csv_roundtrip": q_csv_roundtrip,
-        "dedup_clusters": q_dedup_clusters,
         "dedup_exact": q_dedup_exact,
         "embed_centroids": q_embed_centroids,
         "frequent_seqs": q_frequent_seqs,
@@ -4666,6 +4729,65 @@ _SIMHASH_ORACLE = """
            bit_count(xor(a.sh, b.sh)) AS hamming
     FROM shs a JOIN shs b ON a.blk = b.blk AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sh, b.sh)) <= 3"""
+
+
+def _phash_oracle() -> str:
+    """DuckDB replay of the phash_neardup pipeline: the TIFF encode/decode
+    is lossless identity (pixel = text byte, luma = 3·byte), so the oracle
+    recomputes the fixed-point DCT from the same 64 characters with the
+    SAME integer basis (multimodal.phash_dct_table inlined as a VALUES
+    table — one source of truth for the 64 constants), then the
+    32nd-order-statistic median, the 63-bit packing, the 9×7 banding with
+    the max_bucket_size=64 HAVING guard, and the bit_count Hamming verify.
+    Everything is BIGINT arithmetic — no float anywhere."""
+    from bqetl_spark.functions.multimodal import phash_dct_table
+
+    ctab = phash_dct_table(15)
+    ct_rows = ", ".join(f"({u},{x},CAST({ctab[u][x]} AS BIGINT))"
+                        for u in range(8) for x in range(8))
+    return f"""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 64) AS pfx FROM documents
+      WHERE length(text) >= 64
+        AND octet_length(encode(substr(text, 1, 64))) = 64
+    ), ct(u, x, c) AS (VALUES {ct_rows}),
+    pix AS (
+      SELECT doc_id, (i-1)//8 AS y, (i-1)%8 AS x,
+             CAST(3 * ord(substr(pfx, CAST(i AS INT), 1)) AS BIGINT) AS p
+      FROM d, range(1, 65) t(i)
+    ), coef AS (
+      SELECT doc_id, cu.u AS u, cv.u AS v, SUM(cu.c * cv.c * p) AS val
+      FROM pix JOIN ct cu ON cu.x = pix.y JOIN ct cv ON cv.x = pix.x
+      GROUP BY doc_id, cu.u, cv.u
+    ), ac AS (
+      SELECT doc_id, u*8 + v - 1 AS i, val,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY val, u*8 + v) AS rk
+      FROM coef WHERE NOT (u = 0 AND v = 0)
+    ), med AS (
+      SELECT doc_id, val AS m FROM ac WHERE rk = 32
+    ), ph AS (
+      SELECT ac.doc_id,
+             SUM(CASE WHEN ac.val > med.m
+                 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                 ELSE CAST(0 AS BIGINT) END) AS phash
+      FROM ac JOIN med USING (doc_id) GROUP BY ac.doc_id
+    ), bands AS (
+      SELECT doc_id, j, (phash >> CAST(7*j AS INT)) & 127 AS bv, phash
+      FROM ph, range(0, 9) r(j)
+    ), ok AS (
+      SELECT j, bv FROM bands GROUP BY j, bv HAVING count(*) <= 64
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.phash AS pa, b.phash AS pb
+      FROM bands a JOIN ok USING (j, bv)
+      JOIN bands b ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(pa, pb)) AS hamming
+    FROM cand WHERE bit_count(xor(pa, pb)) <= 8"""
+
+
+_PHASH_ORACLE = _phash_oracle()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5687,6 +5809,7 @@ def oracle_sql() -> dict[str, str]:
         # the top 16 bits, hamming via bit_count(xor) on the signed
         # reinterpretation. Matches simhash64_vec bit-for-bit.
         "simhash_pairs": _SIMHASH_ORACLE,
+        "phash_neardup": _PHASH_ORACLE,
     }
     # streaming session windows must equal the batch islands rule — same
     # oracle (bounded availableNow replay, complete output mode)
@@ -8738,6 +8861,78 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY doc_id ORDER BY s DESC, cls ASC) AS rn
               FROM fin) z
         WHERE rn = 1""")
+    # trained quality classifier: the SAME unrolled-iteration template
+    # (_pc_iter verbatim — the weak label is aliased AS lang so the
+    # pc_* CTE names line up), over the DSIR uni+bigram stream plus the
+    # length-bin feature, length-normalized to integer ppm mass
+    d["quality_trained"] = ("""
+        WITH base AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= 40
+                             AND 10 * list_sum(list_transform(w, x -> length(x)))
+                                 <= 48 * len(w)
+                             AND 5 * (length(text)
+                                      - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                                 <= length(text)
+                        THEN 'keep' ELSE 'toss' END AS lang, w
+            FROM (SELECT doc_id, text,
+                         regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents WHERE trim(text) != '')),
+        feat AS MATERIALIZED (
+            SELECT doc_id, lang,
+                   unnest(list_transform(w, t -> '1:' || t)) AS f
+            FROM base
+            UNION ALL
+            SELECT doc_id, lang,
+                   unnest(['2:' || w[i] || ' ' || w[i+1]
+                           for i in range(1, len(w))]) AS f
+            FROM base WHERE len(w) >= 2
+            UNION ALL
+            SELECT doc_id, lang, '3:' || CAST(len(w) // 8 AS VARCHAR) AS f
+            FROM base,
+                 LATERAL unnest(range(greatest(len(w) // 4, 1))) AS r(i)),
+        rawc AS MATERIALIZED (
+            SELECT doc_id, lang, b, count(*) AS c FROM (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(f), 1, 15))::BIGINT % 512 AS b
+                FROM feat) g GROUP BY doc_id, lang, b),
+        pc_df AS MATERIALIZED (
+            SELECT doc_id, lang, b,
+                   CAST((c * 1000000) // SUM(c) OVER (PARTITION BY doc_id)
+                        AS BIGINT) AS n
+            FROM rawc),
+        pc_tr AS MATERIALIZED (
+            SELECT * FROM pc_df WHERE ((doc_id % 10) + 10) % 10 < 3),
+        pc_trdocs AS MATERIALIZED (
+            SELECT DISTINCT doc_id, lang FROM pc_tr),
+        pc_cls AS MATERIALIZED (SELECT DISTINCT lang AS c FROM pc_tr),
+        w0 AS (SELECT CAST(NULL AS VARCHAR) AS c, CAST(NULL AS BIGINT) AS b,
+                      CAST(NULL AS BIGINT) AS w WHERE 1 = 0),"""
+        + ",".join(_pc_iter.format(k=k, p=k - 1) for k in range(1, 4))
+        + """,
+        alldocs AS (SELECT DISTINCT doc_id, lang FROM pc_df),
+        fin AS MATERIALIZED (
+            SELECT d.doc_id, d.lang, c.c AS cls,
+                   COALESCE(SUM(t.n * w.w), 0) AS s
+            FROM alldocs d CROSS JOIN pc_cls c
+            LEFT JOIN pc_df t ON t.doc_id = d.doc_id
+            LEFT JOIN w3 w ON w.c = c.c AND w.b = t.b
+            GROUP BY d.doc_id, d.lang, c.c)
+        SELECT doc_id, lang = 'keep' AS weak_keep,
+               cls = 'keep' AS pred_keep, CAST(s AS BIGINT) AS score
+        FROM (SELECT doc_id, lang, cls, s, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY s DESC, cls ASC) AS rn
+              FROM fin) z
+        WHERE rn = 1""")
+    # evaluation harness on top: confusion matrix by split (composes the
+    # certified training SQL as a subquery — corpus_keep precedent)
+    d["quality_confusion"] = f"""
+        SELECT weak_keep, pred_keep,
+               CASE WHEN ((doc_id % 10) + 10) % 10 < 3
+                    THEN 'train' ELSE 'held_out' END AS split,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ({d["quality_trained"]}) q
+        GROUP BY weak_keep, pred_keep, split"""
     # basket lift: guarded sample space (basket size in [2,20]) defines
     # N, the item frequencies AND the pairs; pure integer ppm in HUGEINT
     d["basket_lift"] = """

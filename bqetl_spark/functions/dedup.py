@@ -123,6 +123,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     never quadratic in the corpus. AQE's skew-join splitting covers a hot
     bucket (e.g. boilerplate docs).
 
+    MATCH THE BAND GEOMETRY TO THE THRESHOLD (r11, the measured sf3
+    superlinearity fix — PLANS.md): rows-per-band r sets the S-curve
+    p_collide(j) = 1−(1−j^r)^bands. At threshold 0.9, r=2 (32 bands)
+    admits j≈0.33 noise pairs into ≥1 band with ~97% probability — on a
+    corpus with near-miss cluster structure the candidate set grows
+    quadratically in cluster size; r=4 (16 bands) keeps miss probability
+    at j≥0.9 below 4e-8 while generating 6-11× fewer candidates with
+    bit-identical output at every measured scale point. Rule of thumb:
+    pick r so threshold^r stays ≥ ~0.5 and (noise j)^r is small.
+
     ``max_bucket_size`` is the boilerplate-cluster guard: a band bucket
     holding N docs emits N² candidates, and at corpus scale the giant
     buckets are boilerplate (license headers, templates) whose pairs add

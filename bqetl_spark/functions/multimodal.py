@@ -1610,3 +1610,155 @@ def resize_images(media: DataFrame, width: int, height: int,
             yield out
 
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def phash_dct_table(scale_bits: int = 15) -> list[list[int]]:
+    """Fixed-point 8-point DCT-II basis: ``C[u][x] =
+    floor(cos((2x+1)·u·π/16) · 2^scale_bits)``. Integerizing the basis is
+    what makes the perceptual hash value-oracle-able — both engines do the
+    identical BIGINT arithmetic, no float drift. Shared by the Spark UDF
+    and the DuckDB oracle generator (the oracle inlines these 64 constants
+    as a VALUES table)."""
+    import math
+
+    return [[math.floor(math.cos((2 * x + 1) * u * math.pi / 16)
+                        * (1 << scale_bits))
+             for x in range(8)] for u in range(8)]
+
+
+def image_phash(media: DataFrame, scale_bits: int = 15) -> DataFrame:
+    """Perceptual DCT hash (pHash) of decoded image payloads →
+    ``(media_id, phash: bigint)``.
+
+    The classic pHash recipe (resample → 2-D DCT → low-frequency sign
+    bits vs. the median), made INTEGER-EXACT so a SQL oracle replays it
+    bit for bit:
+
+    - luminance = R+G+B per pixel (an integer luma; uniform channel
+      scaling never changes DCT coefficient signs relative to their
+      median, so the 3× factor is free);
+    - mean-pool to 8×8 by BLOCK SUMS (requires width/height divisible
+      by 8 — every block sums the same pixel count, a uniform scale, so
+      sums replace means exactly);
+    - 2-D DCT via the fixed-point basis ``D = C·P·Cᵀ``
+      (:func:`phash_dct_table`; int64 throughout — |D| ≤
+      8²·2^{2·scale_bits}·P_max, far under 2^63 for scale_bits=15);
+    - the 63 AC coefficients in row-major (u,v) order, bit_i = 1 iff
+      coeff > m where m is the 32nd-smallest AC value (a pure order
+      statistic — tie-handling-free, unlike a float median), packed
+      little-endian into one BIGINT (bit index u·8+v−1).
+
+    Decode goes through the REAL pure-Python decoders (ppm/bmp/png/jpeg/
+    gif/qoi/tiff), then the whole batch's 8×8 planes DCT in ONE numpy
+    einsum — per-batch matmuls, not per-image Python loops. Map-only:
+    hashing 100 TB of images is a pure scan sized by bytes."""
+    ppm, bmp, png, jpg = decode_ppm, decode_bmp, decode_png, decode_jpeg
+    gif, qoi, tif = decode_gif, decode_qoi, decode_tiff  # by-value
+    ctab = phash_dct_table(scale_bits)
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        C = np.asarray(ctab, dtype=np.int64)
+        real = {"ppm": ppm, "bmp": bmp, "png": png, "jpeg": jpg,
+                "jpg": jpg, "gif": gif, "qoi": qoi, "tiff": tif,
+                "tif": tif}
+
+        def plane(payload, meta):
+            fmt = (meta or {}).get("format")
+            dec = real.get(fmt)
+            if dec is None:
+                raise NotImplementedError(
+                    f"no pure-Python decoder for format {fmt!r} — "
+                    "image_phash needs a decodable image format")
+            w, h, rgb = dec(payload)
+            if w % 8 or h % 8:
+                raise ValueError(
+                    f"image_phash needs width/height divisible by 8 "
+                    f"(block-sum pooling), got {w}x{h}")
+            a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+            luma = a.astype(np.int64).sum(axis=2)
+            # block-sum pool to 8×8: reshape (8, h/8, 8, w/8), sum pools
+            return (luma.reshape(8, h // 8, 8, w // 8)
+                    .sum(axis=(1, 3)))
+
+        for pdf in batches:
+            planes = np.stack([plane(p, m) for p, m in
+                               zip(pdf["payload"], pdf["meta"])]) \
+                if len(pdf) else np.empty((0, 8, 8), dtype=np.int64)
+            # D = C · P · Cᵀ for every image in the batch at once
+            coefs = np.einsum("uy,nyx,vx->nuv", C, planes, C)
+            ac = coefs.reshape(len(pdf), 64)[:, 1:]          # drop DC
+            med = np.sort(ac, axis=1)[:, 31:32]              # 32nd smallest
+            bits = (ac > med).astype(np.uint64)
+            weights = np.uint64(1) << np.arange(63, dtype=np.uint64)
+            hashes = (bits * weights).sum(axis=1).astype(np.int64)
+            yield _pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "phash": hashes,
+            })
+
+    return media.mapInPandas(run, schema=schema)
+
+
+def phash_neardup(media: DataFrame, max_hamming: int = 8,
+                  max_bucket_size: int = 64,
+                  scale_bits: int = 15) -> DataFrame:
+    """Perceptual image near-dup pairs: :func:`image_phash` → Hamming-
+    banded candidate generation → verified pairs ``(id_a, id_b,
+    hamming)``. The image-dedup step of a multimodal training pipeline,
+    composing the certified codec family with the banded-dedup discipline
+    of ``dedup.simhash_pairs`` (never all-pairs).
+
+    Banding: the 63-bit hash splits into 9 bands of 7 bits; by
+    pigeonhole any pair with hamming ≤ 8 agrees on at least one whole
+    band, so the per-band equi-joins generate ALL qualifying pairs —
+    recall 1.0 by construction at the default threshold, no probabilistic
+    miss like MinHash. Buckets larger than ``max_bucket_size`` are
+    dropped deterministically BEFORE the join (boilerplate shields —
+    e.g. a constant-color thumbnail shared by half the corpus — would
+    otherwise make one bucket quadratic; same guard discipline as
+    minhash_lsh/ngram_jaccard, and the oracle replays the cap as a
+    HAVING clause so the guard itself is value-certified).
+
+    Scale posture: one Arrow-batched hash scan, one hash-partitioned
+    band self-join on compact (band, value) keys, bit_count on BIGINTs
+    JVM-side. At 100 TB the (media_id, phash) table is ~16 bytes/row —
+    the join input is metadata-scale even when the payloads are not."""
+    from bqetl_spark.caching import pin
+    from bqetl_spark.session import compute_parallelism
+
+    n_part = compute_parallelism(media.sparkSession)
+    # persist the compact hash table: the band explode + self-join would
+    # otherwise re-run the decode+DCT UDF once per side
+    hashes = pin(image_phash(media.repartition(n_part, "media_id"),
+                             scale_bits=scale_bits))
+    bands = hashes.select(
+        F.col("media_id").alias("id"), "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(8))).alias("j"),
+    ).withColumn(
+        # SQL-form shift: the python wrapper wants a literal shift count,
+        # the SQL function takes a column
+        "bv", F.expr("shiftrightunsigned(phash, j * 7) & 127"))
+    ok = (bands.groupBy("j", "bv").count()
+          .filter(F.col("count") <= max_bucket_size)
+          .select("j", "bv"))
+    a = bands.join(ok, ["j", "bv"]).alias("a")
+    b = bands.join(ok, ["j", "bv"]).alias("b")
+    cand = (a.join(b, (F.col("a.j") == F.col("b.j"))
+                   & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a.phash").alias("pa"),
+                    F.col("b.phash").alias("pb"))
+            .distinct())
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (cand.select("id_a", "id_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

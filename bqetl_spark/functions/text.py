@@ -1099,10 +1099,32 @@ def perceptron_langid(df: DataFrame, text_col: str = "text",
              .select(F.col(id_col), F.col(lang_col), bucket.alias("__b")))
     docfeat = pin(feats.groupBy(id_col, lang_col, "__b")
                   .agg(F.count("*").cast("long").alias("__n")))
+    final = _batch_perceptron(docfeat, id_col, lang_col, iters,
+                              ref_mod, ref_keep)
+    return final.select(F.col(id_col), F.col(lang_col),
+                        F.col("__pred").alias("pred_lang"),
+                        F.col("__s").alias("score"))
+
+
+def _batch_perceptron(docfeat: DataFrame, id_col: str, label_col: str,
+                      iters: int, ref_mod: int, ref_keep: int) -> DataFrame:
+    """Shared batch-perceptron training loop (extracted from
+    :func:`perceptron_langid` verbatim for the r11 trained quality
+    classifier — pure code motion, identical math/plan): takes the pinned
+    (id, label, __b bucket, __n count) feature table, trains for
+    ``iters`` order-free batch iterations on the ``id % ref_mod <
+    ref_keep`` slice, scores EVERY document with the final weights.
+    Returns (id, label, __pred, __s) — all-BIGINT, zero float.
+
+    Scale shape (unchanged): weights are O(classes × buckets) broadcast;
+    2 shuffles per iteration; class list is an O(classes) broadcast
+    crossJoin (allowlisted BNLJ)."""
+    from bqetl_spark.caching import pin
+
     tr = pin(docfeat.filter(
         F.pmod(F.col(id_col), F.lit(ref_mod)) < ref_keep))
-    cls = pin(tr.select(F.col(lang_col).alias("__cls")).distinct())
-    trdocs = pin(tr.select(id_col, lang_col).distinct())
+    cls = pin(tr.select(F.col(label_col).alias("__cls")).distinct())
+    trdocs = pin(tr.select(id_col, label_col).distinct())
     weights = None  # empty model: every score coalesces to 0
 
     def _scores(grid_docs, grid_feat, w):
@@ -1112,7 +1134,7 @@ def perceptron_langid(df: DataFrame, text_col: str = "text",
                   if w is not None else
                   sc.join(grid_feat.select(id_col, "__b", "__n"), id_col)
                   .withColumn("__w", F.lit(None).cast("long")))
-        return (joined.groupBy(id_col, lang_col, "__cls")
+        return (joined.groupBy(id_col, label_col, "__cls")
                 .agg(F.coalesce(F.sum(F.col("__n") * F.col("__w")),
                                 F.lit(0)).cast("long").alias("__s")))
 
@@ -1121,18 +1143,18 @@ def perceptron_langid(df: DataFrame, text_col: str = "text",
                                                 F.asc("__cls"))
         return (sc.withColumn("__rn", F.row_number().over(w_))
                 .filter(F.col("__rn") == 1)
-                .select(id_col, lang_col, F.col("__cls").alias("__pred"),
+                .select(id_col, label_col, F.col("__cls").alias("__pred"),
                         "__s"))
 
     for _ in range(iters):
         pred = _argmax(_scores(trdocs, tr, weights))
-        mis = pred.filter(F.col("__pred") != F.col(lang_col)) \
-            .select(id_col, lang_col, "__pred")
-        delta = (tr.join(mis, [id_col, lang_col])
-                 .select(F.col(lang_col).alias("__cls"), "__b",
+        mis = pred.filter(F.col("__pred") != F.col(label_col)) \
+            .select(id_col, label_col, "__pred")
+        delta = (tr.join(mis, [id_col, label_col])
+                 .select(F.col(label_col).alias("__cls"), "__b",
                          F.col("__n").alias("__d"))
                  .unionByName(
-                     tr.join(mis, [id_col, lang_col])
+                     tr.join(mis, [id_col, label_col])
                      .select(F.col("__pred").alias("__cls"), "__b",
                              (-F.col("__n")).alias("__d")))
                  .groupBy("__cls", "__b")
@@ -1146,11 +1168,113 @@ def perceptron_langid(df: DataFrame, text_col: str = "text",
                         (F.coalesce("__w", F.lit(0))
                          + F.coalesce("__dw", F.lit(0)))
                         .cast("long").alias("__w")))
-    alldocs = docfeat.select(id_col, lang_col).distinct()
-    final = _argmax(_scores(alldocs, docfeat, weights))
-    return final.select(F.col(id_col), F.col(lang_col),
-                        F.col("__pred").alias("pred_lang"),
-                        F.col("__s").alias("score"))
+    alldocs = docfeat.select(id_col, label_col).distinct()
+    return _argmax(_scores(alldocs, docfeat, weights))
+
+
+def quality_perceptron(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", buckets: int = 512,
+                       iters: int = 3, ref_mod: int = 10,
+                       ref_keep: int = 3) -> DataFrame:
+    """TRAINED quality classifier (r11) — the fastText shape production
+    pipelines actually use for quality filtering (weakly supervised
+    linear model over hashed word n-grams), closing the quality-filter
+    story from hand rules (:func:`quality_score`) to a learned model:
+
+    - WEAK LABELS from Gopher/C4-style rules, restated in exact
+      integer arithmetic (no float thresholds anywhere): keep ⇔
+      n_tokens ≥ 40 AND 10·Σ word_len ≤ 48·n_tokens (mean word
+      length ≤ 4.8) AND 5·punct_chars ≤ n_chars (punctuation ratio
+      ≤ 0.2) — the distant-supervision step: rules label a slice, the
+      model generalizes them over features the rules never see.
+      (Cut points sit inside this corpus's observed distributions —
+      n_tokens 10..99, mean word length 3.7..5.3 — so both classes are
+      populated; a degenerate single-class labeling trains nothing.);
+    - FEATURES: the DSIR stream (:func:`dsir_weights`) — word unigrams
+      AND bigrams hashed into ``buckets`` cells by the repo-standard
+      md5-60-bit hash — then LENGTH-NORMALIZED the way fastText
+      averages its feature vectors, integerized: per-doc feature mass
+      = floor(count·10⁶ / total_count). Without this the classifier
+      degenerates: 'keep' docs are the LONGER docs here, so raw counts
+      give the keep class more aggregate mass in every bucket and
+      batch training collapses to the majority class (measured: all-500
+      'keep' at any iteration count). Normalizing erases the length
+      cue entirely, so the stream also carries an explicit LENGTH-BIN
+      feature (``3:<n_tokens div 8>``, repeated ``n_tokens div 4``
+      times so it keeps real mass after normalization) — the standard
+      fastText move of feeding engineered indicator features next to
+      the n-grams. Measured at sf0.01: content-only features plateau
+      at 64% held-out (majority class); with the length bin the same
+      3-iteration loop reaches 95%/97% train/held-out;
+    - TRAINING: the :func:`_batch_perceptron` loop (the
+      perceptron_langid discipline) on the deterministic slice
+      ``id % ref_mod < ref_keep`` — batch updates, integer weights,
+      argmax with class-ASC tie-break, zero float in training OR
+      inference.
+
+    Returns (id, weak_keep BOOLEAN, pred_keep BOOLEAN, score BIGINT) for
+    EVERY non-empty document (scored with the trained weights, training
+    slice included — split into train/held-out downstream for the
+    confusion-matrix evaluation).
+
+    Scale shape: weak labels + features are map-only; model state is
+    O(2 × buckets) broadcast; same 2-shuffles-per-iteration loop as
+    perceptron_langid. At 100 TB: train on a sampled slice, score the
+    corpus with one broadcast join — exactly this plan."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    from bqetl_spark.caching import pin
+
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"),
+                          lambda a, w: a + F.length(w))
+    n_chars = F.length(c)
+    punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    weak = ((n_tok >= 40) & (10 * sum_len <= 48 * n_tok)
+            & (5 * punct <= n_chars))
+    base = (df.filter(F.trim(c) != "")
+            .select(F.col(id_col),
+                    F.when(weak, F.lit("keep")).otherwise(F.lit("toss"))
+                    .alias("__lbl"),
+                    toks.alias("__tk")))
+    uni = (base.select(F.col(id_col), "__lbl",
+                       F.explode("__tk").alias("__t"))
+           .select(F.col(id_col), "__lbl",
+                   F.concat(F.lit("1:"), F.col("__t")).alias("__f")))
+    bi = (base.filter(F.size("__tk") >= 2)
+          .select(F.col(id_col), "__lbl",
+                  F.explode(_adjacent_pairs(F.col("__tk"))).alias("p"))
+          .select(F.col(id_col), "__lbl",
+                  F.concat(F.lit("2:"), F.col("p.a"), F.lit(" "),
+                           F.col("p.b")).alias("__f")))
+    lenbin = (base.select(
+        F.col(id_col), "__lbl",
+        F.explode(F.array_repeat(
+            F.concat(F.lit("3:"),
+                     F.expr("cast(size(__tk) div 8 as string)")),
+            F.expr("cast(greatest(size(__tk) div 4, 1) as int)"))
+        ).alias("__f")))
+    bucket = (F.conv(F.substring(F.md5(F.col("__f")), 1, 15), 16, 10)
+              .cast("long") % buckets)
+    raw = (uni.unionAll(bi).unionAll(lenbin)
+           .select(F.col(id_col), "__lbl", bucket.alias("__b"))
+           .groupBy(id_col, "__lbl", "__b")
+           .agg(F.count("*").cast("long").alias("__c")))
+    docfeat = pin(
+        raw.withColumn("__tot", F.sum("__c").over(Window.partitionBy(id_col)))
+        # SQL div: integer division, = floor for these positive operands
+        # (Spark div truncates, DuckDB // floors — they agree at >= 0)
+        .withColumn("__n", F.expr("(__c * 1000000) div __tot").cast("long"))
+        .drop("__c", "__tot"))
+    final = _batch_perceptron(docfeat, id_col, "__lbl", iters,
+                              ref_mod, ref_keep)
+    return final.select(
+        F.col(id_col),
+        (F.col("__lbl") == "keep").alias("weak_keep"),
+        (F.col("__pred") == "keep").alias("pred_keep"),
+        F.col("__s").alias("score"))
 
 
 def zipf_slope(df: DataFrame, text_col: str = "text",

@@ -928,3 +928,64 @@ def test_tiff_roundtrip_hypothesis():
         assert got == (w, h, bytes(v for g in vals for v in (g, g, g)))
 
     run()
+
+
+# pHash perceptual near-dup (r11) ---------------------------------------------
+
+_PH_BASE = "The quick brown fox jumps over the lazy dog near the river bank."
+
+
+def _ph_docs(spark, rows):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return mm.attach_tiff_media(df, "doc_id", "text", 8, 8, rows_per_strip=2)
+
+
+def test_image_phash_matches_numpy_replay(spark):
+    """The Spark hash (decode → pooled luma → fixed-point DCT → median
+    sign bits) equals an independent numpy replay computed straight from
+    the text bytes — the same identity the DuckDB oracle relies on."""
+    import numpy as np
+
+    texts = [_PH_BASE, _PH_BASE[::-1], "z" * 64]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = {r["media_id"]: r["phash"]
+           for r in mm.image_phash(_ph_docs(spark, rows)).collect()}
+
+    C = np.asarray(mm.phash_dct_table(15), dtype=np.int64)
+    for i, t in enumerate(texts):
+        P = (3 * np.frombuffer(t.encode(), dtype=np.uint8)
+             .astype(np.int64)).reshape(8, 8)
+        ac = (C @ P @ C.T).reshape(64)[1:]
+        m = np.sort(ac)[31]
+        bits = (ac > m).astype(np.uint64)
+        want = int((bits * (np.uint64(1)
+                            << np.arange(63, dtype=np.uint64)))
+                   .sum(dtype=np.uint64))
+        assert got[i] == want
+
+
+def test_phash_neardup_finds_perturbed_pair(spark):
+    """Known-near-dup pin: a +16 single-byte perturbation (a visibly
+    different but perceptually similar image) must pair with the original
+    at small positive hamming; an unrelated image must NOT pair with
+    either. Exact duplicates pin at hamming 0."""
+    near = _PH_BASE[:14] + chr(ord(_PH_BASE[14]) + 16) + _PH_BASE[15:]
+    rows = [(1, _PH_BASE), (2, near), (3, "#" * 32 + "@" * 32),
+            (4, _PH_BASE)]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in mm.phash_neardup(_ph_docs(spark, rows)).collect()}
+    assert pairs[(1, 4)] == 0                      # exact dup
+    assert 0 < pairs[(1, 2)] <= 8                  # perceptual near-dup
+    assert pairs[(1, 2)] == pairs[(2, 4)]
+    assert not any(3 in p for p in pairs)          # unrelated stays out
+
+
+def test_phash_neardup_bucket_cap_drops_boilerplate(spark):
+    """The max_bucket_size guard: a constant-image shingle shared by more
+    docs than the cap produces NO pairs (the quadratic bucket is dropped
+    deterministically), while a small cluster below the cap still pairs."""
+    rows = [(i, "x" * 64) for i in range(10)] + \
+           [(100, _PH_BASE), (101, _PH_BASE)]
+    out = mm.phash_neardup(_ph_docs(spark, rows), max_bucket_size=5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert got == {(100, 101)}
