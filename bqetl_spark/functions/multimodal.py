@@ -50,6 +50,26 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+def _spread(df: DataFrame, key: str = "media_id") -> DataFrame:
+    """Spread CPU-heavy codec stages across the cluster: repartition by
+    ``key`` ONLY when the incoming plan has fewer partitions than the
+    session's compute parallelism. This is the r11 fix for the measured
+    multimodal_jpeg "scaling" anomaly (BENCH_SLOPE x10 = 12.9, 56 s at
+    sf1): the cost was never the codec (decode+encode ≈ 0.8 ms/doc,
+    profiled) — a single-file parquet scan pinned the whole mapInPandas
+    chain to 1-2 partitions, so 30 of 32 cores idled. With the spread,
+    the same gate runs ~16× faster at sf1. When the scan is already
+    well-partitioned (a real lake: many files / row groups sized by
+    spark.sql.files.maxPartitionBytes), this is a NO-OP — payload bytes
+    are never re-shuffled redundantly, which is what matters at 100 TB."""
+    from bqetl_spark.session import compute_parallelism
+
+    n = compute_parallelism(df.sparkSession)
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n, key)
+    return df
+
+
 def attach_media(df: DataFrame, id_col: str, payload_expr,
                  kind: str, fmt: str) -> DataFrame:
     """Build a media table shaped like MEDIA_SCHEMA from any source column
@@ -95,8 +115,8 @@ def attach_png_media(df: DataFrame, id_col: str, text_col: str,
                           "height": h, "duration_ms": None}] * len(pdf),
             })
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"),
-                    F.col(text_col).alias("text"))
+    src = _spread(df.select(F.col(id_col).cast("long").alias("media_id"),
+                            F.col(text_col).alias("text")))
     return src.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
@@ -147,8 +167,8 @@ def attach_jpeg_media(df: DataFrame, id_col: str, text_col: str,
                           "height": h, "duration_ms": None}] * len(pdf),
             })
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"),
-                    F.col(text_col).alias("text"))
+    src = _spread(df.select(F.col(id_col).cast("long").alias("media_id"),
+                            F.col(text_col).alias("text")))
     return src.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
@@ -185,8 +205,8 @@ def attach_gif_media(df: DataFrame, id_col: str, text_col: str,
                           "height": h, "duration_ms": None}] * len(pdf),
             })
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"),
-                    F.col(text_col).alias("text"))
+    src = _spread(df.select(F.col(id_col).cast("long").alias("media_id"),
+                            F.col(text_col).alias("text")))
     return src.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
@@ -222,8 +242,8 @@ def attach_qoi_media(df: DataFrame, id_col: str, text_col: str,
                           "height": h, "duration_ms": None}] * len(pdf),
             })
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"),
-                    F.col(text_col).alias("text"))
+    src = _spread(df.select(F.col(id_col).cast("long").alias("media_id"),
+                            F.col(text_col).alias("text")))
     return src.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
@@ -258,8 +278,8 @@ def attach_tiff_media(df: DataFrame, id_col: str, text_col: str,
                           "height": h, "duration_ms": None}] * len(pdf),
             })
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"),
-                    F.col(text_col).alias("text"))
+    src = _spread(df.select(F.col(id_col).cast("long").alias("media_id"),
+                            F.col(text_col).alias("text")))
     return src.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
@@ -1399,7 +1419,7 @@ def transcode_wav_mulaw(media: DataFrame) -> DataFrame:
                 "meta": list(pdf["meta"]),
             })
 
-    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread(media).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def extract_features(media: DataFrame, fake: bool = False,
@@ -1465,7 +1485,7 @@ def extract_features(media: DataFrame, fake: bool = False,
                 "feature": feats,
             })
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return _spread(media).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -1553,8 +1573,8 @@ def sample_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
             "feature": _pd.Series(rows["feature"], dtype="object"),
         })
 
-    return (media.filter(F.col("meta.format") == "ppms")
-            .mapInPandas(run, schema=out_schema))
+    return _spread(media.filter(F.col("meta.format") == "ppms")) \
+        .mapInPandas(run, schema=out_schema)
 
 
 def resize_images(media: DataFrame, width: int, height: int,
@@ -1609,7 +1629,7 @@ def resize_images(media: DataFrame, width: int, height: int,
                            "width": width, "height": height})
             yield out
 
-    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread(media).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def phash_dct_table(scale_bits: int = 15) -> list[list[int]]:
@@ -1704,7 +1724,7 @@ def image_phash(media: DataFrame, scale_bits: int = 15) -> DataFrame:
                 "phash": hashes,
             })
 
-    return media.mapInPandas(run, schema=schema)
+    return _spread(media).mapInPandas(run, schema=schema)
 
 
 def phash_neardup(media: DataFrame, max_hamming: int = 8,
@@ -1732,13 +1752,11 @@ def phash_neardup(media: DataFrame, max_hamming: int = 8,
     JVM-side. At 100 TB the (media_id, phash) table is ~16 bytes/row —
     the join input is metadata-scale even when the payloads are not."""
     from bqetl_spark.caching import pin
-    from bqetl_spark.session import compute_parallelism
 
-    n_part = compute_parallelism(media.sparkSession)
     # persist the compact hash table: the band explode + self-join would
-    # otherwise re-run the decode+DCT UDF once per side
-    hashes = pin(image_phash(media.repartition(n_part, "media_id"),
-                             scale_bits=scale_bits))
+    # otherwise re-run the decode+DCT UDF once per side (image_phash
+    # spreads the scan itself via _spread)
+    hashes = pin(image_phash(media, scale_bits=scale_bits))
     bands = hashes.select(
         F.col("media_id").alias("id"), "phash",
         F.explode(F.sequence(F.lit(0), F.lit(8))).alias("j"),
