@@ -2956,6 +2956,30 @@ def q_bfs_distances(spark, sf_dir):
     return dist.select(gr.node_label("node").alias("node"), "dist")
 
 
+def q_sssp_hops(spark, sf_dir):
+    """Weighted shortest paths (functions.graph.sssp_distances, r11):
+    Bellman-Ford relaxation from NATION_7's customer seed set over the
+    trade graph with inverse-affinity integer costs
+    (w = 1000000 div n_co_orders — frequent trading partners are
+    'closer'). The weighted completion of the graph family
+    (pagerank/PPR/HITS/BFS/k-core/LPA/triangles): bfs_distances gives
+    the hop metric, this gives the cost metric. Six min-fold rounds
+    with early exit (idempotent at the fixed point, so the oracle's
+    six unrolled MATERIALIZED CTE rounds replay it exactly —
+    all-integer sums and mins, tie-free)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    edges = gr.cooccurrence_weighted_edges(orders, lineitem)
+    seeds = (customer.join(nation,
+                           F.col("c_nationkey") == F.col("n_nationkey"))
+             .filter(F.col("n_name") == "NATION_7")
+             .select((F.col("c_custkey").cast("long") * 2).alias("node")))
+    dist = gr.sssp_distances(edges, seeds, max_rounds=6)
+    return dist.select(gr.node_label("node").alias("node"), "dist")
+
+
 def q_hits_scores(spark, sf_dir):
     """HITS hubs & authorities (functions.graph.hits_fixed, r10) on the
     DIRECTED customer→supplier trade graph — the role-separating
@@ -3918,6 +3942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup": q_phash_neardup,
         "quality_trained": q_quality_trained,
         "quality_confusion": q_quality_confusion,
+        "sssp_hops": q_sssp_hops,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "minhash_incremental": q_minhash_incremental,
@@ -8327,6 +8352,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE w.d < 4)
         SELECT node, CAST(MIN(d) AS BIGINT) AS dist
         FROM walk GROUP BY node"""
+    # SSSP (r11): six unrolled Bellman-Ford min-fold rounds over the
+    # inverse-affinity-weighted trade graph. MATERIALIZED per round —
+    # each sd{k} is read twice by the next round's union (plain CTEs
+    # inline 2^k-fold, the kcore lesson). All-integer, tie-free.
+    _sssp_round = """
+        sd{k} AS MATERIALIZED (
+            SELECT node, MIN(d) AS d FROM (
+                SELECT node, d FROM sd{p}
+                UNION ALL
+                SELECT e.dst AS node, r.d + e.w AS d
+                FROM sd{p} r JOIN we e ON r.node = e.src) u
+            GROUP BY node)"""
+    d["sssp_hops"] = ("""
+        WITH wp AS MATERIALIZED (
+            SELECT 'c:' || o_custkey AS a, 's:' || l_suppkey AS b,
+                   CAST(1000000 // count(DISTINCT o_orderkey) AS BIGINT) AS w
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY 1, 2),
+        we AS MATERIALIZED (
+            SELECT a AS src, b AS dst, w FROM wp
+            UNION ALL
+            SELECT b AS src, a AS dst, w FROM wp),
+        sn AS (SELECT src AS node FROM we UNION SELECT dst AS node FROM we),
+        sseeds AS (
+            SELECT DISTINCT 'c:' || c_custkey AS node
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'),
+        sd0 AS MATERIALIZED (
+            SELECT s.node, CAST(0 AS BIGINT) AS d
+            FROM sseeds s JOIN sn n ON s.node = n.node),"""
+        + ",".join(_sssp_round.format(k=k, p=k - 1) for k in range(1, 7))
+        + """
+        SELECT node, CAST(d AS BIGINT) AS dist FROM sd6""")
     # HITS (r10): unrolled hub/authority phases on the DIRECTED c->s
     # graph; DuckDB's SUM(BIGINT) is HUGEINT so raw*10^9 // max replays
     # Spark's DECIMAL-product + integral-div exactly

@@ -197,6 +197,91 @@ def cooccurrence_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
                                 F.col("a").alias("dst"))))
 
 
+def cooccurrence_weighted_edges(orders: DataFrame,
+                                lineitem: DataFrame) -> DataFrame:
+    """The trade graph of :func:`cooccurrence_edges` with INTEGER edge
+    costs for shortest-path ops: ``w = 1000000 div n_co_orders`` —
+    pairs that trade on more distinct orders are 'closer', the standard
+    inverse-affinity cost. Exact integer div (both engines agree at
+    ≥ 0), so weighted distances replay in SQL. Same long node ids /
+    both-directions materialization as cooccurrence_edges."""
+    pairs = (orders.select("o_orderkey", "o_custkey")
+             .join(lineitem.select("l_orderkey", "l_suppkey"),
+                   F.col("o_orderkey") == F.col("l_orderkey"))
+             .select((F.col("o_custkey").cast("long") * 2).alias("a"),
+                     (F.col("l_suppkey").cast("long") * 2 + 1).alias("b"),
+                     "o_orderkey")
+             .groupBy("a", "b")
+             .agg(F.countDistinct("o_orderkey").alias("__n"))
+             .select("a", "b",
+                     F.expr("cast(1000000 div __n as long)").alias("w")))
+    return (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                         "w")
+            .union(pairs.select(F.col("b").alias("src"),
+                                F.col("a").alias("dst"), "w")))
+
+
+def sssp_distances(edges: DataFrame, seeds: DataFrame,
+                   src: str = "src", dst: str = "dst", weight: str = "w",
+                   max_rounds: int = 6) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths (single-source when the seed
+    set is one node) — the weighted completion of the graph family next
+    to :func:`bfs_distances`' hop metric: round-synchronous Bellman-Ford
+    relaxation,
+
+        d₀ = {seed: 0}
+        dₖ(v) = min(dₖ₋₁(v), min over edges (u,v): dₖ₋₁(u) + w(u,v))
+
+    run for ``max_rounds`` rounds with early exit when a round changes
+    nothing. dₖ is EXACTLY the cheapest path using ≤ k edges — a pure
+    function of the edge list (min over integer sums: order-free,
+    partition-independent, tie-free), so a fixed-round snapshot replays
+    bit-for-bit in SQL as unrolled MATERIALIZED min-fold CTEs; on a
+    graph with diameter ≤ max_rounds it is the true SSSP fixed point
+    (the early exit certifies convergence without changing the result —
+    extra rounds are idempotent at the fixed point).
+
+    This is the frontier-free formulation of delta-stepping's heavy
+    phase: each round is ONE equi-join of the current distance table
+    against the edge list + one min-groupBy — 2 shuffles per round, the
+    Pregel/GraphX shape, distance tables pinned per round (lineage cut,
+    the k_core discipline). Negative weights are rejected: with them
+    dₖ is still the ≤k-edge optimum but no fixed point exists.
+
+    Returns (node, dist BIGINT) for nodes reachable within
+    ``max_rounds`` edges of a seed; unreachable nodes are absent.
+    """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    e = pin(edges.select(F.col(src).alias("__src"),
+                         F.col(dst).alias("__dst"),
+                         F.col(weight).cast("long").alias("__w")))
+    if e.filter(F.col("__w") < 0).limit(1).count():
+        raise ValueError("sssp_distances requires non-negative weights")
+    seed_nodes = seeds.select(F.col(seeds.columns[0]).alias("node")) \
+        .distinct()
+    nodes = (e.select(F.col("__src").alias("node"))
+             .union(e.select(F.col("__dst").alias("node"))).distinct())
+    dist = pin(seed_nodes.join(nodes, "node")
+               .select("node", F.lit(0).cast("long").alias("dist")))
+    for _ in range(max_rounds):
+        relaxed = (e.join(dist.withColumnRenamed("node", "__src"), "__src")
+                   .select(F.col("__dst").alias("node"),
+                           (F.col("dist") + F.col("__w")).alias("dist")))
+        new_dist = pin(dist.unionByName(relaxed)
+                       .groupBy("node")
+                       .agg(F.min("dist").alias("dist")))
+        changed = (new_dist.alias("n")
+                   .join(dist.alias("o"), "node", "left")
+                   .filter(F.col("o.dist").isNull()
+                           | (F.col("n.dist") < F.col("o.dist")))
+                   .limit(1).count())  # metadata scalar: early exit
+        dist = new_dist
+        if changed == 0:
+            break
+    return dist
+
+
 def node_label(node) -> "F.Column":
     """Decode a long node id from ``cooccurrence_edges`` back to its
     namespaced string form ('c:<custkey>' / 's:<suppkey>') — applied only

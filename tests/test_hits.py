@@ -166,3 +166,52 @@ def test_bfs_validation(spark):
     seeds = spark.createDataFrame([("a",)], ["node"])
     with pytest.raises(ValueError, match="max_hops"):
         bfs_distances(edges, seeds, max_hops=0)
+
+
+# --- sssp_distances (r11, same module) ---
+
+
+def test_sssp_weighted_beats_hop_shortest(spark):
+    """The semantic point of weighted SSSP: a 2-edge cheap path (1+1=2)
+    must beat the 1-edge expensive direct link (10) — where
+    bfs_distances would report hop distance 1."""
+    from bqetl_spark.functions.graph import bfs_distances, sssp_distances
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("a", "m", 1), ("m", "b", 1), ("b", "c", 5)],
+        ["src", "dst", "w"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["dist"]
+           for r in sssp_distances(edges, seeds, max_rounds=6).collect()}
+    release_pinned()
+    assert got == {"a": 0, "m": 1, "b": 2, "c": 7}
+    hops = {r["node"]: r["dist"]
+            for r in bfs_distances(edges.select("src", "dst"), seeds,
+                                   max_hops=4).collect()}
+    release_pinned()
+    assert hops["b"] == 1  # hop metric disagrees — different op, both right
+
+
+def test_sssp_fixed_point_idempotent_and_multi_source(spark):
+    from bqetl_spark.functions.graph import sssp_distances
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 3), ("z", "c", 1), ("c", "d", 2),
+         ("x", "y", 7)], ["src", "dst", "w"])
+    seeds = spark.createDataFrame([("a",), ("z",)], ["node"])
+    r6 = {r["node"]: r["dist"]
+          for r in sssp_distances(edges, seeds, max_rounds=6).collect()}
+    release_pinned()
+    r12 = {r["node"]: r["dist"]
+           for r in sssp_distances(edges, seeds, max_rounds=12).collect()}
+    release_pinned()
+    assert r6 == r12                       # early exit at the fixed point
+    assert r6["c"] == 1 and r6["d"] == 3   # z's cheap route wins over a's
+    assert "x" not in r6 and "y" not in r6  # unreachable stay absent
+
+
+def test_sssp_rejects_negative_weights(spark):
+    from bqetl_spark.functions.graph import sssp_distances
+    edges = spark.createDataFrame([("a", "b", -1)], ["src", "dst", "w"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    with pytest.raises(ValueError, match="non-negative"):
+        sssp_distances(edges, seeds)
+    release_pinned()
