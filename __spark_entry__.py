@@ -992,6 +992,22 @@ def q_compression_ratio(spark, sf_dir):
     return compression_ratio(docs)
 
 
+def q_lz_savings(spark, sf_dir):
+    """Hash-certifiable core of the compression-signal family (r11,
+    verdict item 6): the LZ77 dictionary-coverage upper bound DEFLATE
+    exploits — per (doc, k∈{8,16}) window counts, distinct counts and
+    back-reference savings, all exact integers in pure codegen
+    (functions.compressibility.lz_window_savings). The DEFLATE gate
+    (compression_ratio) stays honestly rows-only — DuckDB has no
+    DEFLATE — but its signal core now carries a full value-hash, and
+    the pytest tier pins the two to agree in direction on repetitive/
+    normal/random text."""
+    from bqetl_spark.functions.compressibility import lz_window_savings
+
+    docs = _t(spark, sf_dir, "documents")
+    return lz_window_savings(docs)
+
+
 def q_stream_kmv(spark, sf_dir):
     """Streaming KMV sketch maintenance (streaming/events.py
     stream_kmv_user_distinct, k=64): events are chopped into 4 files so
@@ -3943,6 +3959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_trained": q_quality_trained,
         "quality_confusion": q_quality_confusion,
         "sssp_hops": q_sssp_hops,
+        "lz_savings": q_lz_savings,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "minhash_incremental": q_minhash_incremental,
@@ -8385,6 +8402,28 @@ def oracle_sql() -> dict[str, str]:
         + ",".join(_sssp_round.format(k=k, p=k - 1) for k in range(1, 7))
         + """
         SELECT node, CAST(d AS BIGINT) AS dist FROM sd6""")
+    # LZ77 window-savings (r11): the certifiable compression-signal
+    # core — coalesce guards keep both engines identical on NULL/empty
+    # text (Spark's greatest skips NULLs, DuckDB's may propagate them)
+    d["lz_savings"] = """
+        WITH pk AS (
+            SELECT doc_id, text, k
+            FROM documents, (VALUES (8), (16)) t(k)),
+        calc AS (
+            SELECT doc_id, CAST(k AS BIGINT) AS k,
+                   CAST(greatest(coalesce(length(text), 0) - (k - 1), 0)
+                        AS BIGINT) AS n_windows,
+                   CAST(CASE WHEN length(text) >= k THEN
+                        len(list_distinct([substr(text, i, k)
+                             for i in range(1, length(text) - k + 2)]))
+                        ELSE 0 END AS BIGINT) AS n_distinct,
+                   greatest(coalesce(length(text), 0), 1) AS ln1
+            FROM pk)
+        SELECT doc_id, k, n_windows, n_distinct,
+               (n_windows - n_distinct) * k AS savings,
+               CAST((n_windows - n_distinct) * k * 1000000 // ln1
+                    AS BIGINT) AS savings_ppm
+        FROM calc"""
     # HITS (r10): unrolled hub/authority phases on the DIRECTED c->s
     # graph; DuckDB's SUM(BIGINT) is HUGEINT so raw*10^9 // max replays
     # Spark's DECIMAL-product + integral-div exactly

@@ -92,3 +92,63 @@ def compressibility_filter(df: DataFrame, text_col: str = "text",
                     & (F.col("ratio_ppm") <= max_ratio_ppm))
             .select(F.col("doc_id").alias("__keep_id")))
     return df.join(keep, F.col(id_col) == F.col("__keep_id"), "leftsemi")
+
+
+def lz_window_savings(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      ks: tuple[int, ...] = (8, 16)) -> DataFrame:
+    """The HASH-CERTIFIABLE core of the compression signal (r11, verdict
+    item 6): the LZ77 dictionary-coverage upper bound that DEFLATE
+    actually exploits, computed exactly in Catalyst so a SQL oracle can
+    value-hash it — the companion that takes the compression family out
+    of rows-only-evidence territory.
+
+    For each window size k: ``n_windows = max(len−k+1, 0)`` character
+    k-grams, ``n_distinct`` distinct ones; every repeated occurrence is
+    a window an LZ77 coder could replace with a back-reference, so
+
+        savings = (n_windows − n_distinct) · k
+
+    is the (overlap-ignoring) upper bound on back-reference-coverable
+    bytes, and ``savings_ppm = savings·10⁶ div greatest(len, 1)`` is the
+    scale-free repetition rate (integer div — Spark truncates, DuckDB
+    floors, they agree at ≥ 0). The DEFLATE ratio
+    (:func:`compression_ratio`) and this proxy are pinned to agree in
+    DIRECTION on the adversarial shapes (repetitive ≫ normal ≫ random
+    savings; the reverse ordering for deflate size) by the pytest tier
+    that already owns the DEFLATE arithmetic.
+
+    One map-only projection per k (no shuffle, no UDF — pure codegen);
+    at 100 TB this is a scan, like every other row-local text signal.
+    Returns one row per (doc, k): (id, k, n_windows, n_distinct,
+    savings, savings_ppm).
+    """
+    if not ks or any(k < 2 for k in ks):
+        raise ValueError(f"window sizes must all be >= 2, got {ks!r}")
+    c = F.col(text_col)
+    parts = []
+    for k in ks:
+        n_win = F.greatest(F.length(c) - (k - 1), F.lit(0))
+        grams = F.transform(F.sequence(F.lit(1), F.length(c) - (k - 1)),
+                            lambda i: c.substr(i, F.lit(k)))
+        n_distinct = (F.when(F.length(c) >= k,
+                             F.size(F.array_distinct(grams)))
+                      .otherwise(F.lit(0)))
+        parts.append(df.select(
+            F.col(id_col),
+            F.lit(k).cast("long").alias("k"),
+            n_win.cast("long").alias("n_windows"),
+            n_distinct.cast("long").alias("n_distinct"),
+            ((n_win - n_distinct) * k).cast("long").alias("savings"),
+            F.expr(f"cast(cast((greatest(length({text_col}) - {k - 1}, 0)"
+                   f" - (case when length({text_col}) >= {k} then"
+                   f" size(array_distinct(transform(sequence(1,"
+                   f" length({text_col}) - {k - 1}),"
+                   f" i -> substring({text_col}, i, {k})))) else 0 end))"
+                   f" as bigint) * {k} * 1000000"
+                   f" div greatest(length({text_col}), 1) as long)")
+            .alias("savings_ppm")))
+    out = parts[0]
+    for p2 in parts[1:]:
+        out = out.unionByName(p2)
+    return out
