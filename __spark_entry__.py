@@ -3964,6 +3964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "minhash_incremental": q_minhash_incremental,
         "dedup_keep_best": q_dedup_keep_best,
+        "hilbert_key": q_hilbert_key,
+        "hits_scores": q_hits_scores,
         "embed_sq_topk": q_embed_sq_topk,
         "embed_topk": q_embed_topk,
         "events_calendar": q_events_calendar,
@@ -4152,8 +4154,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "embed_centroids": q_embed_centroids,
         "frequent_seqs": q_frequent_seqs,
-        "hilbert_key": q_hilbert_key,
-        "hits_scores": q_hits_scores,
         "kn_bigram_lm": q_kn_bigram_lm,
         "langid_confusion": q_langid_confusion,
         "lm_greedy_decode": q_lm_greedy_decode,
@@ -5331,7 +5331,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM g GROUP BY user_id, sid""",
         # Hilbert key: the xy2d walk as a linear CTE chain (one
-        # reference per level — no inlining blowup); xor() is native
+        # reference per level — no inlining blowup); xor() is native.
+        # Each level computes xn/yn/dn in an inner select and re-aliases
+        # them outside (ADVICE r10): reusing x/y as output aliases made
+        # the rotated expressions depend on DuckDB preferring source
+        # columns over lateral column aliases — correct on the pinned
+        # engine but fragile if alias-resolution precedence changes
         "hilbert_key": ("""
             WITH h0 AS (
                 SELECT o_orderkey, o_custkey % 256 AS x,
@@ -5339,21 +5344,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders)"""
             + "".join(f""",
             h{i} AS (
-                SELECT o_orderkey,
-                       CASE WHEN (y & {1 << (8 - i)}) = 0
-                            THEN (CASE WHEN (x & {1 << (8 - i)}) != 0
-                                       THEN 255 - y ELSE y END)
-                            ELSE x END AS x,
-                       CASE WHEN (y & {1 << (8 - i)}) = 0
-                            THEN (CASE WHEN (x & {1 << (8 - i)}) != 0
-                                       THEN 255 - x ELSE x END)
-                            ELSE y END AS y,
-                       d + {(1 << (8 - i)) ** 2} * xor(
-                           CASE WHEN (x & {1 << (8 - i)}) != 0
-                                THEN 3 ELSE 0 END,
-                           CASE WHEN (y & {1 << (8 - i)}) != 0
-                                THEN 1 ELSE 0 END) AS d
-                FROM h{i - 1})""" for i in range(1, 9))
+                SELECT o_orderkey, xn AS x, yn AS y, dn AS d FROM (
+                    SELECT o_orderkey,
+                           CASE WHEN (y & {1 << (8 - i)}) = 0
+                                THEN (CASE WHEN (x & {1 << (8 - i)}) != 0
+                                           THEN 255 - y ELSE y END)
+                                ELSE x END AS xn,
+                           CASE WHEN (y & {1 << (8 - i)}) = 0
+                                THEN (CASE WHEN (x & {1 << (8 - i)}) != 0
+                                           THEN 255 - x ELSE x END)
+                                ELSE y END AS yn,
+                           d + {(1 << (8 - i)) ** 2} * xor(
+                               CASE WHEN (x & {1 << (8 - i)}) != 0
+                                    THEN 3 ELSE 0 END,
+                               CASE WHEN (y & {1 << (8 - i)}) != 0
+                                    THEN 1 ELSE 0 END) AS dn
+                    FROM h{i - 1}) s{i})""" for i in range(1, 9))
             + """
             SELECT o_orderkey, CAST(d AS BIGINT) AS hkey FROM h8"""),
         "zorder_key": "SELECT o_orderkey, " + " + ".join(

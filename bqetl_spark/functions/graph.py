@@ -666,8 +666,14 @@ def hits_fixed(edges: DataFrame, src: str = "src", dst: str = "dst",
         raise ValueError(f"iters must be >= 1, got {iters}")
     e = pin(edges.select(F.col(src).alias("__src"),
                          F.col(dst).alias("__dst")))
+    # broadcast decision covers BOTH broadcast sides (ADVICE r10): the
+    # hubs table is keyed by distinct sources but the auths table by
+    # distinct destinations — on a source-skewed directed graph (few
+    # sources, many dsts) gating on n_src alone could broadcast an
+    # auths table far above the cap
     n_src = e.select("__src").distinct().count()
-    small = n_src <= broadcast_nodes_max
+    n_dst = e.select("__dst").distinct().count()
+    small = max(n_src, n_dst) <= broadcast_nodes_max
 
     def _norm(raw: DataFrame, key: str, col: str) -> DataFrame:
         # metadata scalar: one BIGINT to the driver per phase

@@ -44,9 +44,11 @@ ROUND_HEAD = {
     "new_first": ["phash_neardup", "quality_trained", "quality_confusion",
                   "sssp_hops", "lz_savings"],
     # minhash band-geometry fix (32x2 -> 16x4 at threshold 0.9): output
-    # proven bit-identical at sf0.1/1/3 but the gate code changed
+    # proven bit-identical at sf0.1/1/3 but the gate code changed;
+    # hilbert_key oracle de-shadowed (ADVICE), hits_scores broadcast
+    # decision now covers both sides (ADVICE) — results unchanged
     "changed": ["minhash_lsh", "dedup_clusters", "minhash_incremental",
-                "dedup_keep_best"],
+                "dedup_keep_best", "hilbert_key", "hits_scores"],
 }
 
 
