@@ -2589,6 +2589,52 @@ def q_multimodal_audio(spark, sf_dir):
                     F.col("idx").cast("long").alias("idx"), "value"))
 
 
+def q_phash_clusters(spark, sf_dir):
+    """End-to-end perceptual image dedup (r11 second half): the
+    phash_neardup pair set clustered by connected components into
+    (media_id, cluster_id, cluster_size, is_representative) — the image
+    twin of dedup_clusters, composing three certified families (TIFF
+    codec × banded pHash × min-label clustering). The oracle closes the
+    certified pair SQL transitively with the dedup_clusters recursive
+    CTE."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 64)
+        # ASCII prefix required explicitly — see q_multimodal_decode
+        & (F.octet_length(F.substring("text", 1, 64)) == 64))
+    media = mm.attach_tiff_media(docs, "doc_id", "text", 8, 8,
+                                 rows_per_strip=2)
+    return mm.phash_clusters(media, max_hamming=8, max_bucket_size=64)
+
+
+def q_audio_neardup(spark, sf_dir):
+    """Acoustic near-dup pairs (r11 second half): each document's first
+    66 ASCII bytes become 33 LE int16 PCM samples of a mono 8 kHz WAV
+    (the multimodal_audio construction), decoded by the REAL RIFF
+    parser, fingerprinted by frame-energy DELTA sign bits (the Shazam/
+    Chromaprint shape, integer-exact: 33 single-sample energies → 32
+    rise/fall bits), then paired by 4×8-bit Hamming bands (pigeonhole
+    recall 1.0 at hamming ≤ 3, deterministic bucket cap). Completes
+    per-modality dedup: text (minhash/simhash), image (pHash), audio
+    (this). The oracle replays samples, energies, the lag comparison,
+    bit packing, banding, cap and verify — all BIGINT."""
+    import struct
+
+    header = (b"RIFF" + (102).to_bytes(4, "little") + b"WAVE"
+              + b"fmt " + (16).to_bytes(4, "little")
+              + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+              + b"data" + (66).to_bytes(4, "little"))
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 66)
+        # ASCII prefix required explicitly — see q_multimodal_decode
+        & (F.octet_length(F.substring("text", 1, 66)) == 66))
+    payload = F.concat(F.lit(header),
+                       F.substring(F.col("text"), 1, 66).cast("binary"))
+    media = mm.attach_media(docs, "doc_id", payload, kind="audio",
+                            fmt="wav")
+    return mm.audio_neardup(media, frame=1, n_bits=32, max_hamming=3,
+                            bands=4, max_bucket_size=64)
+
+
 def q_multimodal_resize(spark, sf_dir):
     """REAL image pipeline in the gate: 4×3 PPM built from document bytes
     → real nearest-neighbor resize to 2×2 (resize_images fake=False:
@@ -3960,6 +4006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_confusion": q_quality_confusion,
         "sssp_hops": q_sssp_hops,
         "lz_savings": q_lz_savings,
+        "phash_clusters": q_phash_clusters,
+        "audio_neardup": q_audio_neardup,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "minhash_incremental": q_minhash_incremental,
@@ -8430,6 +8478,70 @@ def oracle_sql() -> dict[str, str]:
                CAST((n_windows - n_distinct) * k * 1000000 // ln1
                     AS BIGINT) AS savings_ppm
         FROM calc"""
+    # phash_clusters (r11): the certified pHash pair SQL closed
+    # transitively with the dedup_clusters recursive-CTE pattern
+    d["phash_clusters"] = f"""
+        WITH RECURSIVE pp AS MATERIALIZED (
+            SELECT id_a, id_b FROM ({_PHASH_ORACLE}) z),
+        pedges AS (
+            SELECT id_a AS s, id_b AS d FROM pp
+            UNION SELECT id_b, id_a FROM pp),
+        reach AS (
+            SELECT DISTINCT s AS n, s AS m FROM pedges
+            UNION
+            SELECT reach.n, e.d FROM reach JOIN pedges e ON reach.m = e.s),
+        comp AS (
+            SELECT n AS media_id, MIN(m) AS cluster_id FROM reach
+            GROUP BY 1),
+        sizes AS (
+            SELECT cluster_id, count(*) AS cluster_size FROM comp
+            GROUP BY 1)
+        SELECT comp.media_id, comp.cluster_id, sizes.cluster_size,
+               comp.media_id = comp.cluster_id AS is_representative
+        FROM comp JOIN sizes USING (cluster_id)"""
+    # audio_neardup (r11): LE int16 samples from character pairs,
+    # single-sample energies, lag() rise bits, 4x8-bit banding + cap
+    d["audio_neardup"] = """
+        WITH ad AS (
+            SELECT doc_id, substr(text, 1, 66) AS pfx FROM documents
+            WHERE length(text) >= 66
+              AND octet_length(encode(substr(text, 1, 66))) = 66),
+        smp AS (
+            SELECT doc_id, k,
+                   CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+            FROM (SELECT doc_id, k,
+                         ord(substr(pfx, CAST(2*k + 1 AS INT), 1))
+                         + 256 * ord(substr(pfx, CAST(2*k + 2 AS INT), 1))
+                           AS raw
+                  FROM ad, range(0, 33) t(k))),
+        en AS (SELECT doc_id, k AS f, CAST(s * s AS BIGINT) AS e FROM smp),
+        abits AS (
+            SELECT doc_id, f - 1 AS i,
+                   CASE WHEN e > pe THEN 1 ELSE 0 END AS b
+            FROM (SELECT doc_id, f, e,
+                         lag(e) OVER (PARTITION BY doc_id ORDER BY f) AS pe
+                  FROM en)
+            WHERE f >= 1),
+        afp AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN b = 1
+                       THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                       ELSE CAST(0 AS BIGINT) END) AS fp
+            FROM abits GROUP BY doc_id),
+        abands AS (
+            SELECT doc_id, j, (fp >> CAST(8*j AS INT)) & 255 AS bv, fp
+            FROM afp, range(0, 4) r(j)),
+        aok AS (
+            SELECT j, bv FROM abands GROUP BY j, bv
+            HAVING count(*) <= 64),
+        acand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.fp AS fa, b.fp AS fb
+            FROM abands a JOIN aok USING (j, bv)
+            JOIN abands b ON a.j = b.j AND a.bv = b.bv
+                         AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, bit_count(xor(fa, fb)) AS hamming
+        FROM acand WHERE bit_count(xor(fa, fb)) <= 3"""
     # HITS (r10): unrolled hub/authority phases on the DIRECTED c->s
     # graph; DuckDB's SUM(BIGINT) is HUGEINT so raw*10^9 // max replays
     # Spark's DECIMAL-product + integral-div exactly

@@ -1780,3 +1780,149 @@ def phash_neardup(media: DataFrame, max_hamming: int = 8,
     hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
     return (cand.select("id_a", "id_b", hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def phash_clusters(media: DataFrame, max_hamming: int = 8,
+                   max_bucket_size: int = 64,
+                   scale_bits: int = 15) -> DataFrame:
+    """End-to-end perceptual image dedup: :func:`phash_neardup` pairs →
+    connected components → ``(media_id, cluster_id, cluster_size,
+    is_representative)`` — the image twin of ``dedup.dedup_clusters``
+    (pairs alone don't curate; a pipeline needs the pair→cluster→
+    representative step before it can drop anything). Only images
+    incident to a near-dup pair appear (the dedup_clusters convention);
+    ``cluster_id`` is the smallest member id, which is also the
+    representative.
+
+    Scale shape: the pair set is the bounded banded join of
+    phash_neardup; clustering is dedup's pointer-jumping min-label
+    propagation (O(log diameter) rounds, and near-dup clusters are
+    cliques-with-chips — 2-4 rounds in practice)."""
+    from bqetl_spark.functions.dedup import connected_components
+
+    pairs = phash_neardup(media, max_hamming=max_hamming,
+                          max_bucket_size=max_bucket_size,
+                          scale_bits=scale_bits)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (comp.join(sizes, "comp")
+            .select(F.col("node").alias("media_id"),
+                    F.col("comp").alias("cluster_id"),
+                    F.col("cluster_size"),
+                    (F.col("node") == F.col("comp"))
+                    .alias("is_representative")))
+
+
+def audio_fingerprint(media: DataFrame, frame: int = 2) -> DataFrame:
+    """Acoustic fingerprint over decoded WAV payloads → ``(media_id,
+    afp BIGINT, n_frames BIGINT)`` — the audio-dedup signal of a
+    multimodal pipeline, in the Shazam/Chromaprint SHAPE (frame-energy
+    DELTA sign bits) reduced to its integer-exact core so a SQL oracle
+    replays it bit for bit:
+
+    - decode through the REAL RIFF/WAV parser (``decode_wav``);
+    - frame the PCM stream into windows of ``frame`` samples; energy
+      E_f = Σ s² per frame (exact int64 — 16-bit samples square to
+      < 2³¹, frames are short);
+    - bit_i = 1 iff E_{i+1} > E_i (the energy-rise sign, i = 0..F−2),
+      packed little-endian into one BIGINT (requires F ≤ 64 frames —
+      longer audio should fingerprint per-segment and band per
+      segment, same machinery).
+
+    Energy-delta signs survive uniform gain changes (scaling all
+    samples scales every energy equally — same reason the pHash median
+    threshold survives brightness shifts), which is what makes this a
+    PERCEPTUAL audio signal rather than a byte hash. Map-only Arrow
+    batches, the codec-family posture."""
+    wav = decode_wav  # by-value closure binding
+    if frame < 1:
+        raise ValueError(f"frame must be >= 1, got {frame}")
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("afp", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        def fp(payload):
+            _n_ch, _rate, samples = wav(payload)
+            s = np.asarray(samples, dtype=np.int64)
+            nf = len(s) // frame
+            if nf < 2:
+                return 0, nf
+            e = (s[:nf * frame].reshape(nf, frame) ** 2).sum(axis=1)
+            if nf - 1 > 63:
+                raise ValueError(
+                    f"{nf} frames pack to {nf - 1} bits > 63 — "
+                    "fingerprint per-segment instead")
+            bits = (e[1:] > e[:-1]).astype(np.uint64)
+            w = np.uint64(1) << np.arange(nf - 1, dtype=np.uint64)
+            return int((bits * w).sum(dtype=np.uint64)), nf
+
+        for pdf in batches:
+            pairs = [fp(p) for p in pdf["payload"]]
+            yield _pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "afp": _pd.Series([a for a, _ in pairs], dtype="int64"),
+                "n_frames": _pd.Series([n for _, n in pairs],
+                                       dtype="int64"),
+            })
+
+    return _spread(media).mapInPandas(run, schema=schema)
+
+
+def audio_neardup(media: DataFrame, frame: int = 1, n_bits: int = 32,
+                  max_hamming: int = 3, bands: int = 4,
+                  max_bucket_size: int = 64) -> DataFrame:
+    """Acoustic near-dup pairs: :func:`audio_fingerprint` → Hamming-
+    banded self-join → verified ``(id_a, id_b, hamming)`` — the audio
+    sibling of :func:`phash_neardup`, completing per-modality dedup
+    (text: minhash/simhash; image: pHash; audio: this).
+
+    ``n_bits`` must split evenly into ``bands``; by pigeonhole any pair
+    with hamming ≤ bands−1 shares a whole band, so the default 4×8-bit
+    banding has recall 1.0 at the hamming ≤ 3 threshold. Band width is
+    a collision dial too: 8-bit bands put a uniform corpus at
+    N/256 ids per bucket, well under the cap at bench scales (the 5-bit
+    variant saturated every bucket past ~2k docs — the minhash geometry
+    lesson applied at design time). Buckets above ``max_bucket_size``
+    drop deterministically (silence/constant-tone shields — the
+    boilerplate guard), replayed by the oracle as a HAVING. Same
+    metadata-scale join posture as phash_neardup."""
+    if n_bits % bands:
+        raise ValueError(f"n_bits={n_bits} must divide into {bands} bands")
+    bb = n_bits // bands
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding recall guarantee needs max_hamming <= bands-1 "
+            f"({bands - 1}), got {max_hamming}")
+    from bqetl_spark.caching import pin
+
+    fps = pin(audio_fingerprint(media, frame=frame)
+              .select(F.col("media_id").alias("id"), "afp"))
+    bexp = fps.select(
+        "id", "afp",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("j"),
+    ).withColumn(
+        "bv", F.expr(f"shiftrightunsigned(afp, j * {bb}) "
+                     f"& {(1 << bb) - 1}"))
+    ok = (bexp.groupBy("j", "bv").count()
+          .filter(F.col("count") <= max_bucket_size)
+          .select("j", "bv"))
+    a = bexp.join(ok, ["j", "bv"]).alias("a")
+    b = bexp.join(ok, ["j", "bv"]).alias("b")
+    cand = (a.join(b, (F.col("a.j") == F.col("b.j"))
+                   & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a.afp").alias("fa"),
+                    F.col("b.afp").alias("fb"))
+            .distinct())
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (cand.select("id_a", "id_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

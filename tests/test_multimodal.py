@@ -989,3 +989,76 @@ def test_phash_neardup_bucket_cap_drops_boilerplate(spark):
     out = mm.phash_neardup(_ph_docs(spark, rows), max_bucket_size=5).collect()
     got = {(r["id_a"], r["id_b"]) for r in out}
     assert got == {(100, 101)}
+
+
+# phash_clusters + audio fingerprint near-dup (r11 second half) --------------
+
+
+def test_phash_clusters_groups_transitively(spark):
+    """a~b and b~c (near) must cluster {a,b,c} together even if a~c
+    exceeds the pair threshold — the transitive-closure semantics that
+    make clusters curation-usable; representative = min id."""
+    near1 = _PH_BASE[:14] + chr(ord(_PH_BASE[14]) + 16) + _PH_BASE[15:]
+    rows = [(1, _PH_BASE), (2, near1), (3, _PH_BASE), (9, "#" * 64)]
+    out = {r["media_id"]: r for r in
+           mm.phash_clusters(_ph_docs(spark, rows)).collect()}
+    from bqetl_spark.caching import release_pinned
+    release_pinned()
+    assert set(out) == {1, 2, 3}            # the unrelated image absent
+    assert {out[i]["cluster_id"] for i in (1, 2, 3)} == {1}
+    assert out[1]["is_representative"] and not out[2]["is_representative"]
+    assert out[1]["cluster_size"] == 3
+
+
+def _wav(samples):
+    import struct
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    return (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            + b"data" + len(data).to_bytes(4, "little") + data)
+
+
+def _audio_media(spark, rows):
+    df = spark.createDataFrame(
+        [(i, bytearray(_wav(s))) for i, s in rows], ["doc_id", "payload"])
+    return mm.attach_media(df, "doc_id", F.col("payload"), kind="audio",
+                           fmt="wav")
+
+
+def test_audio_fingerprint_energy_delta_bits(spark):
+    """Hand-computable vector: energies strictly rising → all bits set;
+    strictly falling → zero; and the fingerprint survives uniform gain
+    (×2 all samples) — the perceptual property."""
+    rising = [1, -2, 3, -4, 5]            # |s| rises -> energy rises
+    falling = [5, -4, 3, -2, 1]
+    out = {r["media_id"]: r for r in mm.audio_fingerprint(
+        _audio_media(spark, [(1, rising), (2, falling),
+                             (3, [2 * s for s in rising])]),
+        frame=1).collect()}
+    assert out[1]["afp"] == 0b1111 and out[1]["n_frames"] == 5
+    assert out[2]["afp"] == 0
+    assert out[3]["afp"] == out[1]["afp"]   # gain-invariant
+
+
+def test_audio_neardup_pairs_and_guard(spark):
+    """A one-sample perturbation flips at most a couple of delta bits →
+    pairs at small hamming; an unrelated signal stays out; a constant
+    tone shared by many docs is dropped by the bucket cap."""
+    import random
+    rng = random.Random(5)
+    base = [rng.randrange(-3000, 3000) for _ in range(33)]
+    near = list(base)
+    near[10] += 40                          # tiny edit
+    other = [rng.randrange(-3000, 3000) for _ in range(33)]
+    rows = [(1, base), (2, near), (3, other), (4, base)]
+    rows += [(100 + i, [500] * 33) for i in range(8)]   # constant tone
+    out = mm.audio_neardup(_audio_media(spark, rows), frame=1, n_bits=32,
+                           max_hamming=3, bands=4, max_bucket_size=5)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    from bqetl_spark.caching import release_pinned
+    release_pinned()
+    assert pairs[(1, 4)] == 0
+    assert pairs.get((1, 2), 99) <= 3
+    assert not any(3 in p for p in pairs)
+    assert not any(a >= 100 or b >= 100 for a, b in pairs)  # cap drops tone

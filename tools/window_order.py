@@ -42,7 +42,8 @@ ROUND_HEAD = {
     # (phash_neardup, quality_trained, sssp_hops, ... per VERDICT r10
     # items 2/3/6/7), with regen_queries_dict.py re-run each time.
     "new_first": ["phash_neardup", "quality_trained", "quality_confusion",
-                  "sssp_hops", "lz_savings"],
+                  "sssp_hops", "lz_savings", "phash_clusters",
+                  "audio_neardup"],
     # minhash band-geometry fix (32x2 -> 16x4 at threshold 0.9): output
     # proven bit-identical at sf0.1/1/3 but the gate code changed;
     # hilbert_key oracle de-shadowed (ADVICE), hits_scores broadcast
