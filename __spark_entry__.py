@@ -1651,6 +1651,31 @@ def q_corpus_keep(spark, sf_dir):
             .select("doc_id"))
 
 
+def q_corpus_keep_trained(spark, sf_dir):
+    """The pretraining curation chain with the TRAINED quality model
+    swapped in for the hand rules (r11): predicted-keep
+    (quality_perceptron) AND language-ID AND repetition cap AND
+    exact-dedup representative — corpus_keep's composition upgraded to
+    the learned filter production pipelines actually deploy. Every
+    stage reuses an individually-oracled operator; the oracle composes
+    the certified quality_trained SQL as a subquery."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = (tx.quality_perceptron(docs, buckets=512, iters=3)
+            .filter(F.col("pred_keep")).select("doc_id"))
+    lang = (tx.lang_id(docs).filter(F.col("lang_pred") == "en")
+            .select(F.col("doc_id").alias("__ld")))
+    rep = tx.gram_repetition(docs, n=2).select(
+        F.col("doc_id").alias("__rd"), "rep_ratio")
+    reps = dd.dedup_exact(docs).select(F.col("doc_id").alias("__kid"))
+    return (keep
+            .join(lang, F.col("doc_id") == F.col("__ld"), "leftsemi")
+            .join(rep, F.col("doc_id") == F.col("__rd"), "left")
+            .filter(F.col("rep_ratio").isNull()
+                    | (F.col("rep_ratio") <= 0.2))
+            .join(reps, F.col("doc_id") == F.col("__kid"), "leftsemi")
+            .select("doc_id"))
+
+
 def q_top_tokens(spark, sf_dir):
     """Explode (R1 flatten) + count + deterministic top-20."""
     docs = _t(spark, sf_dir, "documents")
@@ -4008,6 +4033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lz_savings": q_lz_savings,
         "phash_clusters": q_phash_clusters,
         "audio_neardup": q_audio_neardup,
+        "corpus_keep_trained": q_corpus_keep_trained,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "minhash_incremental": q_minhash_incremental,
@@ -9148,6 +9174,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n
         FROM ({d["quality_trained"]}) q
         GROUP BY weak_keep, pred_keep, split"""
+    # the curation chain with the TRAINED filter swapped in for the hand
+    # rules — corpus_keep's composition, quality_trained subquery
+    d["corpus_keep_trained"] = f"""
+        SELECT d.doc_id
+        FROM documents d
+        JOIN ({d["quality_trained"]}) q
+          ON d.doc_id = q.doc_id AND q.pred_keep
+        JOIN ({d["lang_id"]}) l
+          ON d.doc_id = l.doc_id AND l.lang_pred = 'en'
+        LEFT JOIN ({d["gram_repetition"]}) r ON d.doc_id = r.doc_id
+        WHERE (r.rep_ratio IS NULL OR r.rep_ratio <= 0.2)
+          AND d.doc_id IN (SELECT min(doc_id) FROM documents
+                           GROUP BY md5(text))"""
     # basket lift: guarded sample space (basket size in [2,20]) defines
     # N, the item frequencies AND the pairs; pure integer ppm in HUGEINT
     d["basket_lift"] = """

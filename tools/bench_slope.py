@@ -81,7 +81,17 @@ QUERIES = ["denorm_flat", "q3_top_revenue", "dedup_fingerprint",
            "tfidf_doc_pairs", "perceptron_langid", "ams_f2",
            "cms_join_size", "basket_lift", "frequent_seqs",
            "multimodal_qoi", "multimodal_mulaw", "multimodal_tiff",
-           "langid_confusion"]
+           "langid_confusion",
+           # r11 additions. Expected shapes: the perceptual dedup ops
+           # are map-only hash scans + metadata-scale banded joins
+           # (replication inflates exact-dup clusters linearly; the
+           # bucket caps bound any K² bucket); quality_trained is the
+           # perceptron_langid class (corpus-sized scoring, O(buckets)
+           # state); sssp inherits the fixed-graph loop; lz_savings is
+           # one scan of pure codegen.
+           "phash_neardup", "phash_clusters", "audio_neardup",
+           "quality_trained", "quality_confusion", "sssp_hops",
+           "lz_savings"]
 
 
 def main() -> None:
