@@ -1027,6 +1027,34 @@ def q_stream_kmv(spark, sf_dir):
     return kmv_estimate(spark.read.parquet(target), "event_type", 64)
 
 
+def q_stream_phash(spark, sf_dir):
+    """Streaming perceptual-hash index maintenance (streaming/media.py
+    stream_phash_index, r11): the TIFF media table is chopped into 4
+    parquet files so the availableNow replay folds 4 REAL micro-batches
+    — each decoded + DCT-hashed exactly once — into the persisted
+    (media_id, phash) index; the gate then pair-queries the STORED
+    index with phash_band_pairs. Oracle = the plain batch pHash pair
+    SQL: the hash-match proves hash-on-ingest + index-query equals the
+    one-shot batch computation for any chop (pHash is payload-pure and
+    the media_id dedup makes restart replays no-ops). Completes the
+    streaming×multimodal composition the way stream_kmv did
+    streaming×sketch."""
+    from bqetl_spark.streaming.media import stream_phash_index
+
+    base = _scratch("sphash", sf_dir, wipe=True)
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 64)
+        & (F.octet_length(F.substring("text", 1, 64)) == 64))
+    media = mm.attach_tiff_media(docs, "doc_id", "text", 8, 8,
+                                 rows_per_strip=2)
+    media.repartition(4).write.mode("overwrite") \
+        .parquet(base + "/media_split")
+    target = base + "/index"
+    stream_phash_index(spark, base + "/media_split", target)
+    return mm.phash_band_pairs(spark.read.parquet(target),
+                               max_hamming=8, max_bucket_size=64)
+
+
 def q_stream_quantile(spark, sf_dir):
     """Streaming quantile-sketch maintenance (streaming/events.py
     stream_quantile_values, r8): events chopped into 4 files replay as
@@ -4034,6 +4062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_clusters": q_phash_clusters,
         "audio_neardup": q_audio_neardup,
         "corpus_keep_trained": q_corpus_keep_trained,
+        "stream_phash": q_stream_phash,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "minhash_incremental": q_minhash_incremental,
@@ -8504,6 +8533,8 @@ def oracle_sql() -> dict[str, str]:
                CAST((n_windows - n_distinct) * k * 1000000 // ln1
                     AS BIGINT) AS savings_ppm
         FROM calc"""
+    # stream_phash (r11): streaming fold must equal the batch pair set
+    d["stream_phash"] = _PHASH_ORACLE
     # phash_clusters (r11): the certified pHash pair SQL closed
     # transitively with the dedup_clusters recursive-CTE pattern
     d["phash_clusters"] = f"""

@@ -1757,6 +1757,17 @@ def phash_neardup(media: DataFrame, max_hamming: int = 8,
     # otherwise re-run the decode+DCT UDF once per side (image_phash
     # spreads the scan itself via _spread)
     hashes = pin(image_phash(media, scale_bits=scale_bits))
+    return phash_band_pairs(hashes, max_hamming=max_hamming,
+                            max_bucket_size=max_bucket_size)
+
+
+def phash_band_pairs(hashes: DataFrame, max_hamming: int = 8,
+                     max_bucket_size: int = 64) -> DataFrame:
+    """Band-join pair generation over an EXISTING (media_id, phash)
+    table — the query half of phash_neardup, factored out (r11) so the
+    same certified pair logic runs over a PERSISTED fingerprint index
+    (the streaming-maintenance story: hash on ingest, pair-query the
+    stored index at any time) as well as over a freshly-hashed batch."""
     bands = hashes.select(
         F.col("media_id").alias("id"), "phash",
         F.explode(F.sequence(F.lit(0), F.lit(8))).alias("j"),

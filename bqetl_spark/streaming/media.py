@@ -1,0 +1,64 @@
+"""Streaming multimodal ingest: maintain a persisted perceptual-hash
+index as media arrives (r11).
+
+The streaming half of the image-dedup story: a live ingest pipeline
+decodes + fingerprints each micro-batch of images ONCE (the expensive
+Arrow/codec work) and folds the compact (media_id, phash) rows into a
+persisted index; near-dup queries then run against the index at any
+moment via ``multimodal.phash_band_pairs`` — no image is ever decoded
+twice, and history is never re-scanned. Same foreachBatch discipline as
+the sketch-maintenance family in ``streaming/events.py``.
+
+Correctness is the idempotent-fold property: pHash is a pure function
+of the payload, so the per-batch rows are identical no matter how the
+replay is chopped, and the ``dropDuplicates(media_id)`` merge makes
+restart replays no-ops — which is what makes the streaming op
+value-oracle-able (the gate's oracle is the plain batch pHash pair SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def stream_phash_index(spark: SparkSession, media_dir: str,
+                       target_path: str, scale_bits: int = 15,
+                       max_files_per_trigger: int = 1) -> None:
+    """Fold each micro-batch's perceptual hashes into the persisted
+    (media_id, phash) index at ``target_path``. Runs to completion
+    (availableNow) and returns None; callers read the index and apply
+    :func:`bqetl_spark.functions.multimodal.phash_band_pairs`.
+
+    State per media row is 16 bytes — the index is metadata-scale even
+    when the payload corpus is 100 TB, exactly the asymmetry that makes
+    hash-on-ingest the right streaming shape for dedup."""
+    from bqetl_spark.functions.multimodal import MEDIA_SCHEMA, image_phash
+
+    stream = (spark.readStream.schema(MEDIA_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(media_dir))
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        sp = bdf.sparkSession
+        batch_hashes = image_phash(bdf, scale_bits=scale_bits)
+        # explicit existence check, NOT try/except-Exception: a corrupt
+        # index must FAIL the batch, not silently restart accumulation
+        # (the stream_kmv code-review-r6 lesson)
+        base = (sp.read.parquet(target_path)
+                if os.path.isdir(target_path) else None)
+        out = (batch_hashes if base is None
+               else base.unionByName(batch_hashes)
+               .dropDuplicates(["media_id"]))
+        tmp = target_path + f".batch{batch_id}"
+        out.write.mode("overwrite").parquet(tmp)
+        sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        shutil.rmtree(tmp, ignore_errors=True)  # bound on-disk state
+
+    (stream.writeStream.outputMode("append")
+     .foreachBatch(sink)
+     .trigger(availableNow=True)
+     .option("checkpointLocation", target_path + ".ckpt")
+     .start().awaitTermination())

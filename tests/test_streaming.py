@@ -283,3 +283,41 @@ def test_stream_ams_fold_is_chop_invariant(spark, tmp_path):
                                   groups=3, per_group=4).collect()))
     assert run(2, "a") == batch
     assert run(4, "b") == batch
+
+
+def test_stream_phash_fold_is_chop_invariant(spark, tmp_path):
+    """r11 streaming pHash-index maintenance: the persisted fingerprint
+    index after an availableNow replay must be IDENTICAL whatever the
+    micro-batch chop (2-file vs 4-file vs one-shot batch hashing) —
+    pHash is payload-pure and the media_id dedup makes the fold
+    idempotent. Pairs queried from the stored index must equal the
+    batch phash_neardup pair set."""
+    from bqetl_spark.functions import multimodal as mm
+    from bqetl_spark.streaming.media import stream_phash_index
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter("length(text) >= 64 and "
+                    "octet_length(substring(text, 1, 64)) = 64"))
+    media = mm.attach_tiff_media(docs, "doc_id", "text", 8, 8,
+                                 rows_per_strip=2)
+
+    def run(n_files, tag):
+        src = str(tmp_path / f"src{tag}")
+        media.repartition(n_files).write.parquet(src)
+        target = str(tmp_path / f"idx{tag}")
+        stream_phash_index(spark, src, target)
+        idx = sorted(map(tuple,
+                         spark.read.parquet(target).collect()))
+        pairs = sorted(map(tuple, mm.phash_band_pairs(
+            spark.read.parquet(target)).collect()))
+        return idx, pairs
+
+    from bqetl_spark.caching import release_pinned
+    batch_idx = sorted(map(tuple, mm.image_phash(media).collect()))
+    batch_pairs = sorted(map(tuple, mm.phash_neardup(media).collect()))
+    release_pinned()
+    for n, tag in ((2, "a"), (4, "b")):
+        idx, pairs = run(n, tag)
+        release_pinned()
+        assert idx == batch_idx
+        assert pairs == batch_pairs
