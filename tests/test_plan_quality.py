@@ -45,6 +45,11 @@ Justified allowlist (each audited round 4; hard_negatives round 6):
   one row per LANGUAGE in the training labels (the lang_id_trained
   class: O(10²) at any corpus scale, grows with the label alphabet,
   not the data); every weight/feature join is an equi-join.
+- quality_trained / quality_confusion / corpus_keep_trained (r11):
+  the same _batch_perceptron loop with a TWO-row class list
+  ('keep'/'toss') — the perceptron_langid crossJoin exactly, fixed at
+  2 loop-side rows at any corpus scale; the confusion matrix and the
+  curation chain compose that plan verbatim, no new loop shape.
 """
 
 from __future__ import annotations
@@ -58,7 +63,8 @@ ALLOWED_BNLJ = {"embed_topk", "embed_sq_topk", "embed_neardup",
                 "unigram_train", "unigram_segments", "unigram_fertility",
                 "lang_id_trained", "lpa_modularity", "vocab_growth",
                 "perceptron_langid", "cms_join_size",
-                "langid_confusion"}
+                "langid_confusion", "quality_trained",
+                "quality_confusion", "corpus_keep_trained"}
 
 # streaming queries execute a bounded replay inside the builder, and the
 # roundtrips write temp files — plan text is checked for batch shapes only
