@@ -213,7 +213,29 @@ def _check(spark, sf_dir, name):
                                   # r10: QOI — fuzz docs are shorter
                                   # than 40 bytes (empty gate both
                                   # sides) until hypothesis grows one
-                                  "multimodal_qoi"])
+                                  "multimodal_qoi",
+                                  # r11: pHash — most fuzz docs are
+                                  # shorter than the 64-byte image (the
+                                  # multimodal_qoi class: empty-both-
+                                  # sides certifies the length filter);
+                                  # long word-soup docs hit dup-prefix
+                                  # hamming-0 pairs and the bucket cap
+                                  "phash_neardup", "phash_clusters",
+                                  # r11: audio fingerprint — same length
+                                  # boundary at 66 bytes; tiny word set
+                                  # makes shared-prefix fingerprints
+                                  "audio_neardup",
+                                  # r11: LZ savings — empty docs, docs
+                                  # shorter than k, all-repeat word soup
+                                  "lz_savings",
+                                  # r11: trained quality — empty/one-
+                                  # class training slices, blank docs,
+                                  # normalization with a single bucket
+                                  "quality_trained", "quality_confusion",
+                                  # r11: the trained curation chain on
+                                  # random corpora (composition of the
+                                  # above + dedup representative rule)
+                                  "corpus_keep_trained"])
 def test_doc_gates_on_random_corpora(spark, tmp_path_factory, gate):
     @_SET
     @given(rows=_doc_strategy)
