@@ -55,11 +55,19 @@ SF = "/root/testdata/sf0.01"
 
 def stability_tier(osql: dict[str, str], runs: int = STAB_RUNS,
                    only: set[str] | None = None) -> dict[str, dict]:
-    """Run every list_reduce-bearing oracle `runs`× in fresh DuckDB
-    connections; a gate is stable iff all value hashes agree."""
+    """Run every lambda-bearing oracle `runs`× in fresh DuckDB
+    connections; a gate is stable iff all value hashes agree.
+
+    Predicate broadened r11: the r9 incident class was list_reduce, but
+    list comprehensions and list_transform lambdas ride the same
+    vectorized-closure machinery, so every oracle using any of them is
+    in the tier (49 oracles vs the original 14 — DuckDB-only runs, a
+    few extra minutes per sweep)."""
     from tests.oracle_harness import duck_connection, value_hash
 
-    targets = [n for n, s in sorted(osql.items()) if "list_reduce" in s
+    lam = ("list_reduce", "list_transform", "for i in range", "for x in")
+    targets = [n for n, s in sorted(osql.items())
+               if any(t in s for t in lam)
                and (only is None or n in only)]
     out: dict[str, dict] = {}
     for name in targets:
