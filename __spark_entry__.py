@@ -3383,6 +3383,25 @@ def q_bm25_topk(spark, sf_dir):
     return rt.bm25_topk(docs, ["spark", "shuffle", "window"], k=20)
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval by reciprocal-rank fusion (functions.retrieval.
+    hybrid_rrf, r11) — the standard lexical+dense production merge:
+    BM25 top-20 (the certified bm25_topk ranking) fused with the exact
+    cosine top-20 for query vector 0 (the certified embed_topk
+    machinery) by rrf = Σ 10⁶ div (60 + rank), missing ranks → 0.
+    Composes two certified rankers with exact integer fusion — no new
+    float surface; the oracle composes both ranking SQLs and replays
+    the fusion arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = rt.bm25_topk(docs, ["spark", "shuffle", "window"], k=20) \
+        .select("doc_id", "rank")
+    dense = (sim.cosine_topk(emb, emb.filter(F.col("vec_id") == 0),
+                             k=20, score_decimals=6)
+             .select(F.col("neighbor_id").alias("doc_id"), "rank"))
+    return rt.hybrid_rrf(lex, dense, k=10, rrf_k=60)
+
+
 def q_embed_pq_topk(spark, sf_dir):
     """Product-quantization ANN with exact re-rank (similarity.pq_topk,
     r7): dim-64 vectors become 4 sub-codes from stride-seeded 16-entry
@@ -4063,6 +4082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup": q_audio_neardup,
         "corpus_keep_trained": q_corpus_keep_trained,
         "stream_phash": q_stream_phash,
+        "hybrid_rrf": q_hybrid_rrf,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "minhash_incremental": q_minhash_incremental,
@@ -9218,6 +9238,35 @@ def oracle_sql() -> dict[str, str]:
         WHERE (r.rep_ratio IS NULL OR r.rep_ratio <= 0.2)
           AND d.doc_id IN (SELECT min(doc_id) FROM documents
                            GROUP BY md5(text))"""
+    # hybrid RRF (r11): compose the certified BM25 ranking SQL with the
+    # embed_topk-pattern dense ranking for query 0, fuse with the exact
+    # integer 10^6 // (60 + rank) arithmetic (missing rank -> 0)
+    d["hybrid_rrf"] = f"""
+        WITH lexr AS (
+            SELECT doc_id, rank FROM ({d["bm25_topk"]}) lx),
+        dsc AS (
+            SELECT c.vec_id AS doc_id,
+                   {_cosine_sql('q.embedding', 'c.embedding')} AS s
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id = 0),
+        denser AS (
+            SELECT doc_id, rank FROM (
+                SELECT doc_id, CAST(row_number() OVER (
+                    ORDER BY s DESC, doc_id ASC) AS INT) AS rank
+                FROM dsc) z WHERE rank <= 20),
+        fused AS (
+            SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+                   l.rank AS lex_rank, d.rank AS dense_rank,
+                   CAST(COALESCE(1000000 // (60 + l.rank), 0)
+                        + COALESCE(1000000 // (60 + d.rank), 0)
+                        AS BIGINT) AS rrf_score
+            FROM lexr l FULL JOIN denser d ON l.doc_id = d.doc_id)
+        SELECT doc_id, rrf_score, lex_rank, dense_rank,
+               CAST(row_number() OVER (
+                   ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
+        FROM fused
+        ORDER BY rrf_score DESC, doc_id ASC
+        LIMIT 10"""
     # basket lift: guarded sample space (basket size in [2,20]) defines
     # N, the item frequencies AND the pairs; pure integer ppm in HUGEINT
     d["basket_lift"] = """

@@ -216,3 +216,44 @@ def tfidf_doc_pairs(docs: DataFrame, min_cos2_ppm: int = 250_000,
                     F.col("__ns").cast("long").alias("n_shared"),
                     cos2.cast("long").alias("cos2_ppm"))
             .filter(F.col("cos2_ppm") >= min_cos2_ppm))
+
+
+def hybrid_rrf(lex: DataFrame, dense: DataFrame, k: int = 10,
+               rrf_k: int = 60, id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion (r11) — the standard hybrid-search merge
+    (Cormack et al. 2009; the default fusion in every lexical+dense
+    production stack): combine a lexical ranking and a dense ranking of
+    the same id space by
+
+        rrf(d) = Σ_systems 10⁶ div (rrf_k + rank_system(d))
+
+    integerized exactly (floor of a positive rational — Spark div and
+    DuckDB // agree), with a missing rank contributing 0. Takes any two
+    (id, rank) tables (here: bm25_topk and cosine_topk outputs), so the
+    fusion composes certified rankers without re-scoring anything.
+
+    Scale shape: both inputs are top-K lists (K rows, not corpora); the
+    fusion is one K-row full outer join + a TakeOrdered(k). Returns
+    (id_col, rrf_score BIGINT, lex_rank, dense_rank, rank INT) — rank 1
+    best, ties by ascending id."""
+    if k < 1 or rrf_k < 1:
+        raise ValueError(f"k and rrf_k must be >= 1, got {k}, {rrf_k}")
+    l = lex.select(F.col(id_col).alias("id"),
+                   F.col("rank").alias("lex_rank"))
+    d = dense.select(F.col(id_col).alias("id"),
+                     F.col("rank").alias("dense_rank"))
+    fused = (l.join(d, "id", "full")
+             .withColumn(
+                 "rrf_score",
+                 (F.coalesce(F.expr(f"1000000 div ({rrf_k} + lex_rank)"),
+                             F.lit(0))
+                  + F.coalesce(
+                      F.expr(f"1000000 div ({rrf_k} + dense_rank)"),
+                      F.lit(0))).cast("long")))
+    # Unpartitioned Window AFTER .limit(k): k-bounded, the tfidf_topk
+    # pattern (tests/test_retrieval.py pins the bound).
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
+    return (fused.orderBy(F.desc("rrf_score"), F.asc("id")).limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .select(F.col("id").alias(id_col), "rrf_score",
+                    "lex_rank", "dense_rank", "rank"))

@@ -207,3 +207,38 @@ def test_bm25_topk_window_input_is_bounded(spark):
     lpos = max(plan.find("TakeOrderedAndProject"), plan.find("GlobalLimit"))
     assert wpos != -1 and lpos != -1 and wpos < lpos, plan
     assert out.count() <= 10
+
+
+# hybrid_rrf (r11) -----------------------------------------------------------
+
+
+def test_hybrid_rrf_hand_fusion(spark):
+    """Exact replay on a hand-built pair of rankings: scores are
+    1e6//(60+rank) sums, missing ranks contribute 0, ties break by id."""
+    from bqetl_spark.functions.retrieval import hybrid_rrf
+
+    lex = spark.createDataFrame([(10, 1), (20, 2), (30, 3)],
+                                ["doc_id", "rank"])
+    dense = spark.createDataFrame([(20, 1), (40, 2)], ["doc_id", "rank"])
+    out = {r["doc_id"]: r for r in
+           hybrid_rrf(lex, dense, k=10).collect()}
+    assert out[20]["rrf_score"] == 10**6 // 62 + 10**6 // 61  # both lists
+    assert out[10]["rrf_score"] == 10**6 // 61                # lex only
+    assert out[40]["rrf_score"] == 10**6 // 62                # dense only
+    assert out[40]["lex_rank"] is None
+    # ordering: 20 (both) first, then 10 (rank-1 lex), then 40, then 30
+    ranks = sorted((r["rank"], d) for d, r in out.items())
+    assert [d for _, d in ranks] == [20, 10, 40, 30]
+
+
+def test_hybrid_rrf_k_limit_and_validation(spark):
+    from bqetl_spark.functions.retrieval import hybrid_rrf
+    import pytest as _pt
+
+    lex = spark.createDataFrame([(i, i) for i in range(1, 9)],
+                                ["doc_id", "rank"])
+    dense = spark.createDataFrame([(i + 100, i) for i in range(1, 9)],
+                                  ["doc_id", "rank"])
+    assert hybrid_rrf(lex, dense, k=5).count() == 5
+    with _pt.raises(ValueError):
+        hybrid_rrf(lex, dense, k=0)
