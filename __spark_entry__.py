@@ -3402,6 +3402,38 @@ def q_hybrid_rrf(spark, sf_dir):
     return rt.hybrid_rrf(lex, dense, k=10, rrf_k=60)
 
 
+def q_retrieval_eval(spark, sf_dir):
+    """Ranking evaluation as a first-class op (functions.retrieval.
+    ndcg_eval, r11): graded-relevance DCG@10 for tfidf vs bm25 vs the
+    hybrid RRF fusion, side by side with the corpus ideal — closes the
+    retrieval loop (rank → fuse → EVALUATE) the way langid_confusion
+    closes the classifier loop. Relevance = number of distinct query
+    terms a document contains (0..3, SQL-replayable weak grading);
+    discounts d_i = floor(10⁶/log2(i+1)) are Python-precomputed
+    CONSTANTS inlined into both engines (the phash DCT-table
+    discipline), so the whole evaluation is integer-exact — the gate
+    publishes exact numerators (dcg_micro, ideal_micro), never the
+    float ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    terms = ["spark", "shuffle", "window"]
+    rel = docs.select(
+        "doc_id",
+        F.size(F.array_intersect(
+            F.array_distinct(tx.tokens(F.col("text"))),
+            F.array(*[F.lit(t) for t in terms])))
+        .cast("long").alias("rel"))
+    tfidf = rt.tfidf_topk(docs, terms, k=10).select("doc_id", "rank")
+    bm = rt.bm25_topk(docs, terms, k=10).select("doc_id", "rank")
+    lex = rt.bm25_topk(docs, terms, k=20).select("doc_id", "rank")
+    dense = (sim.cosine_topk(emb, emb.filter(F.col("vec_id") == 0),
+                             k=20, score_decimals=6)
+             .select(F.col("neighbor_id").alias("doc_id"), "rank"))
+    hybrid = rt.hybrid_rrf(lex, dense, k=10).select("doc_id", "rank")
+    return rt.ndcg_eval({"tfidf": tfidf, "bm25": bm, "hybrid": hybrid},
+                        rel, k=10)
+
+
 def q_embed_pq_topk(spark, sf_dir):
     """Product-quantization ANN with exact re-rank (similarity.pq_topk,
     r7): dim-64 vectors become 4 sub-codes from stride-seeded 16-entry
@@ -4083,6 +4115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_keep_trained": q_corpus_keep_trained,
         "stream_phash": q_stream_phash,
         "hybrid_rrf": q_hybrid_rrf,
+        "retrieval_eval": q_retrieval_eval,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "minhash_incremental": q_minhash_incremental,
@@ -9455,4 +9488,46 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY q.doc_id
         ORDER BY score DESC, doc_id ASC
         LIMIT 20"""
+    # retrieval_eval (r11): DCG@10 numerators for tfidf/bm25/hybrid vs
+    # the corpus ideal; discounts inlined from the SAME Python constants
+    # the Spark op uses (retrieval._dcg_discounts — one source of truth)
+    from bqetl_spark.functions.retrieval import _dcg_discounts
+
+    _disc_rows = ", ".join(f"({i + 1}, CAST({dv} AS BIGINT))"
+                           for i, dv in enumerate(_dcg_discounts(10)))
+    d["retrieval_eval"] = f"""
+        WITH rrel AS (
+            SELECT doc_id,
+                   CAST(len(list_intersect(list_distinct({_TOK}),
+                        ['spark', 'shuffle', 'window'])) AS BIGINT) AS rel
+            FROM documents),
+        disc(rk, dd) AS (VALUES {_disc_rows}),
+        ideal AS (
+            SELECT COALESCE(SUM(rel * dd), 0) AS ideal_micro
+            FROM (SELECT rel, row_number() OVER (
+                      ORDER BY rel DESC, doc_id ASC) AS rk FROM rrel) t
+            JOIN disc USING (rk)),
+        systems AS (
+            SELECT 'tfidf' AS system, doc_id, rank
+            FROM ({d["tfidf_topk"]}) t1 WHERE rank <= 10
+            UNION ALL
+            SELECT 'bm25' AS system, doc_id, rank
+            FROM ({d["bm25_topk"]}) t2 WHERE rank <= 10
+            UNION ALL
+            SELECT 'hybrid' AS system, doc_id, rank
+            FROM ({d["hybrid_rrf"]}) t3 WHERE rank <= 10),
+        scored AS (
+            SELECT s.system,
+                   CAST(COALESCE(SUM(COALESCE(r.rel, 0) * disc.dd), 0)
+                        AS BIGINT) AS dcg_micro,
+                   CAST(count(*) AS BIGINT) AS n_scored
+            FROM systems s
+            JOIN disc ON disc.rk = s.rank
+            LEFT JOIN rrel r ON r.doc_id = s.doc_id
+            GROUP BY s.system)
+        SELECT system, dcg_micro,
+               (SELECT CAST(ideal_micro AS BIGINT) FROM ideal)
+                 AS ideal_micro,
+               n_scored
+        FROM scored"""
     return d

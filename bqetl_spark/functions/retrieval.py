@@ -257,3 +257,66 @@ def hybrid_rrf(lex: DataFrame, dense: DataFrame, k: int = 10,
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .select(F.col("id").alias(id_col), "rrf_score",
                     "lex_rank", "dense_rank", "rank"))
+
+
+def _dcg_discounts(k: int) -> list[int]:
+    """DCG position discounts, integerized ONCE in Python and inlined as
+    CONSTANTS into both engines (the phash DCT-table discipline — the
+    only irrational, 1/log2(i+1), never enters either engine):
+    d_i = floor(10⁶ / log2(i+1)) for rank i = 1..k."""
+    import math
+
+    return [math.floor(10**6 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def ndcg_eval(rankings: dict[str, DataFrame], relevance: DataFrame,
+              k: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """Ranking evaluation as a first-class op (r11): graded-relevance
+    DCG@k for several systems side by side, plus the corpus ideal —
+    the eval step that closes the retrieval loop the way
+    langid_confusion closes the classifier loop.
+
+        dcg_micro(sys)  = Σ_{i≤k} rel(doc at rank i) · d_i
+        ideal_micro     = Σ_{i≤k} (i-th best corpus relevance) · d_i
+
+    with d_i = floor(10⁶/log2(i+1)) precomputed constants — ALL-INTEGER
+    in both engines (report nDCG as dcg_micro/ideal_micro downstream if
+    a float is wanted; the gate publishes the exact numerators).
+    ``relevance`` is (id, rel BIGINT); docs absent from it count 0.
+    Ideal ordering ties break by ascending id (deterministic).
+
+    Scale shape: each ranking is a ≤k-row list — joins are k-row
+    broadcasts against the relevance table; the ideal is one
+    TakeOrdered(k) over relevance. Returns (system, dcg_micro,
+    ideal_micro, n_scored) sorted by system."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    disc = _dcg_discounts(k)
+    dmap = F.create_map(*[F.lit(x) for pair in
+                          ((i + 1, d) for i, d in enumerate(disc))
+                          for x in pair])
+    rel = relevance.select(F.col(id_col).alias("__rid"),
+                           F.col("rel").cast("long").alias("__rel"))
+    ideal_row = (rel.orderBy(F.desc("__rel"), F.asc("__rid")).limit(k)
+                 .withColumn("__rk", F.row_number().over(
+                     Window.orderBy(F.desc("__rel"), F.asc("__rid"))))
+                 .select((F.col("__rel") * dmap[F.col("__rk")])
+                         .alias("__g"))
+                 .agg(F.coalesce(F.sum("__g"), F.lit(0))
+                      .cast("long").alias("ideal_micro")))
+    out = None
+    for name in sorted(rankings):
+        r = rankings[name].filter(F.col("rank") <= k)
+        sys_row = (r.join(rel, r[id_col] == rel["__rid"], "left")
+                   .select((F.coalesce("__rel", F.lit(0))
+                            * dmap[F.col("rank")]).alias("__g"))
+                   .agg(F.coalesce(F.sum("__g"), F.lit(0))
+                        .cast("long").alias("dcg_micro"),
+                        F.count("*").cast("long").alias("n_scored"))
+                   .select(F.lit(name).alias("system"), "dcg_micro",
+                           "n_scored"))
+        out = sys_row if out is None else out.unionByName(sys_row)
+    return (out.crossJoin(F.broadcast(ideal_row))
+            .select("system", "dcg_micro", "ideal_micro", "n_scored"))

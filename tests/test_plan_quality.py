@@ -45,6 +45,13 @@ Justified allowlist (each audited round 4; hard_negatives round 6):
   one row per LANGUAGE in the training labels (the lang_id_trained
   class: O(10²) at any corpus scale, grows with the label alphabet,
   not the data); every weight/feature join is an equi-join.
+- hybrid_rrf / retrieval_eval (r11): both embed cosine_topk's audited
+  brute-force dense ranking with a ONE-row query set (the embed_topk
+  class — broadcast side is the single query vector; the ANN paths are
+  the scale story for the dense leg); retrieval_eval additionally
+  attaches the ONE-row ideal-DCG aggregate via broadcast crossJoin
+  (the important_parts scalar-attach shape). The fusion/eval joins
+  themselves are k-row equi-joins.
 - quality_trained / quality_confusion / corpus_keep_trained (r11):
   the same _batch_perceptron loop with a TWO-row class list
   ('keep'/'toss') — the perceptron_langid crossJoin exactly, fixed at
@@ -64,7 +71,8 @@ ALLOWED_BNLJ = {"embed_topk", "embed_sq_topk", "embed_neardup",
                 "lang_id_trained", "lpa_modularity", "vocab_growth",
                 "perceptron_langid", "cms_join_size",
                 "langid_confusion", "quality_trained",
-                "quality_confusion", "corpus_keep_trained"}
+                "quality_confusion", "corpus_keep_trained",
+                "hybrid_rrf", "retrieval_eval"}
 
 # streaming queries execute a bounded replay inside the builder, and the
 # roundtrips write temp files — plan text is checked for batch shapes only
