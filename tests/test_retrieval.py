@@ -242,3 +242,21 @@ def test_hybrid_rrf_k_limit_and_validation(spark):
     assert hybrid_rrf(lex, dense, k=5).count() == 5
     with _pt.raises(ValueError):
         hybrid_rrf(lex, dense, k=0)
+
+
+def test_ndcg_eval_hand_dcg(spark):
+    """Hand replay: rel map {1:3, 2:1}, system ranks [1->doc1, 2->doc9
+    (unknown, rel 0), 3->doc2]; ideal = best ordering of corpus rels."""
+    from bqetl_spark.functions.retrieval import _dcg_discounts, ndcg_eval
+
+    d = _dcg_discounts(3)
+    rel = spark.createDataFrame([(1, 3), (2, 1), (3, 0)],
+                                ["doc_id", "rel"])
+    sysr = spark.createDataFrame([(1, 1), (9, 2), (2, 3)],
+                                 ["doc_id", "rank"])
+    out = ndcg_eval({"s": sysr}, rel, k=3).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["dcg_micro"] == 3 * d[0] + 0 * d[1] + 1 * d[2]
+    assert row["ideal_micro"] == 3 * d[0] + 1 * d[1] + 0 * d[2]
+    assert row["n_scored"] == 3
