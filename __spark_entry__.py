@@ -3434,6 +3434,24 @@ def q_retrieval_eval(spark, sf_dir):
                         rel, k=10)
 
 
+def q_ivf_incremental(spark, sf_dir):
+    """IVF index MAINTENANCE (similarity.ivf_assign, r11): centroids
+    train on the seen half of the corpus (even vec_ids, the certified
+    fixed-point Lloyd of kmeans_refine), then the NEW batch (odd ids)
+    is assigned to the FROZEN centroids with one Arrow-vectorized map
+    — the production ANN pattern: retrain rarely, assign continuously,
+    never rebuild. Completes the incremental family grid (dedup:
+    minhash_incremental; sketches: kmv/quantile_incremental; ANN:
+    this). Oracle replays the seen-half Lloyd (the _kmeans_cte
+    machinery with a training-corpus filter) + the argmax-cosine
+    assignment of the odd half."""
+    emb = _t(spark, sf_dir, "embeddings")
+    seen = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = sim.kmeans_refine(seen, n_lists=16, iters=2)
+    return sim.ivf_assign(new, cents)
+
+
 def q_embed_pq_topk(spark, sf_dir):
     """Product-quantization ANN with exact re-rank (similarity.pq_topk,
     r7): dim-64 vectors become 4 sub-codes from stride-seeded 16-entry
@@ -4116,6 +4134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_phash": q_stream_phash,
         "hybrid_rrf": q_hybrid_rrf,
         "retrieval_eval": q_retrieval_eval,
+        "ivf_incremental": q_ivf_incremental,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "minhash_incremental": q_minhash_incremental,
@@ -4784,22 +4803,27 @@ def _wp_cte(n_merges: int, emit: str = "merges",
     return ",\n        ".join(parts)
 
 
-def _kmeans_cte(n_lists: int, iters: int, dim: int = 64) -> str:
+def _kmeans_cte(n_lists: int, iters: int, dim: int = 64,
+                where: str = "") -> str:
     """CTE chain ending in ``seeds{iters}`` = Lloyd-refined centroids,
     mirroring similarity.kmeans_refine step for step: stride-picked seeds,
     argmax-cosine assignment (ties by ascending list_id — the UDF's
     stable-sort convention), FIXED-POINT EXACT means (floor(x*2^24)
     integer sums — the Spark side computes the identical sums, so the
     centroids are bit-equal across engines), and empty-list carry-over
-    (kmeans_refine's dict merge == LEFT JOIN + coalesce)."""
+    (kmeans_refine's dict merge == LEFT JOIN + coalesce). ``where``
+    restricts the training corpus (r11: the incremental gate trains on
+    the seen half only)."""
+    w = f" WHERE {where}" if where else ""
+    w_and = f"{where} AND " if where else ""
     parts = [
         f"params AS (SELECT greatest(count(*) // {n_lists}, 1) AS stride "
-        f"FROM embeddings)",
-        ("vecs AS (SELECT vec_id, list_transform(embedding, "
-         "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"),
+        f"FROM embeddings{w})",
+        (f"vecs AS (SELECT vec_id, list_transform(embedding, "
+         f"x -> CAST(x AS DOUBLE)) AS v FROM embeddings{w})"),
         (f"seeds0 AS (SELECT vec_id AS list_id, list_transform(embedding, "
          f"x -> CAST(x AS DOUBLE)) AS centroid FROM embeddings, params "
-         f"WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT {n_lists})"),
+         f"WHERE {w_and}vec_id % stride = 0 ORDER BY vec_id LIMIT {n_lists})"),
     ]
     for it in range(1, iters + 1):
         prev = f"seeds{it - 1}"
@@ -6380,6 +6404,17 @@ def oracle_sql() -> dict[str, str]:
           FROM cand)
         SELECT query_id, neighbor_id, rank, round(s, 4) AS score
         FROM ranked WHERE rank <= 5"""
+    # ivf_incremental (r11): seen-half Lloyd + frozen-centroid argmax
+    # assignment of the odd half
+    d["ivf_incremental"] = f"""
+        WITH {_kmeans_cte(16, 2, where="vec_id % 2 = 0")}
+        SELECT vec_id, list_id FROM (
+            SELECT e.vec_id, s.list_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_cosine_sql('e.embedding', 's.centroid')} DESC,
+                              s.list_id ASC) AS rn
+            FROM embeddings e, seeds2 s WHERE e.vec_id % 2 = 1)
+        WHERE rn = 1"""
     # SemDeDup: same bit-exact refined centroids (n_lists=8), final cell
     # assignment, then the drop rule — any member with a smaller-id
     # within-cell neighbor at cosine >= threshold is dropped. The pair

@@ -1153,3 +1153,30 @@ def ivf_topk_learned(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return ivf_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
                     n_lists=n_lists, n_probe=n_probe,
                     score_decimals=score_decimals)
+
+
+def ivf_assign(vecs: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign vectors to FROZEN centroids (r11) — the index-MAINTENANCE
+    half of IVF: production ANN systems retrain centroids rarely
+    (:func:`kmeans_refine`, offline) and assign continuously; a new
+    batch lands in the existing lists with one Arrow-vectorized map —
+    no retraining, no shuffle, no index rebuild. Argmax cosine with
+    ties by ascending list_id (the `_top_lists_udf` convention the
+    certified IVF gates already rely on).
+
+    ``centroids`` is (list_id, centroid) — metadata-sized by
+    construction (n_lists rows), collected once and broadcast inside
+    the UDF closure. Returns (id_col, list_id)."""
+    cent = {int(r["list_id"]): [float(x) for x in r["centroid"]]
+            for r in centroids.collect()}   # metadata collect: n_lists rows
+    if not cent:
+        raise ValueError("ivf_assign needs a non-empty centroid table")
+    ids = sorted(cent)
+    nearest = _top_lists_udf(ids, [cent[i] for i in ids], keep=1)
+    v = vecs.select(F.col(id_col),
+                    F.transform(F.col(vec_col),
+                                lambda x: x.cast("double")).alias("__v"))
+    return v.select(id_col, F.explode(nearest(F.col("__v")))
+                    .alias("list_id"))

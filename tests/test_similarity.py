@@ -177,3 +177,24 @@ def test_ivf_learned_matches_fixed_at_sf0001(spark):
     want = sorted(map(tuple, ivf_topk(emb, q, k=3, n_lists=16,
                                       n_probe=4).collect()))
     assert got == want and len(got) > 0
+
+
+def test_ivf_assign_frozen_centroids(spark):
+    """r11: assignment against FROZEN centroids — every vector lands in
+    its argmax-cosine list with ascending-list tie-break; assignment of
+    a centroid's own vector returns that centroid's list; empty
+    centroid table raises."""
+    import pytest as _pt
+
+    from bqetl_spark.functions.similarity import ivf_assign
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["list_id", "centroid"])
+    vecs = spark.createDataFrame(
+        [(10, [0.9, 0.1]), (11, [0.1, 0.9]), (12, [1.0, 1.0])],
+        ["vec_id", "embedding"])
+    got = {r["vec_id"]: r["list_id"]
+           for r in ivf_assign(vecs, cents).collect()}
+    assert got == {10: 0, 11: 1, 12: 0}   # exact tie -> ascending list_id
+    with _pt.raises(ValueError, match="non-empty"):
+        ivf_assign(vecs, cents.limit(0))

@@ -44,7 +44,7 @@ ROUND_HEAD = {
     "new_first": ["phash_neardup", "quality_trained", "quality_confusion",
                   "sssp_hops", "lz_savings", "phash_clusters",
                   "audio_neardup", "corpus_keep_trained", "stream_phash", "hybrid_rrf",
-                  "retrieval_eval"],
+                  "retrieval_eval", "ivf_incremental"],
     # minhash band-geometry fix (32x2 -> 16x4 at threshold 0.9): output
     # proven bit-identical at sf0.1/1/3 but the gate code changed;
     # hilbert_key oracle de-shadowed (ADVICE), hits_scores broadcast
