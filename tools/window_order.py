@@ -38,9 +38,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # queries() dict order to compute_order(..., **ROUND_HEAD), so a stale
 # constant fails the suite instead of silently drifting.
 ROUND_HEAD = {
-    # r11: starts empty — new gates are appended here as they land
-    # (phash_neardup, quality_trained, sssp_hops, ... per VERDICT r10
-    # items 2/3/6/7), with regen_queries_dict.py re-run each time.
+    # r11 head: the 13 new gates in landing order (VERDICT r10 items
+    # 2/3/6/7 + the second-half wave), then the 6 changed gates
+    # (minhash geometry fix, ADVICE repairs). regen_queries_dict.py
+    # re-ran after each landing.
     "new_first": ["phash_neardup", "quality_trained", "quality_confusion",
                   "sssp_hops", "lz_savings", "phash_clusters",
                   "audio_neardup", "corpus_keep_trained", "stream_phash", "hybrid_rrf",
