@@ -1010,7 +1010,7 @@ def test_phash_clusters_groups_transitively(spark):
     assert out[1]["cluster_size"] == 3
 
 
-def _wav(samples):
+def _mono_wav(samples):
     import struct
     data = struct.pack(f"<{len(samples)}h", *samples)
     return (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
@@ -1021,7 +1021,7 @@ def _wav(samples):
 
 def _audio_media(spark, rows):
     df = spark.createDataFrame(
-        [(i, bytearray(_wav(s))) for i, s in rows], ["doc_id", "payload"])
+        [(i, bytearray(_mono_wav(s))) for i, s in rows], ["doc_id", "payload"])
     return mm.attach_media(df, "doc_id", F.col("payload"), kind="audio",
                            fmt="wav")
 
