@@ -159,6 +159,19 @@ EXTRAS = [
     "multimodal_tiff",
     "langid_confusion",
     "hilbert_key",
+    # round 11
+    "phash_neardup",
+    "phash_clusters",
+    "audio_neardup",
+    "quality_trained",
+    "quality_confusion",
+    "corpus_keep_trained",
+    "sssp_hops",
+    "lz_savings",
+    "stream_phash",
+    "hybrid_rrf",
+    "retrieval_eval",
+    "ivf_incremental",
 ]
 
 
