@@ -2310,6 +2310,20 @@ def q_langid_confusion(spark, sf_dir):
             .agg(F.count("*").cast("long").alias("n")))
 
 
+def q_doc_embed_topk(spark, sf_dir):
+    """Document-level semantic search over ENGINE-TRAINED embeddings
+    (functions.text.doc_embed_topk, r11): tf-weighted sum pooling of
+    the PPMI token vectors (sum ≡ mean under cosine — per-vector
+    scale invariance — so pooling stays exact BIGINT), then exact
+    squared-cosine top-5 for the first 5 docs with a nonzero vector.
+    The pre-neural doc2vec baseline end to end in one engine; the
+    oracle replays training, pooling, norms, dots and ranking with
+    ONE audited ln floor (the token_embed_topk boundary class)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.doc_embed_topk(docs, n_probes=5, k=5, window=2, dim=16,
+                             min_pair=2)
+
+
 def q_zipf_slope(spark, sf_dir):
     """Zipf exponent per language (functions.text.zipf_slope, r10): OLS
     of floor-1e6-ln frequency on floor-1e6-ln rank over the top-1000
@@ -4135,6 +4149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "retrieval_eval": q_retrieval_eval,
         "ivf_incremental": q_ivf_incremental,
+        "doc_embed_topk": q_doc_embed_topk,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "minhash_incremental": q_minhash_incremental,
@@ -8996,6 +9011,88 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY probe
                   ORDER BY cos2_ppm DESC, tok ASC) AS rnk
               FROM ranked) z
+        WHERE rnk <= 5"""
+    # doc_embed_topk (r11): the token-embedding CTE chain (identical
+    # training arithmetic to token_embed_topk) + tf-weighted sum
+    # pooling per document + the squared-cosine rational ranking over
+    # the first-5 probe docs
+    d["doc_embed_topk"] = f"""
+        WITH dbase AS MATERIALIZED (
+            SELECT doc_id, {_TOK} AS w FROM documents
+            WHERE trim(text) != ''),
+        tkk AS MATERIALIZED (
+            SELECT w FROM dbase WHERE len(w) >= 2),
+        pr AS (
+            SELECT s.t AS t, s.c AS c FROM (
+                SELECT unnest(list_transform(range(1, len(w)),
+                              i -> {{'t': w[i], 'c': w[i+1]}})) AS s
+                FROM tkk)
+            UNION ALL
+            SELECT s.t, s.c FROM (
+                SELECT unnest(list_transform(range(1, len(w) - 1),
+                              i -> {{'t': w[i], 'c': w[i+2]}})) AS s
+                FROM tkk WHERE len(w) >= 3)),
+        sym AS (
+            SELECT t, c FROM pr
+            UNION ALL
+            SELECT c AS t, t AS c FROM pr),
+        cnt AS MATERIALIZED (
+            SELECT t, c, count(*) AS n FROM sym GROUP BY t, c
+            HAVING count(*) >= 2),
+        tot AS (SELECT SUM(n) AS s FROM cnt),
+        mt AS MATERIALIZED (SELECT t, SUM(n) AS nt FROM cnt GROUP BY t),
+        mc AS MATERIALIZED (SELECT c, SUM(n) AS nc FROM cnt GROUP BY c),
+        scored AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT cnt.t, cnt.c,
+                       greatest(CAST(floor(1000 * ln(
+                           (cnt.n::DOUBLE * tot.s) / (mt.nt::DOUBLE
+                                                      * mc.nc)))
+                           AS BIGINT), 0) AS p
+                FROM cnt JOIN mt ON cnt.t = mt.t
+                JOIN mc ON cnt.c = mc.c CROSS JOIN tot) z
+            WHERE p > 0),
+        emb AS MATERIALIZED (
+            SELECT t AS tok, {_emb_s} FROM scored GROUP BY t),
+        comp AS MATERIALIZED (
+            SELECT tok, unnest(range(16)) AS k,
+                   unnest({_emb_list}) AS e
+            FROM emb),
+        docc AS MATERIALIZED (
+            SELECT doc_id, t AS tok, count(*) AS tf FROM (
+                SELECT doc_id, unnest(w) AS t FROM dbase) g
+            GROUP BY doc_id, t),
+        dcomp AS MATERIALIZED (
+            SELECT d.doc_id, c.k, SUM(d.tf::HUGEINT * c.e) AS e
+            FROM docc d JOIN comp c ON d.tok = c.tok
+            GROUP BY d.doc_id, c.k),
+        dnrm AS MATERIALIZED (
+            SELECT doc_id, SUM(e * e) AS n2 FROM dcomp GROUP BY doc_id
+            HAVING SUM(e * e) > 0),
+        dprobes AS MATERIALIZED (
+            SELECT doc_id AS probe_doc FROM dnrm
+            ORDER BY doc_id ASC LIMIT 5),
+        dpc AS MATERIALIZED (
+            SELECT p.probe_doc, c.k, c.e AS pe
+            FROM dprobes p JOIN dcomp c ON p.probe_doc = c.doc_id),
+        ddots AS MATERIALIZED (
+            SELECT pc.probe_doc, c.doc_id, SUM(pc.pe * c.e) AS dot
+            FROM dcomp c JOIN dpc pc ON c.k = pc.k
+            WHERE c.doc_id != pc.probe_doc
+            GROUP BY pc.probe_doc, c.doc_id
+            HAVING SUM(pc.pe * c.e) > 0),
+        dranked AS (
+            SELECT d.probe_doc, d.doc_id,
+                   CAST(d.dot * d.dot * 1000000
+                        // (np.n2 * nd.n2) AS BIGINT) AS cos2_ppm
+            FROM ddots d
+            JOIN dnrm np ON d.probe_doc = np.doc_id
+            JOIN dnrm nd ON d.doc_id = nd.doc_id)
+        SELECT probe_doc, doc_id, cos2_ppm, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT probe_doc, doc_id, cos2_ppm, row_number() OVER (
+                  PARTITION BY probe_doc
+                  ORDER BY cos2_ppm DESC, doc_id ASC) AS rnk
+              FROM dranked) z
         WHERE rnk <= 5"""
     # TF-IDF doc pairs: squared-cosine rational in HUGEINT over the
     # df-capped term space; ln floors at the 1e3 scale margin-audited

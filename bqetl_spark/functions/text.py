@@ -1466,3 +1466,75 @@ def token_embed_topk(df: DataFrame, text_col: str = "text",
             .filter(F.col("rnk") <= k)
             .select("probe", "tok", "cos2_ppm",
                     F.col("rnk").cast("long").alias("rnk")))
+
+
+def doc_embed_topk(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", n_probes: int = 5, k: int = 5,
+                   window: int = 2, dim: int = 16,
+                   min_pair: int = 2) -> DataFrame:
+    """DOCUMENT-level semantic search over embeddings TRAINED IN THE
+    ENGINE (r11): each document's vector is the tf-weighted SUM of its
+    tokens' :func:`token_embeddings` vectors — sum pooling, not mean,
+    because cosine is per-vector scale-invariant so the two rank
+    identically and the sum stays exact BIGINT. The classic
+    train-your-own-embeddings retrieval pipeline (PPMI + projection ≈
+    what SGNS factorizes; pooled doc vectors ≈ the pre-neural doc2vec
+    baseline), end to end in one engine with ONE audited ln floor.
+
+    For each of the first ``n_probes`` doc ids with a nonzero vector,
+    the ``k`` nearest other documents by the exact squared-cosine
+    rational cos2_ppm = dot²·10⁶ div (‖p‖²·‖d‖²), candidates dot > 0,
+    ties by ascending doc id (the token_embed_topk conventions).
+    Exactness bound: dot²·10⁶ < 10³⁸ while max |component| < ~10⁸
+    (measured 3.3·10⁴ at sf0.1; at larger corpora right-shift the
+    pooled components by a documented power of two).
+
+    Shape: pooling is one (doc, tok) tf aggregation + a vocab-key
+    equi-join against the broadcastable embedding table; dots come
+    from the dim-key equi-join of exploded components (fanout dim per
+    doc — no doc self-join); one window ranks per probe. Returns
+    (probe_doc, doc_id, cos2_ppm, rnk)."""
+    if n_probes < 1 or k < 1:
+        raise ValueError(f"n_probes/k must be >= 1, got {n_probes}/{k}")
+    emb = token_embeddings(df, text_col, window=window, dim=dim,
+                           min_pair=min_pair)
+    comp = emb.select(
+        "tok", F.posexplode(F.array(*[F.col(f"e{i}")
+                                      for i in range(dim)]))
+        .alias("__k", "__e"))
+    docc = (df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col), F.explode(tokens(F.col(text_col)))
+                    .alias("tok"))
+            .groupBy(id_col, "tok").agg(F.count("*").alias("__tf")))
+    dcomp = (docc.join(comp, "tok")
+             .groupBy(id_col, "__k")
+             .agg(F.sum(F.col("__tf") * F.col("__e"))
+                  .cast("long").alias("__e")))
+    norm = (dcomp.groupBy(id_col)
+            .agg(F.sum(F.expr("CAST(__e AS DECIMAL(19,0)) * __e"))
+                 .cast("decimal(38,0)").alias("__n2"))
+            .filter(F.col("__n2") > 0))
+    probes = (norm.orderBy(F.asc(id_col)).limit(n_probes)
+              .select(F.col(id_col).alias("probe_doc")))
+    pcomp = (probes.join(dcomp, probes["probe_doc"] == dcomp[id_col])
+             .select("probe_doc", "__k", F.col("__e").alias("__pe")))
+    dots = (dcomp.join(F.broadcast(pcomp), "__k")
+            .filter(F.col(id_col) != F.col("probe_doc"))
+            .groupBy("probe_doc", id_col)
+            .agg(F.sum(F.expr("CAST(__pe AS DECIMAL(19,0)) * __e"))
+                 .cast("decimal(38,0)").alias("__dot"))
+            .filter(F.col("__dot") > 0))
+    np_ = norm.select(F.col(id_col).alias("probe_doc"),
+                      F.col("__n2").alias("__np"))
+    cos2 = F.expr("""
+        CAST(__dot * __dot * 1000000 AS DECIMAL(38,0))
+        div CAST(__np * __n2 AS DECIMAL(38,0))""")
+    ranked = (dots.join(F.broadcast(np_), "probe_doc").join(norm, id_col)
+              .select("probe_doc", id_col,
+                      cos2.cast("long").alias("cos2_ppm")))
+    w = Window.partitionBy("probe_doc").orderBy(F.desc("cos2_ppm"),
+                                                F.asc(id_col))
+    return (ranked.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("probe_doc", id_col, "cos2_ppm",
+                    F.col("rnk").cast("long").alias("rnk")))
