@@ -4137,56 +4137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_entry.py::test_window_order_matches_tool pins dict order
     # to the tool's output so the comment cannot drift from reality.
     return {
-        "phash_neardup": q_phash_neardup,
-        "quality_trained": q_quality_trained,
-        "quality_confusion": q_quality_confusion,
-        "sssp_hops": q_sssp_hops,
-        "lz_savings": q_lz_savings,
-        "phash_clusters": q_phash_clusters,
-        "audio_neardup": q_audio_neardup,
-        "corpus_keep_trained": q_corpus_keep_trained,
-        "stream_phash": q_stream_phash,
-        "hybrid_rrf": q_hybrid_rrf,
-        "retrieval_eval": q_retrieval_eval,
-        "ivf_incremental": q_ivf_incremental,
-        "doc_embed_topk": q_doc_embed_topk,
-        "minhash_lsh": q_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "minhash_incremental": q_minhash_incremental,
-        "dedup_keep_best": q_dedup_keep_best,
-        "hilbert_key": q_hilbert_key,
         "hits_scores": q_hits_scores,
-        "embed_sq_topk": q_embed_sq_topk,
-        "embed_topk": q_embed_topk,
-        "events_calendar": q_events_calendar,
-        "events_gapfill": q_events_gapfill,
-        "events_json": q_events_json,
-        "gram_repetition": q_gram_repetition,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "hard_negatives": q_hard_negatives,
-        "incremental_agg": q_incremental_agg,
-        "intersect_customers": q_intersect_customers,
-        "key_skew": q_key_skew,
-        "kmv_distinct": q_kmv_distinct,
-        "kmv_incremental": q_kmv_incremental,
-        "market_share": q_market_share,
-        "median_quantity": q_median_quantity,
-        "multimodal_bytes": q_multimodal_bytes,
-        "multimodal_frames": q_multimodal_frames,
-        "percentile_band": q_percentile_band,
-        "pii_redact": q_pii_redact,
-        "pivot_event_counts": q_pivot_event_counts,
-        "product_profit": q_product_profit,
-        "promo_revenue": q_promo_revenue,
-        "rollup_grouping_id": q_rollup_grouping_id,
-        "ship_priority_counts": q_ship_priority_counts,
-        "string_suite": q_string_suite,
-        "temperature_quotas": q_temperature_quotas,
-        "temperature_sample": q_temperature_sample,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "tumbling_window": q_tumbling_window,
-        "union_high_value": q_union_high_value,
-        "attribution": q_attribution,
         "bloom_prune": q_bloom_prune,
         "bm25_topk": q_bm25_topk,
         "boilerplate_strip": q_boilerplate_strip,
@@ -4376,6 +4327,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_train": q_wordpiece_train,
         "zipf_slope": q_zipf_slope,
         "zorder_key": q_zorder_key,
+        "attribution": q_attribution,
+        "audio_neardup": q_audio_neardup,
+        "corpus_keep_trained": q_corpus_keep_trained,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "doc_embed_topk": q_doc_embed_topk,
+        "embed_sq_topk": q_embed_sq_topk,
+        "embed_topk": q_embed_topk,
+        "events_calendar": q_events_calendar,
+        "events_gapfill": q_events_gapfill,
+        "events_json": q_events_json,
+        "gram_repetition": q_gram_repetition,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "hard_negatives": q_hard_negatives,
+        "hilbert_key": q_hilbert_key,
+        "hybrid_rrf": q_hybrid_rrf,
+        "incremental_agg": q_incremental_agg,
+        "intersect_customers": q_intersect_customers,
+        "ivf_incremental": q_ivf_incremental,
+        "key_skew": q_key_skew,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_incremental": q_kmv_incremental,
+        "lz_savings": q_lz_savings,
+        "market_share": q_market_share,
+        "median_quantity": q_median_quantity,
+        "minhash_incremental": q_minhash_incremental,
+        "minhash_lsh": q_minhash_lsh,
+        "multimodal_bytes": q_multimodal_bytes,
+        "multimodal_frames": q_multimodal_frames,
+        "percentile_band": q_percentile_band,
+        "phash_clusters": q_phash_clusters,
+        "phash_neardup": q_phash_neardup,
+        "pii_redact": q_pii_redact,
+        "pivot_event_counts": q_pivot_event_counts,
+        "product_profit": q_product_profit,
+        "promo_revenue": q_promo_revenue,
+        "quality_confusion": q_quality_confusion,
+        "quality_trained": q_quality_trained,
+        "retrieval_eval": q_retrieval_eval,
+        "rollup_grouping_id": q_rollup_grouping_id,
+        "ship_priority_counts": q_ship_priority_counts,
+        "sssp_hops": q_sssp_hops,
+        "stream_phash": q_stream_phash,
+        "string_suite": q_string_suite,
+        "temperature_quotas": q_temperature_quotas,
+        "temperature_sample": q_temperature_sample,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "tumbling_window": q_tumbling_window,
+        "union_high_value": q_union_high_value,
     }
 
 

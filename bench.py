@@ -172,6 +172,7 @@ EXTRAS = [
     "hybrid_rrf",
     "retrieval_eval",
     "ivf_incremental",
+    "doc_embed_topk",       # landed post-EXTRAS_r11 (ADVICE r11 item 5)
 ]
 
 

@@ -1767,7 +1767,18 @@ def phash_band_pairs(hashes: DataFrame, max_hamming: int = 8,
     table — the query half of phash_neardup, factored out (r11) so the
     same certified pair logic runs over a PERSISTED fingerprint index
     (the streaming-maintenance story: hash on ingest, pair-query the
-    stored index at any time) as well as over a freshly-hashed batch."""
+    stored index at any time) as well as over a freshly-hashed batch.
+
+    ``max_hamming`` must be ≤ 8: the 9-band × 7-bit pigeonhole only
+    guarantees recall 1.0 up to hamming 8 (9 bands survive 8 bit flips
+    with one band intact). A larger threshold would silently return
+    partial recall while this docstring family claims ALL qualifying
+    pairs — so it raises instead (ADVICE r11; mirrors audio_neardup's
+    ``max_hamming <= bands-1`` guard)."""
+    if max_hamming > 8:
+        raise ValueError(
+            f"phash_band_pairs guarantees full recall only for "
+            f"max_hamming <= 8 (9 bands x 7 bits); got {max_hamming}")
     bands = hashes.select(
         F.col("media_id").alias("id"), "phash",
         F.explode(F.sequence(F.lit(0), F.lit(8))).alias("j"),

@@ -1485,9 +1485,15 @@ def doc_embed_topk(df: DataFrame, text_col: str = "text",
     the ``k`` nearest other documents by the exact squared-cosine
     rational cos2_ppm = dot²·10⁶ div (‖p‖²·‖d‖²), candidates dot > 0,
     ties by ascending doc id (the token_embed_topk conventions).
-    Exactness bound: dot²·10⁶ < 10³⁸ while max |component| < ~10⁸
-    (measured 3.3·10⁴ at sf0.1; at larger corpora right-shift the
-    pooled components by a documented power of two).
+    Exactness bound (corrected per ADVICE r11): dot ≤ dim·c² for
+    max pooled |component| c, so dot²·10⁶ < 10³⁸ needs
+    c < √(10¹⁶/dim) ≈ 2.5·10⁷ at dim=16 — NOT the ~10⁸ previously
+    documented (at c≈10⁸ the product would overflow DECIMAL(38,0),
+    where Spark silently NULLs and DuckDB HUGEINT errors — a silent
+    cross-engine divergence). Measured c = 3.3·10⁴ at sf0.1 (≈760×
+    margin); tests/test_oracle_margins.py audits the bound so it's
+    tracked as corpora grow. At larger corpora right-shift the pooled
+    components by a documented power of two.
 
     Shape: pooling is one (doc, tok) tf aggregation + a vocab-key
     equi-join against the broadcastable embedding table; dots come

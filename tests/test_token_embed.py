@@ -134,3 +134,42 @@ def test_ppmi_ln_margin_on_gate_corpora(sf_dir):
     for n, a, b in seen:
         v = 1000 * math.log((float(n) * float(tot)) / (float(a) * b))
         assert abs(v - round(v)) > 1e-6, (n, a, b, v)
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01",
+                                    "/root/testdata/sf0.1"])
+def test_doc_embed_component_overflow_margin(sf_dir):
+    """doc_embed_topk exactness audit (ADVICE r11): the DECIMAL(38,0)
+    cos2 numerator dot²·10⁶ stays exact only while every pooled doc
+    component |c| < √(10¹⁶/dim) ≈ 2.5·10⁷ at dim=16 (dot ≤ dim·c²).
+    Beyond it Spark silently NULLs on decimal overflow while DuckDB
+    HUGEINT errors — a silent cross-engine divergence, so the bound
+    must be AUDITED, not assumed. Replays the tf-weighted sum pooling
+    of the _py_embed replica on each gate corpus and asserts ≥100×
+    margin, tracking the ceiling as corpora grow."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(f"{sf_dir}/documents.parquet")
+    if not files:
+        pytest.skip("corpus missing")
+    texts = pq.read_table(files[0], columns=["text"]).to_pydict()["text"]
+    emb = _py_embed([t or "" for t in texts])
+    worst = 0
+    for t in texts:
+        pooled = [0] * 16
+        cnt = Counter((t or "").split())
+        for tok, tf in cnt.items():
+            e = emb.get(tok)
+            if e:
+                for k in range(16):
+                    pooled[k] += tf * e[k]
+        worst = max(worst, max(abs(v) for v in pooled), key=abs)
+    bound = math.isqrt(10**16 // 16)            # ≈ 2.5e7
+    assert worst < bound / 100, (
+        f"max pooled |component| {worst} within 100x of the "
+        f"DECIMAL(38,0) exactness ceiling {bound} — right-shift the "
+        f"pooled components (doc_embed_topk docstring) before the "
+        f"oracle silently diverges")

@@ -91,7 +91,12 @@ QUERIES = ["denorm_flat", "q3_top_revenue", "dedup_fingerprint",
            # one scan of pure codegen.
            "phash_neardup", "phash_clusters", "audio_neardup",
            "quality_trained", "quality_confusion", "sssp_hops",
-           "lz_savings"]
+           "lz_savings",
+           # r12 additions (ADVICE r11 item 5: doc_embed_topk had no
+           # slope row). Expected shapes: doc_embed pooling is one tf
+           # agg + a vocab-bounded embedding join (tokenizer-train
+           # story — replication grows tf counts, not vocab).
+           "doc_embed_topk"]
 
 
 def main() -> None:

@@ -7,7 +7,8 @@ hash-checking EVERY oracle each round.
 Usage: cd /tmp && python3 /root/repo/tools/sweep.py [OUT_JSON]
        cd /tmp && python3 /root/repo/tools/sweep.py --only g1,g2
        cd /tmp && python3 /root/repo/tools/sweep.py --stability [N]
-Writes the artifact (default SWEEP_r10.json at the repo root) and prints a
+Writes the artifact (default SWEEP_r{N}.json at the repo root, N derived
+from the newest CORRECTNESS_r*.json + 1) and prints a
 one-line summary. Rows-only gates (no oracle) are counted separately.
 --only runs just the named gates and does NOT write the artifact (quick
 iteration check after touching a gate or oracle).
@@ -49,7 +50,20 @@ while args and args[0].startswith("--"):
             args = args[1:]
     else:
         raise SystemExit(f"unknown flag {args[0]}")
-OUT = args[0] if args else os.path.join(ROOT, "SWEEP_r10.json")
+def _current_round() -> int:
+    """Round = newest CORRECTNESS_r*.json + 1 (this sweep previews the
+    NEXT driver evaluation; VERDICT r11 flagged the old hard-coded
+    'round-10' label as a provenance artifact)."""
+    import glob
+    import re
+    rounds = [int(m.group(1))
+              for p in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
+              if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))]
+    return (max(rounds) + 1) if rounds else 1
+
+
+ROUND = _current_round()
+OUT = args[0] if args else os.path.join(ROOT, f"SWEEP_r{ROUND:02d}.json")
 SF = "/root/testdata/sf0.01"
 
 
@@ -143,7 +157,7 @@ def main() -> None:
     stability = stability_tier(osql) if ONLY is None else {}
     artifact = {
         "sf": SF,
-        "session": "round-10",
+        "session": f"round-{ROUND}",
         "method": ("vanilla local[8] SparkSession from cwd=/tmp (driver "
                    "conditions), tests/oracle_harness.compare (rows + "
                    "sorted columns + order-insensitive value hash) vs "

@@ -38,20 +38,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # queries() dict order to compute_order(..., **ROUND_HEAD), so a stale
 # constant fails the suite instead of silently drifting.
 ROUND_HEAD = {
-    # r11 head: the 14 new gates in landing order (VERDICT r10 items
-    # 2/3/6/7 + the second-half wave), then the 6 changed gates
-    # (minhash geometry fix, ADVICE repairs). regen_queries_dict.py
-    # re-ran after each landing.
-    "new_first": ["phash_neardup", "quality_trained", "quality_confusion",
-                  "sssp_hops", "lz_savings", "phash_clusters",
-                  "audio_neardup", "corpus_keep_trained", "stream_phash", "hybrid_rrf",
-                  "retrieval_eval", "ivf_incremental", "doc_embed_topk"],
-    # minhash band-geometry fix (32x2 -> 16x4 at threshold 0.9): output
-    # proven bit-identical at sf0.1/1/3 but the gate code changed;
-    # hilbert_key oracle de-shadowed (ADVICE), hits_scores broadcast
-    # decision now covers both sides (ADVICE) — results unchanged
-    "changed": ["minhash_lsh", "dedup_clusters", "minhash_incremental",
-                "dedup_keep_best", "hilbert_key", "hits_scores"],
+    # r12 head: new gates in landing order (VERDICT r11 items 3/4/8),
+    # then the changed gates. regen_queries_dict.py re-ran after each
+    # landing.
+    "new_first": [],
+    # hits_scores: per-phase max normalizer moved from driver collects to
+    # the in-plan one-row crossJoin (VERDICT r11 item 6) — result proven
+    # bit-identical, but the gate code changed
+    "changed": ["hits_scores"],
 }
 
 
