@@ -2324,6 +2324,25 @@ def q_doc_embed_topk(spark, sf_dir):
                              min_pair=2)
 
 
+def q_doc_embed_ann(spark, sf_dir):
+    """IVF-routed document search (functions.text.doc_embed_ann, r12):
+    the doc_embed_topk pooled vectors routed through EXACT-INTEGER
+    seeded IVF — 16 lists seeded by id stride, coarse assignment by
+    the rational squared cosine sign(dot)·(dot²·10⁶ div ‖seed‖²) in
+    DECIMAL(38,0), docs in their top-1 list, probes scanning their
+    top 6 — then doc_embed_topk's exact scoring over the bucket-join
+    candidates only. Approximate by design (recall floor vs the exact
+    tier pinned in tests at 1.0 on all gate corpora) yet fully
+    deterministic, so it hash-certifies where float-cosine ANN needs
+    margin audits. The 100 TB shape: assignment is one broadcast
+    equi-join against n_lists·dim seed components (the FAISS coarse-
+    quantize cost), candidates come from a bucket equi-join — the
+    corpus is never all-pairs scored."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.doc_embed_ann(docs, n_probes=5, k=5, window=2, dim=16,
+                            min_pair=2, n_lists=16, n_probe_lists=6)
+
+
 def q_zipf_slope(spark, sf_dir):
     """Zipf exponent per language (functions.text.zipf_slope, r10): OLS
     of floor-1e6-ln frequency on floor-1e6-ln rank over the top-1000
@@ -4137,6 +4156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_entry.py::test_window_order_matches_tool pins dict order
     # to the tool's output so the comment cannot drift from reality.
     return {
+        "doc_embed_ann": q_doc_embed_ann,
         "hits_scores": q_hits_scores,
         "bloom_prune": q_bloom_prune,
         "bm25_topk": q_bm25_topk,
@@ -9015,9 +9035,11 @@ def oracle_sql() -> dict[str, str]:
     # doc_embed_topk (r11): the token-embedding CTE chain (identical
     # training arithmetic to token_embed_topk) + tf-weighted sum
     # pooling per document + the squared-cosine rational ranking over
-    # the first-5 probe docs
-    d["doc_embed_topk"] = f"""
-        WITH dbase AS MATERIALIZED (
+    # the first-5 probe docs. The chain through dnrm/dprobes/dpc is
+    # shared verbatim with doc_embed_ann (r12), which swaps the
+    # all-docs scoring for IVF-bucket candidate generation.
+    _docvec_ctes = f"""
+        dbase AS MATERIALIZED (
             SELECT doc_id, {_TOK} AS w FROM documents
             WHERE trim(text) != ''),
         tkk AS MATERIALIZED (
@@ -9074,7 +9096,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id ASC LIMIT 5),
         dpc AS MATERIALIZED (
             SELECT p.probe_doc, c.k, c.e AS pe
-            FROM dprobes p JOIN dcomp c ON p.probe_doc = c.doc_id),
+            FROM dprobes p JOIN dcomp c ON p.probe_doc = c.doc_id)"""
+    d["doc_embed_topk"] = f"""
+        WITH {_docvec_ctes},
         ddots AS MATERIALIZED (
             SELECT pc.probe_doc, c.doc_id, SUM(pc.pe * c.e) AS dot
             FROM dcomp c JOIN dpc pc ON c.k = pc.k
@@ -9086,6 +9110,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.dot * d.dot * 1000000
                         // (np.n2 * nd.n2) AS BIGINT) AS cos2_ppm
             FROM ddots d
+            JOIN dnrm np ON d.probe_doc = np.doc_id
+            JOIN dnrm nd ON d.doc_id = nd.doc_id)
+        SELECT probe_doc, doc_id, cos2_ppm, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT probe_doc, doc_id, cos2_ppm, row_number() OVER (
+                  PARTITION BY probe_doc
+                  ORDER BY cos2_ppm DESC, doc_id ASC) AS rnk
+              FROM dranked) z
+        WHERE rnk <= 5"""
+    # doc_embed_ann (r12): the same pooled doc vectors routed through
+    # EXACT-INTEGER seeded IVF — seeds are every strideth doc with a
+    # nonzero vector; coarse assignment ranks lists by the rational
+    # squared cosine with the common doc norm dropped, q = sign(dot)
+    # · (dot²·10⁶ // ‖seed‖²), all HUGEINT; each doc lands in its
+    # top-1 list, probes scan their top-6 of 16 lists; candidates are
+    # scored with doc_embed_topk's exact arithmetic. Deterministic
+    # (only positive integral division + asc-id tie-breaks), so the
+    # approximate-by-design ANN result still hash-matches exactly.
+    d["doc_embed_ann"] = f"""
+        WITH {_docvec_ctes},
+        dnn AS (SELECT count(*) AS n FROM dnrm),
+        seeds AS MATERIALIZED (
+            SELECT doc_id AS list_id, n2 AS sn2 FROM dnrm
+            WHERE doc_id % (SELECT greatest(1, n // 16) FROM dnn) = 0
+            ORDER BY doc_id ASC LIMIT 16),
+        scomp AS MATERIALIZED (
+            SELECT s.list_id, s.sn2, c.k, c.e AS se
+            FROM seeds s JOIN dcomp c ON s.list_id = c.doc_id),
+        adots AS MATERIALIZED (
+            SELECT d.doc_id, s.list_id, s.sn2, SUM(s.se * d.e) AS dot
+            FROM dcomp d JOIN scomp s ON d.k = s.k
+            GROUP BY d.doc_id, s.list_id, s.sn2),
+        assign AS MATERIALIZED (
+            SELECT doc_id, list_id, row_number() OVER (
+                PARTITION BY doc_id ORDER BY q DESC, list_id ASC) AS r
+            FROM (SELECT doc_id, list_id,
+                         (CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+                         * ((dot * dot * 1000000) // sn2) AS q
+                  FROM adots) z),
+        cassign AS MATERIALIZED (
+            SELECT doc_id, list_id FROM assign WHERE r = 1),
+        passign AS (
+            SELECT p.probe_doc, a.list_id FROM dprobes p
+            JOIN assign a ON a.doc_id = p.probe_doc AND a.r <= 6),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT p.probe_doc, c.doc_id
+            FROM passign p JOIN cassign c ON p.list_id = c.list_id
+            WHERE c.doc_id != p.probe_doc),
+        cdots AS MATERIALIZED (
+            SELECT cd.probe_doc, cd.doc_id, SUM(pc.pe * dc.e) AS dot
+            FROM cand cd
+            JOIN dcomp dc ON dc.doc_id = cd.doc_id
+            JOIN dpc pc ON pc.probe_doc = cd.probe_doc
+                       AND pc.k = dc.k
+            GROUP BY cd.probe_doc, cd.doc_id
+            HAVING SUM(pc.pe * dc.e) > 0),
+        dranked AS (
+            SELECT d.probe_doc, d.doc_id,
+                   CAST(d.dot * d.dot * 1000000
+                        // (np.n2 * nd.n2) AS BIGINT) AS cos2_ppm
+            FROM cdots d
             JOIN dnrm np ON d.probe_doc = np.doc_id
             JOIN dnrm nd ON d.doc_id = nd.doc_id)
         SELECT probe_doc, doc_id, cos2_ppm, CAST(rnk AS BIGINT) AS rnk

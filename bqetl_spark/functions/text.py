@@ -1468,6 +1468,38 @@ def token_embed_topk(df: DataFrame, text_col: str = "text",
                     F.col("rnk").cast("long").alias("rnk")))
 
 
+def _doc_vectors(df: DataFrame, text_col: str, id_col: str, window: int,
+                 dim: int, min_pair: int) -> tuple[DataFrame, DataFrame]:
+    """Pooled exact-BIGINT document vectors over :func:`token_embeddings`
+    — the shared front half of ``doc_embed_topk`` (exact search) and
+    ``doc_embed_ann`` (IVF-routed search). Returns ``(dcomp, norm)``:
+    per-dimension components ``(id_col, __k, __e BIGINT)`` and nonzero
+    squared norms ``(id_col, __n2 DECIMAL(38,0))``.
+
+    Shape: one (doc, tok) tf aggregation + an equi-join against the
+    vocab-bounded (broadcastable) embedding component table — never a
+    doc×doc or doc×vocab cross product."""
+    emb = token_embeddings(df, text_col, window=window, dim=dim,
+                           min_pair=min_pair)
+    comp = emb.select(
+        "tok", F.posexplode(F.array(*[F.col(f"e{i}")
+                                      for i in range(dim)]))
+        .alias("__k", "__e"))
+    docc = (df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col), F.explode(tokens(F.col(text_col)))
+                    .alias("tok"))
+            .groupBy(id_col, "tok").agg(F.count("*").alias("__tf")))
+    dcomp = (docc.join(comp, "tok")
+             .groupBy(id_col, "__k")
+             .agg(F.sum(F.col("__tf") * F.col("__e"))
+                  .cast("long").alias("__e")))
+    norm = (dcomp.groupBy(id_col)
+            .agg(F.sum(F.expr("CAST(__e AS DECIMAL(19,0)) * __e"))
+                 .cast("decimal(38,0)").alias("__n2"))
+            .filter(F.col("__n2") > 0))
+    return dcomp, norm
+
+
 def doc_embed_topk(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", n_probes: int = 5, k: int = 5,
                    window: int = 2, dim: int = 16,
@@ -1502,30 +1534,132 @@ def doc_embed_topk(df: DataFrame, text_col: str = "text",
     (probe_doc, doc_id, cos2_ppm, rnk)."""
     if n_probes < 1 or k < 1:
         raise ValueError(f"n_probes/k must be >= 1, got {n_probes}/{k}")
-    emb = token_embeddings(df, text_col, window=window, dim=dim,
-                           min_pair=min_pair)
-    comp = emb.select(
-        "tok", F.posexplode(F.array(*[F.col(f"e{i}")
-                                      for i in range(dim)]))
-        .alias("__k", "__e"))
-    docc = (df.filter(F.trim(F.col(text_col)) != "")
-            .select(F.col(id_col), F.explode(tokens(F.col(text_col)))
-                    .alias("tok"))
-            .groupBy(id_col, "tok").agg(F.count("*").alias("__tf")))
-    dcomp = (docc.join(comp, "tok")
-             .groupBy(id_col, "__k")
-             .agg(F.sum(F.col("__tf") * F.col("__e"))
-                  .cast("long").alias("__e")))
-    norm = (dcomp.groupBy(id_col)
-            .agg(F.sum(F.expr("CAST(__e AS DECIMAL(19,0)) * __e"))
-                 .cast("decimal(38,0)").alias("__n2"))
-            .filter(F.col("__n2") > 0))
+    dcomp, norm = _doc_vectors(df, text_col, id_col, window, dim,
+                               min_pair)
     probes = (norm.orderBy(F.asc(id_col)).limit(n_probes)
               .select(F.col(id_col).alias("probe_doc")))
     pcomp = (probes.join(dcomp, probes["probe_doc"] == dcomp[id_col])
              .select("probe_doc", "__k", F.col("__e").alias("__pe")))
     dots = (dcomp.join(F.broadcast(pcomp), "__k")
             .filter(F.col(id_col) != F.col("probe_doc"))
+            .groupBy("probe_doc", id_col)
+            .agg(F.sum(F.expr("CAST(__pe AS DECIMAL(19,0)) * __e"))
+                 .cast("decimal(38,0)").alias("__dot"))
+            .filter(F.col("__dot") > 0))
+    np_ = norm.select(F.col(id_col).alias("probe_doc"),
+                      F.col("__n2").alias("__np"))
+    cos2 = F.expr("""
+        CAST(__dot * __dot * 1000000 AS DECIMAL(38,0))
+        div CAST(__np * __n2 AS DECIMAL(38,0))""")
+    ranked = (dots.join(F.broadcast(np_), "probe_doc").join(norm, id_col)
+              .select("probe_doc", id_col,
+                      cos2.cast("long").alias("cos2_ppm")))
+    w = Window.partitionBy("probe_doc").orderBy(F.desc("cos2_ppm"),
+                                                F.asc(id_col))
+    return (ranked.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("probe_doc", id_col, "cos2_ppm",
+                    F.col("rnk").cast("long").alias("rnk")))
+
+
+def doc_embed_ann(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n_probes: int = 5, k: int = 5,
+                  window: int = 2, dim: int = 16, min_pair: int = 2,
+                  n_lists: int = 8, n_probe_lists: int = 3) -> DataFrame:
+    """IVF-routed document search over the engine-trained embeddings —
+    the SCALE path next to :func:`doc_embed_topk`'s exact audit tier
+    (r12, VERDICT r11 item 3: "the dense leg must route through IVF at
+    corpus scale"). Same pooled exact-BIGINT doc vectors, same probes,
+    same exact squared-cosine scoring — but candidates come from an
+    inverted-file bucket equi-join instead of scoring every document:
+    each doc lands in its nearest of ``n_lists`` seeded centroid lists,
+    each probe scans only its ``n_probe_lists`` nearest lists.
+
+    EXACT-INTEGER IVF (what makes this hash-certifiable where the
+    float-cosine ANN gates need margin audits): the seeds are corpus
+    vectors themselves (every ``count div n_lists``-th doc id — the
+    certified ``ivf_topk`` seeding), so the coarse assignment can rank
+    lists by the RATIONAL squared cosine dot²/(‖d‖²·‖s‖²) with the
+    common ‖d‖² dropped: q = sign(dot)·(dot²·10⁶ div ‖s‖²), computed
+    in DECIMAL(38,0) with only positive integral division — bit-equal
+    in Spark and DuckDB, ties broken by ascending list id. Same
+    overflow ceiling as the scoring stage (|component| < ~2.5·10⁷ at
+    dim=16, audited in tests/test_oracle_margins discipline).
+
+    Approximate by DESIGN (a probe's true neighbor can live in an
+    unprobed list) yet fully DETERMINISTIC — so unlike the float ANN
+    family this gate hash-matches its oracle exactly; the recall floor
+    vs the exact tier is pinned in tests (the hard_negatives_ann
+    pattern). Scale shape: assignment is one broadcast equi-join
+    against n_lists·dim seed components + a (doc,list) aggregation —
+    the FAISS IVF coarse-quantize cost O(N·dim·n_lists) with no
+    all-pairs anywhere; candidate generation is a bucket equi-join
+    against the ≤ n_probes·n_probe_lists-row broadcast probe table.
+    Returns (probe_doc, doc_id, cos2_ppm, rnk)."""
+    if n_probes < 1 or k < 1:
+        raise ValueError(f"n_probes/k must be >= 1, got {n_probes}/{k}")
+    if n_lists < 2 or not 1 <= n_probe_lists <= n_lists:
+        raise ValueError(
+            f"need n_lists >= 2 and 1 <= n_probe_lists <= n_lists, "
+            f"got {n_lists}/{n_probe_lists}")
+    from bqetl_spark.caching import pin
+
+    dcomp, norm = _doc_vectors(df, text_col, id_col, window, dim,
+                               min_pair)
+    # both the seed join and the scoring join re-read the pooled
+    # components; the probe/corpus assignment both re-read norms
+    dcomp, norm = pin(dcomp), pin(norm)
+
+    # seeds: every strideth doc id with a nonzero vector (ivf_topk's
+    # deterministic seeding — metadata-scale count, no global sort)
+    n = norm.count()
+    stride = max(1, n // n_lists)
+    seeds = (norm.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
+             .orderBy(F.asc(id_col)).limit(n_lists)
+             .select(F.col(id_col).alias("list_id"),
+                     F.col("__n2").alias("__sn2")))
+    scomp = (seeds.join(dcomp, seeds["list_id"] == dcomp[id_col])
+             .select("list_id", "__sn2", "__k",
+                     F.col("__e").alias("__se")))
+
+    # coarse assignment: dim-key equi-join against the broadcast
+    # n_lists·dim seed component table -> (vec, list) dots -> exact
+    # rational quality -> rank lists per vector
+    adots = (dcomp.join(F.broadcast(scomp), "__k")
+             .groupBy(id_col, "list_id", "__sn2")
+             .agg(F.sum(F.expr("CAST(__se AS DECIMAL(19,0)) * __e"))
+                  .cast("decimal(38,0)").alias("__dot")))
+    q = (F.when(F.col("__dot") < 0, F.lit(-1)).otherwise(F.lit(1))
+         .cast("long")
+         * F.expr("""CAST(__dot * __dot * 1000000 AS DECIMAL(38,0))
+                     div __sn2""").cast("long"))
+    aw = Window.partitionBy(id_col).orderBy(F.desc("__q"),
+                                            F.asc("list_id"))
+    assign = (adots.select(id_col, "list_id", q.alias("__q"))
+              .withColumn("__r", F.row_number().over(aw)))
+    c_assign = (assign.filter(F.col("__r") == 1)
+                .select(id_col, "list_id"))
+
+    probes = (norm.orderBy(F.asc(id_col)).limit(n_probes)
+              .select(F.col(id_col).alias("probe_doc")))
+    p_assign = (probes
+                .join(assign.filter(F.col("__r") <= n_probe_lists),
+                      probes["probe_doc"] == assign[id_col])
+                .select("probe_doc", "list_id"))
+
+    # candidates: bucket equi-join; the probe side is <=
+    # n_probes·n_probe_lists rows -> broadcast
+    cand = (c_assign.join(F.broadcast(p_assign), "list_id")
+            .filter(F.col(id_col) != F.col("probe_doc"))
+            .select("probe_doc", id_col).distinct())
+
+    # exact scoring on candidates only — doc_embed_topk's arithmetic
+    pcomp = (probes.join(dcomp, probes["probe_doc"] == dcomp[id_col])
+             .select("probe_doc", "__k", F.col("__e").alias("__pe")))
+    dots = (cand
+            .join(dcomp, id_col)
+            .join(F.broadcast(pcomp),
+                  ["probe_doc", "__k"])
             .groupBy("probe_doc", id_col)
             .agg(F.sum(F.expr("CAST(__pe AS DECIMAL(19,0)) * __e"))
                  .cast("decimal(38,0)").alias("__dot"))

@@ -173,3 +173,37 @@ def test_doc_embed_component_overflow_margin(sf_dir):
         f"DECIMAL(38,0) exactness ceiling {bound} — right-shift the "
         f"pooled components (doc_embed_topk docstring) before the "
         f"oracle silently diverges")
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_doc_embed_ann_recall_floor(spark, sf_dir):
+    """doc_embed_ann is approximate by DESIGN (a probe's true neighbor
+    can live in an unprobed list) — the hard_negatives_ann pattern pins
+    its recall against the exact tier. At the gate geometry (16 lists,
+    6 probed) measured recall is 1.0 on every gate corpus; the floor
+    asserts >= 0.9 so a geometry or corpus regression surfaces here
+    instead of as a silent quality loss."""
+    from bqetl_spark.caching import release_pinned
+    from bqetl_spark.functions.text import doc_embed_ann, doc_embed_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {(r["probe_doc"], r["doc_id"])
+             for r in doc_embed_topk(docs).collect()}
+    ann = {(r["probe_doc"], r["doc_id"])
+           for r in doc_embed_ann(docs, n_lists=16,
+                                  n_probe_lists=6).collect()}
+    release_pinned()
+    assert exact, "exact tier returned nothing — corpus unusable"
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.9, f"ANN recall {recall:.3f} < 0.9 vs exact"
+
+
+def test_doc_embed_ann_validates(spark):
+    from bqetl_spark.functions.text import doc_embed_ann
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    for kw in ({"n_probes": 0}, {"k": 0}, {"n_lists": 1},
+               {"n_probe_lists": 0}, {"n_lists": 4, "n_probe_lists": 5}):
+        with pytest.raises(ValueError):
+            doc_embed_ann(df, **kw)
