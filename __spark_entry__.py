@@ -2771,6 +2771,33 @@ def q_multimodal_frames(spark, sf_dir):
                     F.col("idx").cast("long").alias("idx"), "value"))
 
 
+def q_video_neardup(spark, sf_dir):
+    """Video near-dup pairs (multimodal.video_neardup, r12) — the last
+    cell of the per-modality dedup grid. Each qualifying document
+    becomes a 3-frame concatenated-P6 video (the q_multimodal_frames
+    stream convention) of 8×8 frames built from OVERLAPPING 192-byte
+    windows at stride 96 — consecutive frames share half their bytes,
+    the temporal continuity a real clip has. The engine REALLY walks
+    the P6 headers per frame and DCT-hashes each frame (image_phash's
+    integer-exact recipe); frame pairs come from the 9×7-bit Hamming
+    bands (pigeonhole recall 1.0 at h ≤ 8) with the bucket cap, and
+    videos pair on ≥ 2 matching frame pairs. The oracle replays frame
+    slicing, luma, DCT, median, packing, banding, cap, verify and the
+    video-level aggregation from the same text bytes — all BIGINT.
+    ASCII prefix pinned explicitly (byte slice vs per-char ord)."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 384)
+        & (F.octet_length(F.substring("text", 1, 384)) == 384))
+    frame = lambda k: F.concat(
+        F.lit("P6\n8 8\n255\n").cast("binary"),
+        F.substring(F.col("text"), 96 * k + 1, 192).cast("binary"))
+    payload = F.concat(frame(0), frame(1), frame(2))
+    media = mm.attach_media(docs, "doc_id", payload, kind="video",
+                            fmt="ppms")
+    return mm.video_neardup(media, max_hamming=8, max_bucket_size=64,
+                            min_frame_matches=2)
+
+
 def q_doc_chunks_udtf(spark, sf_dir):
     """Chunking through Spark's Python UDTF API (SQL surface:
     FROM docs, LATERAL chunk_tokens(text, size, stride)) — the same
@@ -4157,6 +4184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # to the tool's output so the comment cannot drift from reality.
     return {
         "doc_embed_ann": q_doc_embed_ann,
+        "video_neardup": q_video_neardup,
         "hits_scores": q_hits_scores,
         "bloom_prune": q_bloom_prune,
         "bm25_topk": q_bm25_topk,
@@ -5045,6 +5073,73 @@ def _phash_oracle() -> str:
 
 
 _PHASH_ORACLE = _phash_oracle()
+
+
+def _video_phash_oracle() -> str:
+    """DuckDB replay of q_video_neardup: 3 frames per doc, frame f's
+    pixel (y,x) luma = the 3 bytes at 1-based text positions
+    96·f + 3·(8y+x) + {1,2,3} (P6 is row-major RGB; frames are
+    overlapping 192-byte windows at stride 96), then per-(doc,frame)
+    the SAME fixed-point DCT / order-statistic median / 63-bit pack as
+    _phash_oracle, 9×7 banding with the bucket cap counted over
+    FRAMES, Hamming verify ≤ 8, and the video-level aggregation
+    (count + min over matched frame pairs, HAVING ≥ 2)."""
+    from bqetl_spark.functions.multimodal import phash_dct_table
+
+    ctab = phash_dct_table(15)
+    ct_rows = ", ".join(f"({u},{x},CAST({ctab[u][x]} AS BIGINT))"
+                        for u in range(8) for x in range(8))
+    return f"""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 384) AS pfx FROM documents
+      WHERE length(text) >= 384
+        AND octet_length(encode(substr(text, 1, 384))) = 384
+    ), ct(u, x, c) AS (VALUES {ct_rows}),
+    pix AS (
+      SELECT doc_id, f.f AS fidx, (i-1)//8 AS y, (i-1)%8 AS x,
+             CAST(ord(substr(pfx, CAST(96*f.f + 3*(i-1) + 1 AS INT), 1))
+                + ord(substr(pfx, CAST(96*f.f + 3*(i-1) + 2 AS INT), 1))
+                + ord(substr(pfx, CAST(96*f.f + 3*(i-1) + 3 AS INT), 1))
+               AS BIGINT) AS p
+      FROM d, range(0, 3) f(f), range(1, 65) t(i)
+    ), coef AS (
+      SELECT doc_id, fidx, cu.u AS u, cv.u AS v,
+             SUM(cu.c * cv.c * p) AS val
+      FROM pix JOIN ct cu ON cu.x = pix.y JOIN ct cv ON cv.x = pix.x
+      GROUP BY doc_id, fidx, cu.u, cv.u
+    ), ac AS (
+      SELECT doc_id, fidx, u*8 + v - 1 AS i, val,
+             row_number() OVER (PARTITION BY doc_id, fidx
+                                ORDER BY val, u*8 + v) AS rk
+      FROM coef WHERE NOT (u = 0 AND v = 0)
+    ), med AS (
+      SELECT doc_id, fidx, val AS m FROM ac WHERE rk = 32
+    ), ph AS (
+      SELECT ac.doc_id, ac.fidx,
+             SUM(CASE WHEN ac.val > med.m
+                 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                 ELSE CAST(0 AS BIGINT) END) AS phash
+      FROM ac JOIN med USING (doc_id, fidx) GROUP BY ac.doc_id, ac.fidx
+    ), bands AS (
+      SELECT doc_id, fidx, j,
+             (phash >> CAST(7*j AS INT)) & 127 AS bv, phash
+      FROM ph, range(0, 9) r(j)
+    ), ok AS (
+      SELECT j, bv FROM bands GROUP BY j, bv HAVING count(*) <= 64
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.fidx AS fa,
+             b.doc_id AS id_b, b.fidx AS fb,
+             a.phash AS pa, b.phash AS pb
+      FROM bands a JOIN ok USING (j, bv)
+      JOIN bands b ON a.j = b.j AND a.bv = b.bv
+                  AND a.doc_id < b.doc_id
+    ), fp AS (
+      SELECT id_a, id_b, bit_count(xor(pa, pb)) AS h
+      FROM cand WHERE bit_count(xor(pa, pb)) <= 8
+    )
+    SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_frame_matches,
+           CAST(min(h) AS BIGINT) AS min_hamming
+    FROM fp GROUP BY id_a, id_b HAVING count(*) >= 2"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6073,6 +6168,7 @@ def oracle_sql() -> dict[str, str]:
         # reinterpretation. Matches simhash64_vec bit-for-bit.
         "simhash_pairs": _SIMHASH_ORACLE,
         "phash_neardup": _PHASH_ORACLE,
+        "video_neardup": _video_phash_oracle(),
     }
     # streaming session windows must equal the batch islands rule — same
     # oracle (bounded availableNow replay, complete output mode)

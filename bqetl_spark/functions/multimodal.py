@@ -1948,3 +1948,150 @@ def audio_neardup(media: DataFrame, frame: int = 1, n_bits: int = 32,
     hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
     return (cand.select("id_a", "id_b", hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def video_frame_phash(media: DataFrame, scale_bits: int = 15) -> DataFrame:
+    """Per-frame perceptual hash over concatenated-P6 video streams
+    (``meta.format == 'ppms'``, the ffmpeg image2pipe convention that
+    :func:`sample_frames` reads) → ``(media_id, frame_idx, phash)``.
+
+    The video leg of the fingerprint family (r12): the SAME header-walk
+    frame splitter as sample_frames (measured per frame — P6 header
+    length varies with digit counts) feeding the SAME integer-exact
+    DCT recipe as :func:`image_phash` (R+G+B luma, 8×8 block-sum pool,
+    fixed-point basis, 32nd-order-statistic median, 63-bit pack), so a
+    SQL oracle replays every frame hash bit for bit from the source
+    bytes. Each frame must be 8-divisible in both extents, like any
+    image_phash input. Map-only: one Arrow scan sized by video bytes,
+    the whole batch's planes DCT'd in one einsum."""
+    ppm = decode_ppm                       # by-value closure binding
+    ctab = phash_dct_table(scale_bits)
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ])
+
+    def frames_of(payload):
+        # sample_frames' splitter: decode, re-walk the header for the
+        # exact consumed length, advance
+        payload = bytes(payload or b"")
+        pos, out = 0, []
+        while pos < len(payload):
+            sub = payload[pos:]
+            w, h, pix = ppm(sub)
+            p2, nfields = 2, 0
+            while nfields < 3:
+                while sub[p2:p2 + 1].isspace():
+                    p2 += 1
+                if sub[p2:p2 + 1] == b"#":
+                    while p2 < len(sub) and sub[p2] != 0x0A:
+                        p2 += 1
+                    continue
+                while p2 < len(sub) and not sub[p2:p2 + 1].isspace():
+                    p2 += 1
+                nfields += 1
+            p2 += 1                        # single whitespace after maxval
+            out.append((w, h, pix))
+            pos += p2 + 3 * w * h
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        C = np.asarray(ctab, dtype=np.int64)
+        weights = np.uint64(1) << np.arange(63, dtype=np.uint64)
+
+        for pdf in batches:
+            mids, fids, planes = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for idx, (w, h, rgb) in enumerate(frames_of(payload)):
+                    if w % 8 or h % 8:
+                        raise ValueError(
+                            f"video_frame_phash needs frame extents "
+                            f"divisible by 8, got {w}x{h}")
+                    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+                    luma = a.astype(np.int64).sum(axis=2)
+                    planes.append(luma.reshape(8, h // 8, 8, w // 8)
+                                  .sum(axis=(1, 3)))
+                    mids.append(int(mid))
+                    fids.append(idx)
+            P = (np.stack(planes) if planes
+                 else np.empty((0, 8, 8), dtype=np.int64))
+            coefs = np.einsum("uy,nyx,vx->nuv", C, P, C)
+            ac = coefs.reshape(len(P), 64)[:, 1:]
+            med = np.sort(ac, axis=1)[:, 31:32]
+            bits = (ac > med).astype(np.uint64)
+            hashes = (bits * weights).sum(axis=1).astype(np.int64)
+            yield _pd.DataFrame({
+                "media_id": _pd.Series(mids, dtype="int64"),
+                "frame_idx": _pd.Series(fids, dtype="int64"),
+                "phash": _pd.Series(hashes, dtype="int64"),
+            })
+
+    return (_spread(media.filter(F.col("meta.format") == "ppms"))
+            .mapInPandas(run, schema=schema))
+
+
+def video_neardup(media: DataFrame, max_hamming: int = 8,
+                  max_bucket_size: int = 64, min_frame_matches: int = 2,
+                  scale_bits: int = 15) -> DataFrame:
+    """Video near-dup pairs — the LAST cell of the per-modality dedup
+    grid (text: minhash/simhash, image: pHash, audio: energy bands;
+    r12): :func:`video_frame_phash` per frame → 9×7-bit Hamming-banded
+    FRAME pair generation (the phash_band_pairs geometry, so frame-pair
+    recall is 1.0 by pigeonhole at hamming ≤ 8) → aggregate to video
+    pairs that share ≥ ``min_frame_matches`` near-dup frame pairs.
+    Returns ``(id_a, id_b, n_frame_matches, min_hamming)``, id_a < id_b.
+
+    Robustness by construction: a re-encoded copy (header whitespace or
+    comments changed) hashes identically per frame; a truncated copy
+    still matches on its surviving frames and passes the
+    ``min_frame_matches`` floor; unrelated clips only pair if ≥ min
+    frames independently collide AND verify — pinned by perturbation
+    tests. Buckets above ``max_bucket_size`` FRAMES drop whole before
+    the join (constant-color intros/outros are the video boilerplate
+    shield — one shared title card must not make a bucket quadratic).
+
+    Scale shape: hashing is a map-only scan of video bytes; everything
+    after runs on (media_id, frame_idx, phash) rows — ~24 bytes per
+    FRAME, metadata-scale even when the payloads are 100 TB; the only
+    join is hash-partitioned on compact (band, value) keys."""
+    if max_hamming > 8:
+        raise ValueError(
+            f"video_neardup guarantees full frame-pair recall only for "
+            f"max_hamming <= 8 (9 bands x 7 bits); got {max_hamming}")
+    if min_frame_matches < 1:
+        raise ValueError(
+            f"min_frame_matches must be >= 1, got {min_frame_matches}")
+    from bqetl_spark.caching import pin
+
+    fh = pin(video_frame_phash(media, scale_bits=scale_bits))
+    bands = fh.select(
+        "media_id", "frame_idx", "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(8))).alias("j"),
+    ).withColumn("bv", F.expr("shiftrightunsigned(phash, j * 7) & 127"))
+    ok = (bands.groupBy("j", "bv").count()
+          .filter(F.col("count") <= max_bucket_size)
+          .select("j", "bv"))
+    a = bands.join(ok, ["j", "bv"]).alias("a")
+    b = bands.join(ok, ["j", "bv"]).alias("b")
+    cand = (a.join(b, (F.col("a.j") == F.col("b.j"))
+                   & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col("a.media_id") < F.col("b.media_id")))
+            .select(F.col("a.media_id").alias("id_a"),
+                    F.col("a.frame_idx").alias("fa"),
+                    F.col("b.media_id").alias("id_b"),
+                    F.col("b.frame_idx").alias("fb"),
+                    F.col("a.phash").alias("pa"),
+                    F.col("b.phash").alias("pb"))
+            .distinct())
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    fpairs = (cand.select("id_a", "id_b", hamming.alias("__h"))
+              .filter(F.col("__h") <= max_hamming))
+    return (fpairs.groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("long").alias("n_frame_matches"),
+                 F.min("__h").cast("long").alias("min_hamming"))
+            .filter(F.col("n_frame_matches") >= min_frame_matches))

@@ -1062,3 +1062,82 @@ def test_audio_neardup_pairs_and_guard(spark):
     assert pairs.get((1, 2), 99) <= 3
     assert not any(3 in p for p in pairs)
     assert not any(a >= 100 or b >= 100 for a, b in pairs)  # cap drops tone
+
+
+# --- video near-dup (r12: the last per-modality dedup cell) -----------
+
+def _vid_meta(df):
+    return df.select(
+        "media_id", "payload",
+        F.struct(F.lit("video").alias("kind"),
+                 F.lit("ppms").alias("format"),
+                 F.lit(None).cast("long").alias("width"),
+                 F.lit(None).cast("long").alias("height"),
+                 F.lit(None).cast("long").alias("duration_ms"))
+        .alias("meta"))
+
+
+def _frame_px(seed: int) -> bytes:
+    """Deterministic pseudorandom 8x8 RGB frame (md5-expanded) — enough
+    bit spread that distinct seeds give far-apart pHashes."""
+    import hashlib
+
+    out = b""
+    i = 0
+    while len(out) < 192:
+        out += hashlib.md5(f"{seed}:{i}".encode()).digest()
+        i += 1
+    return out[:192]
+
+
+def test_video_neardup_perturbations(spark):
+    """The gate's robustness claims, pinned: a re-encoded copy (header
+    comments/whitespace changed, same pixels) pairs at hamming 0 on all
+    frames; a truncated copy pairs on its surviving frames; unrelated
+    clips never pair."""
+    from bqetl_spark.caching import release_pinned
+
+    frames = [_frame_px(s) for s in (1, 2, 3, 4)]
+    base = b"".join(_ppm(8, 8, p) for p in frames)
+    reenc = b"".join(b"P6\n# re-encoded\n8  8\n255\n" + p for p in frames)
+    trunc = b"".join(_ppm(8, 8, p) for p in frames[:2])
+    other = b"".join(_ppm(8, 8, _frame_px(s)) for s in (7, 8, 9, 10))
+    df = spark.createDataFrame(
+        [(1, base), (2, reenc), (3, trunc), (4, other)],
+        "media_id long, payload binary")
+    pairs = {(r["id_a"], r["id_b"]): r for r in
+             mm.video_neardup(_vid_meta(df), min_frame_matches=2)
+             .collect()}
+    release_pinned()
+    assert pairs[(1, 2)]["n_frame_matches"] == 4     # all frames, exact
+    assert pairs[(1, 2)]["min_hamming"] == 0
+    assert pairs[(1, 3)]["n_frame_matches"] == 2     # surviving frames
+    assert pairs[(2, 3)]["n_frame_matches"] == 2
+    assert all(4 not in p for p in pairs), pairs     # unrelated never
+
+
+def test_video_frame_phash_matches_image_phash(spark):
+    """A 1-frame ppms video's frame hash must equal image_phash of the
+    identical frame shipped as a plain ppm image — one DCT recipe."""
+    from bqetl_spark.caching import release_pinned
+
+    px = _frame_px(42)
+    vid = _vid_meta(spark.createDataFrame([(9, _ppm(8, 8, px))],
+                                          "media_id long, payload binary"))
+    img = mm.attach_media(
+        spark.createDataFrame([(9, "x")], "doc_id long, text string"),
+        "doc_id", F.lit(_ppm(8, 8, px)), kind="image", fmt="ppm")
+    vh = mm.video_frame_phash(vid).collect()
+    ih = mm.image_phash(img).collect()
+    release_pinned()
+    assert len(vh) == 1 and vh[0]["frame_idx"] == 0
+    assert vh[0]["phash"] == ih[0]["phash"]
+
+
+def test_video_neardup_validates(spark):
+    df = _vid_meta(spark.createDataFrame([(1, _ppm(8, 8, _frame_px(1)))],
+                                         "media_id long, payload binary"))
+    with pytest.raises(ValueError):
+        mm.video_neardup(df, max_hamming=9)
+    with pytest.raises(ValueError):
+        mm.video_neardup(df, min_frame_matches=0)
