@@ -1704,6 +1704,53 @@ def q_corpus_keep_trained(spark, sf_dir):
             .select("doc_id"))
 
 
+def q_corpus_curate_multimodal(spark, sf_dir):
+    """END-TO-END multimodal corpus curation (r12, VERDICT r11 item 8)
+    — the composition a production 100 TB corpus build actually runs,
+    now that every per-modality stage is individually certified:
+
+      quality   — corpus_keep_trained (trained perceptron + lang-ID +
+                  repetition cap + exact-dedup representative)
+      text_dup  — minhash dedup_clusters non-representatives drop
+      image_dup — pHash phash_clusters non-representatives drop
+      audio_dup — audio_neardup keep-min rule (any doc pairing with a
+                  smaller id drops; pair-based dedup's deterministic
+                  survivor convention)
+
+    One row per document: (doc_id, keep, reason) with reason = the
+    FIRST failing stage in the order above ('keep' if none) — the
+    curation report, not just the survivor list. The oracle composes
+    the four certified stage SQLs verbatim as subqueries, so the
+    hash-match certifies the composition on top of already-certified
+    stages. Stage order is fixed and documented; at scale each stage
+    is the already-audited shape (no stage added here introduces a
+    new join or shuffle pattern)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    qk = (q_corpus_keep_trained(spark, sf_dir)
+          .withColumn("__q", F.lit(1)))
+    t = (q_dedup_clusters(spark, sf_dir)
+         .filter(~F.col("is_representative"))
+         .select("doc_id").distinct().withColumn("__t", F.lit(1)))
+    i = (q_phash_clusters(spark, sf_dir)
+         .filter(~F.col("is_representative"))
+         .select(F.col("media_id").alias("doc_id")).distinct()
+         .withColumn("__i", F.lit(1)))
+    a = (q_audio_neardup(spark, sf_dir)
+         .select(F.col("id_b").alias("doc_id")).distinct()
+         .withColumn("__a", F.lit(1)))
+    flags = (docs.join(qk, "doc_id", "left")
+             .join(t, "doc_id", "left")
+             .join(i, "doc_id", "left")
+             .join(a, "doc_id", "left"))
+    reason = (F.when(F.col("__q").isNull(), F.lit("quality"))
+              .when(F.col("__t") == 1, F.lit("text_dup"))
+              .when(F.col("__i") == 1, F.lit("image_dup"))
+              .when(F.col("__a") == 1, F.lit("audio_dup"))
+              .otherwise(F.lit("keep")))
+    return flags.select("doc_id", reason.alias("reason")) \
+        .withColumn("keep", F.col("reason") == "keep")
+
+
 def q_top_tokens(spark, sf_dir):
     """Explode (R1 flatten) + count + deterministic top-20."""
     docs = _t(spark, sf_dir, "documents")
@@ -4185,6 +4232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_embed_ann": q_doc_embed_ann,
         "video_neardup": q_video_neardup,
+        "corpus_curate_multimodal": q_corpus_curate_multimodal,
         "hits_scores": q_hits_scores,
         "bloom_prune": q_bloom_prune,
         "bm25_topk": q_bm25_topk,
@@ -9583,6 +9631,32 @@ def oracle_sql() -> dict[str, str]:
         WHERE (r.rep_ratio IS NULL OR r.rep_ratio <= 0.2)
           AND d.doc_id IN (SELECT min(doc_id) FROM documents
                            GROUP BY md5(text))"""
+    # corpus_curate_multimodal (r12): the four certified stage SQLs
+    # composed verbatim — quality gate, text/image non-representative
+    # drops, audio keep-min — with the fixed first-failing-stage reason
+    d["corpus_curate_multimodal"] = f"""
+        WITH cq AS (SELECT doc_id FROM ({d["corpus_keep_trained"]}) z),
+        ctd AS (SELECT DISTINCT doc_id
+                FROM ({d["dedup_clusters"]}) z
+                WHERE NOT is_representative),
+        cid AS (SELECT DISTINCT media_id AS doc_id
+                FROM ({d["phash_clusters"]}) z
+                WHERE NOT is_representative),
+        cad AS (SELECT DISTINCT id_b AS doc_id
+                FROM ({d["audio_neardup"]}) z)
+        SELECT d.doc_id,
+               CASE WHEN cq.doc_id IS NULL THEN 'quality'
+                    WHEN ctd.doc_id IS NOT NULL THEN 'text_dup'
+                    WHEN cid.doc_id IS NOT NULL THEN 'image_dup'
+                    WHEN cad.doc_id IS NOT NULL THEN 'audio_dup'
+                    ELSE 'keep' END AS reason,
+               (cq.doc_id IS NOT NULL AND ctd.doc_id IS NULL
+                AND cid.doc_id IS NULL AND cad.doc_id IS NULL) AS keep
+        FROM documents d
+        LEFT JOIN cq ON d.doc_id = cq.doc_id
+        LEFT JOIN ctd ON d.doc_id = ctd.doc_id
+        LEFT JOIN cid ON d.doc_id = cid.doc_id
+        LEFT JOIN cad ON d.doc_id = cad.doc_id"""
     # hybrid RRF (r11): compose the certified BM25 ranking SQL with the
     # embed_topk-pattern dense ranking for query 0, fuse with the exact
     # integer 10^6 // (60 + rank) arithmetic (missing rank -> 0)

@@ -57,6 +57,10 @@ Justified allowlist (each audited round 4; hard_negatives round 6):
   ('keep'/'toss') — the perceptron_langid crossJoin exactly, fixed at
   2 loop-side rows at any corpus scale; the confusion matrix and the
   curation chain compose that plan verbatim, no new loop shape.
+- corpus_curate_multimodal (r12): composes corpus_keep_trained verbatim
+  as its quality stage, inheriting that gate's already-audited 2-row
+  class-list perceptron crossJoin; the three dedup stages add only
+  banded equi-joins — no new loop shape.
 - hits_scores (r12): hits_fixed's per-phase max normalizer now attaches
   via the important_parts one-row-aggregate broadcast crossJoin
   (2·iters of them) instead of 2·iters driver collects — the loop side
@@ -76,7 +80,8 @@ ALLOWED_BNLJ = {"embed_topk", "embed_sq_topk", "embed_neardup",
                 "perceptron_langid", "cms_join_size",
                 "langid_confusion", "quality_trained",
                 "quality_confusion", "corpus_keep_trained",
-                "hybrid_rrf", "retrieval_eval", "hits_scores"}
+                "hybrid_rrf", "retrieval_eval", "hits_scores",
+                "corpus_curate_multimodal"}
 
 # streaming queries execute a bounded replay inside the builder, and the
 # roundtrips write temp files — plan text is checked for batch shapes only

@@ -41,7 +41,8 @@ ROUND_HEAD = {
     # r12 head: new gates in landing order (VERDICT r11 items 3/4/8),
     # then the changed gates. regen_queries_dict.py re-ran after each
     # landing.
-    "new_first": ["doc_embed_ann", "video_neardup"],
+    "new_first": ["doc_embed_ann", "video_neardup",
+                  "corpus_curate_multimodal"],
     # hits_scores: per-phase max normalizer moved from driver collects to
     # the in-plan one-row crossJoin (VERDICT r11 item 6) — result proven
     # bit-identical, but the gate code changed
