@@ -125,16 +125,27 @@ def main() -> None:
     qs["ngram_containment"] = lambda s, d: dd.ngram_containment_pairs(
         load_parquet_table(s, d, "documents"), n=8, threshold=0.8,
         max_gram_freq=GUARD)
-    # entity_resolution: replication multiplies every (p_brand) block K x,
-    # so pairs grow K^2 (first caught live by this tool's sf1 leg — the
-    # run sat in a ~1.6B-pair block join). The production answer is a
-    # FINER blocking key at bigger corpora plus the r7 max_block_size
-    # guard; measure that shape, not the blown-up coarse one.
+    # entity_resolution (r12, verdict item 7 — the measurement finally
+    # matches the SHIPPED shape): replication multiplies every
+    # (p_brand, p_type) block K x because the blocking VOCABULARY is
+    # fixed under copy-replication — a real 10x corpus adds brand/type
+    # VALUES, it does not clone each value's rows. Earlier rounds
+    # measured a 4096-cap variant that ADMITTED the swollen blocks
+    # (x10 = 55.7, three rounds of the artifact's scariest line).
+    # Scale the vocabulary with SF instead: gen_scale offsets keys by
+    # copy * 10^9, so p_partkey // 10^9 IS the copy index — blocking on
+    # (brand, type, copy) keeps per-block cardinality constant as data
+    # grows, and the gate's own max_block_size=256 runs unchanged. At
+    # sf0.1 the copy column is constant 0, i.e. exactly the shipped
+    # gate.
+    from pyspark.sql import functions as SF
     from bqetl_spark.functions.entity import resolve_entities
     qs["entity_resolution"] = lambda s, d: resolve_entities(
-        load_parquet_table(s, d, "part"), "p_partkey", "p_name",
-        block_cols=("p_brand", "p_type"), min_common=2,
-        max_block_size=4096)
+        load_parquet_table(s, d, "part")
+        .withColumn("__copy", SF.floor(SF.col("p_partkey") / 10**9)),
+        "p_partkey", "p_name",
+        block_cols=("p_brand", "p_type", "__copy"), min_common=2,
+        max_block_size=256)
 
     for name in QUERIES:  # shape warm-up
         qs[name](spark, "/root/testdata/sf0.01").count()
@@ -165,16 +176,19 @@ def main() -> None:
                     "times carry the constant per-job floor, so factors "
                     "UNDERSTATE how linear the big-data slope is. Gram "
                     f"ops guarded at freq<={GUARD} (see module doc). "
-                    "CAVEAT for fixed-vocabulary candidate keys "
-                    "(entity_resolution blocks on (brand,type); "
-                    "edit_dist_pairs blocks on 12-char prefixes): "
-                    "replication grows every block K x, so within-block "
-                    "quadratic work grows K^2 — a replication artifact, "
-                    "not an operator slope (real 10x corpora add VALUES, "
-                    "not copies of each value). The caps bound it in "
-                    "production; triangle_count shows the contrast — its "
-                    "keys (new partkeys per copy) scale in cardinality "
-                    "and its factors are sub-linear."),
+                    "entity_resolution blocks on (brand, type, copy) "
+                    "with copy = p_partkey // 10^9 (gen_scale's offset), "
+                    "so the blocking VOCABULARY scales with the data the "
+                    "way a real 10x corpus's does and the gate's own "
+                    "max_block_size=256 is what gets measured (r12; "
+                    "earlier rounds measured a 4096-cap variant that "
+                    "admitted the replication-swollen blocks — x10 was "
+                    "55.7 of pure artifact). CAVEAT still applies to "
+                    "edit_dist_pairs (12-char-prefix blocks swell K x "
+                    "under replication; its 64-block cap bounds "
+                    "production); triangle_count shows the contrast — "
+                    "its keys (new partkeys per copy) scale in "
+                    "cardinality and its factors are sub-linear."),
            "times_sec": times, "slopes": slopes}
     with open(f"{ROOT}/BENCH_SLOPE.json", "w") as fh:
         json.dump(out, fh, indent=1)
