@@ -1055,6 +1055,40 @@ def q_stream_phash(spark, sf_dir):
                                max_hamming=8, max_bucket_size=64)
 
 
+def q_stream_video(spark, sf_dir):
+    """Streaming video-fingerprint index maintenance (streaming/media.py
+    stream_video_index, r12): the 3-frame ppms media table (the
+    q_video_neardup construction) is chopped into 4 parquet files so
+    the availableNow replay folds 4 REAL micro-batches — each clip's
+    frames split + DCT-hashed exactly once — into the persisted
+    (media_id, frame_idx, phash) index; the gate then pair-queries the
+    STORED index with video_pairs_from_index. Oracle = the plain batch
+    video_neardup SQL: the hash-match proves hash-on-ingest +
+    index-query equals the one-shot batch computation for any chop
+    (frame hashes are payload-pure; the (media_id, frame_idx) dedup
+    makes restart replays no-ops). Completes per-modality streaming
+    index maintenance: image (stream_phash) + video (this)."""
+    from bqetl_spark.streaming.media import stream_video_index
+
+    base = _scratch("svideo", sf_dir, wipe=True)
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 384)
+        & (F.octet_length(F.substring("text", 1, 384)) == 384))
+    frame = lambda k: F.concat(
+        F.lit("P6\n8 8\n255\n").cast("binary"),
+        F.substring(F.col("text"), 96 * k + 1, 192).cast("binary"))
+    payload = F.concat(frame(0), frame(1), frame(2))
+    media = mm.attach_media(docs, "doc_id", payload, kind="video",
+                            fmt="ppms")
+    media.repartition(4).write.mode("overwrite") \
+        .parquet(base + "/media_split")
+    target = base + "/index"
+    stream_video_index(spark, base + "/media_split", target)
+    return mm.video_pairs_from_index(spark.read.parquet(target),
+                                     max_hamming=8, max_bucket_size=64,
+                                     min_frame_matches=2)
+
+
 def q_stream_quantile(spark, sf_dir):
     """Streaming quantile-sketch maintenance (streaming/events.py
     stream_quantile_values, r8): events chopped into 4 files replay as
@@ -4233,6 +4267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_embed_ann": q_doc_embed_ann,
         "video_neardup": q_video_neardup,
         "corpus_curate_multimodal": q_corpus_curate_multimodal,
+        "stream_video": q_stream_video,
         "hits_scores": q_hits_scores,
         "bloom_prune": q_bloom_prune,
         "bm25_topk": q_bm25_topk,
@@ -8802,6 +8837,10 @@ def oracle_sql() -> dict[str, str]:
         FROM calc"""
     # stream_phash (r11): streaming fold must equal the batch pair set
     d["stream_phash"] = _PHASH_ORACLE
+    # stream_video (r12): chop-invariance makes the streaming index
+    # equal the one-shot batch computation, so it shares video_neardup's
+    # oracle verbatim (the stream_phash precedent)
+    d["stream_video"] = d["video_neardup"]
     # phash_clusters (r11): the certified pHash pair SQL closed
     # transitively with the dedup_clusters recursive-CTE pattern
     d["phash_clusters"] = f"""

@@ -173,6 +173,10 @@ EXTRAS = [
     "retrieval_eval",
     "ivf_incremental",
     "doc_embed_topk",       # landed post-EXTRAS_r11 (ADVICE r11 item 5)
+    # round 12
+    "doc_embed_ann",
+    "video_neardup",
+    "corpus_curate_multimodal",
 ]
 
 

@@ -2059,16 +2059,31 @@ def video_neardup(media: DataFrame, max_hamming: int = 8,
     after runs on (media_id, frame_idx, phash) rows — ~24 bytes per
     FRAME, metadata-scale even when the payloads are 100 TB; the only
     join is hash-partitioned on compact (band, value) keys."""
-    if max_hamming > 8:
-        raise ValueError(
-            f"video_neardup guarantees full frame-pair recall only for "
-            f"max_hamming <= 8 (9 bands x 7 bits); got {max_hamming}")
-    if min_frame_matches < 1:
-        raise ValueError(
-            f"min_frame_matches must be >= 1, got {min_frame_matches}")
     from bqetl_spark.caching import pin
 
     fh = pin(video_frame_phash(media, scale_bits=scale_bits))
+    return video_pairs_from_index(fh, max_hamming=max_hamming,
+                                  max_bucket_size=max_bucket_size,
+                                  min_frame_matches=min_frame_matches)
+
+
+def video_pairs_from_index(fh: DataFrame, max_hamming: int = 8,
+                           max_bucket_size: int = 64,
+                           min_frame_matches: int = 2) -> DataFrame:
+    """The query half of :func:`video_neardup`, factored (r12) so the
+    same certified pair logic runs over a PERSISTED frame-hash index
+    — the streaming-maintenance story (hash videos on ingest with
+    :func:`video_frame_phash`, pair-query the stored ``(media_id,
+    frame_idx, phash)`` table at any time) as well as over a
+    freshly-hashed batch. Same pigeonhole guard as phash_band_pairs:
+    frame-pair recall 1.0 only holds to hamming 8."""
+    if max_hamming > 8:
+        raise ValueError(
+            f"video pair recall is only guaranteed for max_hamming <= 8 "
+            f"(9 bands x 7 bits); got {max_hamming}")
+    if min_frame_matches < 1:
+        raise ValueError(
+            f"min_frame_matches must be >= 1, got {min_frame_matches}")
     bands = fh.select(
         "media_id", "frame_idx", "phash",
         F.explode(F.sequence(F.lit(0), F.lit(8))).alias("j"),

@@ -62,3 +62,51 @@ def stream_phash_index(spark: SparkSession, media_dir: str,
      .trigger(availableNow=True)
      .option("checkpointLocation", target_path + ".ckpt")
      .start().awaitTermination())
+
+
+def stream_video_index(spark: SparkSession, media_dir: str,
+                       target_path: str, scale_bits: int = 15,
+                       max_files_per_trigger: int = 1) -> None:
+    """Video twin of :func:`stream_phash_index` (r12): fold each
+    micro-batch's per-FRAME perceptual hashes into the persisted
+    (media_id, frame_idx, phash) index at ``target_path``; callers
+    pair-query the stored index with
+    :func:`bqetl_spark.functions.multimodal.video_pairs_from_index`.
+
+    Hash-on-ingest is even more asymmetric for video than for images:
+    the payload is frames × bytes but the index row stays ~24 bytes per
+    frame, so a 100 TB clip corpus folds into a metadata-scale table.
+    Idempotence: frame hashes are payload-pure and the
+    (media_id, frame_idx) dedup makes restart replays no-ops — which is
+    what lets the gate share the plain batch video_neardup oracle."""
+    from bqetl_spark.functions.multimodal import (MEDIA_SCHEMA,
+                                                  video_frame_phash)
+
+    stream = (spark.readStream.schema(MEDIA_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(media_dir))
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        sp = bdf.sparkSession
+        batch_hashes = video_frame_phash(bdf, scale_bits=scale_bits)
+        # explicit existence check, NOT try/except-Exception (the
+        # stream_kmv code-review-r6 lesson: a corrupt index must FAIL
+        # the batch, not silently restart accumulation)
+        base = (sp.read.parquet(target_path)
+                if os.path.isdir(target_path) else None)
+        out = (batch_hashes if base is None
+               else base.unionByName(batch_hashes)
+               .dropDuplicates(["media_id", "frame_idx"]))
+        tmp = target_path + f".batch{batch_id}"
+        out.write.mode("overwrite").parquet(tmp)
+        sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        shutil.rmtree(tmp, ignore_errors=True)  # bound on-disk state
+
+    (stream.writeStream.outputMode("append")
+     .foreachBatch(sink)
+     .trigger(availableNow=True)
+     .option("checkpointLocation", target_path + ".ckpt")
+     .start().awaitTermination())

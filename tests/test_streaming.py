@@ -321,3 +321,39 @@ def test_stream_phash_fold_is_chop_invariant(spark, tmp_path):
         release_pinned()
         assert idx == batch_idx
         assert pairs == batch_pairs
+
+
+def test_stream_video_index_chop_invariant(spark, tmp_path):
+    """Video twin of the stream_phash chop-invariance pin (r12): the
+    persisted frame-hash index and the pair query over it must equal the
+    one-shot batch video_frame_phash/video_neardup for ANY micro-batch
+    chop (frame hashes are payload-pure; (media_id, frame_idx) dedup
+    makes replays no-ops)."""
+    from bqetl_spark.caching import release_pinned
+    from bqetl_spark.functions import multimodal as mm
+    from bqetl_spark.streaming.media import stream_video_index
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter("length(text) >= 384 and "
+                    "octet_length(substring(text, 1, 384)) = 384"))
+    frame = lambda k: F.concat(
+        F.lit("P6\n8 8\n255\n").cast("binary"),
+        F.substring(F.col("text"), 96 * k + 1, 192).cast("binary"))
+    media = mm.attach_media(docs, "doc_id",
+                            F.concat(frame(0), frame(1), frame(2)),
+                            kind="video", fmt="ppms")
+
+    batch_idx = sorted(map(tuple, mm.video_frame_phash(media).collect()))
+    batch_pairs = sorted(map(tuple, mm.video_neardup(media).collect()))
+    release_pinned()
+    for n, tag in ((2, "a"), (4, "b")):
+        src = str(tmp_path / f"vsrc{tag}")
+        media.repartition(n).write.parquet(src)
+        target = str(tmp_path / f"vidx{tag}")
+        stream_video_index(spark, src, target)
+        idx = sorted(map(tuple, spark.read.parquet(target).collect()))
+        pairs = sorted(map(tuple, mm.video_pairs_from_index(
+            spark.read.parquet(target)).collect()))
+        release_pinned()
+        assert idx == batch_idx
+        assert pairs == batch_pairs

@@ -95,8 +95,12 @@ QUERIES = ["denorm_flat", "q3_top_revenue", "dedup_fingerprint",
            # r12 additions (ADVICE r11 item 5: doc_embed_topk had no
            # slope row). Expected shapes: doc_embed pooling is one tf
            # agg + a vocab-bounded embedding join (tokenizer-train
-           # story — replication grows tf counts, not vocab).
-           "doc_embed_topk"]
+           # story — replication grows tf counts, not vocab);
+           # doc_embed_ann adds the n_lists-broadcast assignment scan;
+           # video_neardup is a map-only frame-hash scan + banded
+           # metadata join (the phash_neardup class — exact-dup
+           # clusters inflate linearly, bucket caps bound any K²).
+           "doc_embed_topk", "doc_embed_ann", "video_neardup"]
 
 
 def main() -> None:
