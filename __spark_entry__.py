@@ -2879,6 +2879,40 @@ def q_video_neardup(spark, sf_dir):
                             min_frame_matches=2)
 
 
+def q_video_frame_lookup(spark, sf_dir):
+    """Image→video content lookup (multimodal.phash_lookup, r12) — the
+    Content-ID query shape: every 20th qualifying document's 8×8 P6
+    probe IMAGE (its first 192 text bytes — byte-identical to frame 0
+    of its own video) is hashed through the IMAGE path (image_phash,
+    ppm decoder) and looked up against the VIDEO frame-hash index of
+    the whole corpus via the asymmetric banded join. Certifies two
+    things at once: the image and video hash paths agree bit-for-bit
+    on the same pixels (every probe must find its own frame 0 at
+    hamming 0), and the probe-vs-index lookup (bucket cap on the index
+    side only — probes are queries, never dropped). Output
+    (probe_id, video_id, frame_idx, hamming); self-matches included —
+    they ARE the content-ID sanity row."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 384)
+        & (F.octet_length(F.substring("text", 1, 384)) == 384))
+    frame = lambda k: F.concat(
+        F.lit("P6\n8 8\n255\n").cast("binary"),
+        F.substring(F.col("text"), 96 * k + 1, 192).cast("binary"))
+    videos = mm.attach_media(docs, "doc_id",
+                             F.concat(frame(0), frame(1), frame(2)),
+                             kind="video", fmt="ppms")
+    index = mm.video_frame_phash(videos)
+    probe_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+    probe_media = mm.attach_media(probe_docs, "doc_id", frame(0),
+                                  kind="image", fmt="ppm")
+    probes = (mm.image_phash(probe_media)
+              .select(F.col("media_id").alias("probe_id"), "phash"))
+    return (mm.phash_lookup(probes, index, max_hamming=8,
+                            max_bucket_size=64)
+            .select("probe_id", F.col("media_id").alias("video_id"),
+                    "frame_idx", "hamming"))
+
+
 def q_doc_chunks_udtf(spark, sf_dir):
     """Chunking through Spark's Python UDTF API (SQL surface:
     FROM docs, LATERAL chunk_tokens(text, size, stride)) — the same
@@ -4268,6 +4302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_neardup": q_video_neardup,
         "corpus_curate_multimodal": q_corpus_curate_multimodal,
         "stream_video": q_stream_video,
+        "video_frame_lookup": q_video_frame_lookup,
         "hits_scores": q_hits_scores,
         "bloom_prune": q_bloom_prune,
         "bm25_topk": q_bm25_topk,
@@ -5158,22 +5193,21 @@ def _phash_oracle() -> str:
 _PHASH_ORACLE = _phash_oracle()
 
 
-def _video_phash_oracle() -> str:
-    """DuckDB replay of q_video_neardup: 3 frames per doc, frame f's
-    pixel (y,x) luma = the 3 bytes at 1-based text positions
-    96·f + 3·(8y+x) + {1,2,3} (P6 is row-major RGB; frames are
-    overlapping 192-byte windows at stride 96), then per-(doc,frame)
-    the SAME fixed-point DCT / order-statistic median / 63-bit pack as
-    _phash_oracle, 9×7 banding with the bucket cap counted over
-    FRAMES, Hamming verify ≤ 8, and the video-level aggregation
-    (count + min over matched frame pairs, HAVING ≥ 2)."""
+def _video_ph_ctes() -> str:
+    """Shared CTE prefix for the video-fingerprint oracles: 3 frames
+    per doc, frame f's pixel (y,x) luma = the 3 bytes at 1-based text
+    positions 96·f + 3·(8y+x) + {1,2,3} (P6 is row-major RGB; frames
+    are overlapping 192-byte windows at stride 96), then per-
+    (doc,frame) the SAME fixed-point DCT / order-statistic median /
+    63-bit pack as _phash_oracle — ending at ``ph(doc_id, fidx,
+    phash)``. video_neardup/stream_video append the self-join pairing;
+    video_frame_lookup appends the probe-vs-index lookup."""
     from bqetl_spark.functions.multimodal import phash_dct_table
 
     ctab = phash_dct_table(15)
     ct_rows = ", ".join(f"({u},{x},CAST({ctab[u][x]} AS BIGINT))"
                         for u in range(8) for x in range(8))
-    return f"""
-    WITH d AS (
+    return f"""d AS (
       SELECT doc_id, substr(text, 1, 384) AS pfx FROM documents
       WHERE length(text) >= 384
         AND octet_length(encode(substr(text, 1, 384))) = 384
@@ -5203,7 +5237,15 @@ def _video_phash_oracle() -> str:
                  THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
                  ELSE CAST(0 AS BIGINT) END) AS phash
       FROM ac JOIN med USING (doc_id, fidx) GROUP BY ac.doc_id, ac.fidx
-    ), bands AS (
+    )"""
+
+
+def _video_phash_oracle() -> str:
+    """video_neardup replay: the shared frame-hash CTEs + 9×7 banding
+    with the bucket cap counted over FRAMES, Hamming verify ≤ 8, and
+    the video-level aggregation (count + min, HAVING ≥ 2)."""
+    return f"""
+    WITH {_video_ph_ctes()}, bands AS (
       SELECT doc_id, fidx, j,
              (phash >> CAST(7*j AS INT)) & 127 AS bv, phash
       FROM ph, range(0, 9) r(j)
@@ -5223,6 +5265,37 @@ def _video_phash_oracle() -> str:
     SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_frame_matches,
            CAST(min(h) AS BIGINT) AS min_hamming
     FROM fp GROUP BY id_a, id_b HAVING count(*) >= 2"""
+
+
+def _video_lookup_oracle() -> str:
+    """video_frame_lookup replay: the shared frame-hash CTEs + the
+    probe set (every 20th qualifying doc's FIRST frame — which is
+    byte-identical to the standalone 8×8 P6 probe image the gate
+    hashes through image_phash, so ph at fidx=0 IS the probe hash) +
+    the asymmetric banded lookup with the bucket cap counted over
+    INDEX frames only."""
+    return f"""
+    WITH {_video_ph_ctes()}, probes AS (
+      SELECT doc_id AS probe_id, phash AS pp FROM ph
+      WHERE fidx = 0 AND doc_id % 20 = 0
+    ), ibands AS (
+      SELECT doc_id, fidx, j,
+             (phash >> CAST(7*j AS INT)) & 127 AS bv, phash
+      FROM ph, range(0, 9) r(j)
+    ), ok AS (
+      SELECT j, bv FROM ibands GROUP BY j, bv HAVING count(*) <= 64
+    ), pbands AS (
+      SELECT probe_id, j, (pp >> CAST(7*j AS INT)) & 127 AS bv, pp
+      FROM probes, range(0, 9) r(j)
+    ), cand AS (
+      SELECT DISTINCT p.probe_id, i.doc_id AS video_id, i.fidx,
+             i.phash, p.pp
+      FROM ibands i JOIN ok USING (j, bv)
+      JOIN pbands p ON i.j = p.j AND i.bv = p.bv
+    )
+    SELECT probe_id, video_id, CAST(fidx AS BIGINT) AS frame_idx,
+           bit_count(xor(phash, pp)) AS hamming
+    FROM cand WHERE bit_count(xor(phash, pp)) <= 8"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6252,6 +6325,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _SIMHASH_ORACLE,
         "phash_neardup": _PHASH_ORACLE,
         "video_neardup": _video_phash_oracle(),
+        "video_frame_lookup": _video_lookup_oracle(),
     }
     # streaming session windows must equal the batch islands rule — same
     # oracle (bounded availableNow replay, complete output mode)

@@ -177,6 +177,8 @@ EXTRAS = [
     "doc_embed_ann",
     "video_neardup",
     "corpus_curate_multimodal",
+    "stream_video",
+    "video_frame_lookup",
 ]
 
 

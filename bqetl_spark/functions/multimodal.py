@@ -2110,3 +2110,48 @@ def video_pairs_from_index(fh: DataFrame, max_hamming: int = 8,
             .agg(F.count("*").cast("long").alias("n_frame_matches"),
                  F.min("__h").cast("long").alias("min_hamming"))
             .filter(F.col("n_frame_matches") >= min_frame_matches))
+
+
+def phash_lookup(probes: DataFrame, index: DataFrame,
+                 max_hamming: int = 8,
+                 max_bucket_size: int = 64) -> DataFrame:
+    """Banded probe-vs-index perceptual-hash LOOKUP (r12) — the
+    content-ID query shape: given a small table of probe hashes
+    ``(probe_id, phash)`` and a PERSISTED index carrying a ``phash``
+    column plus arbitrary key columns (the (media_id, phash) image
+    index, or the (media_id, frame_idx, phash) video frame index),
+    return every index row within ``max_hamming`` of a probe —
+    ``(probe_id, <index key columns>, hamming)``.
+
+    The asymmetric sibling of :func:`phash_band_pairs`' self-join: the
+    same 9×7-bit pigeonhole (full recall to hamming 8, guarded), but
+    the bucket cap counts INDEX rows only — probes are queries, not
+    corpus, so a capped boilerplate bucket shields the index side
+    without ever dropping a probe. Scale shape: the index bands are a
+    hash-partitioned (band, value) table; the probe bands are tiny and
+    broadcast — an index lookup touches candidate buckets only, never
+    the corpus."""
+    if max_hamming > 8:
+        raise ValueError(
+            f"phash_lookup guarantees full recall only for "
+            f"max_hamming <= 8 (9 bands x 7 bits); got {max_hamming}")
+    key_cols = [c for c in index.columns if c != "phash"]
+    ib = index.select(
+        *key_cols, "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(8))).alias("j"),
+    ).withColumn("bv", F.expr("shiftrightunsigned(phash, j * 7) & 127"))
+    ok = (ib.groupBy("j", "bv").count()
+          .filter(F.col("count") <= max_bucket_size)
+          .select("j", "bv"))
+    pb = probes.select(
+        "probe_id", F.col("phash").alias("__pp"),
+        F.explode(F.sequence(F.lit(0), F.lit(8))).alias("j"),
+    ).withColumn("bv", F.expr("shiftrightunsigned(__pp, j * 7) & 127"))
+    cand = (ib.join(ok, ["j", "bv"])
+            .join(F.broadcast(pb), ["j", "bv"])
+            .select("probe_id", *key_cols, "phash", "__pp")
+            .distinct())
+    hamming = F.bit_count(F.col("phash").bitwiseXOR(F.col("__pp")))
+    return (cand.select("probe_id", *key_cols,
+                        hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

@@ -1141,3 +1141,32 @@ def test_video_neardup_validates(spark):
         mm.video_neardup(df, max_hamming=9)
     with pytest.raises(ValueError):
         mm.video_neardup(df, min_frame_matches=0)
+
+
+def test_phash_lookup_probe_never_dropped_by_cap(spark):
+    """The asymmetric lookup's cap counts INDEX rows only: with a
+    boilerplate bucket capped out of the index, a probe identical to a
+    NON-boilerplate index row still finds it; and every probe finds its
+    exact copy in the index at hamming 0 when uncapped."""
+    from bqetl_spark.caching import release_pinned
+
+    vids = [(i, _ppm(8, 8, _frame_px(1 if i < 60 else i)))
+            for i in range(64)]  # 60 identical-frame clips = boilerplate
+    media = _vid_meta(spark.createDataFrame(
+        vids, "media_id long, payload binary"))
+    index = mm.video_frame_phash(media)
+    img = mm.attach_media(
+        spark.createDataFrame([(63, "x")], "doc_id long, text string"),
+        "doc_id", F.lit(_ppm(8, 8, _frame_px(63))), kind="image",
+        fmt="ppm")
+    probes = (mm.image_phash(img)
+              .select(F.col("media_id").alias("probe_id"), "phash"))
+    hits = mm.phash_lookup(probes, index, max_hamming=0,
+                           max_bucket_size=8).collect()
+    release_pinned()
+    # the 60-clip boilerplate bucket is capped away, but the probe's own
+    # unique frame survives the index side and self-matches at hamming 0
+    assert {(r["probe_id"], r["media_id"], r["hamming"])
+            for r in hits} == {(63, 63, 0)}
+    with pytest.raises(ValueError):
+        mm.phash_lookup(probes, index, max_hamming=9)

@@ -42,7 +42,8 @@ ROUND_HEAD = {
     # then the changed gates. regen_queries_dict.py re-ran after each
     # landing.
     "new_first": ["doc_embed_ann", "video_neardup",
-                  "corpus_curate_multimodal", "stream_video"],
+                  "corpus_curate_multimodal", "stream_video",
+                  "video_frame_lookup"],
     # hits_scores: per-phase max normalizer moved from driver collects to
     # the in-plan one-row crossJoin (VERDICT r11 item 6) — result proven
     # bit-identical, but the gate code changed
