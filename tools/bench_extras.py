@@ -19,8 +19,20 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+def _current_round() -> int:
+    """Newest CORRECTNESS_r*.json + 1 — the same derivation sweep.py
+    uses (r11 verdict flagged hard-coded round labels as provenance
+    artifacts)."""
+    import glob
+    import re
+    rounds = [int(m.group(1))
+              for p in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
+              if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))]
+    return (max(rounds) + 1) if rounds else 1
+
+
 OUT = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-    ROOT, "BENCH_EXTRAS_r08.json")
+    ROOT, f"BENCH_EXTRAS_r{_current_round():02d}.json")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM_DIR = "/root/testdata/sf0.01"
 DUCK_CAP_S = 60
