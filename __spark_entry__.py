@@ -1089,6 +1089,77 @@ def q_stream_video(spark, sf_dir):
                                      min_frame_matches=2)
 
 
+def q_stream_audio(spark, sf_dir):
+    """Streaming audio-landmark index maintenance (streaming/media.py
+    stream_audio_index, r12): the 128-sample WAV track corpus (the
+    q_audio_lookup construction) is chopped into 4 parquet files so the
+    availableNow replay folds 4 REAL micro-batches — each track decoded
+    + DCT-framed + peak-paired exactly once — into the persisted
+    (media_id, f1, lhash) landmark index; the gate then runs the
+    content-ID probe query against the STORED index with audio_lookup.
+    Oracle = the plain batch audio_lookup SQL: the hash-match proves
+    hash-on-ingest + index-query equals the one-shot batch computation
+    for any chop (landmarks are payload-pure; the (media_id, f1, lhash)
+    dedup makes restart replays no-ops). Completes per-modality
+    streaming index maintenance: image + video + audio."""
+    from bqetl_spark.streaming.media import stream_audio_index
+
+    base = _scratch("saudio", sf_dir, wipe=True)
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 256)
+        & (F.octet_length(F.substring("text", 1, 256)) == 256))
+    track_payload = F.concat(
+        F.lit(_wav_header(256)),
+        F.substring(F.col("text"), 1, 256).cast("binary"))
+    tracks = mm.attach_media(docs, "doc_id", track_payload,
+                             kind="audio", fmt="wav")
+    tracks.repartition(4).write.mode("overwrite") \
+        .parquet(base + "/media_split")
+    target = base + "/index"
+    stream_audio_index(spark, base + "/media_split", target)
+    probe_docs = docs.filter(F.col("doc_id") % 7 == 0)
+    probe_payload = F.concat(
+        F.lit(_wav_header(224)),
+        F.substring(F.col("text"), 33, 224).cast("binary"))
+    probes = mm.attach_media(probe_docs, "doc_id", probe_payload,
+                             kind="audio", fmt="wav")
+    plm = (mm.audio_landmarks(probes)
+           .select(F.col("media_id").alias("probe_id"), "f1", "lhash"))
+    return mm.audio_lookup(plm, spark.read.parquet(target),
+                           min_votes=3, max_hash_freq=1024)
+
+
+def q_spatial_grid_join(spark, sf_dir):
+    """Grid-bucketed spatial neighbor join (operators/spatial.py, r12):
+    every customer gets a deterministic 2-D point (md5-derived
+    coordinates both engines compute identically — the sample_hash
+    idiom, 15 hex digits via conv/'0x' cast, mod 10000), and the op
+    returns all pairs within Euclidean distance 64 as (id_a, id_b,
+    dist_sq) — EXACT integer arithmetic end to end. Cell size = radius,
+    3×3 neighborhood equi-join (recall 1.0 by the cell-pigeonhole),
+    dense-cell guard max_cell_size=64 replayed as a HAVING; each pair
+    generated exactly once (probe explodes to 9 keys, build keeps its
+    home cell — no distinct pass). The spatial instance of the
+    bucket-then-verify discipline that runs the dedup/ANN families.
+
+    Scale: one occupancy groupBy + one (cx, cy) equi-join — never
+    all-pairs; at planetary point counts the cell key space grows with
+    the data and the join stays hash-partitioned metadata."""
+    from bqetl_spark.operators.spatial import grid_neighbor_join
+
+    cust = _t(spark, sf_dir, "customer")
+
+    def coord(tag):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.lit(tag), F.col("c_custkey").cast("string"))), 1, 15),
+            16, 10).cast("long") % 10000)
+
+    pts = cust.select(F.col("c_custkey").alias("id"),
+                      coord("px:").alias("px"),
+                      coord("py:").alias("py"))
+    return grid_neighbor_join(pts, radius=64, max_cell_size=64)
+
+
 def q_stream_quantile(spark, sf_dir):
     """Streaming quantile-sketch maintenance (streaming/events.py
     stream_quantile_values, r8): events chopped into 4 files replay as
@@ -2602,6 +2673,47 @@ def q_phash_neardup(spark, sf_dir):
     return mm.phash_neardup(media, max_hamming=8, max_bucket_size=64)
 
 
+def q_phash_dihedral(spark, sf_dir):
+    """Rotation/mirror-INVARIANT perceptual image dedup (r12): every
+    document yields TWO real 8×8 grayscale TIFFs — the original (first
+    64 ASCII bytes, media_id 2·doc_id) and its 90°-rotated copy (the
+    same bytes pixel-permuted BEFORE encoding, media_id 2·doc_id+1) —
+    both decoded by the REAL TIFF decoder and hashed with
+    multimodal.image_phash_dihedral: ONE fixed-point DCT per image,
+    then all 8 dihedral-orbit spectra derived algebraically (transpose
+    + sign flips, exact in int64 thanks to the truncate-toward-zero
+    basis phash_dct_table_sym), 8 order-statistic medians / 63-bit
+    packs, min = the canonical hash. Rotated pairs MUST land in the
+    same cluster — certified implicitly because cluster ids and sizes
+    are value-hashed (every (2d, 2d+1) pair shares cluster_id). The
+    oracle replays pixel permutation → separable DCT → the D4
+    variant table → 8 packs → min → the window clustering, all BIGINT.
+
+    Scale: map-only hash scan (the image_phash posture — at 100 TB the
+    canonical-hash table is 16 B/row), then a plain equi-key window —
+    orbit collapse replaces Hamming banding, so flipped re-uploads
+    dedup with NO pair join at all."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 64)
+        # ASCII prefix required explicitly — see q_multimodal_decode
+        & (F.octet_length(F.substring("text", 1, 64)) == 64))
+    # rotated image byte at row-major index i: source index 8x + (7-y),
+    # y = i//8, x = i%8 (rot90 ccw: P'[y][x] = P[x][7-y]); 1-based substr
+    rot = F.concat(*[F.substring("text", 8 * (i % 8) + 7 - (i // 8) + 1, 1)
+                     for i in range(64)])
+    a = docs.select((F.col("doc_id") * 2).alias("mid"), "text")
+    b = docs.select((F.col("doc_id") * 2 + 1).alias("mid"),
+                    rot.alias("text"))
+    media = mm.attach_tiff_media(a.unionByName(b), "mid", "text", 8, 8,
+                                 rows_per_strip=2)
+    canon = mm.image_phash_dihedral(media)
+    w = Window.partitionBy("phash")
+    return canon.select(
+        "media_id", "phash",
+        F.min("media_id").over(w).alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"))
+
+
 def q_multimodal_mulaw(spark, sf_dir):
     """REAL lossy audio codec in the gate (r10): the multimodal_audio
     WAV (32 LE int16 samples from 64 ASCII bytes) transcoded through
@@ -2800,6 +2912,60 @@ def q_audio_neardup(spark, sf_dir):
                             fmt="wav")
     return mm.audio_neardup(media, frame=1, n_bits=32, max_hamming=3,
                             bands=4, max_bucket_size=64)
+
+
+def _wav_header(n_bytes: int) -> bytes:
+    """Mono 8 kHz 16-bit RIFF/WAV header for an n-byte data chunk — the
+    q_multimodal_audio construction, shared by the landmark gates."""
+    import struct
+
+    return (b"RIFF" + (36 + n_bytes).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            + b"data" + n_bytes.to_bytes(4, "little"))
+
+
+def q_audio_lookup(spark, sf_dir):
+    """Shazam-style content-ID lookup (r12): each document's first 256
+    ASCII bytes become 128 LE int16 PCM samples of a mono WAV — the
+    TRACK corpus, decoded by the REAL RIFF parser and indexed by
+    constellation landmarks (multimodal.audio_landmarks: 8-sample
+    frames → 8-point fixed-point DCT → dominant-bin band + Σ|AC|
+    energy per frame → strict interior energy peaks → peak-pair hashes
+    band1·512+band2·64+dt). Every 7th document also yields a PROBE —
+    the SAME audio cut at a 32-byte offset (bytes 33..256, so probe
+    frame f is track frame f+2) — matched by offset voting
+    (multimodal.audio_lookup): landmark hash join, votes pile on the
+    true (track, +2) offset while chance collisions scatter; hot index
+    hashes above max_hash_freq are dropped before the join (probes
+    never are). Output: best (probe_id, track_id, foffset, votes) per
+    probe, votes ≥ 3, deterministic tie-break. All-integer end to end —
+    the oracle replays samples → DCT → argmax/abs-sum → LAG/LEAD peaks
+    → pair hashes → the frequency cap → offset votes → the ranked
+    best row, pure BIGINT.
+
+    Scale: index build is a map-only scan; lookup is an lhash equi-join
+    + one groupBy — the inverted-index posture that serves petabyte
+    audio catalogs (widen the hash space, same machinery)."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 256)
+        # ASCII prefix required explicitly — see q_multimodal_decode
+        & (F.octet_length(F.substring("text", 1, 256)) == 256))
+    track_payload = F.concat(
+        F.lit(_wav_header(256)),
+        F.substring(F.col("text"), 1, 256).cast("binary"))
+    tracks = mm.attach_media(docs, "doc_id", track_payload,
+                             kind="audio", fmt="wav")
+    probe_docs = docs.filter(F.col("doc_id") % 7 == 0)
+    probe_payload = F.concat(
+        F.lit(_wav_header(224)),
+        F.substring(F.col("text"), 33, 224).cast("binary"))
+    probes = mm.attach_media(probe_docs, "doc_id", probe_payload,
+                             kind="audio", fmt="wav")
+    idx = mm.audio_landmarks(tracks)
+    plm = (mm.audio_landmarks(probes)
+           .select(F.col("media_id").alias("probe_id"), "f1", "lhash"))
+    return mm.audio_lookup(plm, idx, min_votes=3, max_hash_freq=1024)
 
 
 def q_multimodal_resize(spark, sf_dir):
@@ -4303,6 +4469,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate_multimodal": q_corpus_curate_multimodal,
         "stream_video": q_stream_video,
         "video_frame_lookup": q_video_frame_lookup,
+        "phash_dihedral": q_phash_dihedral,
+        "audio_lookup": q_audio_lookup,
+        "stream_audio": q_stream_audio,
+        "spatial_grid_join": q_spatial_grid_join,
         "hits_scores": q_hits_scores,
         "bloom_prune": q_bloom_prune,
         "bm25_topk": q_bm25_topk,
@@ -5191,6 +5361,200 @@ def _phash_oracle() -> str:
 
 
 _PHASH_ORACLE = _phash_oracle()
+
+
+def _phash_dihedral_oracle() -> str:
+    """DuckDB replay of q_phash_dihedral: TIFF encode/decode is lossless
+    identity (luma = 3·byte), so pixels come straight from the text —
+    the original layout and the rot90 permutation (source char position
+    8x + 7 − y + 1 for output index 8y+x). One separable DCT per media
+    (row pass then column pass — 8-term sums instead of the 64-term
+    direct form), then the D4 variant table from
+    multimodal.PHASH_DIHEDRAL_VARIANTS (one source of truth: variant t
+    of the spectrum is (−1)^{a·u+b·v}·D[v][u] when swapped — exact in
+    BIGINT with the truncate-toward-zero basis), per-variant
+    order-statistic median + 63-bit pack, MIN over the orbit, and the
+    window clustering over the canonical hash."""
+    from bqetl_spark.functions.multimodal import (PHASH_DIHEDRAL_VARIANTS,
+                                                  phash_dct_table_sym)
+
+    ctab = phash_dct_table_sym(15)
+    ct_rows = ", ".join(f"({u},{x},CAST({ctab[u][x]} AS BIGINT))"
+                        for u in range(8) for x in range(8))
+    tr_rows = ", ".join(f"({t},{sw},{a},{b})"
+                        for t, sw, a, b in PHASH_DIHEDRAL_VARIANTS)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 64) AS pfx FROM documents
+      WHERE length(text) >= 64
+        AND octet_length(encode(substr(text, 1, 64))) = 64
+    ), ct(u, x, c) AS (VALUES {ct_rows}),
+    tr(t, sw, a, b) AS (VALUES {tr_rows}),
+    pix AS (
+      SELECT 2*doc_id AS mid, (i-1)//8 AS y, (i-1)%8 AS x,
+             CAST(3 * ord(substr(pfx, CAST(i AS INT), 1)) AS BIGINT) AS p
+      FROM d, range(1, 65) t(i)
+      UNION ALL
+      SELECT 2*doc_id + 1, (i-1)//8, (i-1)%8,
+             CAST(3 * ord(substr(pfx,
+                  CAST(8*((i-1)%8) + 7 - (i-1)//8 + 1 AS INT), 1))
+                  AS BIGINT)
+      FROM d, range(1, 65) t(i)
+    ), rowp AS (
+      SELECT mid, cu.u AS u, pix.x AS x, SUM(cu.c * p) AS rv
+      FROM pix JOIN ct cu ON cu.x = pix.y GROUP BY mid, cu.u, pix.x
+    ), coef AS (
+      SELECT mid, rowp.u AS u, cv.u AS v, SUM(cv.c * rv) AS val
+      FROM rowp JOIN ct cv ON cv.x = rowp.x GROUP BY mid, rowp.u, cv.u
+    ), vc AS (
+      SELECT mid, t,
+             CASE WHEN sw = 1 THEN v ELSE u END AS u2,
+             CASE WHEN sw = 1 THEN u ELSE v END AS v2,
+             val * (CASE WHEN (a * (CASE WHEN sw = 1 THEN v ELSE u END)
+                         + b * (CASE WHEN sw = 1 THEN u ELSE v END))
+                         % 2 = 1
+                    THEN -1 ELSE 1 END) AS val
+      FROM coef, tr
+    ), ac AS (
+      SELECT mid, t, u2*8 + v2 - 1 AS i, val,
+             row_number() OVER (PARTITION BY mid, t
+                                ORDER BY val, u2*8 + v2) AS rk
+      FROM vc WHERE NOT (u2 = 0 AND v2 = 0)
+    ), med AS (
+      SELECT mid, t, val AS m FROM ac WHERE rk = 32
+    ), ph AS (
+      SELECT ac.mid, ac.t,
+             SUM(CASE WHEN ac.val > med.m
+                 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                 ELSE CAST(0 AS BIGINT) END) AS h
+      FROM ac JOIN med USING (mid, t) GROUP BY ac.mid, ac.t
+    ), canon AS (
+      SELECT mid AS media_id, MIN(h) AS phash FROM ph GROUP BY mid
+    )
+    SELECT media_id, phash,
+           MIN(media_id) OVER (PARTITION BY phash) AS cluster_id,
+           COUNT(*) OVER (PARTITION BY phash) AS cluster_size
+    FROM canon"""
+
+
+_PHASH_DIHEDRAL_ORACLE = _phash_dihedral_oracle()
+
+
+def _audio_lookup_oracle() -> str:
+    """DuckDB replay of q_audio_lookup: WAV encode/decode is lossless
+    identity on LE int16 (sample j = byte(2j+1) + 256·byte(2j+2), always
+    positive for ASCII), so samples come straight from the text — the
+    track stream (128 samples) and the probe snippet (offset 32 bytes,
+    112 samples) UNIONed with a side flag through ONE shared pipeline:
+    8-sample frames → 1-D fixed-point DCT (the phash_dct_table_sym
+    basis) → per-frame dominant band (row_number over |coef| DESC, u)
+    and Σ|AC| energy → strict interior peaks via LAG/LEAD → peak-pair
+    landmark hashes → the index-side frequency cap as a HAVING → offset
+    votes → the ranked best row per probe. Pure BIGINT throughout."""
+    from bqetl_spark.functions.multimodal import phash_dct_table_sym
+
+    ctab = phash_dct_table_sym(15)
+    ct_rows = ", ".join(f"({u},{x},CAST({ctab[u][x]} AS BIGINT))"
+                        for u in range(8) for x in range(8))
+    return f"""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 256) AS pfx FROM documents
+      WHERE length(text) >= 256
+        AND octet_length(encode(substr(text, 1, 256))) = 256
+    ), ct(u, x, c) AS (VALUES {ct_rows}),
+    smp AS (
+      SELECT 0 AS side, doc_id, j.j // 8 AS f, j.j % 8 AS x,
+             CAST(ord(substr(pfx, CAST(2*j.j + 1 AS INT), 1))
+                + 256 * ord(substr(pfx, CAST(2*j.j + 2 AS INT), 1))
+               AS BIGINT) AS s
+      FROM d, range(0, 128) j(j)
+      UNION ALL
+      SELECT 1, doc_id, j.j // 8, j.j % 8,
+             CAST(ord(substr(pfx, CAST(32 + 2*j.j + 1 AS INT), 1))
+                + 256 * ord(substr(pfx, CAST(32 + 2*j.j + 2 AS INT), 1))
+               AS BIGINT)
+      FROM d, range(0, 112) j(j) WHERE doc_id % 7 = 0
+    ), coef AS (
+      SELECT side, doc_id, f, ct.u AS u, SUM(ct.c * s) AS val
+      FROM smp JOIN ct ON ct.x = smp.x
+      GROUP BY side, doc_id, f, ct.u
+    ), fr AS (
+      SELECT side, doc_id, f, SUM(abs(val)) AS energy
+      FROM coef WHERE u >= 1 GROUP BY side, doc_id, f
+    ), bnd AS (
+      SELECT side, doc_id, f, u AS band FROM (
+        SELECT side, doc_id, f, u,
+               row_number() OVER (PARTITION BY side, doc_id, f
+                                  ORDER BY abs(val) DESC, u) AS rk
+        FROM coef WHERE u >= 1) WHERE rk = 1
+    ), pk AS (
+      SELECT side, doc_id, f, band FROM (
+        SELECT fr.side, fr.doc_id, fr.f, bnd.band, fr.energy,
+               LAG(fr.energy) OVER w AS ep, LEAD(fr.energy) OVER w AS en
+        FROM fr JOIN bnd USING (side, doc_id, f)
+        WINDOW w AS (PARTITION BY fr.side, fr.doc_id ORDER BY fr.f))
+      WHERE ep IS NOT NULL AND en IS NOT NULL
+        AND energy > ep AND energy > en
+    ), lm AS (
+      SELECT a.side, a.doc_id, a.f AS f1,
+             a.band * 512 + b.band * 64 + (b.f - a.f) AS lhash
+      FROM pk a JOIN pk b ON a.side = b.side AND a.doc_id = b.doc_id
+       AND b.f > a.f AND b.f - a.f <= 15
+    ), okh AS (
+      SELECT lhash FROM lm WHERE side = 0
+      GROUP BY lhash HAVING count(*) <= 1024
+    ), votes AS (
+      SELECT p.doc_id AS probe_id, i.doc_id AS track_id,
+             i.f1 - p.f1 AS foffset, count(*) AS votes
+      FROM lm p JOIN okh USING (lhash)
+      JOIN lm i ON i.lhash = p.lhash AND i.side = 0
+      WHERE p.side = 1
+      GROUP BY p.doc_id, i.doc_id, i.f1 - p.f1
+    ), best AS (
+      SELECT probe_id, track_id, foffset, votes,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY votes DESC, track_id, foffset)
+               AS rk
+      FROM votes WHERE votes >= 3
+    )
+    SELECT probe_id, track_id, foffset, votes FROM best WHERE rk = 1"""
+
+
+_AUDIO_LOOKUP_ORACLE = _audio_lookup_oracle()
+
+
+# q_spatial_grid_join replay: the same md5-derived integer coordinates
+# (15 hex digits integerized exactly like Spark's conv(substr(md5,1,15),
+# 16,10) — 60 bits, always positive), cell = coord // radius, the
+# occupancy cap as a HAVING, the 3x3 neighborhood as a range(-1,2)^2
+# cross join against the probe side, id_a < id_b, and the exact BIGINT
+# Euclidean verify. Each pair appears once (build side keeps its single
+# home cell).
+_SPATIAL_GRID_ORACLE = """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substr(md5('px:' || CAST(c_custkey AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 10000 AS px,
+             CAST(('0x' || substr(md5('py:' || CAST(c_custkey AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 10000 AS py
+      FROM customer
+    ), cells AS (
+      SELECT id, px, py, px // 64 AS cx, py // 64 AS cy FROM pts
+    ), ok AS (
+      SELECT cx, cy FROM cells GROUP BY cx, cy HAVING count(*) <= 64
+    ), co AS (
+      SELECT cells.* FROM cells JOIN ok USING (cx, cy)
+    ), cand AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             (a.px - b.px) * (a.px - b.px)
+           + (a.py - b.py) * (a.py - b.py) AS dist_sq
+      FROM co a
+      CROSS JOIN range(-1, 2) dx(dx)
+      CROSS JOIN range(-1, 2) dy(dy)
+      JOIN co b ON b.cx = a.cx + dx.dx AND b.cy = a.cy + dy.dy
+               AND a.id < b.id
+    )
+    SELECT id_a, id_b, dist_sq FROM cand WHERE dist_sq <= 4096"""
 
 
 def _video_ph_ctes() -> str:
@@ -6324,6 +6688,10 @@ def oracle_sql() -> dict[str, str]:
         # reinterpretation. Matches simhash64_vec bit-for-bit.
         "simhash_pairs": _SIMHASH_ORACLE,
         "phash_neardup": _PHASH_ORACLE,
+        "phash_dihedral": _PHASH_DIHEDRAL_ORACLE,
+        "audio_lookup": _AUDIO_LOOKUP_ORACLE,
+        "stream_audio": _AUDIO_LOOKUP_ORACLE,
+        "spatial_grid_join": _SPATIAL_GRID_ORACLE,
         "video_neardup": _video_phash_oracle(),
         "video_frame_lookup": _video_lookup_oracle(),
     }

@@ -179,6 +179,10 @@ EXTRAS = [
     "corpus_curate_multimodal",
     "stream_video",
     "video_frame_lookup",
+    "phash_dihedral",
+    "audio_lookup",
+    "stream_audio",
+    "spatial_grid_join",
 ]
 
 

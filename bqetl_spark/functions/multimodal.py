@@ -27,7 +27,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -2155,3 +2155,264 @@ def phash_lookup(probes: DataFrame, index: DataFrame,
     return (cand.select("probe_id", *key_cols,
                         hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def phash_dct_table_sym(scale_bits: int = 15) -> list[list[int]]:
+    """Fixed-point 8-point DCT-II basis quantized TOWARD ZERO:
+    ``C[u][x] = int(cos((2x+1)·u·π/16) · 2^scale_bits)``.
+
+    The truncate-toward-zero quantizer (vs :func:`phash_dct_table`'s
+    floor) preserves the cosine reflection symmetry EXACTLY in integers:
+    ``cos((2(7−x)+1)uπ/16) = (−1)^u · cos((2x+1)uπ/16)``, and
+    ``int(−z) = −int(z)`` for truncation, so ``C[u][7−x] ==
+    (−1)^u · C[u][x]`` holds as an integer identity (floor breaks it by
+    1 on negative non-integer entries). That identity is what lets
+    :func:`image_phash_dihedral` compute ONE spectrum per image and
+    derive all 8 dihedral-transform spectra algebraically — bit-exact,
+    so a SQL oracle replays the whole orbit from one DCT."""
+    import math
+
+    return [[int(math.cos((2 * x + 1) * u * math.pi / 16)
+                 * (1 << scale_bits))
+             for x in range(8)] for u in range(8)]
+
+
+# The dihedral group D4 acting on an 8x8 DCT spectrum: variant t of
+# D is D'[u][v] = (-1)^(a·u + b·v) · D[v][u] (if swap) else D[u][v]
+# scaled the same way. (swap, a, b) per transform, pixel-domain
+# meaning in the comment. Shared by the Spark UDF and the SQL oracle
+# (inlined as a VALUES table) — one source of truth.
+PHASH_DIHEDRAL_VARIANTS = [
+    # (t, swap, a, b)
+    (0, 0, 0, 0),  # identity
+    (1, 1, 1, 0),  # rot90  (ccw): P'[y][x] = P[x][7-y]
+    (2, 0, 1, 1),  # rot180:       P'[y][x] = P[7-y][7-x]
+    (3, 1, 0, 1),  # rot270:       P'[y][x] = P[7-x][y]
+    (4, 0, 0, 1),  # fliplr:       P'[y][x] = P[y][7-x]
+    (5, 0, 1, 0),  # flipud:       P'[y][x] = P[7-y][x]
+    (6, 1, 0, 0),  # transpose:    P'[y][x] = P[x][y]
+    (7, 1, 1, 1),  # anti-transp.: P'[y][x] = P[7-x][7-y]
+]
+
+
+def image_phash_dihedral(media: DataFrame,
+                         scale_bits: int = 15) -> DataFrame:
+    """Rotation/mirror-INVARIANT perceptual hash → ``(media_id,
+    phash)``: the minimum of the 8 dihedral-transform pHashes, so a
+    90/180/270° rotation or a horizontal/vertical/diagonal mirror of an
+    image hashes to the SAME canonical value — the content-ID trick for
+    catching flipped re-uploads that a plain pHash misses entirely (a
+    mirror flips ~half the sign bits).
+
+    The cheap part is the math: a dihedral transform of the pixel plane
+    acts on the DCT spectrum by transposition and sign flips
+    (``DCT(fliplr P)[u][v] = (−1)^v · DCT(P)[u][v]``, transpose swaps
+    (u,v)), and with the truncate-toward-zero basis
+    (:func:`phash_dct_table_sym`) those identities hold EXACTLY in
+    int64 — so one einsum computes one spectrum per image and the other
+    7 spectra are index/sign shuffles of it, not 7 more DCTs. Each
+    variant spectrum gets its own order-statistic median and 63-bit
+    pack (sign flips reorder the AC values, so medians differ per
+    variant — exactly as if the transformed image were hashed), and the
+    canonical hash is the min (packed hashes live in bits 0..62, always
+    non-negative, so BIGINT min is unambiguous cross-engine).
+
+    Invariance is exact for any width/height divisible by 8: block-sum
+    pooling commutes with the dihedral action (blocks map to blocks,
+    sums are preserved), so the pooled plane of a rotated image IS the
+    rotated pooled plane. Map-only — the same single-scan posture as
+    :func:`image_phash`; pair generation / clustering over the
+    canonical hash is a plain equi-key aggregation, no banding needed
+    (orbit collapse replaces Hamming tolerance)."""
+    ppm, bmp, png, jpg = decode_ppm, decode_bmp, decode_png, decode_jpeg
+    gif, qoi, tif = decode_gif, decode_qoi, decode_tiff  # by-value
+    ctab = phash_dct_table_sym(scale_bits)
+    variants = list(PHASH_DIHEDRAL_VARIANTS)
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        C = np.asarray(ctab, dtype=np.int64)
+        real = {"ppm": ppm, "bmp": bmp, "png": png, "jpeg": jpg,
+                "jpg": jpg, "gif": gif, "qoi": qoi, "tiff": tif,
+                "tif": tif}
+        uu = np.arange(8).reshape(8, 1)
+        vv = np.arange(8).reshape(1, 8)
+
+        def plane(payload, meta):
+            fmt = (meta or {}).get("format")
+            dec = real.get(fmt)
+            if dec is None:
+                raise NotImplementedError(
+                    f"no pure-Python decoder for format {fmt!r} — "
+                    "image_phash_dihedral needs a decodable image format")
+            w, h, rgb = dec(payload)
+            if w % 8 or h % 8:
+                raise ValueError(
+                    f"image_phash_dihedral needs width/height divisible "
+                    f"by 8 (block-sum pooling), got {w}x{h}")
+            a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+            luma = a.astype(np.int64).sum(axis=2)
+            return (luma.reshape(8, h // 8, 8, w // 8)
+                    .sum(axis=(1, 3)))
+
+        def pack(coefs):
+            """(n,8,8) variant spectra -> (n,) packed 63-bit hashes."""
+            ac = coefs.reshape(len(coefs), 64)[:, 1:]
+            med = np.sort(ac, axis=1)[:, 31:32]
+            bits = (ac > med).astype(np.uint64)
+            weights = np.uint64(1) << np.arange(63, dtype=np.uint64)
+            return (bits * weights).sum(axis=1).astype(np.int64)
+
+        for pdf in batches:
+            planes = np.stack([plane(p, m) for p, m in
+                               zip(pdf["payload"], pdf["meta"])]) \
+                if len(pdf) else np.empty((0, 8, 8), dtype=np.int64)
+            base = np.einsum("uy,nyx,vx->nuv", C, planes, C)
+            swapped = base.transpose(0, 2, 1)
+            hs = []
+            for _t, sw, a, b in variants:
+                m = swapped if sw else base
+                sgn = np.where((a * uu + b * vv) % 2 == 1, -1, 1)
+                hs.append(pack(m * sgn[None, :, :]))
+            canon = (np.min(np.stack(hs, axis=1), axis=1)
+                     if len(pdf) else np.empty(0, dtype=np.int64))
+            yield _pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "phash": canon,
+            })
+
+    return _spread(media).mapInPandas(run, schema=schema)
+
+
+def audio_landmarks(media: DataFrame, fanout_dt: int = 15,
+                    scale_bits: int = 15) -> DataFrame:
+    """Constellation landmark hashes over decoded WAV payloads →
+    ``(media_id, f1, lhash)`` — the Shazam-style index shape (peak-pair
+    hashing) reduced to its integer-exact core so a SQL oracle replays
+    it bit for bit:
+
+    - decode through the REAL RIFF/WAV parser (``decode_wav``);
+    - frame the PCM stream into 8-sample windows; per frame an 8-point
+      fixed-point DCT (:func:`phash_dct_table_sym` — 1-D here) gives an
+      integer spectrum;
+    - per frame: ``band`` = the dominant AC bin (argmax |coef[u]|,
+      u=1..7, ties → smallest u) and ``energy`` = Σ|coef[1..7]|;
+    - peaks = strict INTERIOR local maxima of the energy sequence
+      (E_f > E_{f−1} and E_f > E_{f+1} — ties kill the peak,
+      deterministically);
+    - landmarks = ordered peak pairs (f1 < f2) with dt = f2−f1 ≤
+      ``fanout_dt``; ``lhash = band1·512 + band2·64 + dt``.
+
+    Landmarks are GAIN-INVARIANT (uniform scaling multiplies every DCT
+    coefficient equally — argmax and energy comparisons are unmoved)
+    and, because the hash carries only local spectral structure plus the
+    peak gap, a snippet cut from anywhere inside a track reproduces the
+    track's interior landmarks shifted by a constant frame offset —
+    which is exactly what :func:`audio_lookup`'s offset voting needs.
+
+    Scale: map-only Arrow scan (the codec-family posture); landmark
+    fan-out is bounded by peaks·fanout_dt per track, never quadratic in
+    track count. At 100 TB the hash space should widen (finer frequency
+    bins / dt quantization — same machinery, bigger constants)."""
+    wav = decode_wav  # by-value closure binding
+    ctab = phash_dct_table_sym(scale_bits)
+    if fanout_dt < 1:
+        raise ValueError(f"fanout_dt must be >= 1, got {fanout_dt}")
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("f1", T.LongType(), False),
+        T.StructField("lhash", T.LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        C = np.asarray(ctab, dtype=np.int64)
+
+        def lm(payload):
+            _n_ch, _rate, samples = wav(payload)
+            s = np.asarray(samples, dtype=np.int64)
+            nf = len(s) // 8
+            if nf < 3:
+                return []
+            coef = s[:nf * 8].reshape(nf, 8) @ C.T        # (nf, 8)
+            acabs = np.abs(coef[:, 1:])
+            band = np.argmax(acabs, axis=1) + 1           # first max = min u
+            energy = acabs.sum(axis=1)
+            interior = np.arange(1, nf - 1)
+            isp = ((energy[interior] > energy[interior - 1])
+                   & (energy[interior] > energy[interior + 1]))
+            peaks = interior[isp]
+            out = []
+            for i, fa in enumerate(peaks):
+                for fb in peaks[i + 1:]:
+                    dt = int(fb - fa)
+                    if dt > fanout_dt:
+                        break
+                    out.append((int(fa),
+                                int(band[fa]) * 512 + int(band[fb]) * 64
+                                + dt))
+            return out
+
+        for pdf in batches:
+            mids, f1s, hs = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for f1, h in lm(p):
+                    mids.append(int(mid))
+                    f1s.append(f1)
+                    hs.append(h)
+            yield _pd.DataFrame({
+                "media_id": _pd.Series(mids, dtype="int64"),
+                "f1": _pd.Series(f1s, dtype="int64"),
+                "lhash": _pd.Series(hs, dtype="int64"),
+            })
+
+    return _spread(media).mapInPandas(run, schema=schema)
+
+
+def audio_lookup(probe_lm: DataFrame, index_lm: DataFrame,
+                 min_votes: int = 3,
+                 max_hash_freq: int = 1024) -> DataFrame:
+    """Offset-vote audio matching over landmark tables — the Shazam
+    query: probe landmarks ``(probe_id, f1, lhash)`` join the persisted
+    track index ``(media_id, f1, lhash)`` on ``lhash``; every hit votes
+    for ``(track, frame_offset = index.f1 − probe.f1)``; a true match
+    piles votes on ONE offset while chance collisions scatter. Returns
+    the best row per probe — ``(probe_id, track_id, foffset, votes)``,
+    votes ≥ ``min_votes``, ties broken (track_id, foffset) for
+    determinism.
+
+    Index hashes occurring more than ``max_hash_freq`` times are
+    dropped BEFORE the join (silence/constant-tone landmarks shared by
+    half the corpus are uninformative and would make one bucket
+    quadratic — the boilerplate-shield discipline; real deployments
+    drop hot hashes for the same reason). Probes are never dropped —
+    the cap counts index rows only (the phash_lookup asymmetry).
+
+    Scale: equi-join on lhash + one groupBy — index bands hash-
+    partitioned, probe side tiny; never all-pairs."""
+    ok = (index_lm.groupBy("lhash").count()
+          .filter(F.col("count") <= max_hash_freq)
+          .select("lhash"))
+    idx = (index_lm.join(ok, "lhash")
+           .select(F.col("media_id").alias("track_id"),
+                   F.col("f1").alias("__if1"), "lhash"))
+    votes = (probe_lm.join(idx, "lhash")
+             .groupBy("probe_id", "track_id",
+                      (F.col("__if1") - F.col("f1")).alias("foffset"))
+             .agg(F.count(F.lit(1)).alias("votes"))
+             .filter(F.col("votes") >= min_votes))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("votes").desc(), "track_id", "foffset")
+    return (votes.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("probe_id", "track_id", "foffset", "votes"))

@@ -110,3 +110,53 @@ def stream_video_index(spark: SparkSession, media_dir: str,
      .trigger(availableNow=True)
      .option("checkpointLocation", target_path + ".ckpt")
      .start().awaitTermination())
+
+def stream_audio_index(spark: SparkSession, media_dir: str,
+                       target_path: str, fanout_dt: int = 15,
+                       max_files_per_trigger: int = 1) -> None:
+    """Audio twin (r12): fold each micro-batch's constellation landmarks
+    (:func:`bqetl_spark.functions.multimodal.audio_landmarks`) into the
+    persisted ``(media_id, f1, lhash)`` index at ``target_path``;
+    callers run content-ID queries against the stored index with
+    :func:`bqetl_spark.functions.multimodal.audio_lookup`. Completes
+    per-modality streaming index maintenance: image + video + audio.
+
+    The landmark table is the most asymmetric of the three: a track's
+    payload is its full PCM stream, its index rows are a handful of
+    (peak frame, 12-bit hash) ints — the inverted-index posture that
+    serves petabyte audio catalogs maintains itself incrementally here.
+    Idempotence: landmarks are payload-pure and (media_id, f1, lhash)
+    is unique per track (a peak pair is determined by its frames), so
+    the three-key dedup makes restart replays no-ops — which is what
+    lets the gate share the plain batch audio_lookup oracle."""
+    from bqetl_spark.functions.multimodal import (MEDIA_SCHEMA,
+                                                  audio_landmarks)
+
+    stream = (spark.readStream.schema(MEDIA_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(media_dir))
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        sp = bdf.sparkSession
+        batch_lm = audio_landmarks(bdf, fanout_dt=fanout_dt)
+        # explicit existence check, NOT try/except-Exception (the
+        # stream_kmv code-review-r6 lesson: a corrupt index must FAIL
+        # the batch, not silently restart accumulation)
+        base = (sp.read.parquet(target_path)
+                if os.path.isdir(target_path) else None)
+        out = (batch_lm if base is None
+               else base.unionByName(batch_lm)
+               .dropDuplicates(["media_id", "f1", "lhash"]))
+        tmp = target_path + f".batch{batch_id}"
+        out.write.mode("overwrite").parquet(tmp)
+        sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        shutil.rmtree(tmp, ignore_errors=True)  # bound on-disk state
+
+    (stream.writeStream.outputMode("append")
+     .foreachBatch(sink)
+     .trigger(availableNow=True)
+     .option("checkpointLocation", target_path + ".ckpt")
+     .start().awaitTermination())

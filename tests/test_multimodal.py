@@ -1170,3 +1170,144 @@ def test_phash_lookup_probe_never_dropped_by_cap(spark):
             for r in hits} == {(63, 63, 0)}
     with pytest.raises(ValueError):
         mm.phash_lookup(probes, index, max_hamming=9)
+
+
+# dihedral-invariant pHash (r12) ----------------------------------------------
+
+
+def test_phash_dihedral_variant_algebra_matches_bruteforce():
+    """The one-DCT orbit derivation (transpose + sign flips on the
+    spectrum) equals brute-force DCT of each transformed pixel plane —
+    the integer identity both the Spark UDF and the SQL oracle rely on,
+    which holds only because phash_dct_table_sym truncates toward zero
+    (C[u][7-x] == (-1)^u · C[u][x] exactly)."""
+    import numpy as np
+
+    C = np.asarray(mm.phash_dct_table_sym(15), dtype=np.int64)
+    for u in range(8):
+        for x in range(8):
+            assert C[u][7 - x] == (-1) ** u * C[u][x]
+
+    rng = np.random.default_rng(7)
+    P = rng.integers(0, 766, size=(5, 8, 8)).astype(np.int64)
+
+    def dct(p):
+        return np.einsum("uy,nyx,vx->nuv", C, p, C)
+
+    pixel_transforms = {
+        0: lambda p: p,
+        1: lambda p: np.rot90(p, 1, axes=(1, 2)),
+        2: lambda p: np.rot90(p, 2, axes=(1, 2)),
+        3: lambda p: np.rot90(p, 3, axes=(1, 2)),
+        4: lambda p: p[:, :, ::-1],
+        5: lambda p: p[:, ::-1, :],
+        6: lambda p: p.transpose(0, 2, 1),
+        7: lambda p: p[:, ::-1, ::-1].transpose(0, 2, 1),
+    }
+    base = dct(P)
+    swapped = base.transpose(0, 2, 1)
+    uu = np.arange(8).reshape(8, 1)
+    vv = np.arange(8).reshape(1, 8)
+    for t, sw, a, b in mm.PHASH_DIHEDRAL_VARIANTS:
+        want = dct(pixel_transforms[t](P))
+        sgn = np.where((a * uu + b * vv) % 2 == 1, -1, 1)
+        got = (swapped if sw else base) * sgn[None, :, :]
+        assert np.array_equal(want, got), f"variant {t} diverges"
+
+
+def test_phash_dihedral_invariance_through_real_codec(spark):
+    """All 8 dihedral transforms of a 16x16 image (applied at the PIXEL
+    level before TIFF encoding, so pooling-commutation is exercised, not
+    just the 8x8 identity case) hash to the SAME canonical value through
+    the real encode->decode->pool->DCT path; an unrelated image differs;
+    and the canonical hash is invariant under which orbit member is the
+    'original'."""
+    import numpy as np
+
+    from bqetl_spark.functions.multimodal import encode_tiff_gray
+
+    rng = np.random.default_rng(42)
+    base = rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+    other = rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+    transforms = [
+        lambda p: p, lambda p: np.rot90(p, 1), lambda p: np.rot90(p, 2),
+        lambda p: np.rot90(p, 3), lambda p: p[:, ::-1], lambda p: p[::-1, :],
+        lambda p: p.T, lambda p: p[::-1, ::-1].T,
+    ]
+    rows = [(i, encode_tiff_gray(16, 16, bytes(tf(base).ravel())))
+            for i, tf in enumerate(transforms)]
+    rows.append((99, encode_tiff_gray(16, 16, bytes(other.ravel()))))
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    media = mm.attach_media(df, "media_id", F.col("payload"),
+                            kind="image", fmt="tiff")
+    got = {r["media_id"]: r["phash"]
+           for r in mm.image_phash_dihedral(media).collect()}
+    orbit = {got[i] for i in range(8)}
+    assert len(orbit) == 1, f"orbit not collapsed: {orbit}"
+    assert got[99] not in orbit
+    assert all(h >= 0 for h in got.values())  # 63-bit pack, sign-free min
+
+
+# Shazam-style landmark index + offset-vote lookup (r12) ----------------------
+
+
+def _lm_media(spark, rows):
+    """rows: (media_id, [samples]) -> WAV media table."""
+    df = spark.createDataFrame(
+        [(i, _wav(1, 8000, s)) for i, s in rows], ["media_id", "payload"])
+    return mm.attach_media(df, "media_id", F.col("payload"),
+                           kind="audio", fmt="wav")
+
+
+def _lm_track(seed, nf=16):
+    """A deterministic 'melody': nf frames of 8 samples with per-frame
+    amplitude and dominant-bin structure varied so interior energy peaks
+    exist. Pure integers, positive (the ASCII-sample regime)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    out = []
+    for f in range(nf):
+        amp = int(rng.integers(50, 4000))
+        base = rng.integers(10, 120, size=8)
+        out.extend(int(v) for v in base * amp // 100)
+    return out
+
+
+def test_audio_landmarks_shift_and_gain_invariance(spark):
+    """A snippet cut at a whole-frame offset reproduces the track's
+    interior landmarks shifted by exactly that many frames; doubling
+    every sample (uniform gain) leaves the landmark set bit-identical."""
+    s = _lm_track(3, nf=16)
+    rows = [(0, s), (1, s[16:]), (2, [v * 2 for v in s])]
+    got = {}
+    for r in mm.audio_landmarks(_lm_media(spark, rows)).collect():
+        got.setdefault(r["media_id"], set()).add((r["f1"], r["lhash"]))
+    # gain invariance: exact same landmark set
+    assert got[2] == got[0]
+    # shift covariance: snippet landmarks (whose pairs lie wholly inside
+    # the shifted window) appear in the track at f1 + 2
+    shifted = {(f1 + 2, h) for f1, h in got[1]}
+    assert shifted <= got[0]
+    assert len(shifted) >= 3
+
+
+def test_audio_lookup_offset_votes_and_hot_hash_guard(spark):
+    """The probe matches its own track at the true frame offset; an
+    unrelated track never wins; and a landmark hash occurring more often
+    than max_hash_freq is dropped from the INDEX side (probes are never
+    dropped — lookup still succeeds on the remaining hashes)."""
+    s = _lm_track(7, nf=20)
+    tracks = [(10, s), (11, _lm_track(8, nf=20)), (12, _lm_track(9, nf=20))]
+    idx = mm.audio_landmarks(_lm_media(spark, tracks))
+    probe = (mm.audio_landmarks(_lm_media(spark, [(10, s[32:])]))
+             .select(F.col("media_id").alias("probe_id"), "f1", "lhash"))
+    best = mm.audio_lookup(probe, idx, min_votes=3).collect()
+    assert len(best) == 1
+    r = best[0]
+    assert (r["probe_id"], r["track_id"], r["foffset"]) == (10, 10, 4)
+    assert r["votes"] >= 3
+
+    # guard: with max_hash_freq=0 every index hash is dropped -> no match
+    assert mm.audio_lookup(probe, idx, min_votes=1,
+                           max_hash_freq=0).collect() == []

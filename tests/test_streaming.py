@@ -357,3 +357,50 @@ def test_stream_video_index_chop_invariant(spark, tmp_path):
         release_pinned()
         assert idx == batch_idx
         assert pairs == batch_pairs
+
+
+def test_stream_audio_index_chop_invariant(spark, tmp_path):
+    """Audio twin of the stream_phash/stream_video chop-invariance pins
+    (r12): the persisted landmark index after an availableNow replay
+    must equal the one-shot batch audio_landmarks for ANY micro-batch
+    chop (landmarks are payload-pure; (media_id, f1, lhash) dedup makes
+    replays no-ops), and the content-ID lookup over the stored index
+    must equal the batch lookup."""
+    import struct
+
+    from bqetl_spark.caching import release_pinned
+    from bqetl_spark.functions import multimodal as mm
+    from bqetl_spark.streaming.media import stream_audio_index
+
+    header = (b"RIFF" + (36 + 256).to_bytes(4, "little") + b"WAVE"
+              + b"fmt " + (16).to_bytes(4, "little")
+              + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+              + b"data" + (256).to_bytes(4, "little"))
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter("length(text) >= 256 and "
+                    "octet_length(substring(text, 1, 256)) = 256"))
+    payload = F.concat(F.lit(header),
+                       F.substring(F.col("text"), 1, 256).cast("binary"))
+    media = mm.attach_media(docs, "doc_id", payload,
+                            kind="audio", fmt="wav")
+
+    batch_idx = sorted(map(tuple, mm.audio_landmarks(media).collect()))
+    probes = (mm.audio_landmarks(media)
+              .filter(F.col("media_id") % 7 == 0)
+              .select(F.col("media_id").alias("probe_id"), "f1", "lhash"))
+    batch_best = sorted(map(tuple,
+                            mm.audio_lookup(probes,
+                                            mm.audio_landmarks(media))
+                            .collect()))
+    release_pinned()
+    for n, tag in ((2, "a"), (4, "b")):
+        src = str(tmp_path / f"asrc{tag}")
+        media.repartition(n).write.parquet(src)
+        target = str(tmp_path / f"aidx{tag}")
+        stream_audio_index(spark, src, target)
+        idx = sorted(map(tuple, spark.read.parquet(target).collect()))
+        best = sorted(map(tuple, mm.audio_lookup(
+            probes, spark.read.parquet(target)).collect()))
+        release_pinned()
+        assert idx == batch_idx
+        assert best == batch_best

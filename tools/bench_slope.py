@@ -100,7 +100,14 @@ QUERIES = ["denorm_flat", "q3_top_revenue", "dedup_fingerprint",
            # video_neardup is a map-only frame-hash scan + banded
            # metadata join (the phash_neardup class — exact-dup
            # clusters inflate linearly, bucket caps bound any K²).
-           "doc_embed_topk", "doc_embed_ann", "video_neardup"]
+           "doc_embed_topk", "doc_embed_ann", "video_neardup",
+           # r12 second half: dihedral hashing is the same map-only
+           # scan as phash (8 algebraic variants of one DCT — expect
+           # the phash slope); audio_lookup is a map-only landmark
+           # scan + lhash equi-join + one groupBy (expect linear)
+           "phash_dihedral", "audio_lookup",
+           # spatial: occupancy agg + one (cx,cy) equi-join (expect linear)
+           "spatial_grid_join"]
 
 
 def main() -> None:

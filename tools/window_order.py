@@ -43,7 +43,9 @@ ROUND_HEAD = {
     # landing.
     "new_first": ["doc_embed_ann", "video_neardup",
                   "corpus_curate_multimodal", "stream_video",
-                  "video_frame_lookup"],
+                  "video_frame_lookup", "phash_dihedral",
+                  "audio_lookup", "stream_audio",
+                  "spatial_grid_join"],
     # hits_scores: per-phase max normalizer moved from driver collects to
     # the in-plan one-row crossJoin (VERDICT r11 item 6) — result proven
     # bit-identical, but the gate code changed
