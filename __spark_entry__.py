@@ -1129,6 +1129,37 @@ def q_stream_audio(spark, sf_dir):
                            min_votes=3, max_hash_freq=1024)
 
 
+def q_kmv_difference(spark, sf_dir):
+    """Theta-style KMV set-DIFFERENCE (sketch.kmv_a_not_b, r12): per
+    order priority, estimate how many distinct customers placed orders
+    from 1997 on who had NEVER ordered before — the incremental-corpus
+    accounting query ("new values this period") answered from two
+    persisted O(k) sketches without re-scanning either period. The
+    a-not-b rule: θ = the stricter k-th order statistic of the two
+    sketches; A's hashes below θ are a uniform rate-θ/span sample, so
+    the ones absent from B scale by span/θ; when neither sketch
+    saturates, the count degenerates to EXACT (the kmv_distinct
+    degeneracy — which this gate's sf0.001 groups actually exercise).
+    The estimate is bit-reproducible cross-engine: sample_count·2⁶⁰ is
+    an exactly-representable double, so the one IEEE division + floor
+    round identically (the kmv_distinct argument). Oracle replays both
+    bottom-k sets via row_number, the joint θ, the NOT EXISTS
+    screening, and the same arithmetic.
+
+    Scale: each corpus is scanned ONCE at sketch-build time (bounded
+    mapInPandas state); the difference query itself is a |groups|-row
+    join of k-length arrays — pure metadata, the Theta-sketch posture
+    that serves warehouse set algebra."""
+    orders = _t(spark, sf_dir, "orders")
+    cur = orders.filter(F.col("o_orderdate") >= "1997-01-01")
+    past = orders.filter(F.col("o_orderdate") < "1997-01-01")
+    sk_cur = sk.kmv_sketch(cur, "o_custkey", "o_orderpriority", k=256)
+    sk_past = sk.kmv_sketch(past, "o_custkey", "o_orderpriority", k=256)
+    return (sk.kmv_a_not_b(sk_cur, sk_past, k=256)
+            .select(F.col("grp").alias("priority"),
+                    "est_a_not_b", "sample_count"))
+
+
 def q_spatial_grid_join(spark, sf_dir):
     """Grid-bucketed spatial neighbor join (operators/spatial.py, r12):
     every customer gets a deterministic 2-D point (md5-derived
@@ -2714,6 +2745,61 @@ def q_phash_dihedral(spark, sf_dir):
         F.count(F.lit(1)).over(w).alias("cluster_size"))
 
 
+def q_video_dihedral(spark, sf_dir):
+    """Mirrored-video re-upload detection (r12): every document yields
+    TWO 3-frame concatenated-P6 streams — the q_video_neardup original
+    (overlapping 192-byte windows at stride 96, media_id 2·doc_id) and
+    a copy with every frame HORIZONTALLY MIRRORED at the pixel level
+    before encoding (pixel rows reversed 3 bytes at a time, media_id
+    2·doc_id+1). Plain frame pHash misses mirrored re-uploads entirely
+    (a flip toggles ~half the sign bits of every frame); the
+    orbit-canonical hash (multimodal.video_frame_phash_dihedral — one
+    DCT per frame, the D4 algebra of phash_dihedral) makes them
+    fingerprint identically, so every (2d, 2d+1) pair MUST surface with
+    n_frame_matches = 3 in the value-hashed output. Pairing is one
+    exact equi-join on the canonical hash (video_dihedral_pairs) — no
+    banding, frame-hash frequency cap as the boilerplate shield. The
+    oracle replays both pixel layouts → separable DCT → the D4 variant
+    table → per-frame canonical min → cap → join → the pair counts,
+    all BIGINT.
+
+    Scale: the same map-only einsum scan as video_frame_phash (the
+    orbit is derived algebraically, not 8 more DCTs), then a
+    metadata-scale exact join — cheaper than the Hamming-banded path it
+    complements."""
+    from bqetl_spark.caching import pin
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 384)
+        # ASCII prefix required explicitly — see q_multimodal_decode
+        & (F.octet_length(F.substring("text", 1, 384)) == 384))
+    hdr = F.lit("P6\n8 8\n255\n").cast("binary")
+    frame = lambda k: F.concat(
+        hdr, F.substring(F.col("text"), 96 * k + 1, 192).cast("binary"))
+
+    def mframe(k):
+        # fliplr at the pixel level: out pixel (y, x) = src (y, 7-x),
+        # pixels are 3-byte RGB groups — 64 three-byte slices per frame
+        parts = [hdr]
+        for y in range(8):
+            for x in range(8):
+                pos = 96 * k + 3 * (8 * y + (7 - x)) + 1
+                parts.append(F.substring("text", pos, 3).cast("binary"))
+        return F.concat(*parts)
+
+    a = docs.select((F.col("doc_id") * 2).alias("mid"),
+                    F.concat(frame(0), frame(1), frame(2))
+                    .alias("payload"))
+    b = docs.select((F.col("doc_id") * 2 + 1).alias("mid"),
+                    F.concat(mframe(0), mframe(1), mframe(2))
+                    .alias("payload"))
+    media = mm.attach_media(a.unionByName(b), "mid", F.col("payload"),
+                            kind="video", fmt="ppms")
+    fh = pin(mm.video_frame_phash_dihedral(media))
+    return mm.video_dihedral_pairs(fh, max_bucket_size=64,
+                                   min_frame_matches=2)
+
+
 def q_multimodal_mulaw(spark, sf_dir):
     """REAL lossy audio codec in the gate (r10): the multimodal_audio
     WAV (32 LE int16 samples from 64 ASCII bytes) transcoded through
@@ -2962,7 +3048,13 @@ def q_audio_lookup(spark, sf_dir):
         F.substring(F.col("text"), 33, 224).cast("binary"))
     probes = mm.attach_media(probe_docs, "doc_id", probe_payload,
                              kind="audio", fmt="wav")
-    idx = mm.audio_landmarks(tracks)
+    # pin: audio_lookup consumes the index TWICE (hot-hash occupancy
+    # count + the vote join) — without the pin the WAV-decode+DCT
+    # landmark UDF would run once per consumer (the phash_neardup
+    # precedent)
+    from bqetl_spark.caching import pin
+
+    idx = pin(mm.audio_landmarks(tracks))
     plm = (mm.audio_landmarks(probes)
            .select(F.col("media_id").alias("probe_id"), "f1", "lhash"))
     return mm.audio_lookup(plm, idx, min_votes=3, max_hash_freq=1024)
@@ -4473,6 +4565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_lookup": q_audio_lookup,
         "stream_audio": q_stream_audio,
         "spatial_grid_join": q_spatial_grid_join,
+        "video_dihedral": q_video_dihedral,
+        "kmv_difference": q_kmv_difference,
         "hits_scores": q_hits_scores,
         "bloom_prune": q_bloom_prune,
         "bm25_topk": q_bm25_topk,
@@ -5521,6 +5615,142 @@ def _audio_lookup_oracle() -> str:
 
 
 _AUDIO_LOOKUP_ORACLE = _audio_lookup_oracle()
+
+
+def _video_dihedral_oracle() -> str:
+    """DuckDB replay of q_video_dihedral: pixels come straight from the
+    text for BOTH layouts (original: pixel (y,x) of frame f = bytes at
+    96f + 3·(8y+x) + 1..3; mirrored: the same with x → 7−x), then the
+    per-frame separable DCT, the D4 variant algebra, per-variant
+    order-statistic median + 63-bit pack, MIN over the orbit per frame,
+    the frame-frequency cap, the exact canonical-hash join and the
+    ≥ 2 frame-match aggregation. Pure BIGINT."""
+    from bqetl_spark.functions.multimodal import (PHASH_DIHEDRAL_VARIANTS,
+                                                  phash_dct_table_sym)
+
+    ctab = phash_dct_table_sym(15)
+    ct_rows = ", ".join(f"({u},{x},CAST({ctab[u][x]} AS BIGINT))"
+                        for u in range(8) for x in range(8))
+    tr_rows = ", ".join(f"({t},{sw},{a},{b})"
+                        for t, sw, a, b in PHASH_DIHEDRAL_VARIANTS)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 384) AS pfx FROM documents
+      WHERE length(text) >= 384
+        AND octet_length(encode(substr(text, 1, 384))) = 384
+    ), ct(u, x, c) AS (VALUES {ct_rows}),
+    tr(t, sw, a, b) AS (VALUES {tr_rows}),
+    pix AS (
+      SELECT 2*doc_id AS mid, f.f AS fidx, (i-1)//8 AS y, (i-1)%8 AS x,
+             CAST(ord(substr(pfx, CAST(96*f.f + 3*(i-1) + 1 AS INT), 1))
+                + ord(substr(pfx, CAST(96*f.f + 3*(i-1) + 2 AS INT), 1))
+                + ord(substr(pfx, CAST(96*f.f + 3*(i-1) + 3 AS INT), 1))
+               AS BIGINT) AS p
+      FROM d, range(0, 3) f(f), range(1, 65) t(i)
+      UNION ALL
+      SELECT 2*doc_id + 1, f.f, (i-1)//8, (i-1)%8,
+             CAST(ord(substr(pfx, CAST(96*f.f
+                  + 3*(8*((i-1)//8) + 7 - (i-1)%8) + 1 AS INT), 1))
+                + ord(substr(pfx, CAST(96*f.f
+                  + 3*(8*((i-1)//8) + 7 - (i-1)%8) + 2 AS INT), 1))
+                + ord(substr(pfx, CAST(96*f.f
+                  + 3*(8*((i-1)//8) + 7 - (i-1)%8) + 3 AS INT), 1))
+               AS BIGINT)
+      FROM d, range(0, 3) f(f), range(1, 65) t(i)
+    ), rowp AS (
+      SELECT mid, fidx, cu.u AS u, pix.x AS x, SUM(cu.c * p) AS rv
+      FROM pix JOIN ct cu ON cu.x = pix.y
+      GROUP BY mid, fidx, cu.u, pix.x
+    ), coef AS (
+      SELECT mid, fidx, rowp.u AS u, cv.u AS v, SUM(cv.c * rv) AS val
+      FROM rowp JOIN ct cv ON cv.x = rowp.x
+      GROUP BY mid, fidx, rowp.u, cv.u
+    ), vc AS (
+      SELECT mid, fidx, t,
+             CASE WHEN sw = 1 THEN v ELSE u END AS u2,
+             CASE WHEN sw = 1 THEN u ELSE v END AS v2,
+             val * (CASE WHEN (a * (CASE WHEN sw = 1 THEN v ELSE u END)
+                         + b * (CASE WHEN sw = 1 THEN u ELSE v END))
+                         % 2 = 1
+                    THEN -1 ELSE 1 END) AS val
+      FROM coef, tr
+    ), ac AS (
+      SELECT mid, fidx, t, u2*8 + v2 - 1 AS i, val,
+             row_number() OVER (PARTITION BY mid, fidx, t
+                                ORDER BY val, u2*8 + v2) AS rk
+      FROM vc WHERE NOT (u2 = 0 AND v2 = 0)
+    ), med AS (
+      SELECT mid, fidx, t, val AS m FROM ac WHERE rk = 32
+    ), ph AS (
+      SELECT ac.mid, ac.fidx, ac.t,
+             SUM(CASE WHEN ac.val > med.m
+                 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                 ELSE CAST(0 AS BIGINT) END) AS h
+      FROM ac JOIN med USING (mid, fidx, t)
+      GROUP BY ac.mid, ac.fidx, ac.t
+    ), canon AS (
+      SELECT mid, fidx, MIN(h) AS phash FROM ph GROUP BY mid, fidx
+    ), ok AS (
+      SELECT phash FROM canon GROUP BY phash HAVING count(*) <= 64
+    ), co AS (
+      SELECT canon.* FROM canon JOIN ok USING (phash)
+    ), pr AS (
+      SELECT a.mid AS id_a, b.mid AS id_b
+      FROM co a JOIN co b ON a.phash = b.phash AND a.mid < b.mid
+    )
+    SELECT id_a, id_b, count(*) AS n_frame_matches
+    FROM pr GROUP BY id_a, id_b HAVING count(*) >= 2"""
+
+
+_VIDEO_DIHEDRAL_ORACLE = _video_dihedral_oracle()
+
+
+# q_kmv_difference replay: both periods' bottom-256 distinct-hash sets
+# via row_number (the kmv_distinct idiom), the joint theta (a short
+# sketch is exhaustive -> theta = the 2^60 span), the NOT EXISTS
+# membership screen below theta, and the same exact-double floor
+# arithmetic. Groups come from period A only (left join), matching
+# kmv_a_not_b.
+_KMV_DIFFERENCE_ORACLE = """
+    WITH ha AS (
+      SELECT DISTINCT o_orderpriority AS grp,
+             ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+               ::BIGINT AS hv
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_custkey IS NOT NULL),
+    hb AS (
+      SELECT DISTINCT o_orderpriority AS grp,
+             ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+               ::BIGINT AS hv
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        AND o_custkey IS NOT NULL),
+    ra AS (SELECT grp, hv, row_number() OVER (PARTITION BY grp
+                                              ORDER BY hv) AS rn FROM ha),
+    rb AS (SELECT grp, hv, row_number() OVER (PARTITION BY grp
+                                              ORDER BY hv) AS rn FROM hb),
+    ka AS (SELECT grp, max(CASE WHEN rn = 256 THEN hv END) AS kth_a
+           FROM ra GROUP BY grp),
+    kb AS (SELECT grp, max(CASE WHEN rn = 256 THEN hv END) AS kth_b
+           FROM rb GROUP BY grp),
+    th AS (SELECT ka.grp,
+                  least(coalesce(kth_a, 1152921504606846976),
+                        coalesce(kth_b, 1152921504606846976)) AS th,
+                  (kth_a IS NOT NULL OR kth_b IS NOT NULL) AS sat
+           FROM ka LEFT JOIN kb ON ka.grp = kb.grp),
+    samp AS (SELECT ra.grp, count(*) AS c
+             FROM ra JOIN th ON ra.grp = th.grp
+             WHERE ra.rn <= 256 AND ra.hv < th.th
+               AND NOT EXISTS (SELECT 1 FROM rb
+                               WHERE rb.grp = ra.grp AND rb.hv = ra.hv
+                                 AND rb.rn <= 256)
+             GROUP BY ra.grp)
+    SELECT th.grp AS priority,
+           CAST(CASE WHEN sat
+                THEN floor(coalesce(c, 0) * 1.0 * 1152921504606846976
+                           / th)
+                ELSE coalesce(c, 0) END AS BIGINT) AS est_a_not_b,
+           coalesce(c, 0) AS sample_count
+    FROM th LEFT JOIN samp ON th.grp = samp.grp"""
 
 
 # q_spatial_grid_join replay: the same md5-derived integer coordinates
@@ -6692,6 +6922,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_lookup": _AUDIO_LOOKUP_ORACLE,
         "stream_audio": _AUDIO_LOOKUP_ORACLE,
         "spatial_grid_join": _SPATIAL_GRID_ORACLE,
+        "video_dihedral": _VIDEO_DIHEDRAL_ORACLE,
+        "kmv_difference": _KMV_DIFFERENCE_ORACLE,
         "video_neardup": _video_phash_oracle(),
         "video_frame_lookup": _video_lookup_oracle(),
     }

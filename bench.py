@@ -183,6 +183,8 @@ EXTRAS = [
     "audio_lookup",
     "stream_audio",
     "spatial_grid_join",
+    "video_dihedral",
+    "kmv_difference",
 ]
 
 

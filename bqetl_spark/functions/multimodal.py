@@ -2416,3 +2416,132 @@ def audio_lookup(probe_lm: DataFrame, index_lm: DataFrame,
     return (votes.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") == 1)
             .select("probe_id", "track_id", "foffset", "votes"))
+
+
+def video_frame_phash_dihedral(media: DataFrame,
+                               scale_bits: int = 15) -> DataFrame:
+    """Per-frame rotation/mirror-INVARIANT perceptual hash over
+    concatenated-P6 video streams → ``(media_id, frame_idx, phash)`` —
+    :func:`video_frame_phash`'s splitter feeding
+    :func:`image_phash_dihedral`'s orbit-canonical hash, so a MIRRORED
+    or ROTATED re-upload of a clip fingerprints identically frame by
+    frame. Plain frame pHash misses mirrored re-uploads entirely (a
+    horizontal flip toggles ~half the sign bits on every frame) — this
+    is the Content-ID counter-measure, and because the D4 orbit is
+    derived algebraically from ONE spectrum per frame (transpose + sign
+    flips, exact in int64 via :func:`phash_dct_table_sym`), it costs
+    the same single-einsum map-only scan. Frame-SEQUENCE order is not
+    part of the hash, so temporally reversed copies match too once the
+    pair query aggregates over frames."""
+    ppm = decode_ppm                       # by-value closure binding
+    ctab = phash_dct_table_sym(scale_bits)
+    variants = list(PHASH_DIHEDRAL_VARIANTS)
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ])
+
+    def frames_of(payload):
+        # sample_frames' splitter (see video_frame_phash)
+        payload = bytes(payload or b"")
+        pos, out = 0, []
+        while pos < len(payload):
+            sub = payload[pos:]
+            w, h, pix = ppm(sub)
+            p2, nfields = 2, 0
+            while nfields < 3:
+                while sub[p2:p2 + 1].isspace():
+                    p2 += 1
+                if sub[p2:p2 + 1] == b"#":
+                    while p2 < len(sub) and sub[p2] != 0x0A:
+                        p2 += 1
+                    continue
+                while p2 < len(sub) and not sub[p2:p2 + 1].isspace():
+                    p2 += 1
+                nfields += 1
+            p2 += 1                        # single whitespace after maxval
+            out.append((w, h, pix))
+            pos += p2 + 3 * w * h
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        C = np.asarray(ctab, dtype=np.int64)
+        weights = np.uint64(1) << np.arange(63, dtype=np.uint64)
+        uu = np.arange(8).reshape(8, 1)
+        vv = np.arange(8).reshape(1, 8)
+
+        def pack(coefs):
+            ac = coefs.reshape(len(coefs), 64)[:, 1:]
+            med = np.sort(ac, axis=1)[:, 31:32]
+            bits = (ac > med).astype(np.uint64)
+            return (bits * weights).sum(axis=1).astype(np.int64)
+
+        for pdf in batches:
+            mids, fids, planes = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for idx, (w, h, rgb) in enumerate(frames_of(payload)):
+                    if w % 8 or h % 8:
+                        raise ValueError(
+                            f"video_frame_phash_dihedral needs frame "
+                            f"extents divisible by 8, got {w}x{h}")
+                    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+                    luma = a.astype(np.int64).sum(axis=2)
+                    planes.append(luma.reshape(8, h // 8, 8, w // 8)
+                                  .sum(axis=(1, 3)))
+                    mids.append(int(mid))
+                    fids.append(idx)
+            P = (np.stack(planes) if planes
+                 else np.empty((0, 8, 8), dtype=np.int64))
+            base = np.einsum("uy,nyx,vx->nuv", C, P, C)
+            swapped = base.transpose(0, 2, 1)
+            hs = []
+            for _t, sw, a, b in variants:
+                sgn = np.where((a * uu + b * vv) % 2 == 1, -1, 1)
+                hs.append(pack((swapped if sw else base)
+                               * sgn[None, :, :]))
+            canon = (np.min(np.stack(hs, axis=1), axis=1)
+                     if len(P) else np.empty(0, dtype=np.int64))
+            yield _pd.DataFrame({
+                "media_id": _pd.Series(mids, dtype="int64"),
+                "frame_idx": _pd.Series(fids, dtype="int64"),
+                "phash": _pd.Series(canon, dtype="int64"),
+            })
+
+    return (_spread(media.filter(F.col("meta.format") == "ppms"))
+            .mapInPandas(run, schema=schema))
+
+
+def video_dihedral_pairs(fh: DataFrame, max_bucket_size: int = 64,
+                         min_frame_matches: int = 2) -> DataFrame:
+    """Video pairs sharing ≥ ``min_frame_matches`` frames with EQUAL
+    orbit-canonical hashes → ``(id_a, id_b, n_frame_matches)``,
+    id_a < id_b — the query half over a :func:`video_frame_phash_dihedral`
+    table (fresh or persisted). Orbit collapse replaces Hamming
+    tolerance, so candidate generation is ONE exact equi-join on the
+    canonical hash — no banding, no distinct pass, and mirrored/rotated
+    (and, because frame order is aggregated away, reversed) re-uploads
+    pair at full count. Canonical hashes held by more than
+    ``max_bucket_size`` frames drop whole before the join (shared title
+    cards / constant frames — the video boilerplate shield), replayed
+    by the oracle as a HAVING."""
+    if min_frame_matches < 1:
+        raise ValueError(
+            f"min_frame_matches must be >= 1, got {min_frame_matches}")
+    ok = (fh.groupBy("phash").count()
+          .filter(F.col("count") <= max_bucket_size)
+          .select("phash"))
+    co = fh.join(ok, ["phash"])
+    a = co.alias("a")
+    b = co.alias("b")
+    pairs = (a.join(b, (F.col("a.phash") == F.col("b.phash"))
+                    & (F.col("a.media_id") < F.col("b.media_id")))
+             .select(F.col("a.media_id").alias("id_a"),
+                     F.col("b.media_id").alias("id_b")))
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_frame_matches"))
+            .filter(F.col("n_frame_matches") >= min_frame_matches))

@@ -1136,3 +1136,64 @@ def cms_join_size(a: DataFrame, b: DataFrame, width: int = 256,
     return (spine.join(per_d, "d", "left")
             .select(F.coalesce("__dot", F.lit(0)).alias("__dot"))
             .agg(F.min("__dot").cast("long").alias("join_size_est")))
+
+
+def kmv_a_not_b(sk_a: DataFrame, sk_b: DataFrame,
+                k: int = 256) -> DataFrame:
+    """Theta-sketch style SET-DIFFERENCE estimate from two persisted KMV
+    sketches → ``(grp, est_a_not_b BIGINT, sample_count BIGINT)`` — the
+    incremental-corpus accounting query ("how many of this period's
+    values were never seen before?") answered from O(k) state per group
+    WITHOUT re-scanning either corpus, the way Theta sketches serve it
+    in production warehouses.
+
+    The a-not-b rule: θ = the stricter of the two sketches' k-th order
+    statistics (a short sketch is exhaustive — θ = the full hash span);
+    A's retained hashes BELOW θ are a uniform sample of A at rate
+    θ/span; those absent from B's retained set are a uniform sample of
+    A∖B at the same rate, so ``est = floor(sample_count · span / θ)``.
+    When NEITHER sketch saturated, every hash is retained and the count
+    is EXACT (the kmv_distinct degeneracy, inherited). The estimate is
+    bit-reproducible cross-engine by the kmv_distinct argument:
+    sample_count ≤ k, so count·2^60 is an exactly-representable double
+    and the one IEEE division + floor round identically in Spark and
+    DuckDB.
+
+    Membership screening against B is sound because a KMV sketch
+    retains EVERY distinct hash below its own θ, and the joint θ is ≤
+    both — no hash below joint θ can be missing from B's sketch while
+    present in B. Inputs are ``kmv_sketch`` frames (grp, mins) built
+    with the SAME k (the kmv_merge k-consistency rule). Groups absent
+    from B count all their sampled A-hashes as new (B genuinely empty
+    there). Scale: a |groups|-row join of k-length arrays — pure
+    metadata; the corpora were only ever scanned once, at sketch-build
+    time."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    span = 16 ** 15
+    a = sk_a.select("grp", F.col("mins").alias("mins_a"))
+    b = sk_b.select("grp", F.col("mins").alias("mins_b"))
+    j = a.join(b, "grp", "left").withColumn(
+        "mins_b", F.coalesce("mins_b", F.array().cast("array<long>")))
+    # when-guarded element_at: vanilla driver sessions run ANSI mode,
+    # where an out-of-bounds element_at THROWS instead of returning NULL
+    # (Spark's CaseWhen evaluates branches lazily, so the guard is safe)
+    kth_a = F.when(F.size("mins_a") >= k,
+                   F.element_at("mins_a", k))
+    kth_b = F.when(F.size("mins_b") >= k,
+                   F.element_at("mins_b", k))
+    th = F.least(F.coalesce(kth_a, F.lit(span)),
+                 F.coalesce(kth_b, F.lit(span)))
+    j = j.withColumn("__th", th)
+    samp = F.size(F.filter(
+        "mins_a",
+        lambda h: (h < F.col("__th"))
+        & ~F.array_contains("mins_b", h))).cast("long")
+    j = j.withColumn("__c", samp)
+    saturated = kth_a.isNotNull() | (F.size("mins_b") >= k)
+    est = F.when(saturated,
+                 F.floor(F.col("__c").cast("double") * F.lit(float(span))
+                         / F.col("__th"))) \
+           .otherwise(F.col("__c"))
+    return j.select("grp", est.cast("long").alias("est_a_not_b"),
+                    F.col("__c").alias("sample_count"))

@@ -1311,3 +1311,43 @@ def test_audio_lookup_offset_votes_and_hot_hash_guard(spark):
     # guard: with max_hash_freq=0 every index hash is dropped -> no match
     assert mm.audio_lookup(probe, idx, min_votes=1,
                            max_hash_freq=0).collect() == []
+
+
+def test_video_dihedral_mirror_and_reverse_match(spark):
+    """Mirrored and temporally-REVERSED copies of a clip pair at full
+    frame count through the orbit-canonical hash (plain frame pHash
+    misses both: a flip toggles ~half the sign bits, reversal misaligns
+    indices — but the canon is per-frame invariant and the pair query
+    aggregates order away); an unrelated clip never pairs."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+
+    def clip(frames):
+        return b"".join(b"P6\n8 8\n255\n" + f for f in frames)
+
+    def mirror(f):
+        a = np.frombuffer(f, dtype=np.uint8).reshape(8, 8, 3)
+        return bytes(a[:, ::-1, :].tobytes())
+
+    frames = [bytes(rng.integers(0, 256, size=192, dtype=np.uint8))
+              for _ in range(3)]
+    other = [bytes(rng.integers(0, 256, size=192, dtype=np.uint8))
+             for _ in range(3)]
+    rows = [(1, clip(frames)),
+            (2, clip([mirror(f) for f in frames])),   # mirrored copy
+            (3, clip(frames[::-1])),                  # reversed copy
+            (4, clip(other))]                         # unrelated
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    media = mm.attach_media(df, "media_id", F.col("payload"),
+                            kind="video", fmt="ppms")
+    fh = mm.video_frame_phash_dihedral(media)
+    got = {(r["id_a"], r["id_b"]): r["n_frame_matches"]
+           for r in mm.video_dihedral_pairs(fh).collect()}
+    assert got[(1, 2)] == 3 and got[(1, 3)] == 3 and got[(2, 3)] == 3
+    assert not any(4 in p for p in got)
+    # plain (non-canonical) frame hashes DO diverge under the mirror —
+    # the invariance is the dihedral canon's doing, not a coincidence
+    plain = {r["media_id"]: r["phash"] for r in
+             mm.video_frame_phash(media).filter("frame_idx = 0").collect()}
+    assert plain[1] != plain[2]

@@ -235,7 +235,25 @@ def _check(spark, sf_dir, name):
                                   # r11: the trained curation chain on
                                   # random corpora (composition of the
                                   # above + dedup representative rule)
-                                  "corpus_keep_trained"])
+                                  "corpus_keep_trained",
+                                  # r12: dihedral canon — short docs
+                                  # certify the length filter (the
+                                  # phash_neardup class); long word-soup
+                                  # docs collide whole orbits (shared
+                                  # prefixes → equal canon → cluster
+                                  # membership under the window)
+                                  "phash_dihedral",
+                                  # r12: landmark lookup — random docs
+                                  # vary peak structure; most corpora
+                                  # yield sub-min_votes matches (the
+                                  # empty-result parity matters: vote
+                                  # thresholds + rank ties cross-engine)
+                                  "audio_lookup",
+                                  # r12: per-frame canon pairing — the
+                                  # 384-byte filter + frame-frequency
+                                  # cap + >= 2 frame-match floor on
+                                  # repeated-prefix corpora
+                                  "video_dihedral"])
 def test_doc_gates_on_random_corpora(spark, tmp_path_factory, gate):
     @_SET
     @given(rows=_doc_strategy)
@@ -292,7 +310,14 @@ RI_GATES = ["denorm_flat", "nest_orders", "nest_chunked", "lookup_decode",
             "orders_above_customer_avg", "parts_never_ordered",
             "suppliers_with_sales", "idle_customers", "big_orders",
             "upsert_customers", "rollup_revenue", "window_running_total",
-            "sql_frontdoor"]
+            "sql_frontdoor",
+            # r12: NULL custkeys must drop from both engines' sketches
+            # (this tier is why the oracle filters o_custkey IS NOT
+            # NULL); dangling keys are just new distinct values
+            "kmv_difference",
+            # r12: NULL-keyed points get NULL cells and fall out of the
+            # neighbor equi-join in both engines
+            "spatial_grid_join"]
 
 
 def test_relational_gates_survive_broken_referential_integrity(

@@ -322,3 +322,52 @@ def test_cms_merge_rejects_half_specified_grid(spark):
         cms_merge(sk, sk, width=64)
     with pytest.raises(ValueError, match="BOTH width and depth"):
         cms_merge(sk, sk, depth=3)
+
+
+# theta-style a-not-b (r12) ---------------------------------------------------
+
+
+def test_kmv_a_not_b_exact_when_unsaturated(spark):
+    """With both sketches below k the difference degenerates to the
+    EXACT |A \\ B| per group (every hash retained, theta = full span);
+    a group absent from B counts all its values as new."""
+    from bqetl_spark.functions.sketch import kmv_a_not_b, kmv_sketch
+
+    a = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(30)] + [("only_a", "x")],
+        ["grp", "v"])
+    b = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(10, 40)], ["grp", "v"])
+    out = {r["grp"]: (r["est_a_not_b"], r["sample_count"])
+           for r in kmv_a_not_b(kmv_sketch(a, "v", "grp", k=256),
+                                kmv_sketch(b, "v", "grp", k=256),
+                                k=256).collect()}
+    assert out["g"] == (10, 10)          # v0..v9 are new, exactly
+    assert out["only_a"] == (1, 1)       # B empty for this group
+    assert "only_b" not in out           # difference is A-driven
+
+
+def test_kmv_a_not_b_estimate_accuracy_when_saturated(spark):
+    """Saturated regime: |A| = 4000 with |A \\ B| = 1000 truly new; the
+    k=256 theta estimate must land within 25% of truth (std err
+    ~1/sqrt(k·rate) ~ 12% here; 25% is a deterministic-corpus pin, not
+    a statistical assertion — the values are fixed)."""
+    from bqetl_spark.functions.sketch import kmv_a_not_b, kmv_sketch
+
+    a = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(4000)], ["grp", "v"])
+    b = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(1000, 6000)], ["grp", "v"])
+    out = kmv_a_not_b(kmv_sketch(a, "v", "grp", k=256),
+                      kmv_sketch(b, "v", "grp", k=256), k=256).collect()
+    est = out[0]["est_a_not_b"]
+    assert abs(est - 1000) <= 250, est
+
+
+def test_kmv_a_not_b_validation(spark):
+    from bqetl_spark.functions.sketch import kmv_a_not_b, kmv_sketch
+
+    df = spark.createDataFrame([("g", "v")], ["grp", "v"])
+    sk = kmv_sketch(df, "v", "grp", k=16)
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_a_not_b(sk, sk, k=1)

@@ -107,7 +107,11 @@ QUERIES = ["denorm_flat", "q3_top_revenue", "dedup_fingerprint",
            # scan + lhash equi-join + one groupBy (expect linear)
            "phash_dihedral", "audio_lookup",
            # spatial: occupancy agg + one (cx,cy) equi-join (expect linear)
-           "spatial_grid_join"]
+           "spatial_grid_join",
+           # dihedral video: one frame-hash scan + exact canon equi-join
+           "video_dihedral",
+           # kmv difference: two bounded sketch builds + a groups-row join
+           "kmv_difference"]
 
 
 def main() -> None:
