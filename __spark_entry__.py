@@ -4547,10 +4547,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r6 item 1): tools/window_order.py derives it from the
     # CORRECTNESS_r* history — (1) brand-new gates needing first-ever
     # driver rows, (2) gates whose code or oracle changed this round,
-    # (3) everything else oldest newest-green-driver-row first. The r11
-    # head: new r11 gates first (appended to ROUND_HEAD as they land),
-    # then the stalest driver rows (the r6-evidence cohort rotating back
-    # through) fill the remaining window slots.
+    # (3) everything else oldest newest-green-driver-row first. The r12
+    # head: the 11 new r12 gates first (appended to ROUND_HEAD as they
+    # landed) plus the changed hits_scores, then the stalest driver rows
+    # (the r7-evidence cohort, bloom_prune onward) fill the remaining
+    # window slots.
     # Regenerate after gate changes with:
     #   python3 tools/window_order.py --new <gates> --changed <gates>
     # tests/test_entry.py::test_window_order_matches_tool pins dict order
