@@ -1191,6 +1191,36 @@ def q_spatial_grid_join(spark, sf_dir):
     return grid_neighbor_join(pts, radius=64, max_cell_size=64)
 
 
+def q_spatial_knn(spark, sf_dir):
+    """Radius-bounded k-nearest-neighbors (operators/spatial.py
+    grid_knn_join, r12): the q_spatial_grid_join point set at radius
+    256 (sized so points typically have ≥ 3 in-radius neighbors at the
+    gate densities), each point's 3 nearest by exact BIGINT Euclidean
+    distance, rank ties broken by neighbor id — the geo-retrieval query
+    shape ("closest k stores/drivers/cells") built as grid pairs →
+    symmetrize → per-point window top-k. The oracle replays
+    coordinates, cells, the occupancy cap, the 3×3 candidate join, the
+    symmetric union and the ranked cutoff.
+
+    Scale: inherits the grid join's equi-key posture plus ONE rank
+    shuffle on point id; the radius bound is what keeps kNN
+    candidate-generation finite at any density (unbounded kNN = ring
+    expansion over the same cells, the documented scale path)."""
+    from bqetl_spark.operators.spatial import grid_knn_join
+
+    cust = _t(spark, sf_dir, "customer")
+
+    def coord(tag):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.lit(tag), F.col("c_custkey").cast("string"))), 1, 15),
+            16, 10).cast("long") % 10000)
+
+    pts = cust.select(F.col("c_custkey").alias("id"),
+                      coord("px:").alias("px"),
+                      coord("py:").alias("py"))
+    return grid_knn_join(pts, radius=256, k=3, max_cell_size=64)
+
+
 def q_stream_quantile(spark, sf_dir):
     """Streaming quantile-sketch maintenance (streaming/events.py
     stream_quantile_values, r8): events chopped into 4 files replay as
@@ -4548,7 +4578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* history — (1) brand-new gates needing first-ever
     # driver rows, (2) gates whose code or oracle changed this round,
     # (3) everything else oldest newest-green-driver-row first. The r12
-    # head: the 11 new r12 gates first (appended to ROUND_HEAD as they
+    # head: the 13 new r12 gates first (appended to ROUND_HEAD as they
     # landed) plus the changed hits_scores, then the stalest driver rows
     # (the r7-evidence cohort, bloom_prune onward) fill the remaining
     # window slots.
@@ -4568,6 +4598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_grid_join": q_spatial_grid_join,
         "video_dihedral": q_video_dihedral,
         "kmv_difference": q_kmv_difference,
+        "spatial_knn": q_spatial_knn,
         "hits_scores": q_hits_scores,
         "bloom_prune": q_bloom_prune,
         "bm25_topk": q_bm25_topk,
@@ -5788,6 +5819,48 @@ _SPATIAL_GRID_ORACLE = """
     SELECT id_a, id_b, dist_sq FROM cand WHERE dist_sq <= 4096"""
 
 
+# q_spatial_knn replay: the q_spatial_grid_join coordinate/cell/cap/
+# candidate machinery at radius 256, then the symmetric union of the
+# once-generated pairs and the per-point ranked cutoff (ties by
+# neighbor id).
+_SPATIAL_KNN_ORACLE = """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substr(md5('px:' || CAST(c_custkey AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 10000 AS px,
+             CAST(('0x' || substr(md5('py:' || CAST(c_custkey AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 10000 AS py
+      FROM customer
+    ), cells AS (
+      SELECT id, px, py, px // 256 AS cx, py // 256 AS cy FROM pts
+    ), ok AS (
+      SELECT cx, cy FROM cells GROUP BY cx, cy HAVING count(*) <= 64
+    ), co AS (
+      SELECT cells.* FROM cells JOIN ok USING (cx, cy)
+    ), cand AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             (a.px - b.px) * (a.px - b.px)
+           + (a.py - b.py) * (a.py - b.py) AS dist_sq
+      FROM co a
+      CROSS JOIN range(-1, 2) dx(dx)
+      CROSS JOIN range(-1, 2) dy(dy)
+      JOIN co b ON b.cx = a.cx + dx.dx AND b.cy = a.cy + dy.dy
+               AND a.id < b.id
+    ), pairs AS (
+      SELECT id_a, id_b, dist_sq FROM cand WHERE dist_sq <= 65536
+    ), sym AS (
+      SELECT id_a AS id, id_b AS neighbor_id, dist_sq FROM pairs
+      UNION ALL
+      SELECT id_b, id_a, dist_sq FROM pairs
+    ), rk AS (
+      SELECT id, neighbor_id, dist_sq,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY dist_sq, neighbor_id) AS rank
+      FROM sym
+    )
+    SELECT id, neighbor_id, dist_sq, rank FROM rk WHERE rank <= 3"""
+
+
 def _video_ph_ctes() -> str:
     """Shared CTE prefix for the video-fingerprint oracles: 3 frames
     per doc, frame f's pixel (y,x) luma = the 3 bytes at 1-based text
@@ -6925,6 +6998,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_grid_join": _SPATIAL_GRID_ORACLE,
         "video_dihedral": _VIDEO_DIHEDRAL_ORACLE,
         "kmv_difference": _KMV_DIFFERENCE_ORACLE,
+        "spatial_knn": _SPATIAL_KNN_ORACLE,
         "video_neardup": _video_phash_oracle(),
         "video_frame_lookup": _video_lookup_oracle(),
     }

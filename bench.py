@@ -185,6 +185,7 @@ EXTRAS = [
     "spatial_grid_join",
     "video_dihedral",
     "kmv_difference",
+    "spatial_knn",
 ]
 
 

@@ -317,7 +317,9 @@ RI_GATES = ["denorm_flat", "nest_orders", "nest_chunked", "lookup_decode",
             "kmv_difference",
             # r12: NULL-keyed points get NULL cells and fall out of the
             # neighbor equi-join in both engines
-            "spatial_grid_join"]
+            "spatial_grid_join",
+            # r12: the ranked cutoff + symmetric union on subset corpora
+            "spatial_knn"]
 
 
 def test_relational_gates_survive_broken_referential_integrity(

@@ -111,7 +111,9 @@ QUERIES = ["denorm_flat", "q3_top_revenue", "dedup_fingerprint",
            # dihedral video: one frame-hash scan + exact canon equi-join
            "video_dihedral",
            # kmv difference: two bounded sketch builds + a groups-row join
-           "kmv_difference"]
+           "kmv_difference",
+           # knn: the grid join + one rank shuffle on point id
+           "spatial_knn"]
 
 
 def main() -> None:

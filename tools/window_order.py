@@ -46,7 +46,7 @@ ROUND_HEAD = {
                   "video_frame_lookup", "phash_dihedral",
                   "audio_lookup", "stream_audio",
                   "spatial_grid_join", "video_dihedral",
-                  "kmv_difference"],
+                  "kmv_difference", "spatial_knn"],
     # hits_scores: per-phase max normalizer moved from driver collects to
     # the in-plan one-row crossJoin (VERDICT r11 item 6) — result proven
     # bit-identical, but the gate code changed
