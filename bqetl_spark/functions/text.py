@@ -1109,67 +1109,96 @@ def perceptron_langid(df: DataFrame, text_col: str = "text",
 def _batch_perceptron(docfeat: DataFrame, id_col: str, label_col: str,
                       iters: int, ref_mod: int, ref_keep: int) -> DataFrame:
     """Shared batch-perceptron training loop (extracted from
-    :func:`perceptron_langid` verbatim for the r11 trained quality
-    classifier — pure code motion, identical math/plan): takes the pinned
-    (id, label, __b bucket, __n count) feature table, trains for
-    ``iters`` order-free batch iterations on the ``id % ref_mod <
-    ref_keep`` slice, scores EVERY document with the final weights.
-    Returns (id, label, __pred, __s) — all-BIGINT, zero float.
+    :func:`perceptron_langid` for the r11 trained quality classifier):
+    takes the pinned (id, label, __b bucket, __n count) feature table,
+    trains for ``iters`` order-free batch iterations on the
+    ``id % ref_mod < ref_keep`` slice, scores EVERY document with the
+    final weights. Returns (id, label, __pred, __s) — all-BIGINT, zero
+    float.
 
-    Scale shape (unchanged): weights are O(classes × buckets) broadcast;
-    2 shuffles per iteration; class list is an O(classes) broadcast
-    crossJoin (allowlisted BNLJ)."""
+    r12 optimization (guide §2.4/§3.1): the model is O(classes ×
+    buckets) BIGINTs — the same metadata scale as the IVF centroids the
+    engine already collects and broadcasts — so the weights now live in
+    a driver-side dict rendered into literal per-class lookup MAPs:
+
+        score_c(d) = Σ_b n_d[b]·w_c[b]      one conditional aggregation
+        pred(d)    = argmin_c (−score_c, c)  array_min over class structs
+
+    Per iteration that is ONE groupBy(id) shuffle for the predictions
+    plus one bounded collect of the O(classes×buckets) weight delta —
+    the r11 shape was a class-grid crossJoin + feature equi-join +
+    broadcast weights join + 3-key aggregation + window argmax (per
+    iteration) folded into a single deeply nested plan, which both
+    shuffled the feature grid classes× per pass and paid Catalyst
+    planning on the unrolled lineage. Bit-identical by construction:
+    the integer sums are order-free; argmax with (score DESC, class
+    ASC) tie-break ≡ array_min of (−score, class) structs; and
+    sum(n·coalesce(w,0)) ≡ coalesce(sum(n·w),0) for missing buckets.
+    Proven by the unchanged oracle hash at sf0.001/0.01/0.1 for all six
+    dependent gates (OPTIMIZATION_r12.md)."""
     from bqetl_spark.caching import pin
 
     tr = pin(docfeat.filter(
         F.pmod(F.col(id_col), F.lit(ref_mod)) < ref_keep))
-    cls = pin(tr.select(F.col(label_col).alias("__cls")).distinct())
-    trdocs = pin(tr.select(id_col, label_col).distinct())
-    weights = None  # empty model: every score coalesces to 0
+    classes = sorted(
+        r["__c"] for r in
+        tr.select(F.col(label_col).alias("__c")).distinct().collect())
+    if not classes:  # empty training slice: no model, empty result
+        return (docfeat.select(id_col, label_col).limit(0)
+                .withColumn("__pred", F.lit(None).cast("string"))
+                .withColumn("__s", F.lit(None).cast("long")))
+    weights: dict[str, dict[int, int]] = {}
 
-    def _scores(grid_docs, grid_feat, w):
-        sc = grid_docs.crossJoin(F.broadcast(cls))
-        joined = (sc.join(grid_feat.select(id_col, "__b", "__n"), id_col)
-                  .join(F.broadcast(w), ["__cls", "__b"], "left")
-                  if w is not None else
-                  sc.join(grid_feat.select(id_col, "__b", "__n"), id_col)
-                  .withColumn("__w", F.lit(None).cast("long")))
-        return (joined.groupBy(id_col, label_col, "__cls")
-                .agg(F.coalesce(F.sum(F.col("__n") * F.col("__w")),
-                                F.lit(0)).cast("long").alias("__s")))
+    def _w_expr(c):
+        # dense O(1) array lookup, not a map literal: Spark's map
+        # element_at is a linear scan over the entries per row, which at
+        # buckets=512 × classes × rows dominates the scoring stage.
+        # F.get is 0-based and NULL (not an ANSI error) out of range.
+        wc = weights.get(c)
+        if not wc:
+            return F.lit(0).cast("long")
+        dense = [0] * (max(wc) + 1)
+        for b, w in wc.items():
+            dense[b] = w
+        # F.lit(list) folds to ONE array Literal; F.array(*lits) stays a
+        # per-row CreateArray (measured 3× slower on the scoring agg)
+        arr = F.lit(dense).cast("array<bigint>")
+        return F.coalesce(F.get(arr, F.col("__b").cast("int")),
+                          F.lit(0).cast("long"))
 
-    def _argmax(sc):
-        w_ = Window.partitionBy(id_col).orderBy(F.desc("__s"),
-                                                F.asc("__cls"))
-        return (sc.withColumn("__rn", F.row_number().over(w_))
-                .filter(F.col("__rn") == 1)
-                .select(id_col, label_col, F.col("__cls").alias("__pred"),
-                        "__s"))
+    def _score_pred(feat):
+        scored = (feat.groupBy(id_col, label_col)
+                  .agg(*[F.coalesce(F.sum(F.col("__n") * _w_expr(c)),
+                                    F.lit(0)).cast("long")
+                         .alias(f"__s_{i}")
+                         for i, c in enumerate(classes)]))
+        best = F.array_min(F.array(*[
+            F.struct((-F.col(f"__s_{i}")).cast("long").alias("n"),
+                     F.lit(c).alias("c"))
+            for i, c in enumerate(classes)]))
+        return (scored.withColumn("__best", best)
+                .select(id_col, label_col,
+                        F.col("__best.c").alias("__pred"),
+                        (-F.col("__best.n")).cast("long").alias("__s")))
 
     for _ in range(iters):
-        pred = _argmax(_scores(trdocs, tr, weights))
-        mis = pred.filter(F.col("__pred") != F.col(label_col)) \
-            .select(id_col, label_col, "__pred")
+        mis = (_score_pred(tr)
+               .filter(F.col("__pred") != F.col(label_col))
+               .select(id_col, label_col, "__pred"))
+        upd = F.explode(F.array(
+            F.struct(F.col(label_col).alias("__cls"),
+                     F.col("__n").alias("__d")),
+            F.struct(F.col("__pred").alias("__cls"),
+                     (-F.col("__n")).alias("__d")))).alias("u")
         delta = (tr.join(mis, [id_col, label_col])
-                 .select(F.col(label_col).alias("__cls"), "__b",
-                         F.col("__n").alias("__d"))
-                 .unionByName(
-                     tr.join(mis, [id_col, label_col])
-                     .select(F.col("__pred").alias("__cls"), "__b",
-                             (-F.col("__n")).alias("__d")))
-                 .groupBy("__cls", "__b")
-                 .agg(F.sum("__d").cast("long").alias("__dw")))
-        if weights is None:
-            weights = pin(delta.withColumnRenamed("__dw", "__w"))
-        else:
-            weights = pin(
-                weights.join(delta, ["__cls", "__b"], "full")
-                .select("__cls", "__b",
-                        (F.coalesce("__w", F.lit(0))
-                         + F.coalesce("__dw", F.lit(0)))
-                        .cast("long").alias("__w")))
-    alldocs = docfeat.select(id_col, label_col).distinct()
-    return _argmax(_scores(alldocs, docfeat, weights))
+                 .select("__b", upd)
+                 .groupBy(F.col("u.__cls").alias("__cls"), "__b")
+                 .agg(F.sum(F.col("u.__d")).cast("long").alias("__dw"))
+                 .collect())
+        for row in delta:  # bounded: ≤ classes × buckets rows
+            wc = weights.setdefault(row["__cls"], {})
+            wc[row["__b"]] = wc.get(row["__b"], 0) + row["__dw"]
+    return _score_pred(docfeat)
 
 
 def quality_perceptron(df: DataFrame, text_col: str = "text",

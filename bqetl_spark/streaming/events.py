@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bqetl_spark.streaming.stateutil import replace_parquet_state
+
 
 def stream_dedup_events(spark: SparkSession, events_dir: str,
                         watermark: str = "1 hour") -> DataFrame:
@@ -148,7 +150,6 @@ def stream_upsert_user_totals(spark: SparkSession, events_dir: str,
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
         import os
-        import shutil
 
         sp = bdf.sparkSession
         # explicit existence check — see stream_kmv_user_distinct's sink
@@ -162,10 +163,7 @@ def stream_upsert_user_totals(spark: SparkSession, events_dir: str,
             out = upsert(base, bdf, "user_id")
         # parquet emulation of a transactional target: write-new-then-swap
         # is merge_into's job for real table formats (operators/merge.py)
-        tmp = target_path + f".batch{batch_id}"
-        out.write.mode("overwrite").parquet(tmp)
-        sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
-        shutil.rmtree(tmp, ignore_errors=True)  # bound on-disk state
+        replace_parquet_state(out, target_path, batch_id)
 
     (stream.writeStream.outputMode("update")
      .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -203,7 +201,6 @@ def stream_kmv_user_distinct(spark: SparkSession, events_dir: str,
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
         import os
-        import shutil
 
         sp = bdf.sparkSession
         batch_sketch = kmv_sketch(bdf, "user_id", "event_type", k)
@@ -216,10 +213,7 @@ def stream_kmv_user_distinct(spark: SparkSession, events_dir: str,
                 if os.path.isdir(target_path) else None)
         out = (batch_sketch if base is None
                else kmv_merge(base, batch_sketch, k=k))
-        tmp = target_path + f".batch{batch_id}"
-        out.write.mode("overwrite").parquet(tmp)
-        sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
-        shutil.rmtree(tmp, ignore_errors=True)  # bound on-disk state
+        replace_parquet_state(out, target_path, batch_id)
 
     (stream.writeStream.outputMode("append")
      .foreachBatch(sink)
@@ -279,7 +273,6 @@ def stream_hll_user_distinct(spark: SparkSession, events_dir: str,
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
         import os
-        import shutil
 
         sp = bdf.sparkSession
         batch_sketch = hll_sketch(bdf, "user_id", "event_type")
@@ -290,10 +283,7 @@ def stream_hll_user_distinct(spark: SparkSession, events_dir: str,
                 if os.path.isdir(target_path) else None)
         out = (batch_sketch if base is None
                else hll_merge(base, batch_sketch))
-        tmp = target_path + f".batch{batch_id}"
-        out.write.mode("overwrite").parquet(tmp)
-        sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
-        shutil.rmtree(tmp, ignore_errors=True)  # bound on-disk state
+        replace_parquet_state(out, target_path, batch_id)
 
     (stream.writeStream.outputMode("append")
      .foreachBatch(sink)
@@ -326,7 +316,6 @@ def stream_cms_user_counts(spark: SparkSession, events_dir: str,
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
         import os
-        import shutil
 
         sp = bdf.sparkSession
         batch_sketch = cms_sketch(bdf, "user_id", width, depth)
@@ -334,10 +323,7 @@ def stream_cms_user_counts(spark: SparkSession, events_dir: str,
                 if os.path.isdir(target_path) else None)
         out = (batch_sketch if base is None
                else cms_merge(base, batch_sketch))
-        tmp = target_path + f".batch{batch_id}"
-        out.write.mode("overwrite").parquet(tmp)
-        sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
-        shutil.rmtree(tmp, ignore_errors=True)
+        replace_parquet_state(out, target_path, batch_id)
 
     (stream.writeStream.outputMode("append")
      .foreachBatch(sink)
@@ -375,7 +361,6 @@ def stream_quantile_values(spark: SparkSession, events_dir: str,
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
         import os
-        import shutil
 
         sp = bdf.sparkSession
         batch_sketch = quantile_sketch(bdf, "value", F.col("event_id"), k)
@@ -385,10 +370,7 @@ def stream_quantile_values(spark: SparkSession, events_dir: str,
                 if os.path.isdir(target_path) else None)
         out = (batch_sketch if base is None
                else quantile_sketch_merge(base, batch_sketch, k=k))
-        tmp = target_path + f".batch{batch_id}"
-        out.write.mode("overwrite").parquet(tmp)
-        sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
-        shutil.rmtree(tmp, ignore_errors=True)  # bound on-disk state
+        replace_parquet_state(out, target_path, batch_id)
 
     (stream.writeStream.outputMode("append")
      .foreachBatch(sink)
@@ -422,7 +404,6 @@ def stream_ams_moment(spark: SparkSession, events_dir: str,
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
         import os
-        import shutil
 
         sp = bdf.sparkSession
         batch_sketch = ams_sketch(bdf, "user_id", "event_type",
@@ -431,10 +412,7 @@ def stream_ams_moment(spark: SparkSession, events_dir: str,
                 if os.path.isdir(target_path) else None)
         out = (batch_sketch if base is None
                else ams_merge(base, batch_sketch))
-        tmp = target_path + f".batch{batch_id}"
-        out.write.mode("overwrite").parquet(tmp)
-        sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
-        shutil.rmtree(tmp, ignore_errors=True)
+        replace_parquet_state(out, target_path, batch_id)
 
     (stream.writeStream.outputMode("append")
      .foreachBatch(sink)

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bqetl_spark.streaming.stateutil import replace_parquet_state
+
 
 def stream_phash_index(spark: SparkSession, media_dir: str,
                        target_path: str, scale_bits: int = 15,
@@ -40,7 +42,6 @@ def stream_phash_index(spark: SparkSession, media_dir: str,
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
         import os
-        import shutil
 
         sp = bdf.sparkSession
         batch_hashes = image_phash(bdf, scale_bits=scale_bits)
@@ -52,10 +53,7 @@ def stream_phash_index(spark: SparkSession, media_dir: str,
         out = (batch_hashes if base is None
                else base.unionByName(batch_hashes)
                .dropDuplicates(["media_id"]))
-        tmp = target_path + f".batch{batch_id}"
-        out.write.mode("overwrite").parquet(tmp)
-        sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
-        shutil.rmtree(tmp, ignore_errors=True)  # bound on-disk state
+        replace_parquet_state(out, target_path, batch_id)
 
     (stream.writeStream.outputMode("append")
      .foreachBatch(sink)
@@ -88,7 +86,6 @@ def stream_video_index(spark: SparkSession, media_dir: str,
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
         import os
-        import shutil
 
         sp = bdf.sparkSession
         batch_hashes = video_frame_phash(bdf, scale_bits=scale_bits)
@@ -100,10 +97,7 @@ def stream_video_index(spark: SparkSession, media_dir: str,
         out = (batch_hashes if base is None
                else base.unionByName(batch_hashes)
                .dropDuplicates(["media_id", "frame_idx"]))
-        tmp = target_path + f".batch{batch_id}"
-        out.write.mode("overwrite").parquet(tmp)
-        sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
-        shutil.rmtree(tmp, ignore_errors=True)  # bound on-disk state
+        replace_parquet_state(out, target_path, batch_id)
 
     (stream.writeStream.outputMode("append")
      .foreachBatch(sink)
@@ -138,7 +132,6 @@ def stream_audio_index(spark: SparkSession, media_dir: str,
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
         import os
-        import shutil
 
         sp = bdf.sparkSession
         batch_lm = audio_landmarks(bdf, fanout_dt=fanout_dt)
@@ -150,10 +143,7 @@ def stream_audio_index(spark: SparkSession, media_dir: str,
         out = (batch_lm if base is None
                else base.unionByName(batch_lm)
                .dropDuplicates(["media_id", "f1", "lhash"]))
-        tmp = target_path + f".batch{batch_id}"
-        out.write.mode("overwrite").parquet(tmp)
-        sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
-        shutil.rmtree(tmp, ignore_errors=True)  # bound on-disk state
+        replace_parquet_state(out, target_path, batch_id)
 
     (stream.writeStream.outputMode("append")
      .foreachBatch(sink)

@@ -64,7 +64,9 @@ def _current_round() -> int:
 
 ROUND = _current_round()
 OUT = args[0] if args else os.path.join(ROOT, f"SWEEP_r{ROUND:02d}.json")
-SF = "/root/testdata/sf0.01"
+# r12: overridable so restructured operators can be oracle-proven at
+# sf0.1 too (the bench SF), not just the sweep's sf0.01
+SF = os.environ.get("SPARK_GRAFT_SWEEP_SF", "/root/testdata/sf0.01")
 
 
 def stability_tier(osql: dict[str, str], runs: int = STAB_RUNS,
