@@ -1418,23 +1418,37 @@ def token_embeddings(df: DataFrame, text_col: str = "text",
     # symmetric: every (t,c) also counts as (c,t)
     sym = pairs.unionByName(pairs.select(F.col("c").alias("t"),
                                          F.col("t").alias("c")))
-    cnt = (sym.groupBy("t", "c").agg(F.count("*").alias("__n"))
-           .filter(F.col("__n") >= min_pair))
+    from bqetl_spark.caching import pin
+
+    # r12 (guide §1.2): the pair table feeds the tot scalar, BOTH
+    # marginals and the scoring join — pin it so the explode+shuffle
+    # runs once per call instead of once per consumer action
+    cnt = pin(sym.groupBy("t", "c").agg(F.count("*").alias("__n"))
+              .filter(F.col("__n") >= min_pair))
     tot = cnt.agg(F.sum("__n")).collect()[0][0] or 0
     if tot == 0:
         return (cnt.select(F.col("t").alias("tok"),
                            *[F.lit(0).cast("long").alias(f"e{k}")
                              for k in range(dim)]).limit(0))
     mt = cnt.groupBy("t").agg(F.sum("__n").alias("__nt"))
-    mc = cnt.groupBy("c").agg(F.sum("__n").alias("__nc"))
+    # r12 (guide §1.2 step 2): the ±1 signs depend only on (k, c), so
+    # compute the dim md5-derived signs ONCE per distinct context token
+    # on the per-c marginal (vocab-sized) instead of per (t,c) pair row
+    # — dim×|pairs| md5s become dim×|vocab|. The join carrying them to
+    # the pair rows already existed (the __nc marginal join);
+    # Σ sign_k(c)·ppmi is unchanged term for term.
+    mc = (cnt.groupBy("c").agg(F.sum("__n").alias("__nc"))
+          .select("c", "__nc", *[ams_sign(k, "c").alias(f"__sg{k}")
+                                 for k in range(dim)]))
     ratio = (F.col("__n").cast("double") * F.lit(float(tot))
              / (F.col("__nt").cast("double") * F.col("__nc")))
     ppmi = F.greatest(F.floor(F.lit(scale) * F.log(ratio)), F.lit(0)) \
         .cast("long")
     scored = (cnt.join(mt, "t").join(mc, "c")
-              .select("t", "c", ppmi.alias("__p"))
+              .select("t", ppmi.alias("__p"),
+                      *[F.col(f"__sg{k}") for k in range(dim)])
               .filter(F.col("__p") > 0))
-    sums = [F.sum(ams_sign(k, "c") * F.col("__p")).cast("long")
+    sums = [F.sum(F.col(f"__sg{k}") * F.col("__p")).cast("long")
             .alias(f"e{k}") for k in range(dim)]
     return (scored.groupBy(F.col("t").alias("tok")).agg(*sums))
 
@@ -1458,8 +1472,12 @@ def token_embed_topk(df: DataFrame, text_col: str = "text",
     """
     if n_probes < 1 or k < 1:
         raise ValueError(f"n_probes/k must be >= 1, got {n_probes}/{k}")
-    emb = token_embeddings(df, text_col, window=window, dim=dim,
-                           min_pair=min_pair)
+    from bqetl_spark.caching import pin
+
+    # vocab-sized model table consumed from four join sides (probes,
+    # components, norms) — pin so training runs once per call (r12)
+    emb = pin(token_embeddings(df, text_col, window=window, dim=dim,
+                               min_pair=min_pair))
     freq = (df.filter(F.trim(F.col(text_col)) != "")
             .select(F.explode(tokens(F.col(text_col))).alias("tok"))
             .groupBy("tok").agg(F.count("*").alias("__f")))
@@ -1507,7 +1525,10 @@ def _doc_vectors(df: DataFrame, text_col: str, id_col: str, window: int,
 
     Shape: one (doc, tok) tf aggregation + an equi-join against the
     vocab-bounded (broadcastable) embedding component table — never a
-    doc×doc or doc×vocab cross product."""
+    doc×doc or doc×vocab cross product. Both returns are pinned (r12):
+    every caller consumes them from several join sides."""
+    from bqetl_spark.caching import pin
+
     emb = token_embeddings(df, text_col, window=window, dim=dim,
                            min_pair=min_pair)
     comp = emb.select(
@@ -1522,10 +1543,11 @@ def _doc_vectors(df: DataFrame, text_col: str, id_col: str, window: int,
              .groupBy(id_col, "__k")
              .agg(F.sum(F.col("__tf") * F.col("__e"))
                   .cast("long").alias("__e")))
-    norm = (dcomp.groupBy(id_col)
-            .agg(F.sum(F.expr("CAST(__e AS DECIMAL(19,0)) * __e"))
-                 .cast("decimal(38,0)").alias("__n2"))
-            .filter(F.col("__n2") > 0))
+    dcomp = pin(dcomp)
+    norm = pin(dcomp.groupBy(id_col)
+               .agg(F.sum(F.expr("CAST(__e AS DECIMAL(19,0)) * __e"))
+                    .cast("decimal(38,0)").alias("__n2"))
+               .filter(F.col("__n2") > 0))
     return dcomp, norm
 
 
@@ -1631,13 +1653,11 @@ def doc_embed_ann(df: DataFrame, text_col: str = "text",
         raise ValueError(
             f"need n_lists >= 2 and 1 <= n_probe_lists <= n_lists, "
             f"got {n_lists}/{n_probe_lists}")
-    from bqetl_spark.caching import pin
-
+    # _doc_vectors pins both returns (r12) — the seed join and the
+    # scoring join re-read the pooled components; the probe/corpus
+    # assignment both re-read norms
     dcomp, norm = _doc_vectors(df, text_col, id_col, window, dim,
                                min_pair)
-    # both the seed join and the scoring join re-read the pooled
-    # components; the probe/corpus assignment both re-read norms
-    dcomp, norm = pin(dcomp), pin(norm)
 
     # seeds: every strideth doc id with a nonzero vector (ivf_topk's
     # deterministic seeding — metadata-scale count, no global sort)
