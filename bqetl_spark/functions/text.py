@@ -1653,6 +1653,8 @@ def doc_embed_ann(df: DataFrame, text_col: str = "text",
         raise ValueError(
             f"need n_lists >= 2 and 1 <= n_probe_lists <= n_lists, "
             f"got {n_lists}/{n_probe_lists}")
+    from bqetl_spark.caching import pin
+
     # _doc_vectors pins both returns (r12) — the seed join and the
     # scoring join re-read the pooled components; the probe/corpus
     # assignment both re-read norms
@@ -1684,8 +1686,11 @@ def doc_embed_ann(df: DataFrame, text_col: str = "text",
                      div __sn2""").cast("long"))
     aw = Window.partitionBy(id_col).orderBy(F.desc("__q"),
                                             F.asc("list_id"))
-    assign = (adots.select(id_col, "list_id", q.alias("__q"))
-              .withColumn("__r", F.row_number().over(aw)))
+    # pinned (r12): the corpus assignment (__r == 1) and the probe
+    # assignment (__r <= n_probe_lists) both read this — without the pin
+    # the dim-key join + aggregation + window run twice per call
+    assign = pin(adots.select(id_col, "list_id", q.alias("__q"))
+                 .withColumn("__r", F.row_number().over(aw)))
     c_assign = (assign.filter(F.col("__r") == 1)
                 .select(id_col, "list_id"))
 
