@@ -223,21 +223,45 @@ def bpe_fertility(docs: DataFrame, merges: list, text_col: str = "text",
     out-of-vocabulary/wrong-language/gibberish documents), so this is
     both a tokenizer-eval surface and another quality screen.
 
-    Built on :func:`bpe_apply`'s segment stream (map-only chained
-    replaces) + two exact integer aggregations: per (doc, word)
-    subword counts, then per-doc totals. fertility_ppm =
-    n_subwords·10^6 div n_words (exact integer). max_word_subwords
-    flags the worst single word (the BPE failure mode is one
-    pathological token, not a uniform drift).
+    Shape (r12, guide §2.3 — shuffle fewer bytes): fertility needs only
+    per-word subword COUNTS, never the token strings, so the count is
+    computed MAP-SIDE per word occurrence (``size`` of the merged
+    symbol split — the same chained replaces bpe_apply runs, without
+    exploding the token stream) and ONE per-doc aggregation finishes
+    the job. This replaces the previous bpe_apply → per-(doc, word)
+    groupBy → per-doc groupBy pipeline: the ~tokens-per-word row
+    explosion and one full shuffle drop out; row-for-row equal output
+    (per (doc, word_pos) the old count of exploded rows IS the symbol
+    count). fertility_ppm = n_subwords·10^6 div n_words (exact
+    integer). max_word_subwords flags the worst single word (the BPE
+    failure mode is one pathological token, not a uniform drift).
 
     Returns (id, n_words BIGINT, n_subwords BIGINT, fertility_ppm
     BIGINT, max_word_subwords BIGINT). Documents with no words produce
     no rows (fertility undefined), matching bpe_apply's stream.
     """
-    segs = bpe_apply(docs, merges, text_col, id_col)
-    per_word = (segs.groupBy(id_col,
-                             F.expr("pos div 1000").alias("__wp"))
-                .agg(F.count("*").alias("__c")))
+    word = (docs.select(F.col(id_col),
+                        F.posexplode(tokens(F.col(text_col)))
+                        .alias("word_pos", "word"))
+            .filter(F.col("word") != ""))
+    s = _encode("word")
+    for l, r in merges:
+        s = F.replace(s, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+    nsub = F.size(F.split(F.trim(s), "  ")).cast("long")
+    # same pathological-word guard as bpe_apply (sym_pos < 1000 ≡ the
+    # word segments into <= 1000 subwords); rides the value path so
+    # Catalyst cannot prune it
+    guard = F.assert_true(
+        nsub <= 1000,
+        F.concat(F.lit("bpe_fertility: word at word_pos="),
+                 F.col("word_pos"),
+                 F.lit(" segments into >= 1000 subword tokens — the "
+                       "pos = word_pos*1000 + sym_pos encoding would "
+                       "collide; split pathological words upstream")))
+    per_word = word.select(
+        F.col(id_col),
+        F.when(guard.isNull(), nsub)
+        .otherwise(F.lit(None).cast("long")).alias("__c"))
     return (per_word.groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_words"),
                  F.sum("__c").cast("long").alias("n_subwords"),

@@ -309,33 +309,39 @@ def copurchase_edges(lineitem: DataFrame, min_parts: int = 2,
     expansion is MAP-ONLY via nested ``transform``/``slice`` higher-order
     functions over the sorted array — already canonical a < b, no
     self-join, no second pass over lineitem. The join formulation this
-    replaced cost 3x-10x more wall time from pure stage count.
+    replaced cost 3x-10x more wall time from pure stage count. r12:
+    per-order dedup happens INSIDE the aggregation (``collect_set``)
+    instead of a separate ``.distinct()`` pass — one lineitem-scale
+    shuffle instead of two, and the set dedupes map-side so the shuffle
+    carries per-order distinct sets, not raw (ok, pk) rows.
+    ``sort_array(collect_set(pk))`` ≡ the old distinct-then-sorted-list
+    array element for element.
 
     Guard (deterministic, oracle-replayable): pair expansion is quadratic
     in the per-order distinct-part count, so orders outside
     [min_parts, max_parts_per_order] are dropped ENTIRELY — the same
     drop-don't-truncate posture as ``max_gram_freq`` / ``max_block_size``.
     TPC-H orders carry <= 7 lineitems so the guard never fires on the
-    test corpus. Boundary: the guard bounds EXPANSION; the collect_list
-    buffer itself is linear in the raw order size, like any groupBy
-    aggregation state. For adversarial inputs (a basket with millions of
-    rows) pass ``prefilter_counts=True`` to cut mega-orders with a cheap
-    count aggregation BEFORE any list is collected (+1 shuffle)."""
+    test corpus. Boundary: the guard bounds EXPANSION; the collect_set
+    buffer is linear in the per-order DISTINCT part count (better than
+    the raw order size). For adversarial inputs (a basket with millions
+    of distinct parts) pass ``prefilter_counts=True`` to cut mega-orders
+    with a cheap distinct-count aggregation BEFORE any set is collected
+    (+1 shuffle)."""
     if not 2 <= min_parts <= max_parts_per_order:
         raise ValueError("need 2 <= min_parts <= max_parts_per_order")
-    li = (lineitem.select(F.col("l_orderkey").alias("ok"),
-                          F.col("l_partkey").cast("long").alias("pk"))
-          .distinct())
+    li = lineitem.select(F.col("l_orderkey").alias("ok"),
+                         F.col("l_partkey").cast("long").alias("pk"))
     if prefilter_counts:
-        cnt = (li.groupBy("ok").agg(F.count("*").alias("__n"))
+        cnt = (li.groupBy("ok").agg(F.countDistinct("pk").alias("__n"))
                .filter((F.col("__n") >= min_parts) &
                        (F.col("__n") <= max_parts_per_order))
                .select("ok"))
         arrs = (li.join(cnt, "ok").groupBy("ok")
-                .agg(F.sort_array(F.collect_list("pk")).alias("ps")))
+                .agg(F.sort_array(F.collect_set("pk")).alias("ps")))
     else:
         arrs = (li.groupBy("ok")
-                .agg(F.sort_array(F.collect_list("pk")).alias("ps"))
+                .agg(F.sort_array(F.collect_set("pk")).alias("ps"))
                 .filter((F.size("ps") >= min_parts) &
                         (F.size("ps") <= max_parts_per_order)))
     pair = F.explode(F.expr(

@@ -202,19 +202,13 @@ def unigram_train(docs: DataFrame, iters: int = 2, keep_multi: int = 24,
                     .cast("long").alias("nll_micro")))
 
 
-def unigram_segments(docs: DataFrame, model: DataFrame,
-                     text_col: str = "text", id_col: str = "doc_id",
-                     max_token_len: int = 6,
-                     max_word_len: int = 12) -> DataFrame:
-    """Segment the corpus with a trained model (:func:`unigram_train`
-    output): per DISTINCT word one Viterbi DP + a smallest-j backtrace
-    (both array folds), then the per-word segmentation joins back to the
-    word-occurrence stream — the segment-types-once trick that makes
-    apply cost O(vocab·DP) + one broadcastable equi-join instead of
-    re-running the DP per occurrence. Returns (id, token, pos) with
-    pos = word_pos·1000 + sym_pos (bpe_apply's contract). Words longer
-    than ``max_word_len`` are dropped (the training boundary,
-    documented there)."""
+def _occ_and_bounds(docs: DataFrame, model: DataFrame, text_col: str,
+                    id_col: str, max_token_len: int, max_word_len: int):
+    """Shared apply-time core: the word-occurrence stream and, per
+    DISTINCT word, the optimal token-boundary list (ascending, [0, …,
+    len]) from one Viterbi DP + smallest-j backtrace fold. Factored out
+    (r12) so :func:`unigram_fertility` can consume per-word COUNTS
+    (size(bounds) − 1) without materializing the token stream."""
     occ = (docs.select(F.col(id_col),
                        F.posexplode(F.split(F.trim(F.col(text_col)),
                                             r"\s+"))
@@ -256,7 +250,25 @@ def unigram_segments(docs: DataFrame, model: DataFrame,
                                 (F.element_at(acc, 1) + 1)
                                 .cast("integer")))),
                 lambda s: s["j"].cast("long"))))))
-    seg = (byword.withColumn("bounds", bounds)
+    return occ, byword.withColumn("bounds", bounds)
+
+
+def unigram_segments(docs: DataFrame, model: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     max_token_len: int = 6,
+                     max_word_len: int = 12) -> DataFrame:
+    """Segment the corpus with a trained model (:func:`unigram_train`
+    output): per DISTINCT word one Viterbi DP + a smallest-j backtrace
+    (both array folds), then the per-word segmentation joins back to the
+    word-occurrence stream — the segment-types-once trick that makes
+    apply cost O(vocab·DP) + one broadcastable equi-join instead of
+    re-running the DP per occurrence. Returns (id, token, pos) with
+    pos = word_pos·1000 + sym_pos (bpe_apply's contract). Words longer
+    than ``max_word_len`` are dropped (the training boundary,
+    documented there)."""
+    occ, byword = _occ_and_bounds(docs, model, text_col, id_col,
+                                  max_token_len, max_word_len)
+    seg = (byword
            .select("word", F.explode(F.expr(
                "transform(sequence(1, size(bounds) - 1), k -> struct("
                "substring(word, element_at(bounds, k) + 1, "
@@ -282,11 +294,20 @@ def unigram_fertility(docs: DataFrame, model: DataFrame,
     n_subwords·10^6 div n_words, max_word_subwords), all exact
     BIGINTs. Words over ``max_word_len`` are excluded on BOTH sides of
     the ratio (the segmentation boundary, documented there); documents
-    with no kept words produce no rows."""
-    segs = unigram_segments(docs, model, text_col, id_col,
-                            max_token_len, max_word_len)
-    per_word = (segs.groupBy(id_col, F.expr("pos div 1000").alias("__wp"))
-                .agg(F.count("*").alias("__c")))
+    with no kept words produce no rows.
+
+    Shape (r12, guide §2.3): fertility needs per-word subword COUNTS
+    only, so it joins the occurrence stream to a per-distinct-word
+    count table (size(bounds) − 1 — exactly the number of token rows
+    :func:`unigram_segments` would emit for that word) instead of
+    materializing and re-aggregating the token stream: the
+    tokens-per-word row fan-out through the join and one full shuffle
+    drop out; output row-for-row equal."""
+    occ, byword = _occ_and_bounds(docs, model, text_col, id_col,
+                                  max_token_len, max_word_len)
+    nsub = byword.select(
+        "word", (F.size("bounds") - 1).cast("long").alias("__c"))
+    per_word = occ.join(nsub, "word").select(F.col(id_col), "__c")
     return (per_word.groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_words"),
                  F.sum("__c").cast("long").alias("n_subwords"),

@@ -167,19 +167,12 @@ def wordpiece_vocab(docs: DataFrame, merges: list[str],
     return chars
 
 
-def wordpiece_segments(docs: DataFrame, vocab: DataFrame,
-                       text_col: str = "text", id_col: str = "doc_id",
-                       max_token_len: int = 12,
-                       max_word_len: int = 12) -> DataFrame:
-    """Greedy longest-match-first segmentation against ``vocab``
-    (one `token` column, '##'-marked continuations): (id, token,
-    pos = word_pos·1000 + sym_pos) — bpe_apply's contract. Per
-    DISTINCT word: candidate spans (position-adjusted token text)
-    equi-join the vocabulary, then one array fold walks boundaries
-    left to right taking the LONGEST match (integer max). A position
-    with no match makes the whole word '[UNK]' (BERT's rule). Words
-    over ``max_word_len`` are dropped (the training boundary); vocab
-    tokens longer than ``max_token_len`` are simply never matched."""
+def _occ_and_bounds(docs: DataFrame, vocab: DataFrame, text_col: str,
+                    id_col: str, max_token_len: int, max_word_len: int):
+    """Shared apply-time core: the word-occurrence stream and, per
+    DISTINCT word, the greedy-longest-match boundary list (last element
+    -1 = UNK). Factored out (r12) so :func:`wordpiece_fertility` can
+    consume per-word COUNTS without materializing the token stream."""
     occ = (docs.select(F.col(id_col),
                        F.posexplode(F.split(F.trim(F.col(text_col)),
                                             r"\s+"))
@@ -223,7 +216,25 @@ def wordpiece_segments(docs: DataFrame, vocab: DataFrame,
                          lambda s: s["j"] == F.element_at(acc, -1)),
                 lambda s: s["i"].cast("long"))),
             F.lit(-1).cast("long")))))
-    seg = (byword.withColumn("bounds", bounds)
+    return occ, byword.withColumn("bounds", bounds)
+
+
+def wordpiece_segments(docs: DataFrame, vocab: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       max_token_len: int = 12,
+                       max_word_len: int = 12) -> DataFrame:
+    """Greedy longest-match-first segmentation against ``vocab``
+    (one `token` column, '##'-marked continuations): (id, token,
+    pos = word_pos·1000 + sym_pos) — bpe_apply's contract. Per
+    DISTINCT word: candidate spans (position-adjusted token text)
+    equi-join the vocabulary, then one array fold walks boundaries
+    left to right taking the LONGEST match (integer max). A position
+    with no match makes the whole word '[UNK]' (BERT's rule). Words
+    over ``max_word_len`` are dropped (the training boundary); vocab
+    tokens longer than ``max_token_len`` are simply never matched."""
+    occ, byword = _occ_and_bounds(docs, vocab, text_col, id_col,
+                                  max_token_len, max_word_len)
+    seg = (byword
            .select("word", F.explode(F.expr(
                "CASE WHEN element_at(bounds, -1) = -1 "
                f"THEN array(struct('{UNK}' AS token, "
@@ -253,11 +264,20 @@ def wordpiece_fertility(docs: DataFrame, vocab: DataFrame,
     THREE tokenizer families are eval-comparable row for row. '[UNK]'
     words count 1 subword (the token actually emitted). Returns (id,
     n_words, n_subwords, fertility_ppm, max_word_subwords), exact
-    BIGINTs; docs with no kept words produce no rows."""
-    segs = wordpiece_segments(docs, vocab, text_col, id_col,
-                              max_token_len, max_word_len)
-    per_word = (segs.groupBy(id_col, F.expr("pos div 1000").alias("__wp"))
-                .agg(F.count("*").alias("__c")))
+    BIGINTs; docs with no kept words produce no rows.
+
+    Shape (r12, guide §2.3): per-word COUNTS join the occurrence
+    stream directly (UNK → 1, else size(bounds) − 1 — exactly the
+    number of token rows :func:`wordpiece_segments` would emit), so
+    the token-stream fan-out and one full shuffle drop out; output
+    row-for-row equal."""
+    occ, byword = _occ_and_bounds(docs, vocab, text_col, id_col,
+                                  max_token_len, max_word_len)
+    nsub = byword.select(
+        "word",
+        F.when(F.element_at("bounds", -1) == -1, F.lit(1))
+        .otherwise(F.size("bounds") - 1).cast("long").alias("__c"))
+    per_word = occ.join(nsub, "word").select(F.col(id_col), "__c")
     return (per_word.groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_words"),
                  F.sum("__c").cast("long").alias("n_subwords"),
