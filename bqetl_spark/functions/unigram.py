@@ -178,17 +178,27 @@ def unigram_train(docs: DataFrame, iters: int = 2, keep_multi: int = 24,
                 .select("token"))
     multi = (seed.filter(F.char_length("token") > 1)
              .orderBy(F.desc("c"), F.asc("token")).limit(max_seed_vocab))
-    vocab = pin(seed.join(chars, "token").unionByName(multi).distinct())
+    # EAGER localCheckpoint per EM round (the k_core/hits_fixed lineage
+    # discipline, r12): each round references the previous vocab ~4×
+    # (cost-table total + select, counts consumed twice), so a lazy
+    # lineage grows ~4^iters — Catalyst planned a ~930-Exchange tree for
+    # the 2-iter chain (plan canonicalization dominated the gates'
+    # wall time). pin() cuts re-EXECUTION but not plan size; the eager
+    # checkpoint cuts both, at one materializing job per round over the
+    # vocab-sized table (which the lazy pin paid anyway on first use).
+    vocab = (seed.join(chars, "token").unionByName(multi).distinct()
+             .localCheckpoint())
     for _ in range(iters):
         counts = _em_counts(wf, _cost_table(vocab), max_token_len)
         # chars get +1 smoothing (coverage can never collapse); pruned
         # multi-char tokens (count 0) leave the vocabulary
-        vocab = pin(chars.join(counts, "token", "left")
-                    .select("token",
-                            (F.coalesce("c", F.lit(0)) + 1).alias("c"))
-                    .unionByName(
-                        counts.join(chars, "token", "left_anti")
-                        .filter(F.col("c") > 0)))
+        vocab = (chars.join(counts, "token", "left")
+                 .select("token",
+                         (F.coalesce("c", F.lit(0)) + 1).alias("c"))
+                 .unionByName(
+                     counts.join(chars, "token", "left_anti")
+                     .filter(F.col("c") > 0))
+                 .localCheckpoint())
     final_multi = (vocab.filter(F.char_length("token") > 1)
                    .orderBy(F.desc("c"), F.asc("token")).limit(keep_multi))
     kept = (vocab.join(chars, "token").unionByName(final_multi)
