@@ -93,9 +93,14 @@ def pagerank_fixed(edges: DataFrame, src: str = "src", dst: str = "dst",
                                   + F.coalesce("__in", F.lit(0)))
                          .cast("long").alias("rank")))
         if i < iters - 1:
-            # cut lineage so plan size stays O(1) per iteration instead of
-            # O(iters); released by the caller via release_pinned()
-            ranks = pin(ranks)
+            # EAGER localCheckpoint (r12): pin() cut re-execution but the
+            # lazy lineage still embedded the pinned edge-build subtree
+            # per iteration (static plan ~290 Exchange) and Catalyst/AQE
+            # paid for the whole tree at the final action; the checkpoint
+            # keeps the plan O(1) at one materializing job per iteration
+            # over the node-sized rank table. Interleaved A/B at sf0.1:
+            # median 19.5 -> 6.2 s (PLANS.md r12 opt session 3).
+            ranks = ranks.localCheckpoint()
     return ranks
 
 
@@ -170,7 +175,8 @@ def pagerank_personalized(edges: DataFrame, seeds: DataFrame,
                           + F.coalesce("__in", F.lit(0)))
                          .cast("long").alias("rank")))
         if i < iters - 1:
-            ranks = pin(ranks)
+            # same eager-checkpoint lineage cut as pagerank_fixed (r12)
+            ranks = ranks.localCheckpoint()
     return ranks
 
 
@@ -262,15 +268,23 @@ def sssp_distances(edges: DataFrame, seeds: DataFrame,
         .distinct()
     nodes = (e.select(F.col("__src").alias("node"))
              .union(e.select(F.col("__dst").alias("node"))).distinct())
-    dist = pin(seed_nodes.join(nodes, "node")
-               .select("node", F.lit(0).cast("long").alias("dist")))
+    # EAGER localCheckpoint per round (r12): dist is referenced 3× per
+    # round (relaxation join, the union, the changed-probe join), so a
+    # lazy pinned lineage grows ~3^rounds — the per-round `changed`
+    # action was planning a ~3,600-Exchange tree by round 6. The
+    # checkpoint cuts the plan to O(1) per round; the materializing job
+    # it costs was already paid by the changed-count action.
+    dist = (seed_nodes.join(nodes, "node")
+            .select("node", F.lit(0).cast("long").alias("dist"))
+            .localCheckpoint())
     for _ in range(max_rounds):
         relaxed = (e.join(dist.withColumnRenamed("node", "__src"), "__src")
                    .select(F.col("__dst").alias("node"),
                            (F.col("dist") + F.col("__w")).alias("dist")))
-        new_dist = pin(dist.unionByName(relaxed)
-                       .groupBy("node")
-                       .agg(F.min("dist").alias("dist")))
+        new_dist = (dist.unionByName(relaxed)
+                    .groupBy("node")
+                    .agg(F.min("dist").alias("dist"))
+                    .localCheckpoint())
         changed = (new_dist.alias("n")
                    .join(dist.alias("o"), "node", "left")
                    .filter(F.col("o.dist").isNull()
@@ -772,9 +786,16 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame,
     nodes = (e.select(F.col("__src").alias("node"))
              .union(e.select(F.col("__dst").alias("node"))).distinct())
     # seeds outside the graph get distance 0 rows only if they exist as
-    # nodes — intersect keeps the metric about the graph, like ppr
-    visited = pin(seed_nodes.join(nodes, "node")
-                  .select("node", F.lit(0).cast("long").alias("dist")))
+    # nodes — intersect keeps the metric about the graph, like ppr.
+    # EAGER localCheckpoints (r12): visited is referenced twice per
+    # round (anti-join + union) and nxt three times, so lazy pinned
+    # lineage compounded to a ~2,700-Exchange plan by round 4 that the
+    # per-round count action re-planned each time; the checkpoints cut
+    # it to O(1) per round at no extra job (the count already
+    # materialized each round).
+    visited = (seed_nodes.join(nodes, "node")
+               .select("node", F.lit(0).cast("long").alias("dist"))
+               .localCheckpoint())
     frontier = visited.select("node")
     small = True  # re-evaluated per round against the cap below
     n_seen = visited.count()
@@ -784,12 +805,12 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame,
         nxt = (e.join(F.broadcast(fr) if small else fr, "__src")
                .select(F.col("__dst").alias("node")).distinct()
                .join(visited, "node", "left_anti")
-               .select("node", F.lit(k).cast("long").alias("dist")))
-        nxt = pin(nxt)
+               .select("node", F.lit(k).cast("long").alias("dist"))
+               .localCheckpoint())
         cnt = nxt.count()  # metadata scalar: drives early exit
         if cnt == 0:
             break
         n_seen += cnt
-        visited = pin(visited.unionByName(nxt))
+        visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt.select("node")
     return visited
