@@ -939,9 +939,15 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     n_part = compute_parallelism(corpus.sparkSession)
 
     # full-dim integer components, one shared scan (coarse stage treats
-    # the whole vector as a single subspace: sub=0, i=position)
-    comp0 = pin(_pq_components(corpus.repartition(n_part, id_col),
-                               id_col, vec_col, dim, "cid"))
+    # the whole vector as a single subspace: sub=0, i=position).
+    # r12: the five stage intermediates below are EAGER localCheckpoints
+    # instead of pin() — each stage re-reads the previous from 2–3 join
+    # sides, so the lazily-pinned lineage compounded into a 435 KB /
+    # 290-Exchange plan whose Catalyst canonicalization dominated;
+    # checkpointing truncates it (measured faster in alternating A/B,
+    # the unigram-EM / graph-loop finding applied here)
+    comp0 = _pq_components(corpus.repartition(n_part, id_col),
+                           id_col, vec_col, dim, "cid").localCheckpoint()
 
     def argmin(components: DataFrame, idc: str, cells: DataFrame,
                cell_id: str, cell_val: str) -> DataFrame:
@@ -964,14 +970,15 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                          comp0["cid"] == cseed_ids["list_id"])
               .select("list_id", "sub", "i", F.col("val").alias("sval")))
     ca0 = argmin(comp0, "cid", cseedc, "list_id", "sval")
-    ccent = pin(comp0.join(ca0.select("cid", "list_id"), "cid")
-                .groupBy("list_id", "sub", "i")
-                .agg(F.expr("sum(val) div count(*)").alias("cval")))
-    cassign = pin(argmin(comp0, "cid", ccent, "list_id", "cval")
-                  .select("cid", "list_id"))
+    ccent = (comp0.join(ca0.select("cid", "list_id"), "cid")
+             .groupBy("list_id", "sub", "i")
+             .agg(F.expr("sum(val) div count(*)").alias("cval"))
+             .localCheckpoint())
+    cassign = (argmin(comp0, "cid", ccent, "list_id", "cval")
+               .select("cid", "list_id").localCheckpoint())
 
     # ---- stage 2: positive-shifted residuals, split into subspaces --
-    rcomp = pin(
+    rcomp = (
         comp0.join(cassign, "cid")
         .join(F.broadcast(ccent.select("list_id", "i", "cval")),
               ["list_id", "i"])
@@ -981,7 +988,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 (F.col("val") - F.col("cval")
                  + F.lit(IVFPQ_RSHIFT)).alias("rval"))
         .select("cid", "list_id", F.col("rsub").alias("sub"),
-                F.col("ri").alias("i"), F.col("rval").alias("val")))
+                F.col("ri").alias("i"), F.col("rval").alias("val"))
+        .localCheckpoint())
 
     # ---- stage 3: shared residual PQ codebook + corpus codes --------
     stride_r = _count_stride(corpus, ks)
@@ -992,9 +1000,10 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                          rcomp["cid"] == rseed_ids["sid"])
               .select("sid", "sub", "i", F.col("val").alias("sval")))
     ra0 = argmin(rcomp, "cid", rseedc, "sid", "sval")
-    rcent = pin(rcomp.join(ra0, ["cid", "sub"])
-                .groupBy("sub", "sid", "i")
-                .agg(F.expr("sum(val) div count(*)").alias("rcval")))
+    rcent = (rcomp.join(ra0, ["cid", "sub"])
+             .groupBy("sub", "sid", "i")
+             .agg(F.expr("sum(val) div count(*)").alias("rcval"))
+             .localCheckpoint())
     rcodes = argmin(rcomp, "cid",
                     rcent.select("sub", "sid", "i",
                                  F.col("rcval").alias("cval")),

@@ -1418,13 +1418,14 @@ def token_embeddings(df: DataFrame, text_col: str = "text",
     # symmetric: every (t,c) also counts as (c,t)
     sym = pairs.unionByName(pairs.select(F.col("c").alias("t"),
                                          F.col("t").alias("c")))
-    from bqetl_spark.caching import pin
-
-    # r12 (guide §1.2): the pair table feeds the tot scalar, BOTH
-    # marginals and the scoring join — pin it so the explode+shuffle
-    # runs once per call instead of once per consumer action
-    cnt = pin(sym.groupBy("t", "c").agg(F.count("*").alias("__n"))
-              .filter(F.col("__n") >= min_pair))
+    # r12 (guide §1.2, §3.3): the pair table feeds the tot scalar, BOTH
+    # marginals and the scoring join — materialize it once per call via
+    # an eager localCheckpoint (the tot collect right below forces it
+    # anyway), which ALSO truncates the lineage every downstream
+    # consumer re-embeds; a measured win over pin() on the doc_embed
+    # family whose plans grew to 0.2–1 MB of repeated subtrees
+    cnt = (sym.groupBy("t", "c").agg(F.count("*").alias("__n"))
+           .filter(F.col("__n") >= min_pair).localCheckpoint())
     tot = cnt.agg(F.sum("__n")).collect()[0][0] or 0
     if tot == 0:
         return (cnt.select(F.col("t").alias("tok"),
@@ -1472,12 +1473,13 @@ def token_embed_topk(df: DataFrame, text_col: str = "text",
     """
     if n_probes < 1 or k < 1:
         raise ValueError(f"n_probes/k must be >= 1, got {n_probes}/{k}")
-    from bqetl_spark.caching import pin
-
     # vocab-sized model table consumed from four join sides (probes,
-    # components, norms) — pin so training runs once per call (r12)
-    emb = pin(token_embeddings(df, text_col, window=window, dim=dim,
-                               min_pair=min_pair))
+    # components, norms) — eager localCheckpoint so training runs once
+    # per call AND the trained-table lineage stops re-embedding in every
+    # consumer subplan (r12; measured ≥ pin on this gate, a clear win on
+    # the doc_embed gates sharing the discipline)
+    emb = token_embeddings(df, text_col, window=window, dim=dim,
+                           min_pair=min_pair).localCheckpoint()
     freq = (df.filter(F.trim(F.col(text_col)) != "")
             .select(F.explode(tokens(F.col(text_col))).alias("tok"))
             .groupBy("tok").agg(F.count("*").alias("__f")))
@@ -1525,10 +1527,12 @@ def _doc_vectors(df: DataFrame, text_col: str, id_col: str, window: int,
 
     Shape: one (doc, tok) tf aggregation + an equi-join against the
     vocab-bounded (broadcastable) embedding component table — never a
-    doc×doc or doc×vocab cross product. Both returns are pinned (r12):
-    every caller consumes them from several join sides."""
-    from bqetl_spark.caching import pin
-
+    doc×doc or doc×vocab cross product. Both returns are EAGERLY
+    localCheckpoint-ed (r12): every caller consumes them from several
+    join sides, and with plain pin() the repeated lineage grew the
+    doc_embed_ann plan to 1 MB / 566 Exchange nodes — Catalyst
+    canonicalization, not execution, dominated (the unigram-EM finding;
+    measured ckpt < pin on both doc gates in alternating A/B)."""
     emb = token_embeddings(df, text_col, window=window, dim=dim,
                            min_pair=min_pair)
     comp = emb.select(
@@ -1543,11 +1547,11 @@ def _doc_vectors(df: DataFrame, text_col: str, id_col: str, window: int,
              .groupBy(id_col, "__k")
              .agg(F.sum(F.col("__tf") * F.col("__e"))
                   .cast("long").alias("__e")))
-    dcomp = pin(dcomp)
-    norm = pin(dcomp.groupBy(id_col)
-               .agg(F.sum(F.expr("CAST(__e AS DECIMAL(19,0)) * __e"))
-                    .cast("decimal(38,0)").alias("__n2"))
-               .filter(F.col("__n2") > 0))
+    dcomp = dcomp.localCheckpoint()
+    norm = (dcomp.groupBy(id_col)
+            .agg(F.sum(F.expr("CAST(__e AS DECIMAL(19,0)) * __e"))
+                 .cast("decimal(38,0)").alias("__n2"))
+            .filter(F.col("__n2") > 0).localCheckpoint())
     return dcomp, norm
 
 
@@ -1653,10 +1657,8 @@ def doc_embed_ann(df: DataFrame, text_col: str = "text",
         raise ValueError(
             f"need n_lists >= 2 and 1 <= n_probe_lists <= n_lists, "
             f"got {n_lists}/{n_probe_lists}")
-    from bqetl_spark.caching import pin
-
-    # _doc_vectors pins both returns (r12) — the seed join and the
-    # scoring join re-read the pooled components; the probe/corpus
+    # _doc_vectors checkpoints both returns (r12) — the seed join and
+    # the scoring join re-read the pooled components; the probe/corpus
     # assignment both re-read norms
     dcomp, norm = _doc_vectors(df, text_col, id_col, window, dim,
                                min_pair)
@@ -1686,11 +1688,13 @@ def doc_embed_ann(df: DataFrame, text_col: str = "text",
                      div __sn2""").cast("long"))
     aw = Window.partitionBy(id_col).orderBy(F.desc("__q"),
                                             F.asc("list_id"))
-    # pinned (r12): the corpus assignment (__r == 1) and the probe
-    # assignment (__r <= n_probe_lists) both read this — without the pin
-    # the dim-key join + aggregation + window run twice per call
-    assign = pin(adots.select(id_col, "list_id", q.alias("__q"))
-                 .withColumn("__r", F.row_number().over(aw)))
+    # eagerly checkpointed (r12): the corpus assignment (__r == 1) and
+    # the probe assignment (__r <= n_probe_lists) both read this —
+    # unmaterialized, the dim-key join + aggregation + window run twice
+    # per call AND their lineage re-embeds in both consumer subtrees
+    assign = (adots.select(id_col, "list_id", q.alias("__q"))
+              .withColumn("__r", F.row_number().over(aw))
+              .localCheckpoint())
     c_assign = (assign.filter(F.col("__r") == 1)
                 .select(id_col, "list_id"))
 
