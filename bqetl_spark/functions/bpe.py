@@ -24,8 +24,8 @@ standard word-count shuffle). Each of the ``n_merges`` iterations is one
 aggregation over the vocab table (|distinct words| rows — millions at
 100 TB, not the corpus size) plus a 1-ROW collect (the argmax pair —
 metadata-bounded, same class as the IVF centroid collects) and a
-map-only replace. Lineage is cut per iteration (caching.pin) so the plan
-stays O(1) deep. A vocab too large for comfort is truncated by
+map-only replace. Lineage is cut per iteration (eager localCheckpoint,
+r12) so the plan stays O(1) sized. A vocab too large for comfort is truncated by
 ``min_freq`` / ``max_vocab`` — the standard practice knobs.
 
 Iteration-count honesty: each merge costs a fixed ~seconds of job
@@ -46,7 +46,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from bqetl_spark.caching import pin
 from bqetl_spark.functions.text import tokens
 
 MERGE_SCHEMA = T.StructType([
@@ -96,8 +95,14 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text",
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     spark = docs.sparkSession
-    vocab = pin(word_freq_table(docs, text_col, min_freq, max_vocab)
-                .select("word", "freq", _encode("word").alias("s")))
+    # r12: eager localCheckpoint instead of pin() — the per-round collect
+    # forces materialization anyway, and checkpointing TRUNCATES the
+    # lineage each round's plan re-embeds (pin leaves it to Catalyst to
+    # re-canonicalize; the unigram-EM finding, measured faster here in
+    # alternating A/B on the fertility/segments gates)
+    vocab = (word_freq_table(docs, text_col, min_freq, max_vocab)
+             .select("word", "freq", _encode("word").alias("s"))
+             .localCheckpoint())
     merges: list[tuple] = []
     for k in range(1, n_merges + 1):
         sym = F.split(F.trim(F.col("s")), "  ")
@@ -123,7 +128,9 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text",
             F.replace(F.col("s"), F.lit(f" {l}  {r} "),
                       F.lit(f" {l}{r} ")).alias("s"))
         if k < n_merges:
-            vocab = pin(vocab)  # cut lineage: O(1) plan depth per round
+            # cut lineage eagerly: O(1) PLAN size per round, not just
+            # O(1) re-execution (vocab-sized job, r12)
+            vocab = vocab.localCheckpoint()
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 

@@ -201,11 +201,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     aggs = [F.min(F.pmod(F.col("x") * F.lit(a) + F.lit(b), p)).alias(f"mh_{i}")
             for i, (a, b) in enumerate(_perm_params(num_perm))]
     # keep the full signature as one compact array column (num_perm longs
-    # per doc ≈ 0.5 KB) — the pre-filter reads it back by id. Persisted:
-    # both the band expansion and the estimate join consume it.
-    sigs = pin(exploded.groupBy("id").agg(*aggs)
-               .select("id", F.array(*[F.col(f"mh_{i}")
-                                       for i in range(num_perm)]).alias("sig")))
+    # per doc ≈ 0.5 KB) — the pre-filter reads it back by id. Eagerly
+    # localCheckpoint-ed (r12, was pin): the band expansion and BOTH
+    # estimate-join sides consume it, and with pin() the 64-agg shingle
+    # pipeline re-embedded in every consumer subtree (Catalyst
+    # canonicalization cost; measured faster as ckpt in alternating A/B
+    # on minhash_lsh + dedup_keep_best).
+    sigs = (exploded.groupBy("id").agg(*aggs)
+            .select("id", F.array(*[F.col(f"mh_{i}")
+                                    for i in range(num_perm)]).alias("sig"))
+            .localCheckpoint())
 
     # 3) band buckets: one xxhash64 per signature slice; explode to
     #    (id, band, bucket) and self-join bucket-locally (never all-pairs).
@@ -215,7 +220,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     band_arr = F.array(*[
         F.xxhash64(F.slice("sig", b * rows + 1, rows)) for b in range(bands)
     ])
-    banded = pin(sigs.select("id", F.posexplode(band_arr).alias("band", "bh")))
+    banded = (sigs.select("id", F.posexplode(band_arr).alias("band", "bh"))
+              .localCheckpoint())
     if max_bucket_size is not None:
         counts = (banded.groupBy("band", "bh")
                   .agg(F.count("*").alias("__bn")))
@@ -247,7 +253,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                                   F.col("sig").alias("sig_b")), "id_b")
                 .filter(matched >= F.lit(min_matches))
                 .select("id_a", "id_b"))
-    cand = pin(cand)
+    cand = cand.localCheckpoint()
 
     # 4) verify candidates with true shingle jaccard. Candidates are a
     #    vanishing fraction of the corpus, so semi-join the raw docs down
@@ -256,10 +262,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     cand_ids = (cand.select(F.col("id_a").alias("cid"))
                 .union(cand.select(F.col("id_b").alias("cid")))
                 .distinct())
-    sh_cand = pin(df.join(cand_ids, F.col(id_col) == F.col("cid"), "leftsemi")
-                  .select(F.col(id_col).alias("id"),
-                          tokens(F.col(text_col)).alias("__tk"))
-                  .select("id", shingles_of("__tk", n_shingle).alias("sh")))
+    sh_cand = (df.join(cand_ids, F.col(id_col) == F.col("cid"), "leftsemi")
+               .select(F.col(id_col).alias("id"),
+                       tokens(F.col(text_col)).alias("__tk"))
+               .select("id", shingles_of("__tk", n_shingle).alias("sh"))
+               .localCheckpoint())
     # ^ candidate-sized; feeds both join sides below
     verified = (cand
                 .join(sh_cand.select(F.col("id").alias("id_a"),
