@@ -789,7 +789,13 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
             .select(F.col(id_col),
                     F.array_distinct(
                         word_ngrams_all_of(F.col("__tk"), n)).alias("__g")))
-    dg = base.select(F.col(id_col), F.explode("__g").alias("__gr"))
+    # r12: materialize the per-doc distinct-gram stream once (eager
+    # localCheckpoint) — the reference projection and the join's left
+    # side both consume it, so the tokenize + n-gram + array_distinct
+    # pipeline otherwise runs twice (measured 5.2-5.4 -> 4.0-4.2 s at
+    # sf0.1, exceptAll-equal both ways)
+    dg = (base.select(F.col(id_col), F.explode("__g").alias("__gr"))
+          .localCheckpoint())
     ref = (dg.filter(F.pmod(F.col(id_col), F.lit(ref_mod)) < ref_keep)
            .select("__gr").distinct().withColumn("__hit", F.lit(1)))
     return (dg.join(ref, "__gr", "left")
