@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _PINNED: list[DataFrame] = []
+_CKPT: list[DataFrame] = []
 
 
 def pin(df: DataFrame) -> DataFrame:
@@ -28,15 +29,49 @@ def pin(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_pinned() -> int:
-    """Unpersist every tracked intermediate; returns how many were freed.
+def ckpt(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` with tracked storage (r12).
 
-    Safe to call at any time — operators re-persist on their next call.
+    Iterative/multi-consumer operators cut lineage with eager local
+    checkpoints (pin() cuts re-execution but every consumer subplan still
+    re-embeds the pinned subtree's full logical plan — Catalyst planning
+    cost compounds per round). A raw ``localCheckpoint`` leaves its blocks
+    to the ContextCleaner, i.e. GC-lag-bounded executor storage; tracking
+    the checkpointed frame here keeps ``release_pinned()``'s contract: one
+    call frees everything an operator left behind.
+
+    Unlike a released pin (which silently recomputes), a released
+    checkpoint CANNOT be re-executed — lineage was truncated — so callers
+    must only release after fully materializing an operator's output and
+    must not re-run a previously returned plan afterwards (bench/sweep/
+    tools all rebuild plans per run). Usage: ``df.transform(ckpt)``.
     """
-    n = len(_PINNED)
+    out = df.localCheckpoint()
+    _CKPT.append(out)
+    return out
+
+
+def release_pinned() -> int:
+    """Free every tracked intermediate (pins unpersisted, checkpoint
+    blocks dropped); returns how many were freed.
+
+    Safe to call between operator invocations — operators re-pin /
+    re-checkpoint on their next call. Previously RETURNED plans that embed
+    checkpointed leaves must not be re-executed after release (their
+    lineage is truncated; the data is gone).
+    """
+    n = len(_PINNED) + len(_CKPT)
     while _PINNED:
         try:
             _PINNED.pop().unpersist()
         except Exception:
             pass  # session already stopped — nothing to free
+    while _CKPT:
+        try:
+            df = _CKPT.pop()
+            # the checkpointed data lives on the LogicalRDD's RDD; DataFrame
+            # .unpersist() would miss it (the frame itself is not cached)
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
     return n

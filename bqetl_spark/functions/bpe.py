@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bqetl_spark.caching import ckpt
 from bqetl_spark.functions.text import tokens
 
 MERGE_SCHEMA = T.StructType([
@@ -102,7 +103,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text",
     # alternating A/B on the fertility/segments gates)
     vocab = (word_freq_table(docs, text_col, min_freq, max_vocab)
              .select("word", "freq", _encode("word").alias("s"))
-             .localCheckpoint())
+             .transform(ckpt))
     merges: list[tuple] = []
     for k in range(1, n_merges + 1):
         sym = F.split(F.trim(F.col("s")), "  ")
@@ -130,7 +131,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text",
         if k < n_merges:
             # cut lineage eagerly: O(1) PLAN size per round, not just
             # O(1) re-execution (vocab-sized job, r12)
-            vocab = vocab.localCheckpoint()
+            vocab = vocab.transform(ckpt)
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bqetl_spark.functions.text import fingerprint, tokens
-from bqetl_spark.caching import pin
+from bqetl_spark.caching import ckpt, pin
 from bqetl_spark.session import compute_parallelism
 
 
@@ -210,7 +210,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     sigs = (exploded.groupBy("id").agg(*aggs)
             .select("id", F.array(*[F.col(f"mh_{i}")
                                     for i in range(num_perm)]).alias("sig"))
-            .localCheckpoint())
+            .transform(ckpt))
 
     # 3) band buckets: one xxhash64 per signature slice; explode to
     #    (id, band, bucket) and self-join bucket-locally (never all-pairs).
@@ -221,7 +221,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         F.xxhash64(F.slice("sig", b * rows + 1, rows)) for b in range(bands)
     ])
     banded = (sigs.select("id", F.posexplode(band_arr).alias("band", "bh"))
-              .localCheckpoint())
+              .transform(ckpt))
     if max_bucket_size is not None:
         counts = (banded.groupBy("band", "bh")
                   .agg(F.count("*").alias("__bn")))
@@ -253,7 +253,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                                   F.col("sig").alias("sig_b")), "id_b")
                 .filter(matched >= F.lit(min_matches))
                 .select("id_a", "id_b"))
-    cand = cand.localCheckpoint()
+    cand = cand.transform(ckpt)
 
     # 4) verify candidates with true shingle jaccard. Candidates are a
     #    vanishing fraction of the corpus, so semi-join the raw docs down
@@ -266,7 +266,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                .select(F.col(id_col).alias("id"),
                        tokens(F.col(text_col)).alias("__tk"))
                .select("id", shingles_of("__tk", n_shingle).alias("sh"))
-               .localCheckpoint())
+               .transform(ckpt))
     # ^ candidate-sized; feeds both join sides below
     verified = (cand
                 .join(sh_cand.select(F.col("id").alias("id_a"),
@@ -591,10 +591,10 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     und = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
            .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
            .distinct()
-           .localCheckpoint())
+           .transform(ckpt))
     labels = (und.select(F.col("s").alias("node")).distinct()
               .withColumn("comp", F.col("node"))
-              .localCheckpoint())
+              .transform(ckpt))
     for _ in range(max_iter):
         msgs = (und.join(labels, und["s"] == labels["node"])
                 .select(F.col("d").alias("node"), F.col("comp")))
@@ -607,7 +607,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                       .select("node",
                               F.least("comp", F.coalesce("__c2", "comp"))
                               .alias("comp"))
-                      .localCheckpoint())
+                      .transform(ckpt))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.comp") != F.col("o.comp"))

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bqetl_spark.caching import pin
+from bqetl_spark.caching import ckpt, pin
 
 SCALE = 10**12  # fixed-point unit: 1.0 of rank mass == 10^12
 
@@ -100,7 +100,7 @@ def pagerank_fixed(edges: DataFrame, src: str = "src", dst: str = "dst",
             # keeps the plan O(1) at one materializing job per iteration
             # over the node-sized rank table. Interleaved A/B at sf0.1:
             # median 19.5 -> 6.2 s (PLANS.md r12 opt session 3).
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.transform(ckpt)
     return ranks
 
 
@@ -176,7 +176,7 @@ def pagerank_personalized(edges: DataFrame, seeds: DataFrame,
                          .cast("long").alias("rank")))
         if i < iters - 1:
             # same eager-checkpoint lineage cut as pagerank_fixed (r12)
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.transform(ckpt)
     return ranks
 
 
@@ -276,7 +276,7 @@ def sssp_distances(edges: DataFrame, seeds: DataFrame,
     # it costs was already paid by the changed-count action.
     dist = (seed_nodes.join(nodes, "node")
             .select("node", F.lit(0).cast("long").alias("dist"))
-            .localCheckpoint())
+            .transform(ckpt))
     for _ in range(max_rounds):
         relaxed = (e.join(dist.withColumnRenamed("node", "__src"), "__src")
                    .select(F.col("__dst").alias("node"),
@@ -284,7 +284,7 @@ def sssp_distances(edges: DataFrame, seeds: DataFrame,
         new_dist = (dist.unionByName(relaxed)
                     .groupBy("node")
                     .agg(F.min("dist").alias("dist"))
-                    .localCheckpoint())
+                    .transform(ckpt))
         changed = (new_dist.alias("n")
                    .join(dist.alias("o"), "node", "left")
                    .filter(F.col("o.dist").isNull()
@@ -417,11 +417,16 @@ def triangle_counts(edges: DataFrame, max_degree: int = 4096,
     Returns (part, n_triangles) — nodes in >= 1 triangle only."""
     if max_degree < 2:
         raise ValueError(f"max_degree must be >= 2, got {max_degree}")
-    e0 = edges.select(F.col("a").cast("long").alias("a"),
-                      F.col("b").cast("long").alias("b"))
-    # metadata scalar, same audit class as pagerank's n; deliberately
-    # counted WITHOUT persisting — AQE re-plans the (cheap) edge build
-    # faster than a 200-partition cache reads back (PLANS.md A/B)
+    # eager ckpt (r12 session 5): the upstream edge BUILD (copurchase:
+    # lineitem-scale groupBy + pair explode) is re-embedded in every
+    # consumer subtree — count, degree leg, the degree-attach join, both
+    # wedge sides and the closing set — so the build ran up to 4x per
+    # call. The r7 "don't persist" verdict A/B'd PIN (200-partition
+    # InMemoryRelation AQE can't coalesce through) — a checkpoint leaf
+    # has neither problem: one materializing job, every consumer reads
+    # the compact edge list, and the count below becomes metadata-cheap.
+    e0 = ckpt(edges.select(F.col("a").cast("long").alias("a"),
+                           F.col("b").cast("long").alias("b")))
     small = e0.count() <= broadcast_edges_max
     deg = (e0.select(F.explode(F.array("a", "b")).alias("node"))
            .groupBy("node").agg(F.count("*").alias("deg"))
@@ -500,7 +505,7 @@ def k_core(edges: DataFrame, k: int, a_col: str = "a", b_col: str = "b",
     e = (edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
          .unionByName(edges.select(F.col(b_col).alias("s"),
                                    F.col(a_col).alias("d")))
-         .localCheckpoint())
+         .transform(ckpt))
     # Two jobs per round: the checkpoint that builds the peeled edge
     # list (kill-set derivation + both anti-joins fuse into it — the
     # kill side is a shallow agg over the checkpointed leaf, and AQE
@@ -517,7 +522,7 @@ def k_core(edges: DataFrame, k: int, a_col: str = "a", b_col: str = "b",
         e2 = (e.join(kill, "s", "left_anti")
               .join(kill.withColumnRenamed("s", "d"), "d", "left_anti")
               .select("s", "d")
-              .localCheckpoint())
+              .transform(ckpt))
         n = e2.count()   # metadata scalar per round
         if n == prev:    # no node peeled -> fixpoint (e2 == e)
             e = e2
@@ -568,10 +573,10 @@ def label_propagation(edges: DataFrame, iters: int = 5,
     e = (edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
          .unionByName(edges.select(F.col(b_col).alias("s"),
                                    F.col(a_col).alias("d")))
-         .localCheckpoint())
+         .transform(ckpt))
     labels = (e.select(F.col("s").alias("node")).distinct()
               .withColumn("lbl", F.col("node"))
-              .localCheckpoint())
+              .transform(ckpt))
     w = Window.partitionBy("s").orderBy(F.desc("__c"), F.asc("lbl"))
     for _ in range(iters):
         neigh = (e.join(labels.withColumnRenamed("node", "d"), "d")
@@ -579,7 +584,7 @@ def label_propagation(edges: DataFrame, iters: int = 5,
         labels = (neigh.withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") == 1)
                   .select(F.col("s").alias("node"), "lbl")
-                  .localCheckpoint())
+                  .transform(ckpt))
     ws = Window.partitionBy("lbl")
     return (labels.select(F.col("node"),
                           F.col("lbl").alias("community"),
@@ -733,13 +738,13 @@ def hits_fixed(edges: DataFrame, src: str = "src", dst: str = "dst",
                  .groupBy("__dst")
                  .agg(F.sum(F.col("hub").cast("decimal(20,0)"))
                       .cast("long").alias("auth_raw")))
-        auths = _norm(a_raw, "__dst", "auth_raw").localCheckpoint()
+        auths = _norm(a_raw, "__dst", "auth_raw").transform(ckpt)
         h_raw = (e.join(F.broadcast(auths) if small else auths, "__dst")
                  .groupBy("__src")
                  .agg(F.sum(F.col("auth").cast("decimal(20,0)"))
                       .cast("long").alias("hub_raw")))
         hubs = (_norm(h_raw, "__src", "hub_raw")
-                .withColumnRenamed("__src", "node").localCheckpoint())
+                .withColumnRenamed("__src", "node").transform(ckpt))
     return (hubs.join(auths.withColumnRenamed("__dst", "node"),
                       "node", "full")
             .select("node", "hub", "auth"))
@@ -795,7 +800,7 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame,
     # materialized each round).
     visited = (seed_nodes.join(nodes, "node")
                .select("node", F.lit(0).cast("long").alias("dist"))
-               .localCheckpoint())
+               .transform(ckpt))
     frontier = visited.select("node")
     small = True  # re-evaluated per round against the cap below
     n_seen = visited.count()
@@ -806,11 +811,11 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame,
                .select(F.col("__dst").alias("node")).distinct()
                .join(visited, "node", "left_anti")
                .select("node", F.lit(k).cast("long").alias("dist"))
-               .localCheckpoint())
+               .transform(ckpt))
         cnt = nxt.count()  # metadata scalar: drives early exit
         if cnt == 0:
             break
         n_seen += cnt
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt).transform(ckpt)
         frontier = nxt.select("node")
     return visited

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bqetl_spark.caching import pin
+from bqetl_spark.caching import ckpt, pin
 from bqetl_spark.session import compute_parallelism
 
 
@@ -947,7 +947,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     # checkpointing truncates it (measured faster in alternating A/B,
     # the unigram-EM / graph-loop finding applied here)
     comp0 = _pq_components(corpus.repartition(n_part, id_col),
-                           id_col, vec_col, dim, "cid").localCheckpoint()
+                           id_col, vec_col, dim, "cid").transform(ckpt)
 
     def argmin(components: DataFrame, idc: str, cells: DataFrame,
                cell_id: str, cell_val: str) -> DataFrame:
@@ -973,9 +973,9 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     ccent = (comp0.join(ca0.select("cid", "list_id"), "cid")
              .groupBy("list_id", "sub", "i")
              .agg(F.expr("sum(val) div count(*)").alias("cval"))
-             .localCheckpoint())
+             .transform(ckpt))
     cassign = (argmin(comp0, "cid", ccent, "list_id", "cval")
-               .select("cid", "list_id").localCheckpoint())
+               .select("cid", "list_id").transform(ckpt))
 
     # ---- stage 2: positive-shifted residuals, split into subspaces --
     rcomp = (
@@ -989,7 +989,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  + F.lit(IVFPQ_RSHIFT)).alias("rval"))
         .select("cid", "list_id", F.col("rsub").alias("sub"),
                 F.col("ri").alias("i"), F.col("rval").alias("val"))
-        .localCheckpoint())
+        .transform(ckpt))
 
     # ---- stage 3: shared residual PQ codebook + corpus codes --------
     stride_r = _count_stride(corpus, ks)
@@ -1003,7 +1003,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     rcent = (rcomp.join(ra0, ["cid", "sub"])
              .groupBy("sub", "sid", "i")
              .agg(F.expr("sum(val) div count(*)").alias("rcval"))
-             .localCheckpoint())
+             .transform(ckpt))
     rcodes = argmin(rcomp, "cid",
                     rcent.select("sub", "sid", "i",
                                  F.col("rcval").alias("cval")),

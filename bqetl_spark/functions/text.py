@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from bqetl_spark.caching import ckpt
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deliberately small + deterministic: language ID at this layer is
@@ -558,7 +559,7 @@ def lm_greedy_chain(df: DataFrame, text_col: str = "text",
                          f"{seeds_k}/{steps}")
     from pyspark.sql import Window
 
-    from bqetl_spark.caching import pin
+    from bqetl_spark.caching import ckpt, pin
 
     base = df.filter(F.trim(F.col(text_col)) != "")
     tok = base.select(F.explode(tokens(F.col(text_col))).alias("t"))
@@ -570,8 +571,14 @@ def lm_greedy_chain(df: DataFrame, text_col: str = "text",
     bg = (tk.select(F.explode(_adjacent_pairs(F.col("__tk"))).alias("p"))
           .groupBy("p.a", "p.b").agg(F.count("*").alias("__n")))
     w = Window.partitionBy("a").orderBy(F.desc("__n"), F.asc("b"))
-    nxt = pin(bg.withColumn("__rn", F.row_number().over(w))
-              .filter(F.col("__rn") == 1).select("a", "b"))
+    # ckpt, not pin (r12): every hop's frontier subtree re-embeds nxt's
+    # logical plan (corpus explode + agg + window), so the 8-hop union
+    # planned at 164 Exchange / 72 InMemoryRelation refs with pin; the
+    # eager checkpoint is one vocab-sized job and each hop reads a leaf.
+    # (Per-hop FRONTIER checkpoints were the measured null result —
+    # 8 extra tiny jobs; this is one checkpoint of the shared model.)
+    nxt = ckpt(bg.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") == 1).select("a", "b"))
     frontier = seeds.select("seed", F.col("seed").alias("tok"))
     out = frontier.select("seed", F.lit(0).cast("long").alias("step"),
                           "tok")
@@ -795,7 +802,7 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
     # pipeline otherwise runs twice (measured 5.2-5.4 -> 4.0-4.2 s at
     # sf0.1, exceptAll-equal both ways)
     dg = (base.select(F.col(id_col), F.explode("__g").alias("__gr"))
-          .localCheckpoint())
+          .transform(ckpt))
     ref = (dg.filter(F.pmod(F.col(id_col), F.lit(ref_mod)) < ref_keep)
            .select("__gr").distinct().withColumn("__hit", F.lit(1)))
     return (dg.join(ref, "__gr", "left")
@@ -872,7 +879,7 @@ def dsir_weights(df: DataFrame, text_col: str = "text",
     # bucket), and the totals fold from the <=B-row bucket table instead
     # of a second full pass over the stream — the feature stream is
     # computed exactly twice (totals action + scoring query), not 4x
-    from bqetl_spark.caching import pin
+    from bqetl_spark.caching import ckpt, pin
 
     counts = pin(feats.groupBy("__b")
                  .agg(F.count("*").alias("__cr"),
@@ -1012,7 +1019,7 @@ def lang_id_trained(df: DataFrame, text_col: str = "text",
     feats = (base.select(F.col(id_col), F.col(lang_col), gram)
              .select(F.col(id_col), F.col(lang_col),
                      bucket.alias("__b")))
-    from bqetl_spark.caching import pin
+    from bqetl_spark.caching import ckpt, pin
 
     docfeat = pin(feats.groupBy(id_col, "__b")
                   .agg(F.count("*").cast("long").alias("__n")))
@@ -1091,7 +1098,7 @@ def perceptron_langid(df: DataFrame, text_col: str = "text",
         raise ValueError(f"iters must be >= 1, got {iters}")
     if ref_mod < 1 or not (0 < ref_keep <= ref_mod):
         raise ValueError(f"bad training slice {ref_keep}/{ref_mod}")
-    from bqetl_spark.caching import pin
+    from bqetl_spark.caching import ckpt, pin
 
     base = (df.select(F.col(id_col), F.col(lang_col),
                       F.lower(F.col(text_col)).alias("__txt"))
@@ -1142,7 +1149,7 @@ def _batch_perceptron(docfeat: DataFrame, id_col: str, label_col: str,
     sum(n·coalesce(w,0)) ≡ coalesce(sum(n·w),0) for missing buckets.
     Proven by the unchanged oracle hash at sf0.001/0.01/0.1 for all six
     dependent gates (OPTIMIZATION_r12.md)."""
-    from bqetl_spark.caching import pin
+    from bqetl_spark.caching import ckpt, pin
 
     tr = pin(docfeat.filter(
         F.pmod(F.col(id_col), F.lit(ref_mod)) < ref_keep))
@@ -1258,7 +1265,7 @@ def quality_perceptron(df: DataFrame, text_col: str = "text",
     corpus with one broadcast join — exactly this plan."""
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
-    from bqetl_spark.caching import pin
+    from bqetl_spark.caching import ckpt, pin
 
     c = F.col(text_col)
     toks = tokens(c)
@@ -1431,7 +1438,7 @@ def token_embeddings(df: DataFrame, text_col: str = "text",
     # consumer re-embeds; a measured win over pin() on the doc_embed
     # family whose plans grew to 0.2–1 MB of repeated subtrees
     cnt = (sym.groupBy("t", "c").agg(F.count("*").alias("__n"))
-           .filter(F.col("__n") >= min_pair).localCheckpoint())
+           .filter(F.col("__n") >= min_pair).transform(ckpt))
     tot = cnt.agg(F.sum("__n")).collect()[0][0] or 0
     if tot == 0:
         return (cnt.select(F.col("t").alias("tok"),
@@ -1485,7 +1492,7 @@ def token_embed_topk(df: DataFrame, text_col: str = "text",
     # consumer subplan (r12; measured ≥ pin on this gate, a clear win on
     # the doc_embed gates sharing the discipline)
     emb = token_embeddings(df, text_col, window=window, dim=dim,
-                           min_pair=min_pair).localCheckpoint()
+                           min_pair=min_pair).transform(ckpt)
     freq = (df.filter(F.trim(F.col(text_col)) != "")
             .select(F.explode(tokens(F.col(text_col))).alias("tok"))
             .groupBy("tok").agg(F.count("*").alias("__f")))
@@ -1553,11 +1560,11 @@ def _doc_vectors(df: DataFrame, text_col: str, id_col: str, window: int,
              .groupBy(id_col, "__k")
              .agg(F.sum(F.col("__tf") * F.col("__e"))
                   .cast("long").alias("__e")))
-    dcomp = dcomp.localCheckpoint()
+    dcomp = dcomp.transform(ckpt)
     norm = (dcomp.groupBy(id_col)
             .agg(F.sum(F.expr("CAST(__e AS DECIMAL(19,0)) * __e"))
                  .cast("decimal(38,0)").alias("__n2"))
-            .filter(F.col("__n2") > 0).localCheckpoint())
+            .filter(F.col("__n2") > 0).transform(ckpt))
     return dcomp, norm
 
 
@@ -1700,7 +1707,7 @@ def doc_embed_ann(df: DataFrame, text_col: str = "text",
     # per call AND their lineage re-embeds in both consumer subtrees
     assign = (adots.select(id_col, "list_id", q.alias("__q"))
               .withColumn("__r", F.row_number().over(aw))
-              .localCheckpoint())
+              .transform(ckpt))
     c_assign = (assign.filter(F.col("__r") == 1)
                 .select(id_col, "list_id"))
 

@@ -55,7 +55,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bqetl_spark.caching import pin
+from bqetl_spark.caching import ckpt, pin
 from bqetl_spark.functions.bpe import word_freq_table
 
 # cost assigned to an unreachable DP position; far above any real path
@@ -187,7 +187,7 @@ def unigram_train(docs: DataFrame, iters: int = 2, keep_multi: int = 24,
     # checkpoint cuts both, at one materializing job per round over the
     # vocab-sized table (which the lazy pin paid anyway on first use).
     vocab = (seed.join(chars, "token").unionByName(multi).distinct()
-             .localCheckpoint())
+             .transform(ckpt))
     for _ in range(iters):
         counts = _em_counts(wf, _cost_table(vocab), max_token_len)
         # chars get +1 smoothing (coverage can never collapse); pruned
@@ -198,7 +198,7 @@ def unigram_train(docs: DataFrame, iters: int = 2, keep_multi: int = 24,
                  .unionByName(
                      counts.join(chars, "token", "left_anti")
                      .filter(F.col("c") > 0))
-                 .localCheckpoint())
+                 .transform(ckpt))
     final_multi = (vocab.filter(F.char_length("token") > 1)
                    .orderBy(F.desc("c"), F.asc("token")).limit(keep_multi))
     kept = (vocab.join(chars, "token").unionByName(final_multi)

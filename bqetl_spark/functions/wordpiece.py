@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bqetl_spark.caching import ckpt
 from bqetl_spark.functions.bpe import word_freq_table
 
 WP_MERGE_SCHEMA = T.StructType([
@@ -97,7 +98,7 @@ def wordpiece_train(docs: DataFrame, n_merges: int = 8,
     vocab = (word_freq_table(docs, text_col, min_freq, max_vocab)
              .filter(F.char_length("word") <= max_word_len)
              .select("word", "freq", _encode_wp("word").alias("s"))
-             .localCheckpoint())
+             .transform(ckpt))
     merges: list[tuple] = []
     for k in range(1, n_merges + 1):
         sym = F.split(F.trim(F.col("s")), "  ")
@@ -109,7 +110,7 @@ def wordpiece_train(docs: DataFrame, n_merges: int = 8,
                   .select("freq", F.explode("sym").alias("t"))
                   .groupBy("t").agg(F.sum("freq").cast("long")
                                     .alias("c"))
-                  .localCheckpoint())
+                  .transform(ckpt))
         pairs = (exploded
                  .filter(F.size("sym") >= 2)
                  .select("freq", F.explode(F.expr(
@@ -146,7 +147,7 @@ def wordpiece_train(docs: DataFrame, n_merges: int = 8,
         if k < n_merges:
             # cut lineage eagerly: O(1) PLAN size per round, not just
             # O(1) re-execution (vocab-sized job, r12)
-            vocab = vocab.localCheckpoint()
+            vocab = vocab.transform(ckpt)
     return spark.createDataFrame(merges, WP_MERGE_SCHEMA)
 
 

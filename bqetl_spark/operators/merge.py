@@ -62,7 +62,8 @@ def merge_into(spark, target_path: str, changes: DataFrame, key: str,
     # materialize off the source files before overwriting them (local
     # checkpoint is fine here: the emulation is the single-node/test path,
     # a real deployment uses the Delta branch)
-    merged = merged.localCheckpoint(eager=True)
+    from bqetl_spark.caching import ckpt
+    merged = ckpt(merged)
     merged.write.mode("overwrite").parquet(target_path)
     return spark.read.parquet(target_path)
 

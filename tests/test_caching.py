@@ -6,6 +6,15 @@ itself (the caller materializes the returned plan later), which pins
 executor storage in a long-lived session. pin()/release_pinned() closes
 that: after materializing an operator's output, release_pinned() must
 leave zero persisted RDDs behind.
+
+r12: the lineage-cut conversions (pin -> eager localCheckpoint) moved the
+minhash chain's storage from pins to checkpoint blocks; ckpt() tracks
+those so the contract above still holds — release_pinned() drops the
+checkpoint blocks too (getPersistentRDDs returns to baseline). The one
+semantic difference: a released CHECKPOINT cannot be re-executed (lineage
+is truncated), so release only after the output is fully materialized and
+rebuild the plan afterwards — which every caller (bench, sweep, tools)
+already does.
 """
 
 from __future__ import annotations
