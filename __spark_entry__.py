@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bqetl_spark.caching import ckpt
 from bqetl_spark.functions import chunking as ck
 from bqetl_spark.functions import dedup as dd
 from bqetl_spark.functions import graph as gr
@@ -3880,15 +3881,23 @@ def q_retrieval_eval(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     terms = ["spark", "shuffle", "window"]
-    rel = docs.select(
+    # rel is consumed 4x inside ndcg_eval (ideal + one join per system)
+    # and each consumer would re-run the tokenize pass — checkpoint the
+    # doc-count-sized (id, rel) table once (r12 opt)
+    rel = ckpt(docs.select(
         "doc_id",
         F.size(F.array_intersect(
             F.array_distinct(tx.tokens(F.col("text"))),
             F.array(*[F.lit(t) for t in terms])))
-        .cast("long").alias("rel"))
+        .cast("long").alias("rel")))
     tfidf = rt.tfidf_topk(docs, terms, k=10).select("doc_id", "rank")
-    bm = rt.bm25_topk(docs, terms, k=10).select("doc_id", "rank")
-    lex = rt.bm25_topk(docs, terms, k=20).select("doc_id", "rank")
+    # bm25@10 IS the rank<=10 prefix of bm25@20 (row_number over the same
+    # deterministic total order: score desc, id asc) — computing it as a
+    # filter drops a whole second bm25 pass over the corpus (r12 opt:
+    # one fewer tokenize+explode+tf aggregation and two fewer metadata
+    # collects; sweep hash-MATCH proves the prefix identity)
+    lex = ckpt(rt.bm25_topk(docs, terms, k=20).select("doc_id", "rank"))
+    bm = lex.filter(F.col("rank") <= 10)
     dense = (sim.cosine_topk(emb, emb.filter(F.col("vec_id") == 0),
                              k=20, score_decimals=6)
              .select(F.col("neighbor_id").alias("doc_id"), "rank"))
