@@ -559,8 +559,23 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .filter(F.col("hamming") <= max_hamming))
 
 
+# Edge-count bound for the driver union-find fast path of
+# connected_components: below it the (already materialized) edge list is
+# collected (2 ids/row — ~16 MB at the default bound, the same order as a
+# broadcast side) and solved exactly on the driver; above it the
+# distributed propagation loop runs. Size-ADAPTIVE algorithm choice, the
+# broadcast-join-threshold pattern: near-dup edge sets are sparse (pairs,
+# not corpora), so most corpora resolve in one collect instead of
+# 2+2·rounds Spark jobs, while a genuinely huge pair graph still takes
+# the scalable path. Env-overridable for cluster tuning.
+DRIVER_CC_EDGES_MAX = int(__import__("os").environ.get(
+    "BQETL_DRIVER_CC_EDGES_MAX", 1_000_000))
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_iter: int = 30) -> DataFrame:
+                         max_iter: int = 30,
+                         driver_edges_max: int = DRIVER_CC_EDGES_MAX
+                         ) -> DataFrame:
     """Undirected connected components by min-label propagation — the
     pair→cluster step a dedup pipeline needs before it can pick one
     representative per duplicate group.
@@ -576,9 +591,17 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     1000-node chain converges in ~12 rounds, not 1000 (same doubling idea
     as the star-contraction algorithms of Kiveris et al., "Connected
     Components in MapReduce"). Near-dup clusters (cliques-with-chips)
-    still finish in 2-4. The driver collects only a one-row converged?
-    count per round — never the labels. Exhausting ``max_iter`` without
-    convergence raises rather than returning silently-wrong labels.
+    still finish in 2-4. In the distributed loop the driver collects only
+    a one-row converged? count per round — never the labels. Exhausting
+    ``max_iter`` without convergence raises rather than returning
+    silently-wrong labels.
+
+    ``driver_edges_max`` (r12): edge lists at or under this bound are
+    solved by exact union-find on the driver — identical output, one
+    bounded collect (~16 MB at the default 1M edges, broadcast-side
+    scale) instead of 2 + 2·rounds Spark jobs. The size-adaptive
+    algorithm choice every broadcast join already makes; the distributed
+    loop remains the path for genuinely large pair graphs.
 
     Lineage is CUT each round with an eager checkpoint: caching alone is
     not enough for iterative algorithms, because Catalyst re-analyzes the
@@ -592,6 +615,41 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
            .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
            .distinct()
            .transform(ckpt))
+    # Size-adaptive fast path (r12, guide §1.2 "the distributed
+    # algorithm"): the undirected edge list is already materialized by
+    # the checkpoint, so the count is one cheap leaf scan. Under the
+    # bound, exact union-find on the driver produces the IDENTICAL
+    # min-label-per-component output (comp = min member id by
+    # definition) in one collect instead of 2 + 2·rounds jobs; ids
+    # compare identically in Python and SQL (BIGINT, or ASCII strings —
+    # binary collation ≡ code-point order). Pinned equivalent to the
+    # distributed loop by tests/test_dedup.py.
+    if und.count() <= driver_edges_max:
+        from pyspark.sql import types as T
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for s, d in und.collect():
+            if s not in parent:
+                parent[s] = s
+            if d not in parent:
+                parent[d] = d
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[max(rs, rd)] = min(rs, rd)  # union by min id
+        out = sorted((node, find(node)) for node in parent)
+        ntype = und.schema["s"].dataType
+        schema = T.StructType([T.StructField("node", ntype),
+                               T.StructField("comp", ntype)])
+        return edges.sparkSession.createDataFrame(out, schema)
     labels = (und.select(F.col("s").alias("node")).distinct()
               .withColumn("comp", F.col("node"))
               .transform(ckpt))

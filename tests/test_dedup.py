@@ -92,12 +92,52 @@ def test_dedup_clusters_representatives(spark):
 
 def test_connected_components_long_chain_converges(spark):
     # a 60-node path has diameter 59: plain min-propagation would need 59
-    # rounds; pointer jumping must land it well inside max_iter=30
+    # rounds; pointer jumping must land it well inside max_iter=30.
+    # driver_edges_max=0 forces the DISTRIBUTED loop (the r12 union-find
+    # fast path would otherwise absorb a graph this small).
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 60)], ["src", "dst"])
     got = {r["node"]: r["comp"]
-           for r in dd.connected_components(edges, max_iter=30).collect()}
+           for r in dd.connected_components(edges, max_iter=30,
+                                            driver_edges_max=0).collect()}
     assert set(got.values()) == {1} and len(got) == 60
+
+
+def test_connected_components_driver_path_equals_distributed(spark):
+    # the r12 size-adaptive union-find fast path must produce the exact
+    # labeling of the distributed propagation loop — same (node, comp)
+    # set on a graph mixing chains, cliques, stars and singleton edges,
+    # with non-contiguous ids and both edge orientations
+    import random
+
+    rng = random.Random(12012)
+    edges = []
+    base = 0
+    for _ in range(40):
+        kind = rng.choice(["chain", "clique", "star", "edge"])
+        n = rng.randint(2, 9)
+        ids = [base + i * 7 for i in range(n)]
+        rng.shuffle(ids)
+        base += n * 7 + 3
+        if kind == "chain":
+            edges += list(zip(ids, ids[1:]))
+        elif kind == "clique":
+            edges += [(a, b) for i, a in enumerate(ids)
+                      for b in ids[i + 1:]]
+        elif kind == "star":
+            edges += [(ids[0], x) for x in ids[1:]]
+        else:
+            edges.append((ids[0], ids[1]))
+    rng.shuffle(edges)
+    # random orientation per edge
+    edges = [(b, a) if rng.random() < 0.5 else (a, b) for a, b in edges]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fast = {(r["node"], r["comp"])
+            for r in dd.connected_components(df).collect()}
+    dist = {(r["node"], r["comp"])
+            for r in dd.connected_components(
+                df, driver_edges_max=0).collect()}
+    assert fast == dist and len(fast) > 0
 
 
 def test_minhash_bucket_cap_subsets_exact(spark):
