@@ -1110,8 +1110,11 @@ def perceptron_langid(df: DataFrame, text_col: str = "text",
               .cast("long") % buckets)
     feats = (base.select(F.col(id_col), F.col(lang_col), gram)
              .select(F.col(id_col), F.col(lang_col), bucket.alias("__b")))
-    docfeat = pin(feats.groupBy(id_col, lang_col, "__b")
-                  .agg(F.count("*").cast("long").alias("__n")))
+    # ckpt, not pin (r12 s5): the md5 featurization lineage was
+    # re-embedded in every training-iteration subtree (planning cost);
+    # the checkpoint makes each iteration read a leaf
+    docfeat = ckpt(feats.groupBy(id_col, lang_col, "__b")
+                   .agg(F.count("*").cast("long").alias("__n")))
     final = _batch_perceptron(docfeat, id_col, lang_col, iters,
                               ref_mod, ref_keep)
     return final.select(F.col(id_col), F.col(lang_col),
@@ -1151,7 +1154,7 @@ def _batch_perceptron(docfeat: DataFrame, id_col: str, label_col: str,
     dependent gates (OPTIMIZATION_r12.md)."""
     from bqetl_spark.caching import ckpt, pin
 
-    tr = pin(docfeat.filter(
+    tr = ckpt(docfeat.filter(
         F.pmod(F.col(id_col), F.lit(ref_mod)) < ref_keep))
     classes = sorted(
         r["__c"] for r in
@@ -1304,7 +1307,7 @@ def quality_perceptron(df: DataFrame, text_col: str = "text",
            .select(F.col(id_col), "__lbl", bucket.alias("__b"))
            .groupBy(id_col, "__lbl", "__b")
            .agg(F.count("*").cast("long").alias("__c")))
-    docfeat = pin(
+    docfeat = ckpt(
         raw.withColumn("__tot", F.sum("__c").over(Window.partitionBy(id_col)))
         # SQL div: integer division, = floor for these positive operands
         # (Spark div truncates, DuckDB // floors — they agree at >= 0)
