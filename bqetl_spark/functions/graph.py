@@ -697,9 +697,11 @@ def hits_fixed(edges: DataFrame, src: str = "src", dst: str = "dst",
     # distinct destinations — on a source-skewed directed graph (few
     # sources, many dsts) gating on n_src alone could broadcast an
     # auths table far above the cap
-    n_src = e.select("__src").distinct().count()
-    n_dst = e.select("__dst").distinct().count()
-    small = max(n_src, n_dst) <= broadcast_nodes_max
+    # both gate scalars in ONE job (r12 s5: was two distinct().count()
+    # jobs over the same pinned edge list)
+    gate = e.agg(F.countDistinct("__src").alias("ns"),
+                 F.countDistinct("__dst").alias("nd")).first()
+    small = max(gate["ns"], gate["nd"]) <= broadcast_nodes_max
 
     def _norm(raw: DataFrame, key: str, col: str) -> DataFrame:
         # in-plan one-row max attach (r12, VERDICT item 6): this was a
