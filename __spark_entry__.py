@@ -1893,18 +1893,39 @@ def q_corpus_curate_multimodal(spark, sf_dir):
     is the already-audited shape (no stage added here introduces a
     new join or shuffle pattern)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    qk = (q_corpus_keep_trained(spark, sf_dir)
-          .withColumn("__q", F.lit(1)))
-    t = (q_dedup_clusters(spark, sf_dir)
-         .filter(~F.col("is_representative"))
-         .select("doc_id").distinct().withColumn("__t", F.lit(1)))
-    i = (q_phash_clusters(spark, sf_dir)
-         .filter(~F.col("is_representative"))
-         .select(F.col("media_id").alias("doc_id")).distinct()
-         .withColumn("__i", F.lit(1)))
-    a = (q_audio_neardup(spark, sf_dir)
-         .select(F.col("id_b").alias("doc_id")).distinct()
-         .withColumn("__a", F.lit(1)))
+    # The four stage pipelines are INDEPENDENT until the final join, and
+    # each runs several small eager jobs (checkpoint materializations,
+    # metadata collects) at plan-build time that would otherwise
+    # serialize on the driver. Build them from a small thread pool so
+    # their jobs overlap on idle cores (guide §2.6 — Spark's scheduler
+    # runs concurrent jobs FIFO with back-fill; results are plain
+    # DataFrames, bit-identical to the sequential build).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _quality():
+        return (q_corpus_keep_trained(spark, sf_dir)
+                .withColumn("__q", F.lit(1)))
+
+    def _text():
+        return (q_dedup_clusters(spark, sf_dir)
+                .filter(~F.col("is_representative"))
+                .select("doc_id").distinct().withColumn("__t", F.lit(1)))
+
+    def _image():
+        return (q_phash_clusters(spark, sf_dir)
+                .filter(~F.col("is_representative"))
+                .select(F.col("media_id").alias("doc_id")).distinct()
+                .withColumn("__i", F.lit(1)))
+
+    def _audio():
+        return (q_audio_neardup(spark, sf_dir)
+                .select(F.col("id_b").alias("doc_id")).distinct()
+                .withColumn("__a", F.lit(1)))
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        fq, ft, fi, fa = (pool.submit(_quality), pool.submit(_text),
+                          pool.submit(_image), pool.submit(_audio))
+        qk, t, i, a = fq.result(), ft.result(), fi.result(), fa.result()
     flags = (docs.join(qk, "doc_id", "left")
              .join(t, "doc_id", "left")
              .join(i, "doc_id", "left")
