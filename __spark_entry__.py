@@ -3904,20 +3904,37 @@ def q_retrieval_eval(spark, sf_dir):
     terms = ["spark", "shuffle", "window"]
     # rel is consumed 4x inside ndcg_eval (ideal + one join per system)
     # and each consumer would re-run the tokenize pass — checkpoint the
-    # doc-count-sized (id, rel) table once (r12 opt)
-    rel = ckpt(docs.select(
-        "doc_id",
-        F.size(F.array_intersect(
-            F.array_distinct(tx.tokens(F.col("text"))),
-            F.array(*[F.lit(t) for t in terms])))
-        .cast("long").alias("rel")))
-    tfidf = rt.tfidf_topk(docs, terms, k=10).select("doc_id", "rank")
-    # bm25@10 IS the rank<=10 prefix of bm25@20 (row_number over the same
-    # deterministic total order: score desc, id asc) — computing it as a
-    # filter drops a whole second bm25 pass over the corpus (r12 opt:
-    # one fewer tokenize+explode+tf aggregation and two fewer metadata
-    # collects; sweep hash-MATCH proves the prefix identity)
-    lex = ckpt(rt.bm25_topk(docs, terms, k=20).select("doc_id", "rank"))
+    # doc-count-sized (id, rel) table once (r12 opt). The three builders
+    # below each run small eager jobs (rel's checkpoint, tfidf's corpus
+    # count, bm25's two metadata collects + lex checkpoint) that are
+    # independent — build them from a thread pool so the jobs overlap
+    # on idle cores (guide §2.6, the corpus_curate_multimodal pattern).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _rel():
+        return ckpt(docs.select(
+            "doc_id",
+            F.size(F.array_intersect(
+                F.array_distinct(tx.tokens(F.col("text"))),
+                F.array(*[F.lit(t) for t in terms])))
+            .cast("long").alias("rel")))
+
+    def _tfidf():
+        return rt.tfidf_topk(docs, terms, k=10).select("doc_id", "rank")
+
+    def _lex():
+        # bm25@10 IS the rank<=10 prefix of bm25@20 (row_number over the
+        # same deterministic total order: score desc, id asc) — computing
+        # it as a filter drops a whole second bm25 pass over the corpus
+        # (r12 opt: one fewer tokenize+explode+tf aggregation and two
+        # fewer metadata collects; sweep hash-MATCH proves the identity)
+        return ckpt(rt.bm25_topk(docs, terms, k=20)
+                    .select("doc_id", "rank"))
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fr, ff, fl = (pool.submit(_rel), pool.submit(_tfidf),
+                      pool.submit(_lex))
+        rel, tfidf, lex = fr.result(), ff.result(), fl.result()
     bm = lex.filter(F.col("rank") <= 10)
     dense = (sim.cosine_topk(emb, emb.filter(F.col("vec_id") == 0),
                              k=20, score_decimals=6)
