@@ -4634,56 +4634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_entry.py::test_window_order_matches_tool pins dict order
     # to the tool's output so the comment cannot drift from reality.
     return {
-        "doc_embed_ann": q_doc_embed_ann,
-        "video_neardup": q_video_neardup,
-        "corpus_curate_multimodal": q_corpus_curate_multimodal,
-        "stream_video": q_stream_video,
-        "video_frame_lookup": q_video_frame_lookup,
         "phash_dihedral": q_phash_dihedral,
-        "audio_lookup": q_audio_lookup,
-        "stream_audio": q_stream_audio,
-        "spatial_grid_join": q_spatial_grid_join,
-        "video_dihedral": q_video_dihedral,
-        "kmv_difference": q_kmv_difference,
-        "spatial_knn": q_spatial_knn,
-        "hits_scores": q_hits_scores,
-        "bloom_prune": q_bloom_prune,
-        "bm25_topk": q_bm25_topk,
-        "boilerplate_strip": q_boilerplate_strip,
-        "bpe_segments": q_bpe_segments,
-        "bpe_train": q_bpe_train,
-        "bucketed_join": q_bucketed_join,
-        "cms_tokens": q_cms_tokens,
-        "cube_status_priority": q_cube_status_priority,
-        "customer_variance": q_customer_variance,
-        "distinct_suppliers_per_brand": q_distinct_suppliers_per_brand,
-        "dsir_weights": q_dsir_weights,
-        "edit_dist_pairs": q_edit_dist_pairs,
-        "embed_ivfpq_topk": q_embed_ivfpq_topk,
-        "embed_matryoshka": q_embed_matryoshka,
-        "embed_neardup": q_embed_neardup,
-        "embed_pq_hadamard": q_embed_pq_hadamard,
-        "embed_pq_topk": q_embed_pq_topk,
-        "event_pattern": q_event_pattern,
-        "frame_samples": q_frame_samples,
-        "hard_negatives_ann": q_hard_negatives_ann,
-        "hll_distinct": q_hll_distinct,
-        "hll_intersect": q_hll_intersect,
-        "hll_sliding": q_hll_sliding,
-        "hll_sparse": q_hll_sparse,
-        "increasing_runs": q_increasing_runs,
-        "lang_id": q_lang_id,
-        "lm_perplexity": q_lm_perplexity,
-        "lm_tail_split": q_lm_tail_split,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "multimodal_png": q_multimodal_png,
-        "multimodal_resize": q_multimodal_resize,
-        "ndjson_roundtrip": q_ndjson_roundtrip,
-        "ngram_novelty": q_ngram_novelty,
-        "pagerank": q_pagerank,
-        "pyds_ndjson": q_pyds_ndjson,
         "pyds_pushdown": q_pyds_pushdown,
         "stream_cms": q_stream_cms,
         "stream_hll": q_stream_hll,
@@ -4885,6 +4836,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": q_top_orders_per_customer,
         "tumbling_window": q_tumbling_window,
         "union_high_value": q_union_high_value,
+        "audio_lookup": q_audio_lookup,
+        "bloom_prune": q_bloom_prune,
+        "bm25_topk": q_bm25_topk,
+        "boilerplate_strip": q_boilerplate_strip,
+        "bpe_segments": q_bpe_segments,
+        "bpe_train": q_bpe_train,
+        "bucketed_join": q_bucketed_join,
+        "cms_tokens": q_cms_tokens,
+        "corpus_curate_multimodal": q_corpus_curate_multimodal,
+        "cube_status_priority": q_cube_status_priority,
+        "customer_variance": q_customer_variance,
+        "distinct_suppliers_per_brand": q_distinct_suppliers_per_brand,
+        "doc_embed_ann": q_doc_embed_ann,
+        "dsir_weights": q_dsir_weights,
+        "edit_dist_pairs": q_edit_dist_pairs,
+        "embed_ivfpq_topk": q_embed_ivfpq_topk,
+        "embed_matryoshka": q_embed_matryoshka,
+        "embed_neardup": q_embed_neardup,
+        "embed_pq_hadamard": q_embed_pq_hadamard,
+        "embed_pq_topk": q_embed_pq_topk,
+        "event_pattern": q_event_pattern,
+        "frame_samples": q_frame_samples,
+        "hard_negatives_ann": q_hard_negatives_ann,
+        "hits_scores": q_hits_scores,
+        "hll_distinct": q_hll_distinct,
+        "hll_intersect": q_hll_intersect,
+        "hll_sliding": q_hll_sliding,
+        "hll_sparse": q_hll_sparse,
+        "increasing_runs": q_increasing_runs,
+        "kmv_difference": q_kmv_difference,
+        "lang_id": q_lang_id,
+        "lm_perplexity": q_lm_perplexity,
+        "lm_tail_split": q_lm_tail_split,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_png": q_multimodal_png,
+        "multimodal_resize": q_multimodal_resize,
+        "ndjson_roundtrip": q_ndjson_roundtrip,
+        "ngram_novelty": q_ngram_novelty,
+        "pagerank": q_pagerank,
+        "pyds_ndjson": q_pyds_ndjson,
+        "spatial_grid_join": q_spatial_grid_join,
+        "spatial_knn": q_spatial_knn,
+        "stream_audio": q_stream_audio,
+        "stream_video": q_stream_video,
+        "video_dihedral": q_video_dihedral,
+        "video_frame_lookup": q_video_frame_lookup,
+        "video_neardup": q_video_neardup,
     }
 
 
@@ -5574,10 +5574,12 @@ def _phash_dihedral_oracle() -> str:
                   AS BIGINT)
       FROM d, range(1, 65) t(i)
     ), rowp AS (
-      SELECT mid, cu.u AS u, pix.x AS x, SUM(cu.c * p) AS rv
+      SELECT mid, cu.u AS u, pix.x AS x,
+             CAST(SUM(cu.c * p) AS BIGINT) AS rv
       FROM pix JOIN ct cu ON cu.x = pix.y GROUP BY mid, cu.u, pix.x
     ), coef AS (
-      SELECT mid, rowp.u AS u, cv.u AS v, SUM(cv.c * rv) AS val
+      SELECT mid, rowp.u AS u, cv.u AS v,
+             CAST(SUM(cv.c * rv) AS BIGINT) AS val
       FROM rowp JOIN ct cv ON cv.x = rowp.x GROUP BY mid, rowp.u, cv.u
     ), vc AS (
       SELECT mid, t,
@@ -5596,10 +5598,14 @@ def _phash_dihedral_oracle() -> str:
     ), med AS (
       SELECT mid, t, val AS m FROM ac WHERE rk = 32
     ), ph AS (
+      -- CAST the bit-pack sum: DuckDB SUM(BIGINT) is HUGEINT, and the
+      -- driver's fetch path converts HUGEINT output columns to float64,
+      -- which loses bits above 2^53 (the r12 hash_match failure). The
+      -- 63-bit pack always fits BIGINT, so the cast is exact.
       SELECT ac.mid, ac.t,
-             SUM(CASE WHEN ac.val > med.m
+             CAST(SUM(CASE WHEN ac.val > med.m
                  THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
-                 ELSE CAST(0 AS BIGINT) END) AS h
+                 ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS h
       FROM ac JOIN med USING (mid, t) GROUP BY ac.mid, ac.t
     ), canon AS (
       SELECT mid AS media_id, MIN(h) AS phash FROM ph GROUP BY mid

@@ -35,3 +35,32 @@ def test_incident_class_oracles_are_run_stable():
     assert set(res) == set(PINNED)
     unstable = {n: r for n, r in res.items() if not r.get("stable")}
     assert not unstable, unstable
+
+
+def test_no_oracle_output_column_is_hugeint():
+    """r12 driver red (phash_dihedral): an un-cast SUM(BIGINT) made the
+    output `phash` column HUGEINT. duckdb's fetchall() returns exact
+    Python ints (so local sweeps passed), but pandas/numpy fetch paths
+    convert HUGEINT to float64, losing bits above 2^53 — an
+    environment-sensitive hash divergence. Pin: no oracle may expose a
+    HUGEINT/UHUGEINT (or wide-DECIMAL) output column; cast to BIGINT
+    (exact for every value the engine emits) before the final SELECT.
+
+    Type inspection only (`LIMIT 0`-style prepare via .types) — runs in
+    seconds over all 250 oracles at sf0.001.
+    """
+    sys.path.insert(0, "/root/repo")
+    em = importlib.import_module("__spark_entry__")
+    harness = importlib.import_module("tests.oracle_harness")
+
+    con = harness.duck_connection("/root/testdata/sf0.001")
+    offenders = {}
+    for name, sql in em.oracle_sql().items():
+        rel = con.sql(sql)
+        sus = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+               if str(t) in ("HUGEINT", "UHUGEINT")
+               or (str(t).startswith("DECIMAL(") and
+                   int(str(t).split("(")[1].split(",")[0]) > 15)]
+        if sus:
+            offenders[name] = sus
+    assert not offenders, offenders

@@ -38,19 +38,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # queries() dict order to compute_order(..., **ROUND_HEAD), so a stale
 # constant fails the suite instead of silently drifting.
 ROUND_HEAD = {
-    # r12 head: new gates in landing order (VERDICT r11 items 3/4/8),
-    # then the changed gates. regen_queries_dict.py re-ran after each
-    # landing.
-    "new_first": ["doc_embed_ann", "video_neardup",
-                  "corpus_curate_multimodal", "stream_video",
-                  "video_frame_lookup", "phash_dihedral",
-                  "audio_lookup", "stream_audio",
-                  "spatial_grid_join", "video_dihedral",
-                  "kmv_difference", "spatial_knn"],
-    # hits_scores: per-phase max normalizer moved from driver collects to
-    # the in-plan one-row crossJoin (VERDICT r11 item 6) — result proven
-    # bit-identical, but the gate code changed
-    "changed": ["hits_scores"],
+    # r13 head (optimization round — no new gates). phash_dihedral is
+    # the one gate whose ORACLE changed this round: the r12 driver red
+    # (HUGEINT output column → float64 precision loss under the driver's
+    # fetch path) is fixed by casting the bit-pack sums to BIGINT; it is
+    # also auto-new (never driver-green), so it stays at the window head
+    # for re-evaluation either way.
+    "new_first": [],
+    "changed": ["phash_dihedral"],
 }
 
 
