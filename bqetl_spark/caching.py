@@ -19,7 +19,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _PINNED: list[DataFrame] = []
-_CKPT: list[DataFrame] = []
+# (SparkContext, rdd id) — NOT the DataFrame (r13, advisor): a strong
+# DataFrame reference would keep the checkpoint RDD reachable from
+# Python forever, so sessions that never call release_pinned() (the
+# external driver evaluating 50 gates) would accumulate every
+# checkpoint block for the whole run. Holding only the id restores
+# ContextCleaner semantics (blocks free when the JVM plan is GC'd
+# after the caller drops the frame) while release_pinned() can still
+# drop them eagerly by id.
+_CKPT: list[tuple] = []
 
 
 def pin(df: DataFrame) -> DataFrame:
@@ -47,7 +55,11 @@ def ckpt(df: DataFrame) -> DataFrame:
     tools all rebuild plans per run). Usage: ``df.transform(ckpt)``.
     """
     out = df.localCheckpoint()
-    _CKPT.append(out)
+    try:
+        rdd_id = int(out._jdf.queryExecution().analyzed().rdd().id())
+        _CKPT.append((out.sparkSession.sparkContext, rdd_id))
+    except Exception:
+        pass  # unexpected plan shape: leave the blocks to ContextCleaner
     return out
 
 
@@ -68,10 +80,11 @@ def release_pinned() -> int:
             pass  # session already stopped — nothing to free
     while _CKPT:
         try:
-            df = _CKPT.pop()
-            # the checkpointed data lives on the LogicalRDD's RDD; DataFrame
-            # .unpersist() would miss it (the frame itself is not cached)
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            sc, rdd_id = _CKPT.pop()
+            # the checkpointed data lives on the LogicalRDD's RDD, tracked
+            # by id (see _CKPT note); unpersistRDD is what ContextCleaner
+            # itself calls and is a no-op for already-cleaned ids
+            sc._jsc.sc().unpersistRDD(rdd_id, False)
         except Exception:
-            pass
+            pass  # session already stopped — nothing to free
     return n

@@ -598,10 +598,16 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     ``driver_edges_max`` (r12): edge lists at or under this bound are
     solved by exact union-find on the driver — identical output, one
-    bounded collect (~16 MB at the default 1M edges, broadcast-side
-    scale) instead of 2 + 2·rounds Spark jobs. The size-adaptive
-    algorithm choice every broadcast join already makes; the distributed
-    loop remains the path for genuinely large pair graphs.
+    bounded collect instead of 2 + 2·rounds Spark jobs. Driver-heap
+    sizing (r13, advisor): the raw DATA at the default 1M edges is
+    ~16 MB, but the collect materializes ~1M Python Row objects plus
+    the sorted label list re-serialized through createDataFrame —
+    budget a few hundred MB of transient driver heap at the default
+    bound, and lower ``BQETL_DRIVER_CC_EDGES_MAX`` on thin drivers
+    (the engine default assumes the session's 48g driver). The
+    size-adaptive algorithm choice every broadcast join already makes;
+    the distributed loop remains the path for genuinely large pair
+    graphs.
 
     Lineage is CUT each round with an eager checkpoint: caching alone is
     not enough for iterative algorithms, because Catalyst re-analyzes the
@@ -611,8 +617,14 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     ``spark.sparkContext.setCheckpointDir`` at reliable storage and swap
     ``localCheckpoint`` for ``checkpoint``.
     """
+    # Null endpoints are dropped up front (r13, advisor): every caller
+    # derives edges from non-null candidate-pair ids, but a null would
+    # previously CRASH the union-find fast path (min/max on None) while
+    # the distributed loop silently propagated through it — the two
+    # paths must agree on any input, so both now see a null-free graph.
     und = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
            .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+           .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
            .distinct()
            .transform(ckpt))
     # Size-adaptive fast path (r12, guide §1.2 "the distributed

@@ -698,7 +698,12 @@ def hits_fixed(edges: DataFrame, src: str = "src", dst: str = "dst",
     # sources, many dsts) gating on n_src alone could broadcast an
     # auths table far above the cap
     # both gate scalars in ONE job (r12 s5: was two distinct().count()
-    # jobs over the same pinned edge list)
+    # jobs over the same pinned edge list). Null-semantics note (r13,
+    # advisor): countDistinct ignores NULL where distinct().count()
+    # counted a null group — on a graph with null endpoints the scalar
+    # shifts by 1, which could flip the broadcast decision exactly at
+    # the cap. Plan-only (outputs unchanged either way), and the
+    # engine's edge builders never emit null endpoints.
     gate = e.agg(F.countDistinct("__src").alias("ns"),
                  F.countDistinct("__dst").alias("nd")).first()
     small = max(gate["ns"], gate["nd"]) <= broadcast_nodes_max

@@ -548,3 +548,24 @@ def test_minhash_near_threshold_miss_budget(spark):
         "near-threshold pair mass has grown enough that the 16x4 "
         "geometry's per-pair 4e-8 no longer rounds to exact; widen "
         "the bands or document the budget")
+
+
+def test_connected_components_null_endpoints_agree(spark):
+    # r13 (advisor): a null endpoint used to CRASH the union-find fast
+    # path (min/max on None) while the distributed loop silently
+    # propagated through it. Both paths now drop null-endpoint edges up
+    # front and must agree: nulls never join anything, real components
+    # are unaffected.
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("src", T.LongType()),
+                           T.StructField("dst", T.LongType())])
+    rows = [(1, 2), (2, 3), (None, 4), (5, None), (None, None), (7, 8)]
+    df = spark.createDataFrame(rows, schema)
+    fast = {(r["node"], r["comp"])
+            for r in dd.connected_components(df).collect()}
+    dist = {(r["node"], r["comp"])
+            for r in dd.connected_components(
+                df, driver_edges_max=0).collect()}
+    assert fast == dist
+    assert fast == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
