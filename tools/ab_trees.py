@@ -36,6 +36,9 @@ tree = sys.argv[1]
 sf = sys.argv[2]
 sys.path.insert(0, tree)
 from bench import HEADLINE
+gates_env = os.environ.get("BQETL_AB_GATES", "")
+if gates_env:
+    HEADLINE = [g for g in gates_env.split(",") if g]
 from bqetl_spark.session import get_spark, tune_shuffle_partitions
 from bqetl_spark.caching import release_pinned
 import __spark_entry__ as em
@@ -114,6 +117,9 @@ def main() -> None:
 
     runs = {"A": [], "B": []}
     ducks = []
+    # gate-mode (BQETL_AB_GATES): tree-vs-tree attribution only — the
+    # DuckDB normalization pass times headline oracles, skip it
+    do_duck = not os.environ.get("BQETL_AB_GATES")
     for i in range(alts):
         for label, tree in (("A", tree_a), ("B", tree_b)):
             r = run_tree(tree)
@@ -121,8 +127,9 @@ def main() -> None:
             print(f"alt {i} tree {label}: total "
                   f"{round(sum(v for k, v in r.items() if k != '__wall'), 3)}"
                   f" (wall {r['__wall']}s)", flush=True)
-        ducks.append(duck_pass())
-        print(f"alt {i} duckdb: {ducks[-1]}", flush=True)
+        if do_duck:
+            ducks.append(duck_pass())
+            print(f"alt {i} duckdb: {ducks[-1]}", flush=True)
 
     def totals(rs):
         return [round(sum(v for k, v in r.items() if k != "__wall"), 3)
