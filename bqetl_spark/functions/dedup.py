@@ -1088,23 +1088,40 @@ def edit_distance_pairs(df: DataFrame, text_col: str = "text",
 
     Returns (id_a, id_b, dist), dist <= max_dist."""
     ascii_ok = "^[\\x20-\\x7e]*$"
+    # r13 (guide §1.2 step 2, measured at sf1): Spark's levenshtein is
+    # ~45 µs/call on these prefixes — ONE evaluation over 423k pairs
+    # cost 19.7 s while the whole block join without it ran 0.74 s, so
+    # the per-pair expression is the entire budget. Two exact
+    # reductions:
+    # 1. pairs share their block by construction, and
+    #    lev(x·s, x·t) = lev(s, t) (the DP aligns a common prefix at
+    #    cost 0), so the ``block_chars`` shared head is stripped before
+    #    the DP — a 48²-cell band becomes 36²;
+    # 2. the threshold form returns -1 above ``max_dist``, so
+    #    ``dist >= 0`` alone is the full filter — the old
+    #    ``AND dist <= max_dist`` duplicated the levenshtein into the
+    #    join condition a second time.
+    # Same-session alternating A/B at sf1: 28.6 → 10.4 s median,
+    # identical 267 912 output rows; exceptAll empty both ways.
     base = (df.filter(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("id"),
                     F.substring(F.col(text_col), 1, prefix_len).alias("p"))
             .filter(F.col("p").rlike(ascii_ok))
-            .withColumn("blk", F.substring("p", 1, block_chars)))
+            .select("id", F.substring("p", 1, block_chars).alias("blk"),
+                    F.expr(f"substring(p, {int(block_chars) + 1})")
+                    .alias("rest")))
     ok_blocks = (base.groupBy("blk").agg(F.count("*").alias("__n"))
                  .filter((F.col("__n") >= 2) &
                          (F.col("__n") <= max_block_size))
                  .select("blk"))
     base = pin(base.join(F.broadcast(ok_blocks), "blk"))
     a, b = base.alias("a"), base.alias("b")
-    dist = F.expr(f"levenshtein(a.p, b.p, {int(max_dist)})")
+    dist = F.expr(f"levenshtein(a.rest, b.rest, {int(max_dist)})")
     return (a.join(b, (F.col("a.blk") == F.col("b.blk")) &
                       (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                     dist.alias("dist"))
-            .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist)))
+            .filter(F.col("dist") >= 0))
 
 
 def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
