@@ -18,6 +18,14 @@ from __future__ import annotations
 import os
 
 import pytest
+
+# NIGHTLY tier (r13, VERDICT r12 item 5): the fuzz tier is ~11 min of the
+# suite — more than the external driver's pytest budget tolerates
+# (VERIFY_r12 was cut off at 98% with zero failures). Default runs
+# (`pytest tests/`) skip it via addopts; run the full suite with
+#   python -m pytest tests/ -q -m ""
+# (tools/sweep.py and the round-end full run exercise it).
+pytestmark = pytest.mark.nightly
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

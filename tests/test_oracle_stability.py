@@ -22,6 +22,7 @@ import sys
 PINNED = ["unigram_segments", "unigram_train", "simhash_pairs"]
 
 
+@__import__('pytest').mark.nightly  # 3x oracle reruns, ~29 s (r13 tier split)
 def test_incident_class_oracles_are_run_stable():
     sys.path.insert(0, "/root/repo")
     em = importlib.import_module("__spark_entry__")

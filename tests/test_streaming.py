@@ -1,5 +1,7 @@
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bqetl_spark.streaming.events import (
@@ -285,6 +287,7 @@ def test_stream_ams_fold_is_chop_invariant(spark, tmp_path):
     assert run(4, "b") == batch
 
 
+@pytest.mark.nightly  # media chop-invariance: ~100 s combined (r13 tier split)
 def test_stream_phash_fold_is_chop_invariant(spark, tmp_path):
     """r11 streaming pHash-index maintenance: the persisted fingerprint
     index after an availableNow replay must be IDENTICAL whatever the
@@ -323,6 +326,7 @@ def test_stream_phash_fold_is_chop_invariant(spark, tmp_path):
         assert pairs == batch_pairs
 
 
+@pytest.mark.nightly  # media chop-invariance: ~100 s combined (r13 tier split)
 def test_stream_video_index_chop_invariant(spark, tmp_path):
     """Video twin of the stream_phash chop-invariance pin (r12): the
     persisted frame-hash index and the pair query over it must equal the
@@ -359,6 +363,7 @@ def test_stream_video_index_chop_invariant(spark, tmp_path):
         assert pairs == batch_pairs
 
 
+@pytest.mark.nightly  # media chop-invariance: ~100 s combined (r13 tier split)
 def test_stream_audio_index_chop_invariant(spark, tmp_path):
     """Audio twin of the stream_phash/stream_video chop-invariance pins
     (r12): the persisted landmark index after an availableNow replay
