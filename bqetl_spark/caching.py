@@ -81,6 +81,27 @@ def hot_ckpt(df: DataFrame) -> DataFrame:
     return ckpt(pin(df))
 
 
+def drop_ckpt(df: DataFrame) -> None:
+    """Free ONE checkpointed frame's blocks immediately (r13, guide §5).
+
+    Iterative operators checkpoint per round; without this, every
+    round's blocks stay in MEMORY_AND_DISK until release_pinned() —
+    at sf3 the k-core loop held ~6 rounds x 67M edge rows (~20 GB of
+    deserialized storage), pushing eviction/spill and a superlinear
+    slope. A round's state is dead the moment the NEXT round is
+    materialized, so loops drop the previous frame right after the new
+    checkpoint's action completes. Dropping truncated-lineage data is
+    irrecoverable — only call on frames that will never be read again.
+    """
+    try:
+        rdd_id = int(df._jdf.queryExecution().analyzed().rdd().id())
+        sc = df.sparkSession.sparkContext
+        sc._jsc.sc().unpersistRDD(rdd_id, False)
+        _CKPT[:] = [(s, i) for (s, i) in _CKPT if i != rdd_id]
+    except Exception:
+        pass  # not a checkpointed frame / session gone — nothing to free
+
+
 def release_pinned() -> int:
     """Free every tracked intermediate (pins unpersisted, checkpoint
     blocks dropped); returns how many were freed.

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from bqetl_spark.caching import ckpt
+from bqetl_spark.caching import ckpt, drop_ckpt
 from bqetl_spark.functions.text import tokens
 
 MERGE_SCHEMA = T.StructType([
@@ -130,8 +130,11 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text",
                       F.lit(f" {l}{r} ")).alias("s"))
         if k < n_merges:
             # cut lineage eagerly: O(1) PLAN size per round, not just
-            # O(1) re-execution (vocab-sized job, r12)
+            # O(1) re-execution (vocab-sized job, r12); the superseded
+            # round's checkpoint blocks are freed at once (r13, §5)
+            prev = vocab
             vocab = vocab.transform(ckpt)
+            drop_ckpt(prev)
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 

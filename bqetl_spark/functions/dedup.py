@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bqetl_spark.functions.text import fingerprint, tokens
-from bqetl_spark.caching import ckpt, pin
+from bqetl_spark.caching import ckpt, drop_ckpt, pin
 from bqetl_spark.session import compute_parallelism
 
 
@@ -682,6 +682,9 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.comp") != F.col("o.comp"))
                    .limit(1).count())
+        # the changed-probe was the old labeling's last reader — free
+        # its checkpoint blocks now (r13, guide §5)
+        drop_ckpt(labels)
         labels = new_labels
         if changed == 0:
             return labels

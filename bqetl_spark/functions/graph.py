@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bqetl_spark.caching import ckpt, pin
+from bqetl_spark.caching import ckpt, drop_ckpt, pin
 
 SCALE = 10**12  # fixed-point unit: 1.0 of rank mass == 10^12
 
@@ -81,6 +81,7 @@ def pagerank_fixed(edges: DataFrame, src: str = "src", dst: str = "dst",
     # explicit long: at small n the literal would fit int32 and 85·rank
     # would constant-fold in 32-bit (ANSI overflow)
     ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("rank"))
+    last_ck = None  # previous round's checkpoint, droppable once superseded
     for i in range(iters):
         rk = ranks.withColumnRenamed("node", "__src")
         contrib = (e.join(F.broadcast(rk) if small else rk, "__src")
@@ -101,6 +102,11 @@ def pagerank_fixed(edges: DataFrame, src: str = "src", dst: str = "dst",
             # over the node-sized rank table. Interleaved A/B at sf0.1:
             # median 19.5 -> 6.2 s (PLANS.md r12 opt session 3).
             ranks = ranks.transform(ckpt)
+            # the new round is materialized (ckpt is eager): the round
+            # BEFORE it is dead — free its blocks now (r13, guide §5)
+            if last_ck is not None:
+                drop_ckpt(last_ck)
+            last_ck = ranks
     return ranks
 
 
@@ -158,6 +164,7 @@ def pagerank_personalized(edges: DataFrame, seeds: DataFrame,
     ranks = seeded.select(
         "node", (F.col("__is_seed").cast("long")
                  * F.lit(SCALE // ns).cast("long")).alias("rank"))
+    last_ck = None  # previous round's checkpoint, droppable once superseded
     for i in range(iters):
         # zero-rank sources contribute floor(0) = 0 — dropping them is
         # semantics-free and keeps the early-iteration rank broadcast at
@@ -176,7 +183,11 @@ def pagerank_personalized(edges: DataFrame, seeds: DataFrame,
                          .cast("long").alias("rank")))
         if i < iters - 1:
             # same eager-checkpoint lineage cut as pagerank_fixed (r12)
+            # + superseded-round block drop (r13, guide §5)
             ranks = ranks.transform(ckpt)
+            if last_ck is not None:
+                drop_ckpt(last_ck)
+            last_ck = ranks
     return ranks
 
 
@@ -290,6 +301,9 @@ def sssp_distances(edges: DataFrame, seeds: DataFrame,
                    .filter(F.col("o.dist").isNull()
                            | (F.col("n.dist") < F.col("o.dist")))
                    .limit(1).count())  # metadata scalar: early exit
+        # the changed-probe was the old round's last reader — free its
+        # checkpoint blocks now (r13, guide §5)
+        drop_ckpt(dist)
         dist = new_dist
         if changed == 0:
             break
@@ -460,7 +474,8 @@ def triangle_counts(edges: DataFrame, max_degree: int = 4096,
 
 
 def k_core(edges: DataFrame, k: int, a_col: str = "a", b_col: str = "b",
-           max_rounds: int = 12) -> DataFrame:
+           max_rounds: int = 12,
+           broadcast_nodes_max: int = BROADCAST_NODES_MAX) -> DataFrame:
     """K-core decomposition membership (r8): iteratively peel nodes of
     degree < k until every survivor has >= k neighbors among survivors —
     the standard density screen (spam-farm detection in link graphs,
@@ -516,14 +531,31 @@ def k_core(edges: DataFrame, k: int, a_col: str = "a", b_col: str = "b",
     # separate kill-count action per round (first cut paid ~5
     # jobs/round and ran 30s at sf0.01; this shape is ~4s).
     prev = e.count()
+    # Broadcast gate for the per-round kill set (r13, guide §3.1): the
+    # kill set is tiny in ROWS (25k at sf3) but Catalyst's ESTIMATE of
+    # the agg+filter subplan scales with the edge list, so past ~sf1
+    # the two anti-joins silently flipped from BroadcastHashJoin to
+    # SortMergeJoin — the whole edge list shuffled AND sorted twice per
+    # round (the measured x3-slope cliff: 16.5 s at sf1 vs 182 s at
+    # sf3). kill ⊆ nodes and peeling only shrinks it, so one node count
+    # up front validates an explicit broadcast hint for every round;
+    # graphs beyond the cap keep the shuffle anti-join (the pagerank
+    # gate discipline).
+    n_nodes = e.select("s").distinct().count()
+    small = n_nodes <= broadcast_nodes_max
     for _ in range(max_rounds):
         deg = e.groupBy("s").agg(F.count("*").alias("__c"))
         kill = deg.filter(F.col("__c") < k).select("s")
-        e2 = (e.join(kill, "s", "left_anti")
-              .join(kill.withColumnRenamed("s", "d"), "d", "left_anti")
+        kb = F.broadcast(kill) if small else kill
+        e2 = (e.join(kb, "s", "left_anti")
+              .join(kb.withColumnRenamed("s", "d"), "d", "left_anti")
               .select("s", "d")
               .transform(ckpt))
         n = e2.count()   # metadata scalar per round
+        # e2 is materialized: the previous round's checkpoint blocks are
+        # dead — drop them NOW instead of at release_pinned() (r13,
+        # guide §5: rounds x edge-list storage was the sf3 slope)
+        drop_ckpt(e)
         if n == prev:    # no node peeled -> fixpoint (e2 == e)
             e = e2
             break
@@ -581,10 +613,14 @@ def label_propagation(edges: DataFrame, iters: int = 5,
     for _ in range(iters):
         neigh = (e.join(labels.withColumnRenamed("node", "d"), "d")
                  .groupBy("s", "lbl").agg(F.count("*").alias("__c")))
+        prev_lbl = labels
         labels = (neigh.withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") == 1)
                   .select(F.col("s").alias("node"), "lbl")
                   .transform(ckpt))
+        # the new labeling is materialized — the previous round's
+        # checkpoint blocks are dead (r13, guide §5)
+        drop_ckpt(prev_lbl)
     ws = Window.partitionBy("lbl")
     return (labels.select(F.col("node"),
                           F.col("lbl").alias("community"),
@@ -811,6 +847,7 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame,
     frontier = visited.select("node")
     small = True  # re-evaluated per round against the cap below
     n_seen = visited.count()
+    prev_frontier_ck = None
     for k in range(1, max_hops + 1):
         small = n_seen <= broadcast_nodes_max
         fr = frontier.withColumnRenamed("node", "__src")
@@ -819,10 +856,17 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame,
                .join(visited, "node", "left_anti")
                .select("node", F.lit(k).cast("long").alias("dist"))
                .transform(ckpt))
+        # this round's nxt is materialized: the previous frontier's
+        # checkpoint blocks had their last reader (r13, guide §5)
+        if prev_frontier_ck is not None:
+            drop_ckpt(prev_frontier_ck)
         cnt = nxt.count()  # metadata scalar: drives early exit
         if cnt == 0:
             break
         n_seen += cnt
+        prev_visited = visited
         visited = visited.unionByName(nxt).transform(ckpt)
+        drop_ckpt(prev_visited)  # superseded by the new union
         frontier = nxt.select("node")
+        prev_frontier_ck = nxt
     return visited

@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from bqetl_spark.caching import ckpt
+from bqetl_spark.caching import ckpt, drop_ckpt
 from bqetl_spark.functions.bpe import word_freq_table
 
 WP_MERGE_SCHEMA = T.StructType([
@@ -146,8 +146,13 @@ def wordpiece_train(docs: DataFrame, n_merges: int = 8,
                       F.lit(f" {merged} ")).alias("s"))
         if k < n_merges:
             # cut lineage eagerly: O(1) PLAN size per round, not just
-            # O(1) re-execution (vocab-sized job, r12)
+            # O(1) re-execution (vocab-sized job, r12); the superseded
+            # round's blocks (and this round's symbol-count table, whose
+            # last reader was the score collect) are freed at once (r13)
+            prev = vocab
             vocab = vocab.transform(ckpt)
+            drop_ckpt(prev)
+            drop_ckpt(symcnt)
     return spark.createDataFrame(merges, WP_MERGE_SCHEMA)
 
 
